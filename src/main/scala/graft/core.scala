@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One operator from SURVEY.md §2: a named Spark query over a scale-factor
+  * directory, plus (when SQL-expressible) an equivalent DuckDB oracle query
+  * the driver uses as the correctness gate.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Parquet table loader for the driver-generated TPC-H-ish test data.
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+  * reader rejects; we read it as long nanos and rebuild a microsecond
+  * timestamp (`DIV 1000` — integer division; a double roundtrip would lose
+  * precision above 2^53 ns).
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}
+
+/** Deterministic numeric helpers.
+  *
+  * Double sums are order-dependent, so a Spark partial-aggregate sum and a
+  * DuckDB single-threaded sum can differ in the last ulps. All monetary
+  * inputs in the test data carry at most 2 decimal places, so we sum scaled
+  * 64-bit integers (exact, associative) and divide once at the end — the
+  * same trick works verbatim in the DuckDB oracle SQL, giving bit-identical
+  * doubles. At 100 TB this also beats decimal aggregation: long sums stay in
+  * whole-stage codegen with no decimal overflow checks.
+  */
+object Num {
+  /** A <=2-decimal-place double as integer hundredths. */
+  def cents(c: Column): Column = round(c * lit(100)).cast("long")
+
+  /** Exact sum of a <=2dp double column, returned as double. */
+  def moneySum(c: Column): Column = sum(cents(c)) / 100.0
+
+  /** SQL twin of [[cents]] for the DuckDB oracle. */
+  def centsSql(expr: String): String = s"CAST(round(($expr) * 100) AS BIGINT)"
+
+  /** SQL twin of [[moneySum]]. */
+  def moneySumSql(expr: String): String = s"sum(${centsSql(expr)}) / 100.0"
+}

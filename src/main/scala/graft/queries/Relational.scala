@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.{Num, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / query-engine core (SURVEY.md §2): the warehouse-query surface
+  * matchbox drives through its sources + DuckDB layer, re-expressed as
+  * declarative Spark plans so Catalyst handles pushdown, join selection and
+  * partial aggregation. Small dimensions are broadcast explicitly.
+  */
+object Relational {
+
+  private def q1(s: SparkSession, dir: String): DataFrame = {
+    val ext  = Num.cents(col("l_extendedprice"))
+    val disc = Num.cents(col("l_discount"))
+    val tax  = Num.cents(col("l_tax"))
+    val qty  = Num.cents(col("l_quantity"))
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(qty) / 100.0).as("sum_qty"),
+        (sum(ext) / 100.0).as("sum_base_price"),
+        (sum(ext * (lit(100) - disc)) / 10000.0).as("sum_disc_price"),
+        (sum(ext * (lit(100) - disc) * (lit(100) + tax)) / 1000000.0).as("sum_charge"),
+        (sum(qty) / 100.0 / count(lit(1))).as("avg_qty"),
+        (sum(ext) / 100.0 / count(lit(1))).as("avg_price"),
+        (sum(disc) / 100.0 / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  sum(${Num.centsSql("l_quantity")})/100.0 AS sum_qty,
+       |  sum(${Num.centsSql("l_extendedprice")})/100.0 AS sum_base_price,
+       |  sum(${Num.centsSql("l_extendedprice")} * (100 - ${Num.centsSql("l_discount")}))/10000.0 AS sum_disc_price,
+       |  sum(${Num.centsSql("l_extendedprice")} * (100 - ${Num.centsSql("l_discount")}) * (100 + ${Num.centsSql("l_tax")}))/1000000.0 AS sum_charge,
+       |  sum(${Num.centsSql("l_quantity")})/100.0/count(*) AS avg_qty,
+       |  sum(${Num.centsSql("l_extendedprice")})/100.0/count(*) AS avg_price,
+       |  sum(${Num.centsSql("l_discount")})/100.0/count(*) AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private def q6(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(
+        (sum(Num.cents(col("l_extendedprice")) * Num.cents(col("l_discount"))) / 10000.0)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val q6Sql =
+    s"""SELECT
+       |  sum(${Num.centsSql("l_extendedprice")} * ${Num.centsSql("l_discount")})/10000.0 AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    val revenue = sum(
+      Num.cents(col("l_extendedprice")) * (lit(100) - Num.cents(col("l_discount")))) / 10000.0
+    Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+      .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1999-01-01 00:00:00").cast("timestamp"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(revenue.as("revenue"))
+      .select(
+        col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    s"""SELECT l_orderkey,
+       |  sum(${Num.centsSql("l_extendedprice")} * (100 - ${Num.centsSql("l_discount")}))/10000.0 AS revenue,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       |  o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+       |  AND l_shipdate  > TIMESTAMP '1999-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  private def q5(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(
+        broadcast(Tables(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg((sum(
+        Num.cents(col("l_extendedprice")) * (lit(100) - Num.cents(col("l_discount")))) / 10000.0)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  private val q5Sql =
+    s"""SELECT n_name,
+       |  sum(${Num.centsSql("l_extendedprice")} * (100 - ${Num.centsSql("l_discount")}))/10000.0 AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  private val qWindowSql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer) t
+      |WHERE rnk <= 5
+      |ORDER BY c_mktsegment, rnk""".stripMargin
+
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val big    = orders.filter(col("o_totalprice") > 50000).select("o_custkey")
+    val filled = orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+    Tables(s, dir, "customer")
+      .join(big, col("c_custkey") === big("o_custkey"), "left_semi")
+      .join(filled, col("c_custkey") === filled("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private val qSemiAntiSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(Num.cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  private val qRollupSql =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       |  coalesce(l_linestatus, 'ALL') AS linestatus,
+       |  count(*) AS n_items,
+       |  sum(${Num.centsSql("l_quantity")})/100.0 AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run   = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("es", unix_timestamp(col("ts")))
+      .withColumn("prev", lag("es", 1).over(order))
+      .withColumn(
+        "new_s",
+        when(col("prev").isNull || col("es") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val qSessionizeSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      |x AS (
+      |  SELECT user_id, event_id, ts, es,
+      |    lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+      |y AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END AS new_s FROM x),
+      |z AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM y)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+      |FROM z GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(
+        col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(Num.cents(col("value"))) / 100.0).as("sum_value"))
+      .orderBy("event_type", "hour_start")
+
+  private val qEventsWindowSql =
+    s"""SELECT event_type,
+       |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       |  count(*) AS n,
+       |  sum(${Num.centsSql("value")})/100.0 AS sum_value
+       |FROM events
+       |GROUP BY event_type, hour_start
+       |ORDER BY event_type, hour_start""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", q1, Some(q1Sql)),
+    QueryDef("q6_filter_agg", q6, Some(q6Sql)),
+    QueryDef("q3_topk_join", q3, Some(q3Sql)),
+    QueryDef("q5_multijoin", q5, Some(q5Sql)),
+    QueryDef("q_window", qWindow, Some(qWindowSql)),
+    QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
+    QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_events_sessionize", qSessionize, Some(qSessionizeSql)),
+    QueryDef("q_events_window_agg", qEventsWindow, Some(qEventsWindowSql)))
+}
