@@ -1,0 +1,67 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pairwise precision / recall of model clusters against human judgements
+  * (reference: src/matchbox/common/eval.py `precision_recall`).
+  *
+  * The reference expands clusters to pairs with itertools.combinations on
+  * the driver; here cluster→pair expansion is a self-equi-join on the
+  * cluster id (shuffle on cluster id; skew-safe for matching workloads where
+  * cluster sizes are bounded), and the endorse/reject netting is a groupBy
+  * sum. Everything stays distributed until the final two ratios.
+  */
+object PrecisionRecall {
+
+  /** @param assignments (id, component) cluster assignments (model output)
+    * @param judgements  (left_id, right_id, verdict) verdict +1 endorsed / -1 rejected,
+    *                    possibly many judgements per pair
+    * @return single row: tp, n_model, n_validation, precision, recall
+    *
+    * Semantics follow the reference: model pairs are implied within-cluster
+    * pairs restricted to leaves that were judged; neutrally-netted pairs
+    * (sum verdict == 0) are discarded from both sides; validation pairs are
+    * those with positive net. Ratios are computed as exact integer counts
+    * divided once — deterministic across engines.
+    */
+  def apply(assignments: DataFrame, judgements: DataFrame): DataFrame = {
+    val net = judgements
+      .select(
+        least(col("left_id"), col("right_id")).as("a"),
+        greatest(col("left_id"), col("right_id")).as("b"),
+        col("verdict"))
+      .groupBy("a", "b")
+      .agg(sum("verdict").as("net"))
+      .filter(col("net") =!= 0)
+
+    val judgedLeaves = net.select(col("a").as("id"))
+      .union(net.select(col("b").as("id"))).distinct()
+
+    val member = assignments.join(judgedLeaves, "id")
+    val modelPairs = member.alias("x")
+      .join(member.alias("y"),
+        col("x.component") === col("y.component") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .join(net, Seq("a", "b")) // drop un-judged and neutrally-judged pairs
+
+    // Shared-leaves rule: validation pairs must lie within the model's leaf
+    // universe too (reference eval.py computes the intersection of leaf sets).
+    val modelLeaves = assignments.select(col("id")).distinct()
+    val validation = net.filter(col("net") > 0)
+      .join(modelLeaves.withColumnRenamed("id", "a"), "a")
+      .join(modelLeaves.withColumnRenamed("id", "b"), "b")
+      .select("a", "b")
+
+    val tp = modelPairs.join(validation, Seq("a", "b"), "left_semi")
+
+    val counts = modelPairs.agg(count(lit(1)).as("n_model"))
+      .crossJoin(validation.agg(count(lit(1)).as("n_validation")))
+      .crossJoin(tp.agg(count(lit(1)).as("tp")))
+
+    counts.select(
+      col("tp"), col("n_model"), col("n_validation"),
+      (col("tp").cast("double") / col("n_model")).as("precision"),
+      (col("tp").cast("double") / col("n_validation")).as("recall"))
+  }
+}

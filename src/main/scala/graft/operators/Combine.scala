@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Query-result shaping: matchbox's combine types and cleaning dict
+  * (reference: src/matchbox/client/queries.py — QueryCombineType and
+  * `_clean`).
+  */
+object Combine {
+
+  /** `concat`: diagonal union of sources — every source keeps its own
+    * (qualified) columns, missing columns become null, a `source` tag is
+    * added. No shuffle: a pure union of scans.
+    */
+  def concat(sources: Seq[(String, DataFrame)]): DataFrame = {
+    val allCols: Seq[String] = sources.flatMap(_._2.columns).distinct
+    sources
+      .map { case (name, df) =>
+        val present = df.columns.toSet
+        val cols = allCols.map(c => if (present(c)) col(c) else lit(null).as(c))
+        df.select(lit(name).as("source") +: cols: _*)
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** `explode`: outer-join sources on the entity id — one row per unique
+    * combination of requested data across sources.
+    */
+  def explode(left: DataFrame, right: DataFrame, id: String): DataFrame =
+    left.join(right, Seq(id), "full_outer").distinct()
+
+  /** `set_agg`: one row per entity id, every other column aggregated to a
+    * sorted array of distinct values. Partial aggregation keeps the shuffle
+    * pre-combined; sorting makes array contents deterministic.
+    */
+  def setAgg(df: DataFrame, id: String): DataFrame = {
+    val aggs = df.columns.filterNot(_ == id).map { c =>
+      sort_array(collect_set(col(c))).as(c)
+    }
+    df.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Cleaning dict: each alias maps to a SQL expression over the input
+    * columns; the id passes through; unmentioned columns are dropped
+    * (reference: queries.py `_clean`). Expressions are compiled by Catalyst
+    * — they stay inside whole-stage codegen.
+    */
+  def clean(df: DataFrame, id: String, cleaning: Map[String, String]): DataFrame = {
+    val cols: Seq[Column] = col(id) +: cleaning.toSeq.map { case (alias, sql) =>
+      expr(sql).as(alias)
+    }
+    df.select(cols: _*)
+  }
+}

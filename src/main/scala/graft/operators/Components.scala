@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair-edge list.
+  *
+  * Re-expresses matchbox's resolver (reference:
+  * src/matchbox/client/resolvers/components.py, which unions edges into a
+  * driver-side DisjointSet — fine for one process, impossible at 100 TB)
+  * as the alternating large-star / small-star algorithm of Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond" (SoCC 2014): O(log n)
+  * rounds, each round a groupBy-min plus an equi-join, all shuffle-partitioned
+  * by node id. Lineage is truncated every round with localCheckpoint (on a
+  * real cluster, point `spark.checkpoint.dir` at durable storage and use
+  * checkpoint() for fault tolerance instead).
+  *
+  * Output: one row per node, `(id, component)` where `component` is the
+  * minimum node id in the component — a deterministic representative, unlike
+  * the reference's arbitrary enumeration order.
+  */
+object Components {
+
+  /** Edges as two long columns `src`, `dst`; undirected; self-loops ignored. */
+  def connected(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+
+    // Orient every edge large -> small; invariant maintained across rounds.
+    var e = edges
+      .filter(col("src") =!= col("dst"))
+      .select(
+        greatest(col("src"), col("dst")).cast("long").as("u"),
+        least(col("src"), col("dst")).cast("long").as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // Edge-set signature for the convergence test: count + XOR of per-edge
+    // hashes. XOR is commutative and cannot overflow (unlike a sum under
+    // ANSI arithmetic), so it is safe at any scale; edges are distinct so
+    // the set is characterised up to hash collisions.
+    def signature(df: DataFrame): (Long, Long) = {
+      val row = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      sym.join(mins, "a")
+        .where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(edges: DataFrame): DataFrame = {
+      // input oriented u > v: all neighbors v of u are already the <= side
+      val mins = edges.groupBy("u").agg(min("v").as("m"))
+      val attachNeighbors = edges.join(mins, "u")
+        .select(col("v").as("nu"), col("m").as("nv"))
+      val attachSelf = mins.select(col("u").as("nu"), col("m").as("nv"))
+      attachNeighbors.union(attachSelf)
+        .where(col("nu") =!= col("nv"))
+        .select(greatest(col("nu"), col("nv")).as("u"), least(col("nu"), col("nv")).as("v"))
+        .distinct()
+    }
+
+    var converged = false
+    var iter = 0
+    var sig = signature(e)
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+
+    // At the fixpoint e is a forest of stars rooted at each component's min.
+    // The final groupBy-min guards a maxIter bailout on adversarial graphs.
+    val assigned = e.groupBy(col("u").as("id")).agg(min("v").as("component"))
+    val roots = nodes.join(assigned, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    assigned.union(roots)
+  }
+
+  /** DuckDB oracle: recursive min-label transitive closure — only viable on
+    * small test graphs; the Spark path above is the scale path.
+    */
+  def connectedSql(edgesSql: String): String =
+    s"""WITH RECURSIVE
+       |e0 AS ($edgesSql),
+       |edges AS (SELECT src, dst FROM e0 WHERE src <> dst
+       |          UNION SELECT dst, src FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT id, component FROM comp""".stripMargin
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Linking methodologies: two datasets in, scored pair edges out
+  * (reference: src/matchbox/client/models/linkers/). Comparison conditions
+  * are SQL boolean expressions over aliases `l` and `r` (the matchbox
+  * comparison surface, models/comparison.py). They are handed to Catalyst as
+  * join conditions, so equality conjuncts become shuffle/broadcast equi-join
+  * keys — a comparison like `l.k = r.k AND abs(l.x - r.x) < 10` plans as a
+  * hash join on `k` with a post-filter, never a cross product.
+  */
+object Link {
+
+  private def pairs(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      condition: String): DataFrame =
+    left.alias("l")
+      .join(right.alias("r"), expr(condition))
+      .select(
+        col(s"l.$leftId").cast("long").as("left_id"),
+        col(s"r.$rightId").cast("long").as("right_id"))
+
+  /** DeterministicLinker, single round: the union of all comparisons'
+    * matches (OR logic), distinct, score 1.0.
+    * (reference: models/linkers/deterministic.py `_link_round`)
+    */
+  def deterministic(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      comparisons: Seq[String]): DataFrame =
+    comparisons
+      .map(c => pairs(left, right, leftId, rightId, c))
+      .reduce(_ union _)
+      .distinct()
+      .withColumn("score", lit(1.0))
+
+  /** DeterministicLinker, sequential rounds: after each round, every matched
+    * left/right id is removed from the candidate pool (left anti join) before
+    * the next round runs (reference: deterministic.py `link`).
+    */
+  def deterministicRounds(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      rounds: Seq[Seq[String]]): DataFrame = {
+    var remainingL = left
+    var remainingR = right
+    var acc: Option[DataFrame] = None
+    for (round <- rounds) {
+      val matches = deterministic(remainingL, remainingR, leftId, rightId, round)
+      acc = Some(acc.map(_ union matches).getOrElse(matches))
+      val ml = matches.select(col("left_id")).distinct()
+      val mr = matches.select(col("right_id")).distinct()
+      remainingL = remainingL.join(ml, remainingL(leftId) === ml("left_id"), "left_anti")
+      remainingR = remainingR.join(mr, remainingR(rightId) === mr("right_id"), "left_anti")
+    }
+    acc.get
+  }
+
+  /** WeightedDeterministicLinker: each comparison contributes its weight when
+    * it matches; score = matched weight / total weight, kept when >=
+    * threshold (reference: models/linkers/weighteddeterministic.py).
+    * Weights are combined with exact integer arithmetic (milli-weights) so
+    * scores are bit-identical across engines.
+    */
+  def weighted(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      weightedComparisons: Seq[(String, Double)],
+      threshold: Double): DataFrame = {
+    val totalMilli = weightedComparisons.map(w => math.round(w._2 * 1000)).sum
+    weightedComparisons
+      .map { case (cond, w) =>
+        pairs(left, right, leftId, rightId, cond)
+          .distinct()
+          .withColumn("w", lit(math.round(w * 1000)))
+      }
+      .reduce(_ union _)
+      .groupBy("left_id", "right_id")
+      .agg((sum(col("w")) / (1.0 * totalMilli)).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** Fellegi–Sunter scorer with fixed per-comparison agreement /
+    * disagreement log-weights (the splink surface with pre-estimated
+    * parameters — reference: models/linkers/splinklinker.py). Candidate
+    * pairs come from `blocking` (an equi-join condition); each comparison
+    * adds its agreement weight when `cond` holds, else its disagreement
+    * weight. Pairs with total match weight >= threshold survive.
+    *
+    * Weights are supplied as literal doubles (e.g. precomputed
+    * log2(m/u)); the score is a sum of literals, so exact cross-engine.
+    */
+  def fellegiSunter(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blocking: String,
+      comparisons: Seq[(String, Double, Double)], // (cond, agreeWeight, disagreeWeight)
+      threshold: Double): DataFrame = {
+    val weight = comparisons
+      .map { case (cond, a, d) => when(expr(cond), lit(a)).otherwise(lit(d)) }
+      .reduce(_ + _)
+    left.alias("l")
+      .join(right.alias("r"), expr(blocking))
+      .select(
+        col(s"l.$leftId").cast("long").as("left_id"),
+        col(s"r.$rightId").cast("long").as("right_id"),
+        weight.as("match_weight"))
+      .filter(col("match_weight") >= threshold)
+  }
+
+  /** Fellegi–Sunter with EM-estimated m/u parameters.
+    *
+    * The E and M steps run as distributed aggregations over the *pattern
+    * contingency table* (one row per distinct agreement vector — at most
+    * 2^k rows for k comparisons), so only that tiny table ever reaches the
+    * driver; the pair set itself stays distributed. Returns (scored pairs,
+    * learned (m, u) per comparison).
+    */
+  def fellegiSunterEm(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blocking: String,
+      comparisons: Seq[String],
+      iterations: Int = 20,
+      lambdaInit: Double = 0.1,
+      threshold: Double = 0.5): (DataFrame, Seq[(Double, Double)]) = {
+    val gammas = comparisons.zipWithIndex.map { case (cond, i) =>
+      when(expr(cond), 1).otherwise(0).as(s"g$i")
+    }
+    val cand = left.alias("l").join(right.alias("r"), expr(blocking))
+      .select(
+        (Seq(col(s"l.$leftId").cast("long").as("left_id"),
+             col(s"r.$rightId").cast("long").as("right_id")) ++ gammas): _*)
+
+    val gCols = comparisons.indices.map(i => s"g$i")
+    // Pattern contingency table: tiny (<= 2^k rows), collected to the driver.
+    val patterns = cand.groupBy(gCols.map(col): _*).count()
+      .collect()
+      .map(row => (gCols.map(row.getAs[Int]), row.getAs[Long]("count")))
+
+    var lambda = lambdaInit
+    var m = Array.fill(comparisons.size)(0.9)
+    var u = Array.fill(comparisons.size)(0.1)
+    for (_ <- 1 to iterations) {
+      // E-step on patterns; M-step accumulators
+      var wSum = 0.0; var nSum = 0.0
+      val mNum = Array.fill(comparisons.size)(0.0)
+      val uNum = Array.fill(comparisons.size)(0.0)
+      patterns.foreach { case (g, n) =>
+        val pm = g.zipWithIndex.map { case (gi, i) => if (gi == 1) m(i) else 1 - m(i) }.product
+        val pu = g.zipWithIndex.map { case (gi, i) => if (gi == 1) u(i) else 1 - u(i) }.product
+        val w = lambda * pm / (lambda * pm + (1 - lambda) * pu)
+        wSum += w * n; nSum += n
+        g.zipWithIndex.foreach { case (gi, i) =>
+          if (gi == 1) { mNum(i) += w * n; uNum(i) += (1 - w) * n }
+        }
+      }
+      lambda = math.min(math.max(wSum / nSum, 1e-9), 1 - 1e-9)
+      comparisons.indices.foreach { i =>
+        m(i) = math.min(math.max(mNum(i) / wSum, 1e-6), 1 - 1e-6)
+        u(i) = math.min(math.max(uNum(i) / (nSum - wSum), 1e-6), 1 - 1e-6)
+      }
+    }
+
+    val probability = {
+      val ratio = comparisons.indices.map { i =>
+        when(col(s"g$i") === 1, lit(m(i) / u(i))).otherwise(lit((1 - m(i)) / (1 - u(i))))
+      }.reduce(_ * _)
+      val lr = lit(lambda / (1 - lambda)) * ratio
+      lr / (lr + 1)
+    }
+    val scored = cand
+      .withColumn("score", probability)
+      .filter(col("score") >= threshold)
+      .select("left_id", "right_id", "score")
+    (scored, comparisons.indices.map(i => (m(i), u(i))))
+  }
+}

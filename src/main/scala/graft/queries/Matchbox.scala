@@ -1,0 +1,452 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Hashing
+import graft.operators.{Combine, Components, Dedupe, Link, Scores}
+import graft.eval.PrecisionRecall
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Matchbox core surface (SURVEY.md §2, "Matchbox core") exercised over the
+  * synthetic warehouse: customer/supplier play the roles of two sources to
+  * index, dedupe, link, resolve and evaluate.
+  */
+object Matchbox {
+
+  // ---- source indexing ------------------------------------------------
+  private val indexCols = Seq("c_name", "c_nationkey", "c_mktsegment")
+
+  private def sourceIndex(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    c.select(
+      col("c_custkey").as("rec_key"),
+      Hashing.rowHash(c, indexCols).as("row_hash"))
+      .orderBy("rec_key")
+  }
+
+  private val sourceIndexSql =
+    s"""SELECT c_custkey AS rec_key, ${Hashing.rowHashSql(indexCols)} AS row_hash
+       |FROM customer ORDER BY rec_key""".stripMargin
+
+  // ---- combine types --------------------------------------------------
+  private def custSrc(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select(
+      col("c_custkey").as("rec_key"), col("c_name").as("name"),
+      col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("mktsegment"))
+
+  private def suppSrc(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "supplier").select(
+      col("s_suppkey").as("rec_key"), col("s_name").as("name"),
+      col("s_nationkey").as("nationkey"), col("s_acctbal").as("acctbal"))
+
+  private def queryConcat(s: SparkSession, dir: String): DataFrame =
+    Combine.concat(Seq("customer" -> custSrc(s, dir), "supplier" -> suppSrc(s, dir)))
+      .orderBy("source", "rec_key")
+
+  private val queryConcatSql =
+    """SELECT 'customer' AS source, c_custkey AS rec_key, c_name AS name,
+      |  c_nationkey AS nationkey, c_acctbal AS acctbal, c_mktsegment AS mktsegment
+      |FROM customer
+      |UNION ALL
+      |SELECT 'supplier', s_suppkey, s_name, s_nationkey, s_acctbal, NULL
+      |FROM supplier
+      |ORDER BY source, rec_key""".stripMargin
+
+  private def queryExplode(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"), col("c_mktsegment").as("mktsegment"))
+    val r = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("id"), col("o_orderkey"), col("o_orderstatus"))
+    Combine.explode(l, r, "id")
+      .orderBy(col("id"), col("o_orderkey"))
+  }
+
+  private val queryExplodeSql =
+    """SELECT DISTINCT coalesce(l.id, r.id) AS id, l.name AS name, l.mktsegment AS mktsegment,
+      |  r.o_orderkey, r.o_orderstatus
+      |FROM (SELECT c_custkey AS id, c_name AS name, c_mktsegment AS mktsegment FROM customer) l
+      |FULL JOIN (SELECT o_custkey AS id, o_orderkey, o_orderstatus FROM orders) r
+      |  ON l.id = r.id
+      |ORDER BY id NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+
+  private def querySetAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("id"), col("o_orderstatus"), col("o_orderpriority"))
+    Combine.setAgg(o, "id")
+      .select(
+        col("id"),
+        array_join(col("o_orderstatus"), ",").as("statuses"),
+        array_join(col("o_orderpriority"), ",").as("priorities"))
+      .orderBy("id")
+  }
+
+  private val querySetAggSql =
+    """SELECT o_custkey AS id,
+      |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+      |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities
+      |FROM orders GROUP BY o_custkey ORDER BY id""".stripMargin
+
+  // ---- cleaning -------------------------------------------------------
+  private def cleanQuery(s: SparkSession, dir: String): DataFrame =
+    Combine.clean(
+      Tables(s, dir, "customer").withColumnRenamed("c_custkey", "id"),
+      "id",
+      Map(
+        "name_clean" -> "lower(trim(c_name))",
+        "name_sig" -> "regexp_replace(c_name, '[0-9]+', '#')",
+        "bal_band" -> "CAST(floor(c_acctbal / 1000) AS BIGINT)"))
+      .orderBy("id")
+
+  private val cleanSql =
+    """SELECT c_custkey AS id,
+      |  lower(trim(c_name)) AS name_clean,
+      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_sig,
+      |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      |FROM customer ORDER BY id""".stripMargin
+
+  // ---- dedupe ---------------------------------------------------------
+  private val dedupeFields = Seq("c_nationkey", "c_mktsegment")
+
+  private def dedupeNaive(s: SparkSession, dir: String): DataFrame =
+    Dedupe.naive(Tables(s, dir, "customer"), "c_custkey", dedupeFields)
+      .orderBy("left_id", "right_id")
+
+  private val dedupeNaiveSql =
+    Dedupe.naiveSql("customer", "c_custkey", dedupeFields) + "\nORDER BY left_id, right_id"
+
+  // ---- linkers --------------------------------------------------------
+  private val linkComparisons = Seq(
+    "l.c_custkey = r.s_suppkey",
+    "l.c_nationkey = r.s_nationkey AND abs(l.c_acctbal - r.s_acctbal) < 10")
+
+  private def linkDeterministic(s: SparkSession, dir: String): DataFrame =
+    Link.deterministic(
+      Tables(s, dir, "customer"), Tables(s, dir, "supplier"),
+      "c_custkey", "s_suppkey", linkComparisons)
+      .orderBy("left_id", "right_id")
+
+  private val linkDeterministicSql =
+    """SELECT left_id, right_id, CAST(1.0 AS DOUBLE) AS score FROM (
+      |  SELECT DISTINCT left_id, right_id FROM (
+      |    SELECT l.c_custkey AS left_id, r.s_suppkey AS right_id
+      |    FROM customer l JOIN supplier r ON l.c_custkey = r.s_suppkey
+      |    UNION ALL
+      |    SELECT l.c_custkey, r.s_suppkey
+      |    FROM customer l JOIN supplier r
+      |      ON l.c_nationkey = r.s_nationkey AND abs(l.c_acctbal - r.s_acctbal) < 10))
+      |ORDER BY left_id, right_id""".stripMargin
+
+  private def linkRounds(s: SparkSession, dir: String): DataFrame =
+    Link.deterministicRounds(
+      Tables(s, dir, "customer"), Tables(s, dir, "supplier"),
+      "c_custkey", "s_suppkey",
+      Seq(
+        Seq("l.c_custkey = r.s_suppkey"),
+        Seq("l.c_nationkey = r.s_nationkey AND abs(l.c_acctbal - r.s_acctbal) < 5")))
+      .orderBy("left_id", "right_id")
+
+  private val linkRoundsSql =
+    """WITH r1 AS (
+      |  SELECT DISTINCT l.c_custkey AS left_id, r.s_suppkey AS right_id
+      |  FROM customer l JOIN supplier r ON l.c_custkey = r.s_suppkey),
+      |c2 AS (SELECT * FROM customer WHERE c_custkey NOT IN (SELECT left_id FROM r1)),
+      |s2 AS (SELECT * FROM supplier WHERE s_suppkey NOT IN (SELECT right_id FROM r1)),
+      |r2 AS (
+      |  SELECT DISTINCT l.c_custkey AS left_id, r.s_suppkey AS right_id
+      |  FROM c2 l JOIN s2 r
+      |    ON l.c_nationkey = r.s_nationkey AND abs(l.c_acctbal - r.s_acctbal) < 5)
+      |SELECT left_id, right_id, CAST(1.0 AS DOUBLE) AS score
+      |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+      |ORDER BY left_id, right_id""".stripMargin
+
+  private def linkWeighted(s: SparkSession, dir: String): DataFrame =
+    Link.weighted(
+      Tables(s, dir, "customer"), Tables(s, dir, "supplier"),
+      "c_custkey", "s_suppkey",
+      Seq(
+        "l.c_custkey = r.s_suppkey" -> 1.0,
+        "l.c_nationkey = r.s_nationkey" -> 0.5,
+        "l.c_nationkey = r.s_nationkey AND abs(l.c_acctbal - r.s_acctbal) < 50" -> 0.5),
+      threshold = 0.5)
+      .orderBy("left_id", "right_id")
+
+  private val linkWeightedSql =
+    """SELECT left_id, right_id, score FROM (
+      |  SELECT left_id, right_id, sum(w) / 2000.0 AS score FROM (
+      |    SELECT DISTINCT l.c_custkey AS left_id, r.s_suppkey AS right_id, 1000 AS w
+      |    FROM customer l JOIN supplier r ON l.c_custkey = r.s_suppkey
+      |    UNION ALL
+      |    SELECT DISTINCT l.c_custkey, r.s_suppkey, 500
+      |    FROM customer l JOIN supplier r ON l.c_nationkey = r.s_nationkey
+      |    UNION ALL
+      |    SELECT DISTINCT l.c_custkey, r.s_suppkey, 500
+      |    FROM customer l JOIN supplier r
+      |      ON l.c_nationkey = r.s_nationkey AND abs(l.c_acctbal - r.s_acctbal) < 50)
+      |  GROUP BY left_id, right_id)
+      |WHERE score >= 0.5
+      |ORDER BY left_id, right_id""".stripMargin
+
+  private def evenCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+  private def oddCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").filter(col("c_custkey") % 2 === 1)
+
+  private def linkFellegiSunter(s: SparkSession, dir: String): DataFrame =
+    Link.fellegiSunter(
+      evenCustomers(s, dir), oddCustomers(s, dir),
+      "c_custkey", "c_custkey",
+      blocking = "l.c_nationkey = r.c_nationkey",
+      comparisons = Seq(
+        ("l.c_mktsegment = r.c_mktsegment", 2.5, -1.2),
+        ("abs(l.c_acctbal - r.c_acctbal) < 100", 3.1, -0.8)),
+      threshold = 1.5)
+      .orderBy("left_id", "right_id")
+
+  private val linkFellegiSunterSql =
+    """SELECT * FROM (
+      |  SELECT l.c_custkey AS left_id, r.c_custkey AS right_id,
+      |    (CASE WHEN l.c_mktsegment = r.c_mktsegment
+      |          THEN CAST(2.5 AS DOUBLE) ELSE CAST(-1.2 AS DOUBLE) END
+      |   + CASE WHEN abs(l.c_acctbal - r.c_acctbal) < 100
+      |          THEN CAST(3.1 AS DOUBLE) ELSE CAST(-0.8 AS DOUBLE) END) AS match_weight
+      |  FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) l
+      |  JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 1) r
+      |    ON l.c_nationkey = r.c_nationkey)
+      |WHERE match_weight >= 1.5
+      |ORDER BY left_id, right_id""".stripMargin
+
+  /** EM-trained Fellegi–Sunter — not SQL-expressible (iterative EM); gated by
+    * LinkSpec instead.
+    */
+  private def linkEm(s: SparkSession, dir: String): DataFrame =
+    Link.fellegiSunterEm(
+      evenCustomers(s, dir), oddCustomers(s, dir),
+      "c_custkey", "c_custkey",
+      blocking = "l.c_nationkey = r.c_nationkey",
+      comparisons = Seq(
+        "l.c_mktsegment = r.c_mktsegment",
+        "abs(l.c_acctbal - r.c_acctbal) < 100"))._1
+      .orderBy("left_id", "right_id")
+
+  // ---- resolver: connected components --------------------------------
+  private def chainEdges(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+    customer
+      .withColumn("dst", lead("c_custkey", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("c_custkey").cast("long").as("src"), col("dst").cast("long").as("dst"))
+  }
+
+  private val chainEdgesSql =
+    """SELECT src, dst FROM (
+      |  SELECT c_custkey AS src,
+      |    lead(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey) AS dst
+      |  FROM customer) WHERE dst IS NOT NULL"""
+
+  private def componentsQuery(s: SparkSession, dir: String): DataFrame =
+    Components.connected(chainEdges(Tables(s, dir, "customer")))
+      .orderBy("id")
+
+  private val componentsSql =
+    Components.connectedSql(chainEdgesSql.stripMargin) + "\nORDER BY id"
+
+  private def clusterHashQuery(s: SparkSession, dir: String): DataFrame =
+    Components.connected(chainEdges(Tables(s, dir, "customer")))
+      .withColumn("leaf_hash", sha2(col("id").cast("string"), 256))
+      .groupBy("component")
+      .agg(
+        Hashing.clusterHash(col("leaf_hash")).as("cluster_hash"),
+        count(lit(1)).as("n_leaves"))
+      .orderBy("component")
+
+  private val clusterHashSql =
+    s"""WITH comp AS (${Components.connectedSql(chainEdgesSql.stripMargin)}),
+       |h AS (SELECT component, sha256(CAST(id AS VARCHAR)) AS lh FROM comp)
+       |SELECT component, ${Hashing.clusterHashSql("lh")} AS cluster_hash,
+       |  count(*) AS n_leaves
+       |FROM h GROUP BY component ORDER BY component""".stripMargin
+
+  // ---- resolution lookup / match ------------------------------------
+  /** Namespace two sources into one id space (customer: 2k, supplier: 2k+1),
+    * link on key equality, resolve with the generic Components operator, and
+    * emit the cluster ↔ source-key lookup (reference: results.py
+    * `ResolverMatches.as_lookup`). The oracle exploits the 1-1 structure
+    * (component = even id) — the Spark side runs the general algorithm.
+    */
+  private def resolveParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val customer = Tables(s, dir, "customer")
+    val supplier = Tables(s, dir, "supplier")
+    val edges = customer
+      .join(supplier, col("c_custkey") === col("s_suppkey"))
+      .select(
+        (col("c_custkey") * 2).cast("long").as("src"),
+        (col("s_suppkey") * 2 + 1).cast("long").as("dst"))
+    val members = customer.select(
+      (col("c_custkey") * 2).cast("long").as("id"),
+      lit("customer").as("source"), col("c_custkey").as("rec_key"), col("c_name").as("name"))
+      .unionByName(supplier.select(
+        (col("s_suppkey") * 2 + 1).cast("long").as("id"),
+        lit("supplier").as("source"), col("s_suppkey").as("rec_key"), col("s_name").as("name")))
+    (Components.connected(edges), members)
+  }
+
+  private def resolveLookup(s: SparkSession, dir: String): DataFrame = {
+    val (comp, members) = resolveParts(s, dir)
+    comp.join(members, "id")
+      .select(col("component").as("cluster_id"), col("source"), col("rec_key"), col("name"))
+      .orderBy("cluster_id", "source")
+  }
+
+  private val resolveLookupSql =
+    """SELECT 2 * c_custkey AS cluster_id, 'customer' AS source,
+      |  c_custkey AS rec_key, c_name AS name
+      |FROM customer JOIN supplier ON c_custkey = s_suppkey
+      |UNION ALL
+      |SELECT 2 * s_suppkey, 'supplier', s_suppkey, s_name
+      |FROM supplier JOIN customer ON c_custkey = s_suppkey
+      |ORDER BY cluster_id, source""".stripMargin
+
+  private def matchKeys(s: SparkSession, dir: String): DataFrame = {
+    val (comp, members) = resolveParts(s, dir)
+    val assigned = comp.join(members, "id")
+    val probe = assigned
+      .filter(col("source") === "customer" && col("rec_key") < 50)
+      .select(col("component"), col("rec_key").as("key"))
+    val matched = assigned.filter(col("source") === "supplier")
+      .select(col("component"), col("rec_key").as("matched_key"), col("name").as("matched_name"))
+    probe.join(matched, "component")
+      .select("key", "matched_key", "matched_name")
+      .orderBy("key", "matched_key")
+  }
+
+  private val matchKeysSql =
+    """SELECT c_custkey AS key, s_suppkey AS matched_key, s_name AS matched_name
+      |FROM customer JOIN supplier ON c_custkey = s_suppkey
+      |WHERE c_custkey < 50
+      |ORDER BY key, matched_key""".stripMargin
+
+  // ---- score normalisation -------------------------------------------
+  private def normaliseScores(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val supplier = Tables(s, dir, "supplier")
+    val fuzzy = customer.alias("l")
+      .join(supplier.alias("r"),
+        expr("l.c_nationkey = r.s_nationkey AND abs(l.c_acctbal - r.s_acctbal) < 10"))
+      .select(
+        col("r.s_suppkey").cast("long").as("left_id"),
+        col("l.c_custkey").cast("long").as("right_id"),
+        lit(0.6).as("score"))
+    val exact = customer.alias("l")
+      .join(supplier.alias("r"), expr("l.c_custkey = r.s_suppkey"))
+      .select(
+        col("l.c_custkey").cast("long").as("left_id"),
+        col("r.s_suppkey").cast("long").as("right_id"),
+        lit(1.0).as("score"))
+    Scores.normalise(fuzzy.union(exact)).orderBy("left_id", "right_id")
+  }
+
+  private val normaliseScoresSql =
+    """WITH e AS (
+      |  SELECT s_suppkey AS left_id, c_custkey AS right_id, CAST(0.6 AS DOUBLE) AS score
+      |  FROM customer JOIN supplier
+      |    ON c_nationkey = s_nationkey AND abs(c_acctbal - s_acctbal) < 10
+      |  UNION ALL
+      |  SELECT c_custkey, s_suppkey, CAST(1.0 AS DOUBLE)
+      |  FROM customer JOIN supplier ON c_custkey = s_suppkey)
+      |SELECT least(left_id, right_id) AS left_id,
+      |  greatest(left_id, right_id) AS right_id, max(score) AS score
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- eval -----------------------------------------------------------
+  private def evalPr(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer").filter(col("c_custkey") < 300)
+    val assignments = Components.connected(chainEdges(cust))
+    val jA = cust.alias("l")
+      .join(cust.alias("r"),
+        expr("""l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+                AND l.c_custkey < r.c_custkey"""))
+      .select(
+        col("l.c_custkey").cast("long").as("left_id"),
+        col("r.c_custkey").cast("long").as("right_id"),
+        when((col("l.c_custkey") + col("r.c_custkey")) % 5 === 0, -1).otherwise(1).as("verdict"))
+    val jB = cust.alias("l")
+      .join(cust.alias("r"),
+        expr("""l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+                AND (l.c_custkey + r.c_custkey) % 97 = 0"""))
+      .select(
+        col("l.c_custkey").cast("long").as("left_id"),
+        col("r.c_custkey").cast("long").as("right_id"),
+        lit(1).as("verdict"))
+    PrecisionRecall(assignments, jA.union(jB))
+      .withColumnRenamed("precision", "precision_score")
+      .withColumnRenamed("recall", "recall_score")
+  }
+
+  private val evalPrSql =
+    """WITH RECURSIVE cust AS (SELECT * FROM customer WHERE c_custkey < 300),
+      |e0 AS (SELECT src, dst FROM (
+      |  SELECT c_custkey AS src,
+      |    lead(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey) AS dst
+      |  FROM cust) WHERE dst IS NOT NULL),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      |jA AS (
+      |  SELECT l.c_custkey AS a, r.c_custkey AS b,
+      |    CASE WHEN (l.c_custkey + r.c_custkey) % 5 = 0 THEN -1 ELSE 1 END AS verdict
+      |  FROM cust l JOIN cust r
+      |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+      |    AND l.c_custkey < r.c_custkey),
+      |jB AS (
+      |  SELECT l.c_custkey AS a, r.c_custkey AS b, 1 AS verdict
+      |  FROM cust l JOIN cust r
+      |    ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+      |    AND (l.c_custkey + r.c_custkey) % 97 = 0),
+      |j AS (SELECT * FROM jA UNION ALL SELECT * FROM jB),
+      |net AS (SELECT a, b, sum(verdict) AS net FROM j GROUP BY a, b HAVING sum(verdict) <> 0),
+      |jleaves AS (SELECT DISTINCT id FROM
+      |  (SELECT a AS id FROM net UNION ALL SELECT b AS id FROM net)),
+      |member AS (SELECT comp.id, comp.component FROM comp JOIN jleaves ON comp.id = jleaves.id),
+      |mpairs AS (
+      |  SELECT x.id AS a, y.id AS b FROM member x
+      |  JOIN member y ON x.component = y.component AND x.id < y.id),
+      |mj AS (SELECT mpairs.a, mpairs.b FROM mpairs JOIN net ON mpairs.a = net.a AND mpairs.b = net.b),
+      |mleaves AS (SELECT id FROM comp),
+      |v AS (
+      |  SELECT net.a, net.b FROM net
+      |  JOIN mleaves ma ON net.a = ma.id
+      |  JOIN mleaves mb ON net.b = mb.id
+      |  WHERE net.net > 0),
+      |tp AS (SELECT mj.a, mj.b FROM mj JOIN v ON mj.a = v.a AND mj.b = v.b)
+      |SELECT
+      |  (SELECT count(*) FROM tp) AS tp,
+      |  (SELECT count(*) FROM mj) AS n_model,
+      |  (SELECT count(*) FROM v) AS n_validation,
+      |  CAST((SELECT count(*) FROM tp) AS DOUBLE) / (SELECT count(*) FROM mj) AS precision_score,
+      |  CAST((SELECT count(*) FROM tp) AS DOUBLE) / (SELECT count(*) FROM v) AS recall_score""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("mb_source_index", sourceIndex, Some(sourceIndexSql)),
+    QueryDef("mb_query_concat", queryConcat, Some(queryConcatSql)),
+    QueryDef("mb_query_explode", queryExplode, Some(queryExplodeSql)),
+    QueryDef("mb_query_set_agg", querySetAgg, Some(querySetAggSql)),
+    QueryDef("mb_clean", cleanQuery, Some(cleanSql)),
+    QueryDef("mb_dedupe_naive", dedupeNaive, Some(dedupeNaiveSql)),
+    QueryDef("mb_link_deterministic", linkDeterministic, Some(linkDeterministicSql)),
+    QueryDef("mb_link_rounds", linkRounds, Some(linkRoundsSql)),
+    QueryDef("mb_link_weighted", linkWeighted, Some(linkWeightedSql)),
+    QueryDef("mb_link_fellegi_sunter", linkFellegiSunter, Some(linkFellegiSunterSql)),
+    QueryDef("mb_link_em", linkEm, None),
+    QueryDef("mb_components", componentsQuery, Some(componentsSql)),
+    QueryDef("mb_cluster_hash", clusterHashQuery, Some(clusterHashSql)),
+    QueryDef("mb_resolve_lookup", resolveLookup, Some(resolveLookupSql)),
+    QueryDef("mb_match_keys", matchKeys, Some(matchKeysSql)),
+    QueryDef("mb_normalise_scores", normaliseScores, Some(normaliseScoresSql)),
+    QueryDef("mb_eval_pr", evalPr, Some(evalPrSql)))
+}

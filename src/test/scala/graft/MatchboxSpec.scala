@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Components, Dedupe, Link, Scores}
+import org.apache.spark.sql.functions._
+
+class MatchboxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components recovers the (nation, segment) groups from chain edges") {
+    val customer = Tables(spark, sfDir, "customer")
+    val truth = customer
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(min("c_custkey").as("component"), collect_list("c_custkey").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id"), col("component"))
+    val got = Registry.byName("mb_components").fn(spark, sfDir)
+    assert(got.count() == truth.count())
+    assert(got.except(truth).isEmpty && truth.except(got).isEmpty)
+  }
+
+  test("components handles a long path and isolated cliques") {
+    val edges = ((1L to 99L).map(i => (i, i + 1)) ++ Seq((1000L, 1001L), (1001L, 1002L)))
+      .toDF("src", "dst")
+    val comp = Components.connected(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 100L).forall(comp(_) == 1L))
+    assert(Seq(1000L, 1001L, 1002L).forall(comp(_) == 1000L))
+  }
+
+  test("naive dedupe emits each duplicate pair exactly once, canonically") {
+    val pairs = Dedupe.naive(Tables(spark, sfDir, "customer"), "c_custkey",
+      Seq("c_nationkey", "c_mktsegment"))
+    assert(pairs.filter(col("left_id") >= col("right_id")).isEmpty)
+    assert(pairs.groupBy("left_id", "right_id").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("EM linker learns m > u for discriminative comparisons") {
+    val even = Tables(spark, sfDir, "customer").filter(col("c_custkey") % 2 === 0)
+    val odd = Tables(spark, sfDir, "customer").filter(col("c_custkey") % 2 === 1)
+    val (scored, params) = Link.fellegiSunterEm(
+      even, odd, "c_custkey", "c_custkey",
+      blocking = "l.c_nationkey = r.c_nationkey",
+      comparisons = Seq(
+        "l.c_mktsegment = r.c_mktsegment",
+        "abs(l.c_acctbal - r.c_acctbal) < 100"))
+    assert(scored.columns.toSeq == Seq("left_id", "right_id", "score"))
+    val s = scored.agg(min("score"), max("score")).head()
+    assert(s.getDouble(0) >= 0.5 && s.getDouble(1) <= 1.0)
+    assert(params.nonEmpty)
+  }
+
+  test("score normalisation keeps max score per canonical pair") {
+    val edges = Seq((1L, 2L, 0.4), (2L, 1L, 0.9), (3L, 4L, 0.5)).toDF("left_id", "right_id", "score")
+    val out = Scores.normalise(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 0.9 && out((3L, 4L)) == 0.5 && out.size == 2)
+  }
+
+  test("rounds linker never rematches a pool removed in round 1") {
+    val df = Registry.byName("mb_link_rounds").fn(spark, sfDir)
+    // round-1 matches are key-equality; any id matched there must not appear
+    // with a different partner from round 2
+    val perLeft = df.groupBy("left_id").count()
+    assert(perLeft.filter(col("left_id") < 10 && col("count") > 1).isEmpty)
+  }
+}
