@@ -1,0 +1,88 @@
+package graft.operators.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Brute force is the correctness baseline: broadcast the (small) query set
+  * against the distributed target set, compute cosine with codegen'd
+  * `zip_with`/`aggregate`, rank per query with a window. At 100 TB the
+  * target side stays partitioned and never shuffles; only top-k rows per
+  * query leave the executors.
+  *
+  * The LSH path buckets vectors by random-hyperplane sign bits
+  * (deterministic pseudo-random hyperplanes derived from a hash-seeded
+  * LCG), joins on the bucket, and reranks candidates exactly — the
+  * standard recall/cost trade for corpus-scale ANN.
+  */
+object Knn {
+
+  /** Cosine similarity between two float-array columns, in double precision
+    * (sequential left-to-right fold — deterministic).
+    */
+  val cosineExpr: String =
+    """aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, p) -> a + p)
+      | / (sqrt(aggregate(%s, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |    * sqrt(aggregate(%s, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  private def cosine(a: String, b: String) = expr(cosineExpr.format(a, b, a, b))
+
+  def bruteForce(
+      queries: DataFrame, targets: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
+    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
+    val scored = t.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine("qe", "te"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
+          .cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Deterministic ±1 hyperplanes: component i of plane p is the sign of a
+    * splitmix-style hash of (p, i).
+    */
+  private def hyperplane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      var z = (p.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if ((z ^ (z >>> 31)) >= 0) 1.0 else -1.0
+    }
+
+  def lshBucket(vecCol: String, numPlanes: Int, dim: Int): org.apache.spark.sql.Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val w = hyperplane(p, dim).mkString("array(", "D, ", "D)")
+      expr(
+        s"""CASE WHEN aggregate(zip_with($vecCol, $w, (x, y) -> CAST(x AS DOUBLE) * y),
+           | 0D, (a, v) -> a + v) >= 0 THEN ${1L << p}L ELSE 0L END""".stripMargin)
+    }
+    bits.reduce(_ + _)
+  }
+
+  def lsh(
+      queries: DataFrame, targets: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val bucket = lshBucket(vecCol, numPlanes, dim)
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"),
+      bucket.as("bucket"))
+    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"),
+      bucket.as("bucket"))
+    t.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine("qe", "te"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
+          .cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+}

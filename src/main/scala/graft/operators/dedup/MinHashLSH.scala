@@ -1,0 +1,75 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection:
+  * shingle → minhash signature → band buckets → bucket equi-join →
+  * exact-Jaccard verification of candidates only.
+  *
+  * Scale design: the only shuffle is the band-bucket self-join; bucket keys
+  * are (band index, 64-bit bucket hash), so work distributes evenly unless a
+  * bucket is genuinely hot. Oversized buckets (boilerplate shingle sets) are
+  * capped — a bucket with more than `maxBucket` docs is dropped, the standard
+  * guard against quadratic blowup on 100 TB corpora (those docs are caught by
+  * other bands). Hash permutations use xxhash64 re-keying rather than the
+  * classic (a*h+b) mod p, which would overflow under ANSI arithmetic.
+  */
+object MinHashLSH {
+
+  def shingled(docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("id"),
+      expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(split(trim($textCol), '\\\\s+')) - ${shingleSize - 1}, 1)),
+           |  i -> concat_ws(' ', slice(split(trim($textCol), '\\\\s+'), i, $shingleSize))))"""
+          .stripMargin).as("shingles"))
+
+  /** 64-bit hashes of each shingle, computed once per doc. */
+  private def hashed(shingled: DataFrame): DataFrame =
+    shingled.withColumn("hs", expr("transform(shingles, s -> xxhash64(s))"))
+
+  def candidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val sigCols = (0 until numHashes).map { i =>
+      expr(s"array_min(transform(hs, h -> xxhash64(h, $i)))").as(s"mh$i")
+    }
+    val withSig = hashed(shingled(docs, idCol, textCol, shingleSize))
+      .select(col("id") +: col("shingles") +: sigCols: _*)
+
+    // One row per (doc, band): bucket = hash of the band's signature slice.
+    val bandExprs = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
+      expr(s"named_struct('band', $b, 'bucket', xxhash64($slice))")
+    }
+    val exploded = withSig
+      .select(col("id"), col("shingles"), explode(array(bandExprs: _*)).as("bb"))
+      .select(col("id"), col("shingles"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    // Cap runaway buckets before the quadratic join.
+    val counted = exploded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bucket_n") <= maxBucket)
+
+    val l = counted.select(col("band"), col("bucket"), col("id").as("left_id"), col("shingles").as("ls"))
+    val r = counted.select(col("band"), col("bucket"), col("id").as("right_id"), col("shingles").as("rs"))
+    val cands = l.join(r, Seq("band", "bucket"))
+      .filter(col("left_id") < col("right_id"))
+      .select("left_id", "right_id", "ls", "rs")
+      .dropDuplicates("left_id", "right_id")
+
+    cands
+      .withColumn("jaccard",
+        expr("""CAST(size(array_intersect(ls, rs)) AS DOUBLE) /
+                size(array_union(ls, rs))"""))
+      .filter(col("jaccard") >= threshold)
+      .select("left_id", "right_id", "jaccard")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection: 64-bit locality-sensitive fingerprints
+  * with banded blocking and Hamming-distance verification.
+  *
+  * The fingerprint folds token hashes bit-wise: bit b of the simhash is 1
+  * when more token hashes have bit b set than unset. Computed entirely with
+  * codegen'd array/bit built-ins (no UDF): per-token ±1 votes are summed per
+  * bit via a 64-slot counter array folded with `aggregate` + `zip_with`.
+  *
+  * Blocking: split the 64 bits into `bands` chunks; docs sharing any chunk
+  * value are candidates (guarantees recall for hamming <= bands-1); verify
+  * with bit_count(xor). The only shuffle is the chunk equi-join.
+  */
+object SimHash {
+
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("id"),
+      expr(s"transform(array_distinct(split(trim($textCol), '\\\\s+')), t -> xxhash64(t))")
+        .as("th"))
+      // votes[b] = sum over tokens of +-1 for bit b; then pack sign bits.
+      .withColumn("votes",
+        expr("""aggregate(th,
+               |  array_repeat(0L, 64),
+               |  (acc, h) -> zip_with(acc, sequence(0, 63),
+               |      (a, b) -> a + CASE WHEN (shiftrightunsigned(h, CAST(b AS INT)) & 1) = 1
+               |                         THEN 1L ELSE -1L END))""".stripMargin))
+      .withColumn("simhash",
+        expr("""aggregate(zip_with(votes, sequence(0, 63),
+               |  (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END),
+               |  0L, (acc, x) -> acc | x)""".stripMargin))
+      .select("id", "simhash")
+
+  def candidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(64 % bands == 0)
+    val width = 64 / bands
+    val sh = simhash(docs, idCol, textCol)
+
+    val chunkExprs = (0 until bands).map { b =>
+      expr(s"named_struct('band', $b, 'chunk', shiftrightunsigned(simhash, ${b * width}) & ${(1L << width) - 1})")
+    }
+    val exploded = sh.select(col("id"), col("simhash"), explode(array(chunkExprs: _*)).as("c"))
+      .select(col("id"), col("simhash"), col("c.band").as("band"), col("c.chunk").as("chunk"))
+
+    val l = exploded.select(col("band"), col("chunk"), col("id").as("left_id"), col("simhash").as("lh"))
+    val r = exploded.select(col("band"), col("chunk"), col("id").as("right_id"), col("simhash").as("rh"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("left_id") < col("right_id"))
+      .dropDuplicates("left_id", "right_id")
+      .withColumn("hamming", expr("bit_count(lh ^ rh)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("left_id"), col("right_id"), col("hamming").cast("long").as("hamming"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with typed
+  * metadata, processed per-partition.
+  *
+  * The Spark-side mechanics are real — schema, partition-parallel batch
+  * processing via mapPartitions over an iterator (the JVM analogue of a
+  * vectorized decode UDF), metadata struct columns. The actual media decode
+  * is STUBBED with a deterministic fake (no image/audio codecs in this
+  * environment): features derive from the raw bytes, so the pipeline is
+  * testable end-to-end and the decode stub is swappable for a real codec.
+  */
+object Media {
+
+  /** Attach an opaque binary payload (here: utf-8 bytes of a text column —
+    * in production the bytes come off object storage) plus typed metadata.
+    */
+  def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "utf-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        length(encode(col(textCol), "utf-8")).cast("long").as("n_bytes")).as("meta"))
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", LongType),
+    StructField("fake_width", LongType),
+    StructField("fake_height", LongType)))
+
+  /** STUB decode: per-partition batch "decoding" producing deterministic
+    * fake features (byte length, additive checksum, fake dimensions).
+    * Swap the body for a real codec; the batching shape stays the same.
+    */
+  def extractFeatures(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    val rdd = payloads.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        var sum = 0L
+        bytes.foreach(b => sum = sum * 31 + (b & 0xff))
+        Row(id, bytes.length.toLong, sum, (bytes.length % 640).toLong, ((bytes.length * 7) % 480).toLong)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

@@ -224,10 +224,11 @@ object Matchbox {
     Link.fellegiSunterEm(
       evenCustomers(s, dir), oddCustomers(s, dir),
       "c_custkey", "c_custkey",
-      blocking = "l.c_nationkey = r.c_nationkey",
+      blocking = "l.c_nationkey = r.c_nationkey AND abs(l.c_custkey - r.c_custkey) <= 20",
       comparisons = Seq(
         "l.c_mktsegment = r.c_mktsegment",
-        "abs(l.c_acctbal - r.c_acctbal) < 100"))._1
+        "abs(l.c_acctbal - r.c_acctbal) < 100"),
+      threshold = 0.0)._1
       .orderBy("left_id", "right_id")
 
   // ---- resolver: connected components --------------------------------

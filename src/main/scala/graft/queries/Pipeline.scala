@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.ann.Knn
+import graft.operators.dedup.{MinHashLSH, SimHash}
+import graft.operators.multimodal.Media
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (SURVEY.md §2, "Training-data pipeline extensions").
+  */
+object Pipeline {
+
+  // Fixed anchor-word profiles for the n-gram/stopword language heuristic.
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "join", "row", "column", "big", "batch", "key"),
+    "en" -> Seq("hash", "order", "table", "window", "row", "batch", "big", "group"),
+    "es" -> Seq("slow", "agg", "hash", "merge", "vector", "value", "customer", "scan"),
+    "fr" -> Seq("scan", "data", "query", "batch", "small", "join", "key", "column"),
+    "zh" -> Seq("join", "small", "row", "customer", "column", "scan", "the", "value"))
+
+  private def sparkLangScore(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+    s"CAST(size(filter(toks, t -> array_contains($arr, t))) AS BIGINT)"
+  }
+
+  private def duckLangScore(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, t -> list_contains($arr, t)))"
+  }
+
+  /** Alphabetical-preference argmax over the five scores — identical CASE
+    * chain in both engines.
+    */
+  private def predCase(scoreName: String => String): String = {
+    val langs = langProfiles.map(_._1)
+    val branches = langs.dropRight(1).map { l =>
+      val geAll = langs.filterNot(_ == l).map(o => s"${scoreName(l)} >= ${scoreName(o)}").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val scores = langProfiles.map { case (l, ws) => expr(sparkLangScore(ws)).as(s"s_$l") }
+    Tables(s, dir, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .select(col("doc_id") +: col("lang") +: scores: _*)
+      .withColumn("pred_lang", expr(predCase(l => s"s_$l")))
+      .withColumn("is_correct", col("pred_lang") === col("lang"))
+      .drop("lang")
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql = {
+    val scores = langProfiles.map { case (l, ws) => s"${duckLangScore(ws)} AS s_$l" }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id, lang, $scores FROM t)
+       |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+       |  ${predCase(l => s"s_$l")} AS pred_lang,
+       |  (${predCase(l => s"s_$l")} = lang) AS is_correct
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private def quality(s: SparkSession, dir: String): DataFrame = {
+    val en = langProfiles.toMap.apply("en")
+    Tables(s, dir, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_nonspace", expr("CAST(length(regexp_replace(text, '\\\\s', '')) AS BIGINT)"))
+      .withColumn("mean_token_len", expr("CAST(n_nonspace AS DOUBLE) / n_tokens"))
+      .withColumn("stop_ratio", expr(s"CAST(${sparkLangScore(en)} AS DOUBLE) / n_tokens"))
+      .withColumn("quality_score",
+        expr("round(stop_ratio * 0.4 + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.6, 6)"))
+      .select("doc_id", "n_chars", "n_tokens", "mean_token_len", "stop_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  private val qualitySql = {
+    val en = langProfiles.toMap.apply("en")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens, n_nonspace,
+       |  ${duckLangScore(en)} AS n_stop FROM t)
+       |SELECT doc_id, n_chars, n_tokens,
+       |  CAST(n_nonspace AS DOUBLE) / n_tokens AS mean_token_len,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  round(CAST(n_stop AS DOUBLE) / n_tokens * 0.4
+       |    + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.6, 6) AS quality_score
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_ws_tokens"),
+        expr(s"CAST(size(regexp_extract_all(text, '$bpePattern', 0)) AS BIGINT)").as("n_bpe_tokens"),
+        expr("CAST(length(text) AS DOUBLE) / size(split(trim(text), '\\\\s+'))").as("chars_per_token"))
+      .orderBy("doc_id")
+
+  private val tokensSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr("""array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
+               | i -> md5(substring(text, i, 8))))""".stripMargin).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+      |    i -> md5(substr(text, i, 8)))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- dedup ----------------------------------------------------------
+  /** documents plus perturbed copies (id + 1,000,000) so near/exact-dup
+    * operators have true positives to find — mirrored exactly in the oracle.
+    */
+  private def withDupes(s: SparkSession, dir: String, exact: Boolean): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val dupes = d.filter(col("doc_id") % 7 === 0)
+      .select(
+        (col("doc_id") + 1000000).as("doc_id"), col("lang"),
+        (if (exact) col("text")
+         else expr("concat(substring(text, 1, length(text) - 10), ' spark dup tail')")).as("text"))
+    d.unionByName(dupes)
+  }
+
+  private def dupesSql(exact: Boolean): String = {
+    val mutated =
+      if (exact) "text"
+      else "concat(substr(text, 1, length(text) - 10), ' spark dup tail')"
+    s"""SELECT doc_id, lang, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + 1000000, lang, $mutated FROM documents WHERE doc_id % 7 = 0""".stripMargin
+  }
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    withDupes(s, dir, exact = true)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  private val dedupExactSql =
+    s"""WITH docs2 AS (${dupesSql(exact = true)})
+       |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM docs2 GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.candidatePairs(withDupes(s, dir, exact = false), "doc_id", "text",
+      threshold = 0.5)
+      .orderBy("left_id", "right_id")
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    SimHash.candidatePairs(withDupes(s, dir, exact = false), "doc_id", "text",
+      maxHamming = 3)
+      .orderBy("left_id", "right_id")
+
+  private val shingleSpark =
+    """array_distinct(transform(
+      |  sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
+      |  i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i, 3))))""".stripMargin
+
+  private val shingleDuck =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
+      |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+      |       string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+      |       string_split_regex(trim(text), '\s+')[i+2]))""".stripMargin
+
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = withDupes(s, dir, exact = false)
+      .select(col("doc_id"), col("lang"),
+        expr("length(text) DIV 100").as("bucket"),
+        expr(shingleSpark).as("sh"))
+    val l = docs.select(col("doc_id").as("left_id"), col("lang"), col("bucket"), col("sh").as("ls"))
+    val r = docs.select(col("doc_id").as("right_id"), col("lang"), col("bucket"), col("sh").as("rs"))
+    l.join(r, Seq("lang", "bucket"))
+      .filter(col("left_id") < col("right_id"))
+      .withColumn("jaccard",
+        expr("CAST(size(array_intersect(ls, rs)) AS DOUBLE) / size(array_union(ls, rs))"))
+      .filter(col("jaccard") >= 0.3)
+      .select("left_id", "right_id", "jaccard")
+      .orderBy("left_id", "right_id")
+  }
+
+  private val dedupNgramSql =
+    s"""WITH docs2 AS (${dupesSql(exact = false)}),
+       |s AS (SELECT doc_id, lang, length(text) // 100 AS bucket, $shingleDuck AS sh FROM docs2)
+       |SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+       |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / len(list_distinct(list_concat(l.sh, r.sh))) AS jaccard
+       |FROM s l JOIN s r
+       |  ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.3
+       |ORDER BY left_id, right_id""".stripMargin
+
+  // ---- similarity search ---------------------------------------------
+  private def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Knn.bruteForce(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
+  private val knnBruteSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |t AS (SELECT vec_id AS neighbor_id, embedding AS te FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |  list_reduce(list_transform(range(1, len(qe) + 1),
+      |    i -> CAST(qe[i] AS DOUBLE) * CAST(te[i] AS DOUBLE)), (a, b) -> a + b)
+      |  / (sqrt(list_reduce(list_transform(range(1, len(qe) + 1),
+      |       i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (a, b) -> a + b))
+      |    * sqrt(list_reduce(list_transform(range(1, len(te) + 1),
+      |       i -> CAST(te[i] AS DOUBLE) * CAST(te[i] AS DOUBLE)), (a, b) -> a + b))) AS sim
+      |  FROM q, t WHERE query_id <> neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, sim,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+      |SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Knn.lsh(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- multimodal -----------------------------------------------------
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Media.withPayload(Tables(s, dir, "documents"), "doc_id", "text")
+      .select(
+        col("media_id"),
+        col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"),
+        sha2(col("payload"), 256).as("payload_sha"))
+      .orderBy("media_id")
+
+  private val multimodalMetaSql =
+    """SELECT doc_id AS media_id,
+      |  'application/octet-stream' AS mime,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS payload_sha
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dx_dedup_minhash", dedupMinhash, None),
+    QueryDef("dx_dedup_simhash", dedupSimhash, None),
+    QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("dx_knn_brute", knnBrute, Some(knnBruteSql)),
+    QueryDef("dx_knn_lsh", knnLsh, None),
+    QueryDef("dx_lang_id", langId, Some(langIdSql)),
+    QueryDef("dx_quality", quality, Some(qualitySql)),
+    QueryDef("dx_tokens", tokens, Some(tokensSql)),
+    QueryDef("dx_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("dx_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)))
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.ann.Knn
+import graft.operators.dedup.{MinHashLSH, SimHash}
+import graft.operators.multimodal.Media
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  private def docsWithDupes = {
+    val d = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        expr("concat(substring(text, 1, length(text) - 10), ' spark dup tail')").as("text")))
+  }
+
+  test("minhash LSH recovers high-jaccard pairs found by brute force") {
+    val sh = MinHashLSH.shingled(docsWithDupes, "doc_id", "text", 3)
+    val l = sh.select(col("id").as("a"), col("shingles").as("ls"))
+    val r = sh.select(col("id").as("b"), col("shingles").as("rs"))
+    val brute = l.crossJoin(r).filter(col("a") < col("b"))
+      .withColumn("j", expr("CAST(size(array_intersect(ls, rs)) AS DOUBLE) / size(array_union(ls, rs))"))
+      .filter(col("j") >= 0.7)
+      .select(col("a"), col("b"))
+    val found = MinHashLSH.candidatePairs(docsWithDupes, "doc_id", "text", threshold = 0.5)
+      .select(col("left_id").as("a"), col("right_id").as("b"))
+    val nBrute = brute.count()
+    val nHit = brute.join(found, Seq("a", "b"), "left_semi").count()
+    assert(nBrute > 0, "expected some true near-duplicate pairs")
+    assert(nHit.toDouble / nBrute >= 0.9, s"LSH recall $nHit/$nBrute below 0.9")
+    // verification step guarantees precision: every reported pair really has j >= 0.5
+    val bad = MinHashLSH.candidatePairs(docsWithDupes, "doc_id", "text", threshold = 0.5)
+      .filter(col("jaccard") < 0.5 || col("jaccard") > 1.0)
+    assert(bad.isEmpty)
+  }
+
+  test("simhash pairs are within the declared hamming budget") {
+    val pairs = SimHash.candidatePairs(docsWithDupes, "doc_id", "text", maxHamming = 3)
+    assert(pairs.filter(col("hamming") > 3).isEmpty)
+    // hamming is symmetric-canonical: left < right, no duplicates
+    assert(pairs.filter(col("left_id") >= col("right_id")).isEmpty)
+    assert(pairs.groupBy("left_id", "right_id").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("knn LSH results agree with brute-force similarities and find some true neighbors") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Knn.bruteForce(q, emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    val approx = Knn.lsh(q, emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    // any (q, n) pair reported by LSH must carry the exact brute-force sim
+    val joined = approx.join(
+      Knn.bruteForce(q, emb, "vec_id", "embedding", Int.MaxValue)
+        .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim")),
+      Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("sim") =!= col("bsim")).isEmpty)
+    val hits = approx.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits > 0, "LSH found no true top-5 neighbors at all")
+  }
+
+  test("media stub decode is deterministic and consistent with payload bytes") {
+    val p = Media.withPayload(Tables(spark, sfDir, "documents"), "doc_id", "text")
+    val f1 = Media.extractFeatures(p)
+    val f2 = Media.extractFeatures(p)
+    assert(f1.except(f2).isEmpty && f2.except(f1).isEmpty)
+    val joined = f1.join(p, f1("media_id") === p("media_id"))
+      .filter(f1("n_bytes") =!= p("meta.n_bytes"))
+    assert(joined.isEmpty)
+  }
+
+  test("exact dedup groups the synthesized duplicates") {
+    val df = Registry.byName("dx_dedup_exact").fn(spark, sfDir)
+    val dupGroups = df.filter(col("n_copies") === 2).count()
+    val expected = Tables(spark, sfDir, "documents").filter(col("doc_id") % 7 === 0).count()
+    assert(dupGroups == expected)
+  }
+}
