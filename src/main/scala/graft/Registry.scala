@@ -3,7 +3,8 @@ package graft
 /** Central inventory of implemented operators (SURVEY.md §2). */
 object Registry {
   def all: Seq[QueryDef] =
-    queries.Relational.defs ++ queries.Matchbox.defs ++ queries.Pipeline.defs
+    queries.Relational.defs ++ queries.Matchbox.defs ++ queries.Pipeline.defs ++
+      queries.Streaming.defs
 
   def byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -1,0 +1,54 @@
+package graft.dags
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+/** Minimal DAG orchestration over Spark DataFrame steps — the client-side
+  * shape of matchbox's pipeline composition (reference:
+  * src/matchbox/client/dags.py, steps.py): sources feed models (dedupers /
+  * linkers), models feed resolvers, and `run()` executes in dependency
+  * order, materialising each step's result once.
+  *
+  * Steps are lazy DataFrame builders, so the *composed* plan is still one
+  * Catalyst plan per sink unless a step is explicitly cached — on a cluster
+  * that means the optimizer sees across step boundaries.
+  */
+final class Dag {
+  private val steps = mutable.LinkedHashMap[String, DagStep]()
+  private val results = mutable.Map[String, DataFrame]()
+
+  def addStep(name: String, dependsOn: Seq[String])(build: Map[String, DataFrame] => DataFrame): DagStep = {
+    require(!steps.contains(name), s"duplicate step $name")
+    dependsOn.foreach(d => require(steps.contains(d), s"unknown dependency $d of $name"))
+    val step = DagStep(name, dependsOn, build)
+    steps(name) = step
+    step
+  }
+
+  def source(name: String)(build: => DataFrame): DagStep =
+    addStep(name, Nil)(_ => build)
+
+  def model(name: String, inputs: Seq[String])(build: Map[String, DataFrame] => DataFrame): DagStep =
+    addStep(name, inputs)(build)
+
+  def resolver(name: String, inputs: Seq[String])(build: Map[String, DataFrame] => DataFrame): DagStep =
+    addStep(name, inputs)(build)
+
+  /** Run every step in topological (insertion-respecting) order. */
+  def run(): Map[String, DataFrame] = {
+    val done = mutable.Set[String]()
+    def runStep(name: String): DataFrame = results.getOrElseUpdate(name, {
+      val step = steps(name)
+      require(!done.contains(name), s"cycle at $name")
+      done += name
+      val deps = step.dependsOn.map(d => d -> runStep(d)).toMap
+      step.build(deps)
+    })
+    steps.keys.foreach(runStep)
+    results.toMap
+  }
+
+  def result(name: String): DataFrame = results(name)
+}
+
+final case class DagStep(name: String, dependsOn: Seq[String], build: Map[String, DataFrame] => DataFrame)
