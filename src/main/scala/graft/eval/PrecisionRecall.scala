@@ -53,11 +53,16 @@ object PrecisionRecall {
       .join(modelLeaves.withColumnRenamed("id", "b"), "b")
       .select("a", "b")
 
-    val tp = modelPairs.join(validation, Seq("a", "b"), "left_semi")
-
-    val counts = modelPairs.agg(count(lit(1)).as("n_model"))
-      .crossJoin(validation.agg(count(lit(1)).as("n_validation")))
-      .crossJoin(tp.agg(count(lit(1)).as("tp")))
+    // Single-pass counts: full-outer join model and validation pairs once,
+    // then one aggregation yields all three counts (avoids three separate
+    // count jobs chained by cross joins).
+    val m = modelPairs.select(col("a"), col("b"), lit(1L).as("m"))
+    val v = validation.select(col("a"), col("b"), lit(1L).as("v"))
+    val counts = m.join(v, Seq("a", "b"), "full_outer")
+      .agg(
+        coalesce(sum(col("m") * col("v")), lit(0L)).as("tp"),
+        coalesce(sum("m"), lit(0L)).as("n_model"),
+        coalesce(sum("v"), lit(0L)).as("n_validation"))
 
     counts.select(
       col("tp"), col("n_model"), col("n_validation"),

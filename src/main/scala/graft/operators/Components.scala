@@ -21,23 +21,66 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Edges as two long columns `src`, `dst`; undirected; self-loops ignored. */
-  def connected(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    val spark = edges.sparkSession
-
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint()
-
-    // Orient every edge large -> small; invariant maintained across rounds.
-    var e = edges
+  /** Adaptive entry point: count the (deduplicated) edges once; below
+    * `smallGraphThreshold` solve on the driver with a union-find in
+    * milliseconds (the reference's DisjointSet, transform.py — correct and
+    * fastest when the graph fits trivially in memory), otherwise run the
+    * distributed large-star/small-star rounds. The same adaptive trade
+    * AQE applies to join strategies, applied to graph connectivity.
+    *
+    * Edges as two long columns `src`, `dst`; undirected; self-loops ignored.
+    */
+  def connected(
+      edges: DataFrame,
+      maxIter: Int = 30,
+      smallGraphThreshold: Long = 2000000L): DataFrame = {
+    val oriented = edges
       .filter(col("src") =!= col("dst"))
       .select(
         greatest(col("src"), col("dst")).cast("long").as("u"),
         least(col("src"), col("dst")).cast("long").as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
+    if (oriented.count() <= smallGraphThreshold) driverUnionFind(oriented)
+    else distributed(oriented, maxIter)
+  }
+
+  /** Driver-side union-find with path halving; emits (id, component=min id). */
+  private def driverUnionFind(oriented: DataFrame): DataFrame = {
+    val spark = oriented.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x))
+        x = parent(x)
+      }
+      x
+    }
+    oriented.select("u", "v").collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // attach the larger root to the smaller: roots stay component minima
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val assigned = parent.keys.toSeq.map(id => (id, find(id)))
+    spark.createDataset(assigned).toDF("id", "component")
+  }
+
+  /** Distributed alternating large-star / small-star rounds. */
+  private def distributed(orientedEdges: DataFrame, maxIter: Int): DataFrame = {
+    val edges = orientedEdges.select(col("u").as("src"), col("v").as("dst"))
+    val spark = edges.sparkSession
+
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+
+    // Already oriented large -> small by the caller; the invariant is
+    // maintained across rounds.
+    var e = edges.select(col("src").as("u"), col("dst").as("v"))
 
     // Edge-set signature for the convergence test: count + XOR of per-edge
     // hashes. XOR is commutative and cannot overflow (unlike a sum under
@@ -78,7 +121,9 @@ object Components {
     var iter = 0
     var sig = signature(e)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      // lazy checkpoint: the signature aggregation is the action that
+      // materialises it — one job per round instead of two
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

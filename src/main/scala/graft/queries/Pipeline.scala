@@ -185,10 +185,15 @@ object Pipeline {
       |       string_split_regex(trim(text), '\s+')[i+2]))""".stripMargin
 
   private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    // Shingle sets are hashed to longs before the quadratic candidate join:
+    // long-array intersection is far cheaper than string-array intersection
+    // and shuffles a fraction of the bytes. Jaccard over the hashed sets
+    // equals jaccard over the string sets (64-bit collisions are negligible),
+    // so the DuckDB oracle on raw shingles still matches bit-for-bit.
     val docs = withDupes(s, dir, exact = false)
       .select(col("doc_id"), col("lang"),
         expr("length(text) DIV 100").as("bucket"),
-        expr(shingleSpark).as("sh"))
+        expr(s"transform($shingleSpark, x -> xxhash64(x))").as("sh"))
     val l = docs.select(col("doc_id").as("left_id"), col("lang"), col("bucket"), col("sh").as("ls"))
     val r = docs.select(col("doc_id").as("right_id"), col("lang"), col("bucket"), col("sh").as("rs"))
     l.join(r, Seq("lang", "bucket"))

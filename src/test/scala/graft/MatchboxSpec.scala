@@ -18,13 +18,28 @@ class MatchboxSpec extends SparkSpec {
     assert(got.except(truth).isEmpty && truth.except(got).isEmpty)
   }
 
-  test("components handles a long path and isolated cliques") {
+  test("components handles a long path and isolated cliques (both paths)") {
     val edges = ((1L to 99L).map(i => (i, i + 1)) ++ Seq((1000L, 1001L), (1001L, 1002L)))
       .toDF("src", "dst")
-    val comp = Components.connected(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 100L).forall(comp(_) == 1L))
-    assert(Seq(1000L, 1001L, 1002L).forall(comp(_) == 1000L))
+    for (threshold <- Seq(0L, Long.MaxValue)) { // distributed and driver path
+      val comp = Components.connected(edges, smallGraphThreshold = threshold).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 100L).forall(comp(_) == 1L), s"threshold=$threshold")
+      assert(Seq(1000L, 1001L, 1002L).forall(comp(_) == 1000L), s"threshold=$threshold")
+    }
+  }
+
+  test("distributed and driver components agree on the customer chain graph") {
+    val customer = Tables(spark, sfDir, "customer")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+    val edges = customer
+      .withColumn("dst", lead("c_custkey", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("c_custkey").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val dist = Components.connected(edges, smallGraphThreshold = 0)
+    val local = Components.connected(edges)
+    assert(dist.except(local).isEmpty && local.except(dist).isEmpty)
   }
 
   test("naive dedupe emits each duplicate pair exactly once, canonically") {
