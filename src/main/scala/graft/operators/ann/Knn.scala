@@ -28,7 +28,12 @@ object Knn {
       | / (sqrt(aggregate(%s, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
       |    * sqrt(aggregate(%s, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
 
-  private def cosine(a: String, b: String) = expr(cosineExpr.format(a, b, a, b))
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity) — same
+    * accumulation order as the HOF formulation above, so results are
+    * bit-identical, but the pair loop stays inside whole-stage codegen.
+    */
+  private def cosine(a: String, b: String) =
+    graft.functions.CosineSimilarity(col(a), col(b))
 
   def bruteForce(
       queries: DataFrame, targets: DataFrame,

