@@ -111,6 +111,26 @@ object Link {
       .filter(col("match_weight") >= threshold)
   }
 
+  /** Estimate the prior probability that two random records match, from
+    * deterministic rules of known recall (the splink
+    * `estimate_probability_two_random_records_match` surface — reference:
+    * models/linkers/splinklinker.py linker_training_functions). Distributed:
+    * one count aggregate over the rule matches.
+    */
+  def estimateLambda(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      deterministicRules: Seq[String], recall: Double): Double = {
+    require(recall > 0 && recall <= 1)
+    val matched = deterministicRules
+      .map(c => pairs(left, right, leftId, rightId, c))
+      .reduce(_ union _)
+      .distinct()
+      .count()
+    val total = left.count().toDouble * right.count().toDouble
+    math.min(math.max((matched / recall) / total, 1e-9), 1 - 1e-9)
+  }
+
   /** Fellegi–Sunter with EM-estimated m/u parameters.
     *
     * The E and M steps run as distributed aggregations over the *pattern
