@@ -185,21 +185,33 @@ object Pipeline {
       |       string_split_regex(trim(text), '\s+')[i+2]))""".stripMargin
 
   private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
-    // Shingle sets are hashed to longs before the quadratic candidate join:
-    // long-array intersection is far cheaper than string-array intersection
-    // and shuffles a fraction of the bytes. Jaccard over the hashed sets
-    // equals jaccard over the string sets (64-bit collisions are negligible),
-    // so the DuckDB oracle on raw shingles still matches bit-for-bit.
+    // Inverted-index formulation: instead of joining whole shingle arrays
+    // per candidate pair (O(pairs x |set|) compute and ~GB array shuffles),
+    // explode to (block, shingle, doc) postings and equi-join on the
+    // shingle — the pair's intersection size falls out of a count. Work is
+    // sum(df^2) over postings (bounded: max df here is ~62) and only pairs
+    // sharing a shingle are ever materialised, which is exactly the set
+    // that can pass a positive jaccard threshold. This is the 100 TB
+    // formulation; jaccard values are unchanged, so the array-based DuckDB
+    // oracle still matches bit-for-bit. Shingles are 64-bit hashes
+    // (collisions negligible).
     val docs = withDupes(s, dir, exact = false)
       .select(col("doc_id"), col("lang"),
         expr("length(text) DIV 100").as("bucket"),
         expr(s"transform($shingleSpark, x -> xxhash64(x))").as("sh"))
-    val l = docs.select(col("doc_id").as("left_id"), col("lang"), col("bucket"), col("sh").as("ls"))
-    val r = docs.select(col("doc_id").as("right_id"), col("lang"), col("bucket"), col("sh").as("rs"))
-    l.join(r, Seq("lang", "bucket"))
-      .filter(col("left_id") < col("right_id"))
-      .withColumn("jaccard",
-        expr("CAST(size(array_intersect(ls, rs)) AS DOUBLE) / size(array_union(ls, rs))"))
+      .localCheckpoint(false)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
+    val inv = docs.select(col("lang"), col("bucket"), col("doc_id"), explode(col("sh")).as("shingle"))
+    val common = inv.alias("a")
+      .join(inv.alias("b"),
+        col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "left_id").withColumnRenamed("sz", "szl")), "left_id")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "right_id").withColumnRenamed("sz", "szr")), "right_id")
+      .withColumn("jaccard", expr("CAST(c AS DOUBLE) / (szl + szr - c)"))
       .filter(col("jaccard") >= 0.3)
       .select("left_id", "right_id", "jaccard")
       .orderBy("left_id", "right_id")
