@@ -1,8 +1,10 @@
 package graft.streaming
 
 import graft.Num
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
 
 /** Structured Streaming twins of the batch operators — matchbox's
   * "batch and real-time matching" surface (reference README; the server's
@@ -50,4 +52,56 @@ object Streams {
       .reduce(_ union _)
       .dropDuplicates("left_id", "right_id")
       .withColumn("score", lit(1.0))
+
+  /** Custom streaming state: gap-based sessionization with
+    * `flatMapGroupsWithState` — the arbitrary-state surface for semantics
+    * windows can't express. State per user is one open session (start,
+    * last-seen, count); a session closes and is emitted when the gap
+    * exceeds `gapSeconds` or the state times out via the event-time
+    * watermark (which is what bounds state at scale).
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, new Timestamp(s.startMs), s.n)).toIterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(lastMs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.startMs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }
+
+final case class SessionEvent(user_id: Long, ts: Timestamp)
+final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+final case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long)

@@ -56,6 +56,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batchPairs).isEmpty && batchPairs.except(streamed).isEmpty)
   }
 
+  test("stateful sessionization closes sessions on gap and on watermark timeout") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.{SessionEvent, SessionOut}
+    // offset from epoch: rows at/below the initial watermark (0) are dropped
+    def ts(min: Long) = new Timestamp((1440 + min) * 60000)
+    val input = MemoryStream[SessionEvent]
+    // user 1: two sessions separated by a 40-min gap; user 2: one session
+    input.addData(Seq(
+      SessionEvent(1, ts(0)), SessionEvent(1, ts(10)),
+      SessionEvent(1, ts(55)), SessionEvent(2, ts(5))))
+    val q = Streams.sessionize(input.toDS(), gapSeconds = 1800, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance event time far enough that the watermark times out open state
+      input.addData(Seq(SessionEvent(99, ts(500))))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(99, ts(1000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sessions").as[SessionOut].collect()
+      .map(s => (s.user_id, s.session_start.getTime / 60000 - 1440, s.n_events)).toSet
+    assert(out.contains((1L, 0L, 2L)), s"first session of user 1 missing: $out")
+    assert(out.contains((1L, 55L, 1L)), s"second session of user 1 missing: $out")
+    assert(out.contains((2L, 5L, 1L)), s"user 2 session missing: $out")
+  }
+
   test("dag runs steps in dependency order and memoises results") {
     val dag = new graft.dags.Dag
     dag.source("customer")(Tables(spark, sfDir, "customer"))
