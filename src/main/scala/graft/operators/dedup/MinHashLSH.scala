@@ -37,15 +37,15 @@ object MinHashLSH {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    val sigCols = (0 until numHashes).map { i =>
-      expr(s"array_min(transform(hs, h -> xxhash64(h, $i)))").as(s"mh$i")
-    }
+    // Native codegen'd signature: one fused pass over the shingle hashes
+    // computes all k permutation minima (graft.functions.MinHashSignature).
     val withSig = hashed(shingled(docs, idCol, textCol, shingleSize))
-      .select(col("id") +: col("shingles") +: sigCols: _*)
+      .select(col("id"), col("shingles"),
+        graft.functions.Sketches.minhashSignature(col("hs"), numHashes).as("sig"))
 
     // One row per (doc, band): bucket = hash of the band's signature slice.
     val bandExprs = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
+      val slice = (0 until rows).map(r => s"sig[${b * rows + r}]").mkString(", ")
       expr(s"named_struct('band', $b, 'bucket', xxhash64($slice))")
     }
     val exploded = withSig

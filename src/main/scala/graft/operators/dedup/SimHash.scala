@@ -22,17 +22,9 @@ object SimHash {
       col(idCol).cast("long").as("id"),
       expr(s"transform(array_distinct(split(trim($textCol), '\\\\s+')), t -> xxhash64(t))")
         .as("th"))
-      // votes[b] = sum over tokens of +-1 for bit b; then pack sign bits.
-      .withColumn("votes",
-        expr("""aggregate(th,
-               |  array_repeat(0L, 64),
-               |  (acc, h) -> zip_with(acc, sequence(0, 63),
-               |      (a, b) -> a + CASE WHEN (shiftrightunsigned(h, CAST(b AS INT)) & 1) = 1
-               |                         THEN 1L ELSE -1L END))""".stripMargin))
-      .withColumn("simhash",
-        expr("""aggregate(zip_with(votes, sequence(0, 63),
-               |  (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END),
-               |  0L, (acc, x) -> acc | x)""".stripMargin))
+      // Native codegen'd bit-vote fold (graft.functions.SimHash64): one
+      // fused loop instead of a 64-slot zip_with per token.
+      .withColumn("simhash", graft.functions.Sketches.simhash64(col("th")))
       .select("id", "simhash")
 
   def candidatePairs(
