@@ -64,6 +64,25 @@ class MatchboxSpec extends SparkSpec {
     assert(params.nonEmpty)
   }
 
+  test("resolver applies per-model thresholds before clustering") {
+    import graft.operators.Resolver
+    val strong = Seq((1L, 2L, 0.9), (3L, 4L, 0.9)).toDF("left_id", "right_id", "score")
+    val weak = Seq((2L, 3L, 0.4)).toDF("left_id", "right_id", "score")
+    // weak edge below its threshold: two separate clusters
+    val split = Resolver.computeClusters(
+      Map("strong" -> strong, "weak" -> weak), Map("weak" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split(2L) == 1L && split(4L) == 3L && !split.contains(5L))
+    // threshold relaxed: one merged cluster
+    val merged = Resolver.computeClusters(
+      Map("strong" -> strong, "weak" -> weak), Map("weak" -> 0.3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(2L, 3L, 4L).forall(merged(_) == 1L))
+    intercept[IllegalArgumentException] {
+      Resolver.computeClusters(Map("strong" -> strong), Map("nope" -> 0.5))
+    }
+  }
+
   test("score normalisation keeps max score per canonical pair") {
     val edges = Seq((1L, 2L, 0.4), (2L, 1L, 0.9), (3L, 4L, 0.5)).toDF("left_id", "right_id", "score")
     val out = Scores.normalise(edges).collect()
