@@ -32,8 +32,19 @@ object PrecisionRecall {
         greatest(col("left_id"), col("right_id")).as("b"),
         col("verdict"))
       .groupBy("a", "b")
-      .agg(sum("verdict").as("net"))
-      .filter(col("net") =!= 0)
+      .agg(sum("verdict").cast("double").as("net"))
+    fromNet(assignments, net)
+  }
+
+  /** Full reference semantics: judgements as (shown, endorsed) cluster rows
+    * plus a cluster expansion table — netted by [[Judgements.net]].
+    */
+  def fromJudgements(
+      assignments: DataFrame, judgements: DataFrame, expansion: DataFrame): DataFrame =
+    fromNet(assignments, Judgements.net(judgements, expansion))
+
+  private def fromNet(assignments: DataFrame, rawNet: DataFrame): DataFrame = {
+    val net = rawNet.filter(col("net") =!= 0.0)
 
     val judgedLeaves = net.select(col("a").as("id"))
       .union(net.select(col("b").as("id"))).distinct()

@@ -1,0 +1,59 @@
+package graft
+
+import graft.eval.PrecisionRecall
+import org.apache.spark.sql.functions._
+
+/** Replicates the reference's eval example end-to-end
+  * (test/common/test_eval.py::test_precision_recall).
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def expansion = Seq(
+    (123L, Seq(1L, 2L, 3L)),
+    (67L, Seq(6L, 7L)),
+    (45L, Seq(4L, 5L)),
+    (12L, Seq(1L, 2L))).toDF("root", "leaves")
+
+  private def judgements = Seq(
+    // ambiguous but more positive than negative on (1,2)
+    (123L, 12L), (123L, 3L), (123L, 12L), (123L, 3L), (123L, 1L), (123L, 2L), (123L, 3L),
+    // ambiguous but more negative than positive on (4,5)
+    (45L, 45L), (45L, 4L), (45L, 4L), (45L, 5L), (45L, 5L),
+    // these neutralise each other on (6,7)
+    (67L, 67L), (67L, 6L), (67L, 7L)).toDF("shown", "endorsed")
+
+  private def model(rootLeaf: Seq[(Long, Long)]) =
+    rootLeaf.toDF("component", "id").select("id", "component")
+
+  test("matches the reference precision_recall example: model 1") {
+    val model1 = model(Seq(
+      (123L, 1L), (123L, 2L), (123L, 3L),
+      (45L, 4L), (45L, 5L), (67L, 6L), (67L, 7L), (89L, 8L), (89L, 9L)))
+    val r = PrecisionRecall.fromJudgements(model1, judgements, expansion).head()
+    assert(r.getAs[Long]("tp") == 1)
+    assert(r.getAs[Long]("n_model") == 4) // (1,2),(1,3),(2,3),(4,5); (6,7) neutralised
+    assert(r.getAs[Long]("n_validation") == 1) // only (1,2)
+    assert(r.getAs[Double]("precision") == 0.25)
+    assert(r.getAs[Double]("recall") == 1.0)
+  }
+
+  test("matches the reference precision_recall example: model 2") {
+    val model2 = model(Seq(
+      (13L, 1L), (13L, 3L), (2L, 2L), (4L, 4L), (5L, 5L), (67L, 6L), (67L, 7L)))
+    val r = PrecisionRecall.fromJudgements(model2, judgements, expansion).head()
+    assert(r.getAs[Long]("tp") == 0)
+    assert(r.getAs[Long]("n_model") == 1) // only (1,3)
+    assert(r.getAs[Double]("precision") == 0.0)
+    assert(r.getAs[Double]("recall") == 0.0)
+  }
+
+  test("judgement netting produces the implied verdicts") {
+    val net = graft.eval.Judgements.net(judgements, expansion).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(net((1L, 2L)) > 0, s"(1,2) should be net-positive: $net")
+    assert(net((4L, 5L)) < 0, s"(4,5) should be net-negative: $net")
+    assert(math.abs(net((6L, 7L))) < 1e-9, s"(6,7) should neutralise: $net")
+    assert(net((1L, 3L)) < 0 && net((2L, 3L)) < 0)
+  }
+}
