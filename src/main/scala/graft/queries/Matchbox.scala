@@ -29,6 +29,24 @@ object Matchbox {
     s"""SELECT c_custkey AS rec_key, ${Hashing.rowHashSql(indexCols)} AS row_hash
        |FROM customer ORDER BY rec_key""".stripMargin
 
+  /** Order-invariant whole-table content digest (reference:
+    * common/hash.py `hash_arrow_table` — row hashes sorted then digested, so
+    * the hash is independent of row order / partitioning). At 100 TB this
+    * would tree-hash per partition then combine; the sorted-aggregate form
+    * is the semantic contract.
+    */
+  private def tableHash(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    c.select(Hashing.rowHash(c, indexCols).as("h"))
+      .agg(
+        Hashing.clusterHash(col("h")).as("table_hash"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val tableHashSql =
+    s"""SELECT ${Hashing.clusterHashSql("h")} AS table_hash, count(*) AS n_rows
+       |FROM (SELECT ${Hashing.rowHashSql(indexCols)} AS h FROM customer) t""".stripMargin
+
   // ---- combine types --------------------------------------------------
   private def custSrc(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "customer").select(
@@ -455,6 +473,7 @@ object Matchbox {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mb_source_index", sourceIndex, Some(sourceIndexSql)),
+    QueryDef("mb_table_hash", tableHash, Some(tableHashSql)),
     QueryDef("mb_query_concat", queryConcat, Some(queryConcatSql)),
     QueryDef("mb_query_explode", queryExplode, Some(queryExplodeSql)),
     QueryDef("mb_query_set_agg", querySetAgg, Some(querySetAggSql)),

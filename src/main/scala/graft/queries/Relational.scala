@@ -244,7 +244,72 @@ object Relational {
        |GROUP BY event_type, hour_start
        |ORDER BY event_type, hour_start""".stripMargin
 
+  private def q4(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    val bigItems = Tables(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45).select("l_orderkey")
+    orders
+      .join(bigItems, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val ext = Num.cents(col("l_extendedprice"))
+    Tables(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+      .join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type").like("PROMO%"), ext).otherwise(lit(0L))) / 100.0)
+          .as("promo_revenue"),
+        (sum(ext) / 100.0).as("total_revenue"))
+  }
+
+  private val q14Sql =
+    s"""SELECT
+       |  sum(CASE WHEN p_type LIKE 'PROMO%' THEN ${Num.centsSql("l_extendedprice")} ELSE 0 END)/100.0 AS promo_revenue,
+       |  sum(${Num.centsSql("l_extendedprice")})/100.0 AS total_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q4_exists_agg", q4, Some(q4Sql)),
+    QueryDef("q13_outer_agg", q13, Some(q13Sql)),
+    QueryDef("q14_conditional_agg", q14, Some(q14Sql)),
     QueryDef("q1_agg", q1, Some(q1Sql)),
     QueryDef("q6_filter_agg", q6, Some(q6Sql)),
     QueryDef("q3_topk_join", q3, Some(q3Sql)),
