@@ -3,9 +3,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end matchbox pipeline: dedupe + link -> resolve -> lookup.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Registry.byName("q1_agg").fn(spark, "/root/testdata/sf0.001")
+    Registry.byName("mb_pipeline_e2e").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

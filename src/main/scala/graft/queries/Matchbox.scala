@@ -399,6 +399,50 @@ object Matchbox {
       |  greatest(left_id, right_id) AS right_id, max(score) AS score
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Flagship end-to-end pipeline: two sources -> naive dedupe (within
+    * customers) + deterministic link (customer<->supplier on key equality)
+    * -> union the scored edges -> resolve with connected components over the
+    * namespaced id space -> cluster/key lookup. Exercises the composed
+    * operator chain exactly as a matchbox DAG would run it. The oracle
+    * exploits the known structure (dedupe cliques + 1-1 links) with a
+    * window function; the Spark side runs the general operators.
+    */
+  private def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val supplier = Tables(s, dir, "supplier")
+    // namespace: customer id = 2k, supplier id = 2k+1
+    val dedupeEdges = Dedupe.naive(customer, "c_custkey", Seq("c_nationkey", "c_mktsegment"))
+      .select((col("left_id") * 2).as("src"), (col("right_id") * 2).as("dst"))
+    val linkEdges = Link.deterministic(
+      customer, supplier, "c_custkey", "s_suppkey", Seq("l.c_custkey = r.s_suppkey"))
+      .select((col("left_id") * 2).as("src"), (col("right_id") * 2 + 1).as("dst"))
+    val comp = Components.connected(dedupeEdges.union(linkEdges))
+    val members = customer.select(
+      (col("c_custkey") * 2).cast("long").as("id"),
+      lit("customer").as("source"), col("c_custkey").as("rec_key"))
+      .unionByName(supplier.select(
+        (col("s_suppkey") * 2 + 1).cast("long").as("id"),
+        lit("supplier").as("source"), col("s_suppkey").as("rec_key")))
+    // left join: records untouched by any model keep their own singleton
+    // cluster (matchbox: every source cluster resolves, merged or not)
+    members.join(comp, Seq("id"), "left")
+      .select(
+        coalesce(col("component"), col("id")).as("cluster_id"),
+        col("source"), col("rec_key"))
+      .orderBy("cluster_id", "source", "rec_key")
+  }
+
+  private val pipelineE2eSql =
+    """WITH g AS (
+      |  SELECT c_custkey,
+      |    2 * min(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS comp
+      |  FROM customer)
+      |SELECT comp AS cluster_id, 'customer' AS source, c_custkey AS rec_key FROM g
+      |UNION ALL
+      |SELECT g.comp, 'supplier', s_suppkey
+      |FROM supplier JOIN g ON s_suppkey = c_custkey
+      |ORDER BY cluster_id, source, rec_key""".stripMargin
+
   // ---- eval -----------------------------------------------------------
   private def evalPr(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables(s, dir, "customer").filter(col("c_custkey") < 300)
@@ -490,5 +534,6 @@ object Matchbox {
     QueryDef("mb_match_keys", matchKeys, Some(matchKeysSql)),
     QueryDef("mb_normalise_scores", normaliseScores, Some(normaliseScoresSql)),
     QueryDef("mb_eval_pr", evalPr, Some(evalPrSql)),
-    QueryDef("mb_eval_sample", evalSample, Some(evalSampleSql)))
+    QueryDef("mb_eval_sample", evalSample, Some(evalSampleSql)),
+    QueryDef("mb_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)))
 }
