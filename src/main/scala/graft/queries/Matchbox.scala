@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.Hashing
-import graft.operators.{Combine, Components, Dedupe, Link, Scores}
+import graft.operators.{Combine, Components, Dedupe, Link, Lookup, Scores}
 import graft.eval.PrecisionRecall
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -423,12 +423,8 @@ object Matchbox {
       .unionByName(supplier.select(
         (col("s_suppkey") * 2 + 1).cast("long").as("id"),
         lit("supplier").as("source"), col("s_suppkey").as("rec_key")))
-    // left join: records untouched by any model keep their own singleton
-    // cluster (matchbox: every source cluster resolves, merged or not)
-    members.join(comp, Seq("id"), "left")
-      .select(
-        coalesce(col("component"), col("id")).as("cluster_id"),
-        col("source"), col("rec_key"))
+    Lookup.asLookup(comp, members)
+      .select(col("cluster_id"), col("source"), col("rec_key"))
       .orderBy("cluster_id", "source", "rec_key")
   }
 
