@@ -52,11 +52,14 @@ object MinHashLSH {
       .select(col("id"), col("shingles"), explode(array(bandExprs: _*)).as("bb"))
       .select(col("id"), col("shingles"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    // Cap runaway buckets before the quadratic join.
+    // Cap runaway buckets before the quadratic join. Materialised once
+    // (lazy localCheckpoint): both sides of the self-join read it, instead
+    // of recomputing shingling + signatures twice.
     val counted = exploded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("bucket_n") <= maxBucket)
+      .localCheckpoint(false)
 
     val l = counted.select(col("band"), col("bucket"), col("id").as("left_id"), col("shingles").as("ls"))
     val r = counted.select(col("band"), col("bucket"), col("id").as("right_id"), col("shingles").as("rs"))
