@@ -252,6 +252,15 @@ object Pipeline {
       |SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  private def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Ivf.search(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
   private def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     Knn.lsh(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
@@ -313,6 +322,7 @@ object Pipeline {
     QueryDef("dx_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("dx_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("dx_knn_lsh", knnLsh, None),
+    QueryDef("dx_knn_ivf", knnIvf, None),
     QueryDef("dx_lang_id", langId, Some(langIdSql)),
     QueryDef("dx_quality", quality, Some(qualitySql)),
     QueryDef("dx_tokens", tokens, Some(tokensSql)),

@@ -60,6 +60,23 @@ class PipelineSpec extends SparkSpec {
     assert(hits > 0, "LSH found no true top-5 neighbors at all")
   }
 
+  test("IVF search beats LSH recall at the same k and carries exact sims") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Knn.bruteForce(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+    val ivf = graft.operators.ann.Ivf.search(q, emb, "vec_id", "embedding", 5)
+    // reported sims must equal the exact brute-force cosine
+    val exact = Knn.bruteForce(q, emb, "vec_id", "embedding", Int.MaxValue)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    assert(ivf.join(exact, Seq("query_id", "neighbor_id"))
+      .filter(col("sim") =!= col("bsim")).isEmpty)
+    val nBrute = brute.count()
+    val hits = ivf.select("query_id", "neighbor_id")
+      .join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits.toDouble / nBrute >= 0.3, s"IVF recall $hits/$nBrute below 0.3")
+  }
+
   test("media stub decode is deterministic and consistent with payload bytes") {
     val p = Media.withPayload(Tables(spark, sfDir, "documents"), "doc_id", "text")
     val f1 = Media.extractFeatures(p)
