@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Components, Scores}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Seeded randomized properties for the core invariants. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def referenceComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("components matches a reference union-find on random graphs, both paths") {
+    val rng = new Random(42)
+    for (trial <- 1 to 8) {
+      val n = 5 + rng.nextInt(60)
+      val m = 1 + rng.nextInt(3 * n)
+      val edges = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val expected = referenceComponents(edges)
+        for (threshold <- Seq(0L, Long.MaxValue)) {
+          val got = Components.connected(edges.toDF("src", "dst"), smallGraphThreshold = threshold)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == expected, s"trial $trial threshold $threshold: $got != $expected")
+        }
+      }
+    }
+  }
+
+  test("normalise is idempotent and orientation-invariant on random edge lists") {
+    val rng = new Random(7)
+    val edges = Seq.fill(300)((rng.nextInt(40).toLong, rng.nextInt(40).toLong,
+      math.rint(rng.nextDouble() * 100) / 100))
+      .filter { case (a, b, _) => a != b }
+    val df = edges.toDF("left_id", "right_id", "score")
+    val once = Scores.normalise(df)
+    val twice = Scores.normalise(once)
+    assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
+    assert(once.filter(col("left_id") >= col("right_id")).isEmpty)
+    // swapping every pair's orientation must not change the result
+    val swapped = Scores.normalise(df.select(
+      col("right_id").as("left_id"), col("left_id").as("right_id"), col("score")))
+    assert(once.except(swapped).isEmpty && swapped.except(once).isEmpty)
+    // max semantics: every output score is the max over that canonical pair
+    val truth = df.select(
+      least(col("left_id"), col("right_id")).as("left_id"),
+      greatest(col("left_id"), col("right_id")).as("right_id"), col("score"))
+      .groupBy("left_id", "right_id").agg(max("score").as("score"))
+    assert(once.except(truth).isEmpty && truth.except(once).isEmpty)
+  }
+}
