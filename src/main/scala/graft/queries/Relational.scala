@@ -306,7 +306,60 @@ object Relational {
        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
        |  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
 
+  /** Q17 shape: lineitems below half their part's average quantity. The
+    * comparison is done in exact integer space (qty_cents * 2 * n <
+    * sum_cents) so no cross-engine float-average drift can flip a row.
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(
+        sum(Num.cents(col("l_quantity"))).as("sum_qc"),
+        count(lit(1)).as("n"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(Num.cents(col("l_quantity")) * lit(2) * col("n") < col("sum_qc"))
+      .agg(
+        count(lit(1)).as("n_small"),
+        (sum(Num.cents(col("l_extendedprice"))) / 100.0).as("small_revenue"))
+  }
+
+  private val q17Sql =
+    s"""WITH pp AS (
+       |  SELECT l_partkey AS pk,
+       |    sum(${Num.centsSql("l_quantity")}) AS sum_qc,
+       |    count(*) AS n
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT count(*) AS n_small,
+       |  sum(${Num.centsSql("l_extendedprice")})/100.0 AS small_revenue
+       |FROM lineitem JOIN pp ON l_partkey = pk
+       |WHERE ${Num.centsSql("l_quantity")} * 2 * n < sum_qc""".stripMargin
+
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    def nations(seg: String) =
+      Tables(s, dir, "customer").filter(col("c_mktsegment") === seg)
+        .select(col("c_nationkey").as("nationkey"))
+    val both = nations("BUILDING").intersect(nations("MACHINERY"))
+    val only = nations("BUILDING").except(nations("AUTOMOBILE"))
+    both.withColumn("set_op", lit("intersect"))
+      .unionByName(only.withColumn("set_op", lit("except")))
+      .orderBy("set_op", "nationkey")
+  }
+
+  private val qSetOpsSql =
+    """SELECT nationkey, 'intersect' AS set_op FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |UNION ALL
+      |SELECT nationkey, 'except' FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      |ORDER BY set_op, nationkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q17_scalar_subquery", q17, Some(q17Sql)),
+    QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)),
     QueryDef("q4_exists_agg", q4, Some(q4Sql)),
     QueryDef("q13_outer_agg", q13, Some(q13Sql)),
     QueryDef("q14_conditional_agg", q14, Some(q14Sql)),
