@@ -53,6 +53,27 @@ object Streams {
       .dropDuplicates("left_id", "right_id")
       .withColumn("score", lit(1.0))
 
+  /** Stream-stream interval join: match events from two live streams whose
+    * timestamps fall within `intervalSeconds` of each other, keyed on
+    * `key`. Both sides carry watermarks, so Spark can discard buffered
+    * state once the other side can no longer produce a match — the
+    * requirement for unbounded-input joins at scale.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, intervalSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("k"), col("ts").as("lts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("rk"), col("ts").as("rts"))
+    l.join(r,
+      col("k") === col("rk") &&
+      col("rts") >= col("lts") - expr(s"INTERVAL $intervalSeconds SECONDS") &&
+      col("rts") <= col("lts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
+      .select(col("k").as(key), col("lts"), col("rts"))
+  }
+
   /** Custom streaming state: gap-based sessionization with
     * `flatMapGroupsWithState` — the arbitrary-state surface for semantics
     * windows can't express. State per user is one open session (start,

@@ -56,6 +56,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batchPairs).isEmpty && batchPairs.except(streamed).isEmpty)
   }
 
+  test("stream-stream interval join matches pairs within the window") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.SessionEvent
+    def ts(min: Long) = new Timestamp((1440 + min) * 60000)
+    val a = MemoryStream[SessionEvent]
+    val b = MemoryStream[SessionEvent]
+    a.addData(Seq(SessionEvent(1, ts(0)), SessionEvent(2, ts(100))))
+    b.addData(Seq(SessionEvent(1, ts(5)), SessionEvent(1, ts(90)), SessionEvent(2, ts(95))))
+    val joined = Streams.intervalJoin(
+      a.toDF().withColumnRenamed("user_id", "uid"),
+      b.toDF().withColumnRenamed("user_id", "uid"),
+      "uid", intervalSeconds = 600)
+    val q = joined.writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("ssjoin").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 - 1440,
+        r.getTimestamp(2).getTime / 60000 - 1440)).toSet
+    // user 1: (0,5) within 10 min; (0,90) outside; user 2: (100,95) within
+    assert(out == Set((1L, 0L, 5L), (2L, 100L, 95L)), s"got $out")
+  }
+
   test("stateful sessionization closes sessions on gap and on watermark timeout") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.{SessionEvent, SessionOut}
