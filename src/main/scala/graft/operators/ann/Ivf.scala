@@ -32,7 +32,11 @@ object Ivf {
     val tv = targets
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
       .withColumn("features", array_to_vector(normalized("te")))
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(5).fit(tv)
+    // random init: k-means|| spends several jobs picking seeds, which
+    // dominates fit time; for a coarse quantizer random seeds + a few
+    // Lloyd iterations give equivalent cells
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(3)
+      .setInitMode("random").fit(tv)
     val cells = model.transform(tv).select(col("neighbor_id"), col("te"), col("prediction").as("cell"))
 
     // Tiny centroid table (nlist rows) — broadcast for the probe ranking.
