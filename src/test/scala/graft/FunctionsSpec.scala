@@ -51,6 +51,19 @@ class FunctionsSpec extends SparkSpec {
     assert(src.count() > 0 && plan.nonEmpty)
   }
 
+  test("typed Dataset facade round-trips operator outputs") {
+    import graft.model._
+    val edges = graft.operators.Dedupe.naive(
+      Tables(spark, sfDir, "customer"), "c_custkey", Seq("c_nationkey", "c_mktsegment"))
+      .asEdges
+    val first = edges.head()
+    assert(first.left_id < first.right_id && first.score == 1.0)
+    val clusters = graft.operators.Components.connected(
+      edges.toDF.select(col("left_id").as("src"), col("right_id").as("dst")))
+      .asClusters
+    assert(clusters.filter(c => c.component > c.id).isEmpty)
+  }
+
   test("bucketed table write round-trips and keeps the bucket spec") {
     val src = Tables(spark, sfDir, "nation")
     Warehouse.writeBucketed(src, "nation_bucketed", Seq("n_nationkey"), numBuckets = 4,
