@@ -43,16 +43,25 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      // Every local must come from ctx.freshName: when this expression is
+      // fused twice into one whole-stage-codegen function, fixed names
+      // collide ("Redefinition of local variable") and Spark silently falls
+      // back to interpreted eval.
       val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
       s"""
          |long[] $sig = new long[$numHashes];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
-         |int n = $a.numElements();
-         |for (int j = 0; j < n; j++) {
-         |  long h = $a.getLong(j);
-         |  for (int i = 0; i < $numHashes; i++) {
-         |    long v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, (long) i);
-         |    if (v < $sig[i]) $sig[i] = v;
+         |int $n = $a.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $a.getLong($j);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, (long) $i);
+         |    if ($v < $sig[$i]) $sig[$i] = $v;
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
@@ -94,19 +103,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      // All locals via ctx.freshName — see MinHashSignature.doGenCode.
       val votes = ctx.freshName("votes")
       val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2")
       s"""
          |int[] $votes = new int[64];
-         |int n = $a.numElements();
-         |for (int j = 0; j < n; j++) {
-         |  long h = $a.getLong(j);
-         |  for (int b = 0; b < 64; b++) {
-         |    if (((h >>> b) & 1L) == 1L) $votes[b]++; else $votes[b]--;
+         |int $n = $a.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $a.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
          |  }
          |}
          |long $out = 0L;
-         |for (int b = 0; b < 64; b++) { if ($votes[b] > 0) $out |= (1L << b); }
+         |for (int $b2 = 0; $b2 < 64; $b2++) { if ($votes[$b2] > 0) $out |= (1L << $b2); }
          |${ev.value} = $out;
        """.stripMargin
     })

@@ -1,11 +1,56 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, Sketches}
 import graft.sources.Warehouse
 import org.apache.spark.sql.functions._
 
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("native expressions codegen-compile when fused twice in one stage") {
+    // Round-1 regression: fixed Java local names collided when an expression
+    // was fused twice into one whole-stage function; janino rejected the
+    // class and Spark silently fell back to interpreted eval. With
+    // codegen.fallback=false a compile failure is a hard error, so this test
+    // proves the generated code actually compiles.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = Tables(spark, sfDir, "embeddings").limit(20)
+      val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("j"), col("embedding").as("eb"))
+      // one instance in the filter + two in the project, all in one stage
+      val cos = a.join(b, col("i") < col("j"))
+        .filter(CosineSimilarity(col("ea"), col("eb")) > lit(-2.0))
+        .select(
+          CosineSimilarity(col("ea"), col("eb")).as("s1"),
+          CosineSimilarity(col("eb"), col("ea")).as("s2"))
+      assert(cos.count() > 0)
+
+      val hashed = Tables(spark, sfDir, "documents").limit(20)
+        .select(col("doc_id"),
+          expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))").as("hs"))
+      val sk = hashed.select(
+        Sketches.minhashSignature(col("hs"), 16).as("m1"),
+        Sketches.minhashSignature(col("hs"), 8).as("m2"),
+        Sketches.simhash64(col("hs")).as("h1"),
+        Sketches.simhash64(reverse(col("hs"))).as("h2"))
+      assert(sk.count() > 0)
+      assert(sk.selectExpr("size(m1)", "size(m2)").head().getInt(0) == 16)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("rowHash canonicalises nulls as NUL, matching the reference and oracle") {
+    import graft.functions.Hashing
+    val df = Seq(("a", Some("x")), ("b", None)).toDF("k", "v")
+    val got = df.select(col("k"), Hashing.rowHash(df, Seq("k", "v")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val us = Hashing.UnitSep; val rs = Hashing.RecordSep
+    assert(got("a") == sha(s"k${us}a${rs}v${us}x$rs"))
+    assert(got("b") == sha(s"k${us}b${rs}v$us\u0000$rs"))
+  }
 
   test("native cosine_sim matches the HOF formulation bit-for-bit") {
     val emb = Tables(spark, sfDir, "embeddings").limit(50)
