@@ -62,9 +62,13 @@ object Knn {
       if ((z ^ (z >>> 31)) >= 0) 1.0 else -1.0
     }
 
-  def lshBucket(vecCol: String, numPlanes: Int, dim: Int): org.apache.spark.sql.Column = {
+  /** Sign-bit bucket from `numPlanes` hyperplanes; `planeOffset` selects an
+    * independent plane family so banded LSH can derive per-band buckets.
+    */
+  def lshBucket(vecCol: String, numPlanes: Int, dim: Int,
+      planeOffset: Int = 0): org.apache.spark.sql.Column = {
     val bits = (0 until numPlanes).map { p =>
-      val w = hyperplane(p, dim).mkString("array(", "D, ", "D)")
+      val w = hyperplane(planeOffset + p, dim).mkString("array(", "D, ", "D)")
       expr(
         s"""CASE WHEN aggregate(zip_with($vecCol, $w, (x, y) -> CAST(x AS DOUBLE) * y),
            | 0D, (a, v) -> a + v) >= 0 THEN ${1L << p}L ELSE 0L END""".stripMargin)

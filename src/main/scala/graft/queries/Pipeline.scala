@@ -269,20 +269,28 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs. Exact all-pairs here (oracle-
-    * matched); at corpus scale the LSH-bucketed path (dx_knn_lsh) is the
-    * candidate generator and this exact scorer runs only on candidates.
+  /** Embedding-cosine near-duplicate pairs — exact, via the triangle
+    * block-partition equi-join (no cartesian/BNLJ in the plan; see
+    * [[graft.operators.dedup.EmbedDedup.allPairs]]). Bit-identical to the
+    * all-pairs oracle.
     */
-  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("left_id"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("right_id"), col("embedding").as("eb"))
-    a.join(b, col("left_id") < col("right_id"))
-      .withColumn("sim", graft.functions.CosineSimilarity(col("ea"), col("eb")))
-      .filter(col("sim") >= 0.3)
+  private def dedupEmbed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.EmbedDedup
+      .allPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, numBlocks = 8)
       .select(col("left_id"), col("right_id"), round(col("sim"), 6).as("sim_r"))
       .orderBy("left_id", "right_id")
-  }
+
+  /** Approximate variant: banded hyperplane LSH candidates + exact verify.
+    * The corpus-scale path (candidates ≪ n²); rows-only + recall spec, no
+    * oracle — LSH recall at this low threshold is inherently partial.
+    */
+  private def dedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.EmbedDedup
+      .lshPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, bands = 8, planesPerBand = 4)
+      .select(col("left_id"), col("right_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("left_id", "right_id")
 
   private val dedupEmbedSql =
     """WITH p AS (
@@ -320,6 +328,7 @@ object Pipeline {
     QueryDef("dx_dedup_simhash", dedupSimhash, None),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("dx_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
+    QueryDef("dx_dedup_embed_lsh", dedupEmbedLsh, None),
     QueryDef("dx_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("dx_knn_lsh", knnLsh, None),
     QueryDef("dx_knn_ivf", knnIvf, None),

@@ -87,6 +87,32 @@ class PipelineSpec extends SparkSpec {
     assert(joined.isEmpty)
   }
 
+  test("embed dedup triangle join matches the naive cartesian bit-for-bit, with no BNLJ") {
+    import graft.operators.dedup.EmbedDedup
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tri = EmbedDedup.allPairs(emb, "vec_id", "embedding", threshold = 0.3)
+    val a = emb.select(col("vec_id").as("left_id"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("right_id"), col("embedding").as("eb"))
+    val naive = a.join(b, col("left_id") < col("right_id"))
+      .withColumn("sim", graft.functions.CosineSimilarity(col("ea"), col("eb")))
+      .filter(col("sim") >= 0.3)
+      .select("left_id", "right_id", "sim")
+    assert(tri.count() > 0)
+    assert(tri.except(naive).isEmpty && naive.except(tri).isEmpty)
+    val plan = tri.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "exact embed dedup must not plan a cartesian")
+  }
+
+  test("embed LSH dedup is a subset of exact pairs with identical sims") {
+    import graft.operators.dedup.EmbedDedup
+    val emb = Tables(spark, sfDir, "embeddings")
+    val exact = EmbedDedup.allPairs(emb, "vec_id", "embedding", threshold = 0.3)
+    val approx = EmbedDedup.lshPairs(emb, "vec_id", "embedding", threshold = 0.3)
+    assert(approx.count() > 0, "LSH path found no pairs at all")
+    assert(approx.except(exact).isEmpty, "LSH pair not present in exact result")
+  }
+
   test("exact dedup groups the synthesized duplicates") {
     val df = Registry.byName("dx_dedup_exact").fn(spark, sfDir)
     val dupGroups = df.filter(col("n_copies") === 2).count()
