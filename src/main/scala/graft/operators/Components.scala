@@ -21,19 +21,29 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Adaptive entry point: count the (deduplicated) edges once; below
-    * `smallGraphThreshold` solve on the driver with a union-find in
-    * milliseconds (the reference's DisjointSet, transform.py — correct and
-    * fastest when the graph fits trivially in memory), otherwise run the
-    * distributed large-star/small-star rounds. The same adaptive trade
-    * AQE applies to join strategies, applied to graph connectivity.
+  /** Adaptive entry point: take up to `smallGraphThreshold + 1` deduplicated
+    * edges in one incremental job; when they all fit, solve on the driver
+    * with a union-find in milliseconds (the reference's DisjointSet,
+    * transform.py — correct and fastest when the graph fits trivially in
+    * memory), otherwise run the distributed large-star/small-star rounds.
+    * The same adaptive trade AQE applies to join strategies, applied to
+    * graph connectivity.
+    *
+    * `smallGraphThreshold < 0` (the default) reads the
+    * `spark.graft.components.smallGraphThreshold` session conf
+    * (default 2,000,000) so deployments can tune or disable (0) the driver
+    * path without code changes.
     *
     * Edges as two long columns `src`, `dst`; undirected; self-loops ignored.
     */
   def connected(
       edges: DataFrame,
       maxIter: Int = 30,
-      smallGraphThreshold: Long = 2000000L): DataFrame = {
+      smallGraphThreshold: Long = -1L): DataFrame = {
+    val spark = edges.sparkSession
+    val threshold =
+      if (smallGraphThreshold >= 0) smallGraphThreshold
+      else spark.conf.get("spark.graft.components.smallGraphThreshold", "2000000").toLong
     val oriented = edges
       .filter(col("src") =!= col("dst"))
       .select(
@@ -41,13 +51,18 @@ object Components {
         least(col("src"), col("dst")).cast("long").as("v"))
       .distinct()
       .localCheckpoint(false)
-    if (oriented.count() <= smallGraphThreshold) driverUnionFind(oriented)
+    // take() doubles as the size probe and the driver-path data fetch — no
+    // separate count() job; it stops reading partitions once over budget.
+    val takeN = (math.min(threshold, Int.MaxValue.toLong - 1) + 1).toInt
+    val head = oriented.take(takeN)
+    if (head.length <= threshold) driverUnionFind(spark, head)
     else distributed(oriented, maxIter)
   }
 
   /** Driver-side union-find with path halving; emits (id, component=min id). */
-  private def driverUnionFind(oriented: DataFrame): DataFrame = {
-    val spark = oriented.sparkSession
+  private def driverUnionFind(
+      spark: org.apache.spark.sql.SparkSession,
+      orientedRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
@@ -58,7 +73,7 @@ object Components {
       }
       x
     }
-    oriented.select("u", "v").collect().foreach { r =>
+    orientedRows.foreach { r =>
       val (a, b) = (r.getLong(0), r.getLong(1))
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
@@ -131,8 +146,15 @@ object Components {
       iter += 1
     }
 
+    // A maxIter bailout would silently emit split components (the final
+    // groupBy-min does not finish the contraction) — fail loudly instead.
+    // log2(n) rounds suffice in theory; 30 covers any realistic graph.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not reach a fixpoint in $maxIter rounds; " +
+          "raise maxIter (graph is adversarially chained) or pre-contract the input")
+
     // At the fixpoint e is a forest of stars rooted at each component's min.
-    // The final groupBy-min guards a maxIter bailout on adversarial graphs.
     val assigned = e.groupBy(col("u").as("id")).agg(min("v").as("component"))
     val roots = nodes.join(assigned, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))

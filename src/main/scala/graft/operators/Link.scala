@@ -59,28 +59,86 @@ object Link {
     acc.get
   }
 
+  /** Splits a SQL boolean expression on top-level ANDs (paren-aware). */
+  private[graft] def splitTopAnd(cond: String): Seq[String] = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    val upper = cond.toUpperCase
+    var depth = 0; var start = 0; var i = 0
+    while (i < cond.length) {
+      cond(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(" AND ", i)) {
+            parts += cond.substring(start, i); start = i + 5; i += 5
+          } else i += 1
+      }
+    }
+    parts += cond.substring(start)
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private val EquiConjunct = """(?i)\s*l\.(\w+)\s*=\s*r\.(\w+)\s*""".r
+
   /** WeightedDeterministicLinker: each comparison contributes its weight when
     * it matches; score = matched weight / total weight, kept when >=
     * threshold (reference: models/linkers/weighteddeterministic.py).
     * Weights are combined with exact integer arithmetic (milli-weights) so
     * scores are bit-identical across engines.
+    *
+    * Scale shape: comparisons whose top-level equality conjuncts
+    * (`l.x = r.y`) are identical are **fused into one join** — the residual
+    * conjuncts become per-comparison match flags — so N comparisons over a
+    * shared blocking key cost one shuffle, not N. Matched comparisons are
+    * carried as a bitmask and combined with a single `bit_or` groupBy (one
+    * map-side-combinable shuffle) instead of per-comparison DISTINCTs.
     */
   def weighted(
       left: DataFrame, right: DataFrame,
       leftId: String, rightId: String,
       weightedComparisons: Seq[(String, Double)],
       threshold: Double): DataFrame = {
-    val totalMilli = weightedComparisons.map(w => math.round(w._2 * 1000)).sum
-    weightedComparisons
-      .map { case (cond, w) =>
-        pairs(left, right, leftId, rightId, cond)
-          .distinct()
-          .withColumn("w", lit(math.round(w * 1000)))
+    require(weightedComparisons.size <= 63, "bitmask carries at most 63 comparisons")
+    val milli = weightedComparisons.map(w => math.round(w._2 * 1000))
+    val totalMilli = milli.sum
+    val parsed = weightedComparisons.zipWithIndex.map { case ((cond, _), idx) =>
+      val (equis, residuals) = splitTopAnd(cond).partition {
+        case EquiConjunct(_, _) => true
+        case _ => false
       }
-      .reduce(_ union _)
-      .groupBy("left_id", "right_id")
-      .agg((sum(col("w")) / (1.0 * totalMilli)).as("score"))
+      (equis.sorted, residuals, idx, cond)
+    }
+    val tagged = parsed.groupBy(_._1).toSeq.map { case (equis, members) =>
+      if (equis.isEmpty)
+        // No equality conjunct to block on: per-comparison join (the
+        // caller's condition decides the join strategy).
+        members.map { case (_, _, idx, cond) =>
+          pairs(left, right, leftId, rightId, cond)
+            .withColumn("cmask", lit(1L << idx))
+        }.reduce(_ unionByName _)
+      else {
+        val mask = members.map { case (_, residuals, idx, _) =>
+          val flag =
+            if (residuals.isEmpty) lit(true) else expr(residuals.mkString(" AND "))
+          when(flag, lit(1L << idx)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        left.alias("l")
+          .join(right.alias("r"), expr(equis.mkString(" AND ")))
+          .select(
+            col(s"l.$leftId").cast("long").as("left_id"),
+            col(s"r.$rightId").cast("long").as("right_id"),
+            mask.as("cmask"))
+          .filter(col("cmask") =!= 0)
+      }
+    }.reduce(_ unionByName _)
+    val weightFromMask = weightedComparisons.indices.map { i =>
+      when(col("cmask").bitwiseAND(lit(1L << i)) =!= 0, lit(milli(i))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tagged.groupBy("left_id", "right_id")
+      .agg(expr("bit_or(cmask)").as("cmask"))
+      .withColumn("score", weightFromMask / (1.0 * totalMilli))
       .filter(col("score") >= threshold)
+      .select("left_id", "right_id", "score")
   }
 
   /** Fellegi–Sunter scorer with fixed per-comparison agreement /

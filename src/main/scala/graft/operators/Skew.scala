@@ -15,11 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types where exploding the build side cannot change the result:
+    * the probe (skewed) side drives the output row count. A right/full
+    * outer join would emit each unmatched build row once per salt, so those
+    * are rejected.
+    */
+  private val safeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def saltedJoin(
       skewed: DataFrame, build: DataFrame,
       key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    require(safeJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports probe-side-driven join types $safeJoinTypes; " +
+        s"'$joinType' would duplicate unmatched build rows across salts")
     // Deterministic salt: stable under retries (a rand() salt is not).
     val salted = skewed.withColumn("_salt",
       pmod(xxhash64(skewed.columns.map(col): _*), lit(salts)).cast("int"))

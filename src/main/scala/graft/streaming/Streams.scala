@@ -115,7 +115,13 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapSeconds * 1000)
+              // A timeout at or below the current watermark throws and kills
+              // the query (possible when a group's events arrive very late);
+              // clamp to just past the watermark so the session still closes
+              // on the next trigger.
+              val target = s.lastMs + gapSeconds * 1000
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, target))
             }
             closed.reverseIterator
           }

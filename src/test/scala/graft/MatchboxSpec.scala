@@ -49,6 +49,41 @@ class MatchboxSpec extends SparkSpec {
     assert(pairs.groupBy("left_id", "right_id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("fused weighted linker matches the naive per-comparison formulation") {
+    val customer = Tables(spark, sfDir, "customer")
+    val supplier = Tables(spark, sfDir, "supplier")
+    val comparisons = Seq(
+      "l.c_custkey = r.s_suppkey" -> 1.0,
+      "l.c_nationkey = r.s_nationkey" -> 0.5,
+      "l.c_nationkey = r.s_nationkey AND abs(l.c_acctbal - r.s_acctbal) < 50" -> 0.5)
+    val fused = Link.weighted(customer, supplier, "c_custkey", "s_suppkey",
+      comparisons, threshold = 0.5)
+    // naive: one join + DISTINCT per comparison, union, sum
+    val totalMilli = comparisons.map(c => math.round(c._2 * 1000)).sum
+    val naive = comparisons.map { case (cond, w) =>
+      customer.alias("l").join(supplier.alias("r"), expr(cond))
+        .select(col("l.c_custkey").cast("long").as("left_id"),
+          col("r.s_suppkey").cast("long").as("right_id"))
+        .distinct()
+        .withColumn("w", lit(math.round(w * 1000)))
+    }.reduce(_ union _)
+      .groupBy("left_id", "right_id")
+      .agg((sum(col("w")) / (1.0 * totalMilli)).as("score"))
+      .filter(col("score") >= 0.5)
+    assert(fused.count() > 0)
+    assert(fused.except(naive).isEmpty && naive.except(fused).isEmpty)
+    // the two nationkey-blocked comparisons must share a single join
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(fused.queryExecution.executedPlan.toString).size
+    assert(joins <= 2, s"expected at most 2 joins after fusing, saw $joins")
+  }
+
+  test("weighted linker splits top-level ANDs paren-aware") {
+    assert(Link.splitTopAnd("l.a = r.a AND (l.b = r.b OR l.c = r.c) AND abs(l.x) < 2") ==
+      Seq("l.a = r.a", "(l.b = r.b OR l.c = r.c)", "abs(l.x) < 2"))
+    assert(Link.splitTopAnd("l.a = r.a") == Seq("l.a = r.a"))
+  }
+
   test("EM linker learns m > u for discriminative comparisons") {
     val even = Tables(spark, sfDir, "customer").filter(col("c_custkey") % 2 === 0)
     val odd = Tables(spark, sfDir, "customer").filter(col("c_custkey") % 2 === 1)
