@@ -27,6 +27,48 @@ object Warehouse {
     )(sch => reader.schema(sch)).load(path)
   }
 
+  /** Relational-warehouse source over JDBC — the reference's primary ingest
+    * path (client/locations.py `RelationalDBLocation`; sources.py
+    * `run(batch_size)` pages rows out of a SQL warehouse).
+    *
+    * Scale shape: when `partitionColumn` is given, Spark issues
+    * `numPartitions` range-bounded queries in parallel (one per executor
+    * slot), so a 10^9-row warehouse table lands as a partitioned DataFrame
+    * instead of one single-connection scan. Filters and column pruning on
+    * the result push down into the remote SQL (visible as PushedFilters in
+    * the JDBCRelation scan). `predicates` alternatively gives explicit
+    * per-partition WHERE clauses (e.g. date shards).
+    */
+  def readJdbc(
+      spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0L, upperBound: Long = 0L, numPartitions: Int = 0,
+      predicates: Seq[String] = Nil,
+      connectionProperties: Map[String, String] = Map.empty): DataFrame = {
+    val props = new java.util.Properties()
+    connectionProperties.foreach { case (k, v) => props.setProperty(k, v) }
+    (partitionColumn, predicates) match {
+      case (Some(colName), _) =>
+        require(numPartitions > 0 && upperBound > lowerBound,
+          "partitioned JDBC read needs numPartitions and bounds")
+        spark.read.jdbc(url, table, colName, lowerBound, upperBound, numPartitions, props)
+      case (None, ps) if ps.nonEmpty =>
+        spark.read.jdbc(url, table, ps.toArray, props)
+      case _ =>
+        spark.read.jdbc(url, table, props)
+    }
+  }
+
+  /** JDBC sink (append/overwrite a warehouse table). */
+  def writeJdbc(
+      df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.ErrorIfExists,
+      connectionProperties: Map[String, String] = Map.empty): Unit = {
+    val props = new java.util.Properties()
+    connectionProperties.foreach { case (k, v) => props.setProperty(k, v) }
+    df.write.mode(mode).jdbc(url, table, props)
+  }
+
   /** Directory-partitioned write: downstream filters on `partitionBy`
     * columns prune whole directories at planning time.
     */
