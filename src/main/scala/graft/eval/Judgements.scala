@@ -61,6 +61,45 @@ object Judgements {
       .agg(sum("w").as("net"))
   }
 
+  /** Judgement well-formedness (reference eval.py Judgement
+    * model_validators, `check_no_duplicates` / `check_consistency`): within
+    * one judgement event (grouped by `idCol`), no leaf may appear in more
+    * than one endorsed group (or twice in a group), and the union of
+    * endorsed leaves must equal the shown cluster's leaves.
+    *
+    * Returns the violating events with a reason — distributed, so a
+    * petabyte judgement log validates as a groupBy, not a driver loop.
+    */
+  def invalid(judgements: DataFrame, expansion: DataFrame, idCol: String): DataFrame = {
+    val shownExp = expansion.select(col("root").as("shown"), col("leaves").as("shown_leaves"))
+    val endorsedExp = expansion.select(col("root").as("endorsed"), col("leaves").as("endorsed_leaves"))
+    judgements
+      .join(shownExp, "shown")
+      .join(endorsedExp, Seq("endorsed"), "left")
+      .withColumn("endorsed_leaves",
+        coalesce(col("endorsed_leaves"), array(col("endorsed").cast("long"))))
+      .groupBy(col(idCol).as("judgement_id"))
+      .agg(
+        sum(size(col("endorsed_leaves"))).as("n_endorsed"),
+        size(array_distinct(flatten(collect_list(col("endorsed_leaves"))))).as("n_distinct"),
+        first(col("shown_leaves")).as("shown_leaves"),
+        flatten(collect_list(col("endorsed_leaves"))).as("all_endorsed"))
+      .withColumn("reason",
+        when(col("n_endorsed") =!= col("n_distinct"), lit("repeated leaf in endorsement"))
+          .when(size(array_except(col("shown_leaves"), col("all_endorsed"))) > 0 ||
+                size(array_except(col("all_endorsed"), col("shown_leaves"))) > 0,
+            lit("endorsed leaves inconsistent with shown cluster")))
+      .filter(col("reason").isNotNull)
+      .select("judgement_id", "reason")
+  }
+
+  /** Throws IllegalArgumentException if any judgement event is malformed. */
+  def validate(judgements: DataFrame, expansion: DataFrame, idCol: String): Unit = {
+    val bad = invalid(judgements, expansion, idCol).take(5)
+    require(bad.isEmpty,
+      s"malformed judgements: ${bad.map(r => s"${r.get(0)}: ${r.getString(1)}").mkString("; ")}")
+  }
+
   /** All leaves endorsed across judgements (the judgement leaf universe). */
   def leaves(judgements: DataFrame, expansion: DataFrame): DataFrame = {
     val endorsedExp = expansion.select(col("root").as("endorsed"), col("leaves"))

@@ -43,6 +43,81 @@ object PrecisionRecall {
       assignments: DataFrame, judgements: DataFrame, expansion: DataFrame): DataFrame =
     fromNet(assignments, Judgements.net(judgements, expansion))
 
+  /** Multi-model scoring (reference eval.py:52-153 `precision_recall` over a
+    * *list* of models): pairs are restricted to leaves present in **all**
+    * models ∩ the judgement leaves, so every model is scored on the same
+    * universe; validation pairs (net > 0 within shared leaves) are common to
+    * all models. Returns one row per model: (model, tp, n_model,
+    * n_validation, precision, recall), ordered by model index.
+    *
+    * Distributed shape: the leaf intersection is one unioned groupBy
+    * (id → count == nModels + 1), not N sequential joins; each model's pair
+    * expansion is a self-equi-join on its cluster id over shared leaves
+    * only.
+    */
+  def multi(models: Seq[DataFrame], judgements: DataFrame): DataFrame = {
+    val net = judgements
+      .select(
+        least(col("left_id"), col("right_id")).as("a"),
+        greatest(col("left_id"), col("right_id")).as("b"),
+        col("verdict"))
+      .groupBy("a", "b")
+      .agg(sum("verdict").cast("double").as("net"))
+    val leaves = net.filter(col("net") =!= 0.0)
+      .select(col("a").as("id"))
+      .union(net.filter(col("net") =!= 0.0).select(col("b").as("id")))
+      .distinct()
+    multiFromNet(models, net, leaves)
+  }
+
+  /** Multi-model scoring from (shown, endorsed) judgement rows + cluster
+    * expansion — the full reference input shape (eval.py:52 signature).
+    */
+  def multiFromJudgements(
+      models: Seq[DataFrame], judgements: DataFrame, expansion: DataFrame): DataFrame =
+    multiFromNet(models, Judgements.net(judgements, expansion),
+      Judgements.leaves(judgements, expansion))
+
+  private def multiFromNet(
+      models: Seq[DataFrame], rawNet: DataFrame,
+      rawJudgementLeaves: DataFrame): DataFrame = {
+    require(models.nonEmpty, "at least one model required")
+    val net = rawNet.filter(col("net") =!= 0.0).localCheckpoint(false)
+    val judgementLeaves = rawJudgementLeaves
+    val leafSets = models.map(_.select(col("id")).distinct()) :+ judgementLeaves
+    val shared = leafSets.reduce(_ union _)
+      .groupBy("id").count()
+      .filter(col("count") === leafSets.size)
+      .select("id")
+      .localCheckpoint(false)
+
+    val validation = net.filter(col("net") > 0)
+      .join(shared.withColumnRenamed("id", "a"), "a")
+      .join(shared.withColumnRenamed("id", "b"), "b")
+      .select(col("a"), col("b"), lit(1L).as("v"))
+
+    val perModel = models.zipWithIndex.map { case (assignments, i) =>
+      val member = assignments.join(shared, "id")
+      val modelPairs = member.alias("x")
+        .join(member.alias("y"),
+          col("x.component") === col("y.component") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+        .join(net, Seq("a", "b")) // drop un-judged and neutrally-judged pairs
+        .select(col("a"), col("b"), lit(1L).as("m"))
+      modelPairs.join(validation, Seq("a", "b"), "full_outer")
+        .agg(
+          coalesce(sum(col("m") * col("v")), lit(0L)).as("tp"),
+          coalesce(sum("m"), lit(0L)).as("n_model"),
+          coalesce(sum("v"), lit(0L)).as("n_validation"))
+        .select(
+          lit(i.toLong).as("model"),
+          col("tp"), col("n_model"), col("n_validation"),
+          (col("tp").cast("double") / col("n_model")).as("precision"),
+          (col("tp").cast("double") / col("n_validation")).as("recall"))
+    }
+    perModel.reduce(_ unionByName _).orderBy("model")
+  }
+
   private def fromNet(assignments: DataFrame, rawNet: DataFrame): DataFrame = {
     val net = rawNet.filter(col("net") =!= 0.0)
 

@@ -48,6 +48,51 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") == 0.0)
   }
 
+  test("multi-model PR restricts to the shared-leaf intersection (reference example)") {
+    // model1 leaves {1..9}, model2 leaves {1..7}, judgement leaves {1..7}
+    // → shared {1..7}: model1's (8,9) pair is out of universe for scoring.
+    val model1 = model(Seq(
+      (123L, 1L), (123L, 2L), (123L, 3L),
+      (45L, 4L), (45L, 5L), (67L, 6L), (67L, 7L), (89L, 8L), (89L, 9L)))
+    val model2 = model(Seq(
+      (13L, 1L), (13L, 3L), (2L, 2L), (4L, 4L), (5L, 5L), (67L, 6L), (67L, 7L)))
+    val rows = PrecisionRecall.multiFromJudgements(Seq(model1, model2), judgements, expansion)
+      .collect()
+    assert(rows.length == 2)
+    val r1 = rows(0); val r2 = rows(1)
+    // reference asserts pr_scores[0] == (1/4, 1) and pr_scores[1] == (0, 0)
+    assert(r1.getAs[Long]("model") == 0 && r1.getAs[Double]("precision") == 0.25
+      && r1.getAs[Double]("recall") == 1.0)
+    assert(r2.getAs[Long]("model") == 1 && r2.getAs[Double]("precision") == 0.0
+      && r2.getAs[Double]("recall") == 0.0)
+  }
+
+  test("judgement validation flags duplicates and shown/endorsed inconsistency") {
+    import graft.eval.Judgements
+    val exp = Seq(
+      (12345L, Seq(1L, 2L, 3L, 4L, 5L)), (123L, Seq(1L, 2L, 3L)),
+      (345L, Seq(3L, 4L, 5L)), (45L, Seq(4L, 5L)), (12L, Seq(1L, 2L)),
+      (34L, Seq(3L, 4L)), (1231L, Seq(1L, 2L, 3L, 1L))).toDF("root", "leaves")
+    // j1: leaf 3 repeated across endorsed groups; j2: repeated within group;
+    // j3: missing leaf 3; j4: extra leaf 4; j5: well-formed
+    val js = Seq(
+      (1L, 12345L, 123L), (1L, 12345L, 345L),
+      (2L, 123L, 1231L),
+      (3L, 123L, 12L),
+      (4L, 123L, 12L), (4L, 123L, 34L),
+      (5L, 12345L, 123L), (5L, 12345L, 45L)).toDF("jid", "shown", "endorsed")
+    val bad = Judgements.invalid(js, exp, "jid").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bad.keySet == Set(1L, 2L, 3L, 4L))
+    assert(bad(1L).contains("repeated") && bad(2L).contains("repeated"))
+    assert(bad(3L).contains("inconsistent") && bad(4L).contains("inconsistent"))
+    intercept[IllegalArgumentException] {
+      Judgements.validate(js, exp, "jid")
+    }
+    // the well-formed judgement alone validates
+    Judgements.validate(js.filter(col("jid") === 5L), exp, "jid")
+  }
+
   test("judgement netting produces the implied verdicts") {
     val net = graft.eval.Judgements.net(judgements, expansion).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
