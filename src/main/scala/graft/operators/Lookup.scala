@@ -9,6 +9,70 @@ import org.apache.spark.sql.functions._
   */
 object Lookup {
 
+  /** Merge two resolutions (reference: results.py:182 `ResolverMatches
+    * .merge`): the combined clustering is the connected components of the
+    * union of both cluster maps' co-membership — each cluster contributes a
+    * star from its minimum leaf to every other leaf, and components run over
+    * the union. Input/output shape: (cluster_id, leaf_id). The reference
+    * renumbers merged clusters with arbitrary negative ints; we use the
+    * component's minimum leaf id — same partition, but deterministic and
+    * stable under re-runs (documented divergence).
+    */
+  def mergeResolutions(a: DataFrame, b: DataFrame): DataFrame = {
+    val edges = a.unionByName(b)
+      .withColumn("rep", min("leaf_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .filter(col("leaf_id") =!= col("rep"))
+      .select(col("rep").as("src"), col("leaf_id").as("dst"))
+    val comp = Components.connected(edges)
+    // singletons (clusters of one leaf) have no edges; restore them
+    val allLeaves = a.unionByName(b).select(col("leaf_id")).distinct()
+    allLeaves
+      .join(comp.withColumnRenamed("id", "leaf_id"), Seq("leaf_id"), "left")
+      .select(
+        coalesce(col("component"), col("leaf_id")).as("cluster_id"),
+        col("leaf_id"))
+  }
+
+  /** One cluster's source records across sources (reference: results.py:138
+    * `view_cluster`): for each source whose keys appear in the cluster,
+    * fetch its rows, qualify the key column (and, unless `mergeFields`,
+    * every index field) with the source name, and diagonal-concat. Key
+    * columns come first. `sources` maps source name → (data, keyCol,
+    * lookup of (cluster_id, rec_key) for that source).
+    */
+  def viewCluster(
+      clusterId: Long,
+      sources: Seq[(String, DataFrame, String)],
+      lookup: DataFrame,
+      mergeFields: Boolean = false): DataFrame = {
+    val perSource = sources.map { case (name, data, keyCol) =>
+      val keys = lookup
+        .filter(col("cluster_id") === clusterId && col("source") === name)
+        .select(col("rec_key"))
+      val qualifiedKey = s"${name}_$keyCol"
+      val fetched = data.join(
+        keys.withColumnRenamed("rec_key", keyCol), Seq(keyCol), "left_semi")
+      val renamed = fetched.columns.foldLeft(fetched) { (df, c) =>
+        if (c == keyCol) df.withColumnRenamed(c, qualifiedKey)
+        else if (!mergeFields) df.withColumnRenamed(c, s"${name}_$c")
+        else df
+      }
+      renamed
+    }
+    // diagonal concat: union over the union of all columns, null-filling
+    val allCols = perSource.flatMap(_.columns).distinct
+    val keyCols = sources.map { case (name, _, keyCol) => s"${name}_$keyCol" }
+    val ordered = keyCols ++ allCols.filterNot(keyCols.contains)
+    perSource
+      .map { df =>
+        val have = df.columns.toSet
+        df.select(ordered.map(c =>
+          if (have(c)) col(c) else lit(null).as(c)): _*)
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** Cluster ↔ source-key lookup. `members` carries one row per namespaced
     * record: (id, source, rec_key, ...extra columns). Records no model
     * touched keep their own singleton cluster (left join + coalesce).

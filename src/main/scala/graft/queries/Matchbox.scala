@@ -439,10 +439,63 @@ object Matchbox {
       |FROM supplier JOIN g ON s_suppkey = c_custkey
       |ORDER BY cluster_id, source, rec_key""".stripMargin
 
+  /** Merge two resolutions over three namespaced sources (customer: 3k,
+    * supplier: 3k+1, part: 3k+2): resolution A links customer↔supplier on
+    * key equality, resolution B links customer↔part; the merged clustering
+    * (reference results.py:182 `ResolverMatches.merge`) unions both
+    * co-memberships and re-resolves, then emits the three-source lookup
+    * chain. The oracle exploits the key containment (supplier ⊆ customer ⊆
+    * part keys); the Spark side runs the general operators.
+    */
+  private def resolveMerge(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val supplier = Tables(s, dir, "supplier")
+    val part = Tables(s, dir, "part")
+    val members = customer.select(
+      (col("c_custkey") * 3).cast("long").as("id"),
+      lit("customer").as("source"), col("c_custkey").cast("long").as("rec_key"))
+      .unionByName(supplier.select(
+        (col("s_suppkey") * 3 + 1).cast("long").as("id"),
+        lit("supplier").as("source"), col("s_suppkey").cast("long").as("rec_key")))
+      .unionByName(part.select(
+        (col("p_partkey") * 3 + 2).cast("long").as("id"),
+        lit("part").as("source"), col("p_partkey").cast("long").as("rec_key")))
+    def resolution(linkEdges: DataFrame): DataFrame =
+      Lookup.asLookup(Components.connected(linkEdges), members)
+        .select(col("cluster_id"), col("id").as("leaf_id"))
+    val resA = resolution(
+      Link.deterministic(customer, supplier, "c_custkey", "s_suppkey",
+        Seq("l.c_custkey = r.s_suppkey"))
+        .select((col("left_id") * 3).as("src"), (col("right_id") * 3 + 1).as("dst")))
+    val resB = resolution(
+      Link.deterministic(customer, part, "c_custkey", "p_partkey",
+        Seq("l.c_custkey = r.p_partkey"))
+        .select((col("left_id") * 3).as("src"), (col("right_id") * 3 + 2).as("dst")))
+    Lookup.mergeResolutions(resA, resB)
+      .join(members.withColumnRenamed("id", "leaf_id"), "leaf_id")
+      .select(col("cluster_id"), col("source"), col("rec_key"))
+      .orderBy("cluster_id", "source", "rec_key")
+  }
+
+  private val resolveMergeSql =
+    """SELECT cluster_id, source, rec_key FROM (
+      |  SELECT 3 * c_custkey AS cluster_id, 'customer' AS source, c_custkey AS rec_key
+      |  FROM customer
+      |  UNION ALL
+      |  -- every supplier key is a customer key, so suppliers always co-cluster
+      |  SELECT 3 * s_suppkey, 'supplier', s_suppkey FROM supplier
+      |  UNION ALL
+      |  SELECT CASE WHEN c.c_custkey IS NOT NULL THEN 3 * p_partkey
+      |              ELSE 3 * p_partkey + 2 END, 'part', p_partkey
+      |  FROM part LEFT JOIN customer c ON p_partkey = c_custkey)
+      |ORDER BY cluster_id, source, rec_key""".stripMargin
+
   // ---- eval -----------------------------------------------------------
-  private def evalPr(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables(s, dir, "customer").filter(col("c_custkey") < 300)
-    val assignments = Components.connected(chainEdges(cust))
+  /** Deterministic synthetic judgements over customers < 300: within-group
+    * pairs with a hash-ish verdict sign, plus sparse cross-segment
+    * endorsements — mirrored exactly in the oracles.
+    */
+  private def syntheticJudgements(cust: DataFrame): DataFrame = {
     val jA = cust.alias("l")
       .join(cust.alias("r"),
         expr("""l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
@@ -459,10 +512,80 @@ object Matchbox {
         col("l.c_custkey").cast("long").as("left_id"),
         col("r.c_custkey").cast("long").as("right_id"),
         lit(1).as("verdict"))
-    PrecisionRecall(assignments, jA.union(jB))
+    jA.union(jB)
+  }
+
+  private def evalPr(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer").filter(col("c_custkey") < 300)
+    val assignments = Components.connected(chainEdges(cust))
+    PrecisionRecall(assignments, syntheticJudgements(cust))
       .withColumnRenamed("precision", "precision_score")
       .withColumnRenamed("recall", "recall_score")
   }
+
+  /** Multi-model PR: two clusterings of the same customers — fine
+    * (nation, segment) vs coarse (nation) — scored against one judgement
+    * set on the shared-leaf universe (reference eval.py:52 scores a *list*
+    * of models). One row per model.
+    */
+  private def evalPrMulti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer").filter(col("c_custkey") < 300)
+    val fine = cust.select(
+      col("c_custkey").cast("long").as("id"),
+      min("c_custkey").over(Window.partitionBy("c_nationkey", "c_mktsegment"))
+        .cast("long").as("component"))
+    val coarse = cust.select(
+      col("c_custkey").cast("long").as("id"),
+      min("c_custkey").over(Window.partitionBy("c_nationkey"))
+        .cast("long").as("component"))
+    PrecisionRecall.multi(Seq(fine, coarse), syntheticJudgements(cust))
+      .withColumnRenamed("precision", "precision_score")
+      .withColumnRenamed("recall", "recall_score")
+  }
+
+  private val evalPrMultiSql =
+    """WITH cust AS (SELECT * FROM customer WHERE c_custkey < 300),
+      |m0 AS (SELECT c_custkey AS id,
+      |  min(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS component FROM cust),
+      |m1 AS (SELECT c_custkey AS id,
+      |  min(c_custkey) OVER (PARTITION BY c_nationkey) AS component FROM cust),
+      |jA AS (
+      |  SELECT l.c_custkey AS a, r.c_custkey AS b,
+      |    CASE WHEN (l.c_custkey + r.c_custkey) % 5 = 0 THEN -1 ELSE 1 END AS verdict
+      |  FROM cust l JOIN cust r
+      |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+      |    AND l.c_custkey < r.c_custkey),
+      |jB AS (
+      |  SELECT l.c_custkey AS a, r.c_custkey AS b, 1 AS verdict
+      |  FROM cust l JOIN cust r
+      |    ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+      |    AND (l.c_custkey + r.c_custkey) % 97 = 0),
+      |j AS (SELECT * FROM jA UNION ALL SELECT * FROM jB),
+      |net AS (SELECT a, b, sum(verdict) AS net FROM j GROUP BY a, b HAVING sum(verdict) <> 0),
+      |-- both models assign every cust id, so the shared-leaf intersection
+      |-- equals the judged-leaf set, and net pairs already lie within it
+      |v AS (SELECT a, b FROM net WHERE net > 0),
+      |p0 AS (SELECT x.id AS a, y.id AS b FROM m0 x
+      |       JOIN m0 y ON x.component = y.component AND x.id < y.id
+      |       JOIN net ON net.a = x.id AND net.b = y.id),
+      |p1 AS (SELECT x.id AS a, y.id AS b FROM m1 x
+      |       JOIN m1 y ON x.component = y.component AND x.id < y.id
+      |       JOIN net ON net.a = x.id AND net.b = y.id),
+      |t0 AS (SELECT count(*) AS tp FROM p0 JOIN v ON p0.a = v.a AND p0.b = v.b),
+      |t1 AS (SELECT count(*) AS tp FROM p1 JOIN v ON p1.a = v.a AND p1.b = v.b)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS model, (SELECT tp FROM t0) AS tp,
+      |    (SELECT count(*) FROM p0) AS n_model,
+      |    (SELECT count(*) FROM v) AS n_validation,
+      |    CAST((SELECT tp FROM t0) AS DOUBLE) / (SELECT count(*) FROM p0) AS precision_score,
+      |    CAST((SELECT tp FROM t0) AS DOUBLE) / (SELECT count(*) FROM v) AS recall_score
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), (SELECT tp FROM t1),
+      |    (SELECT count(*) FROM p1),
+      |    (SELECT count(*) FROM v),
+      |    CAST((SELECT tp FROM t1) AS DOUBLE) / (SELECT count(*) FROM p1),
+      |    CAST((SELECT tp FROM t1) AS DOUBLE) / (SELECT count(*) FROM v))
+      |ORDER BY model""".stripMargin
 
   private val evalPrSql =
     """WITH RECURSIVE cust AS (SELECT * FROM customer WHERE c_custkey < 300),
@@ -527,9 +650,11 @@ object Matchbox {
     QueryDef("mb_components", componentsQuery, Some(componentsSql)),
     QueryDef("mb_cluster_hash", clusterHashQuery, Some(clusterHashSql)),
     QueryDef("mb_resolve_lookup", resolveLookup, Some(resolveLookupSql)),
+    QueryDef("mb_resolve_merge", resolveMerge, Some(resolveMergeSql)),
     QueryDef("mb_match_keys", matchKeys, Some(matchKeysSql)),
     QueryDef("mb_normalise_scores", normaliseScores, Some(normaliseScoresSql)),
     QueryDef("mb_eval_pr", evalPr, Some(evalPrSql)),
+    QueryDef("mb_eval_pr_multi", evalPrMulti, Some(evalPrMultiSql)),
     QueryDef("mb_eval_sample", evalSample, Some(evalSampleSql)),
     QueryDef("mb_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)))
 }

@@ -52,6 +52,34 @@ class FunctionsSpec extends SparkSpec {
     assert(got("b") == sha(s"k${us}b${rs}v$us\u0000$rs"))
   }
 
+  test("typed row hashing canonicalises binary/struct/array and supports xxh64") {
+    import graft.functions.Hashing
+    val df = Seq(
+      (1L, Array[Byte](0xde.toByte, 0xad.toByte), Some((1, "a")), Some(Seq(1, 2, 3))),
+      (2L, null.asInstanceOf[Array[Byte]], Option.empty[(Int, String)], Option.empty[Seq[Int]]))
+      .toDF("k", "bin", "st", "arr")
+    val cols = Seq("k", "bin", "st", "arr")
+    val got = df.select(col("k"),
+      Hashing.rowHashTyped(df, cols).as("h"),
+      Hashing.rowHashTyped(df, cols, method = "xxh64").as("hx"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val us = Hashing.UnitSep; val rs = Hashing.RecordSep; val nul = "\u0000"
+    val stJson = """{"_1":1,"_2":"a"}"""
+    assert(got(1L)._1 ==
+      sha(s"k${us}1${rs}bin${us}dead${rs}st$us$stJson${rs}arr${us}1,2,3$rs"))
+    assert(got(2L)._1 ==
+      sha(s"k${us}2${rs}bin$us$nul${rs}st$us$nul${rs}arr$us$nul$rs"))
+    // xxh64: 16-char lowercase hex, deterministic, row-distinct
+    assert(got.values.map(_._2).toSet.size == 2)
+    assert(got.values.forall(v => v._2.matches("[0-9a-f]{16}")))
+    intercept[IllegalArgumentException] {
+      Hashing.rowHashTyped(df, cols, method = "md5")
+    }
+  }
+
   test("native cosine_sim matches the HOF formulation bit-for-bit") {
     val emb = Tables(spark, sfDir, "embeddings").limit(50)
     val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
@@ -107,6 +135,40 @@ class FunctionsSpec extends SparkSpec {
       edges.toDF.select(col("left_id").as("src"), col("right_id").as("dst")))
       .asClusters
     assert(clusters.filter(c => c.component > c.id).isEmpty)
+  }
+
+  test("JDBC source round-trips via embedded Derby with pushdown and partitioned reads") {
+    val dbDir = new java.io.File("target/derby-spec").getAbsolutePath
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val nation = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+    Warehouse.writeJdbc(nation, url, "nation_jdbc",
+      mode = org.apache.spark.sql.SaveMode.Overwrite, connectionProperties = props)
+
+    // plain read
+    val back = Warehouse.readJdbc(spark, url, "nation_jdbc", connectionProperties = props)
+    assert(back.count() == nation.count())
+
+    // partitioned read: 4 range-bounded parallel queries
+    val parts = Warehouse.readJdbc(spark, url, "nation_jdbc",
+      partitionColumn = Some("n_nationkey"), lowerBound = 0L, upperBound = 25L,
+      numPartitions = 4, connectionProperties = props)
+    assert(parts.rdd.getNumPartitions == 4)
+    assert(parts.count() == nation.count())
+
+    // filter + projection push into the remote SQL
+    val filtered = parts.filter(col("n_regionkey") === 2).select("n_name")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(n_regionkey,2)"),
+      s"expected JDBC filter pushdown in plan:\n$scan")
+    assert(filtered.count() == nation.filter(col("n_regionkey") === 2).count())
+
+    // explicit per-partition predicates (the date-shard pattern)
+    val sharded = Warehouse.readJdbc(spark, url, "nation_jdbc",
+      predicates = Seq("\"n_regionkey\" < 2", "\"n_regionkey\" >= 2"),
+      connectionProperties = props)
+    assert(sharded.rdd.getNumPartitions == 2 && sharded.count() == nation.count())
   }
 
   test("bucketed table write round-trips and keeps the bucket spec") {

@@ -49,6 +49,38 @@ class MatchboxSpec extends SparkSpec {
     assert(pairs.groupBy("left_id", "right_id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("mergeResolutions unions co-membership transitively and keeps singletons") {
+    import graft.operators.Lookup
+    // A: {1,2} {3} {4,5}; B: {2,3} {4} {6}
+    val a = Seq((1L, 1L), (1L, 2L), (3L, 3L), (4L, 4L), (4L, 5L)).toDF("cluster_id", "leaf_id")
+    val b = Seq((2L, 2L), (2L, 3L), (4L, 4L), (6L, 6L)).toDF("cluster_id", "leaf_id")
+    val merged = Lookup.mergeResolutions(a, b).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    // {1,2}∪{2,3} → {1,2,3} rep 1; {4,5} stays; 6 singleton
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("viewCluster gathers one cluster's records across sources, qualified or merged") {
+    import graft.operators.Lookup
+    val custSrc = Seq((1L, "alice", 10L), (2L, "bob", 20L)).toDF("k", "name", "bal")
+    val suppSrc = Seq((1L, "acme"), (9L, "other")).toDF("k", "name")
+    val lookup = Seq(
+      (100L, "customer", 1L), (100L, "supplier", 1L),
+      (200L, "customer", 2L), (300L, "supplier", 9L))
+      .toDF("cluster_id", "source", "rec_key")
+    val sources = Seq(
+      ("customer", custSrc, "k"), ("supplier", suppSrc, "k"))
+    val v = Lookup.viewCluster(100L, sources, lookup)
+    assert(v.columns.take(2).toSeq == Seq("customer_k", "supplier_k"))
+    assert(v.count() == 2) // one row from each source
+    assert(v.filter(col("customer_name") === "alice").count() == 1)
+    assert(v.filter(col("supplier_name") === "acme").count() == 1)
+    val m = Lookup.viewCluster(100L, sources, lookup, mergeFields = true)
+    // merged fields share the unqualified name; keys stay qualified
+    assert(m.columns.contains("name") && m.columns.contains("customer_k"))
+    assert(m.filter(col("name").isin("alice", "acme")).count() == 2)
+  }
+
   test("fused weighted linker matches the naive per-comparison formulation") {
     val customer = Tables(spark, sfDir, "customer")
     val supplier = Tables(spark, sfDir, "supplier")
