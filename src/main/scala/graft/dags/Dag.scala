@@ -17,22 +17,23 @@ final class Dag {
   private val steps = mutable.LinkedHashMap[String, DagStep]()
   private val results = mutable.Map[String, DataFrame]()
 
-  def addStep(name: String, dependsOn: Seq[String])(build: Map[String, DataFrame] => DataFrame): DagStep = {
+  def addStep(name: String, dependsOn: Seq[String], kind: String = "step")(
+      build: Map[String, DataFrame] => DataFrame): DagStep = {
     require(!steps.contains(name), s"duplicate step $name")
     dependsOn.foreach(d => require(steps.contains(d), s"unknown dependency $d of $name"))
-    val step = DagStep(name, dependsOn, build)
+    val step = DagStep(name, dependsOn, build, kind)
     steps(name) = step
     step
   }
 
   def source(name: String)(build: => DataFrame): DagStep =
-    addStep(name, Nil)(_ => build)
+    addStep(name, Nil, "source")(_ => build)
 
   def model(name: String, inputs: Seq[String])(build: Map[String, DataFrame] => DataFrame): DagStep =
-    addStep(name, inputs)(build)
+    addStep(name, inputs, "model")(build)
 
   def resolver(name: String, inputs: Seq[String])(build: Map[String, DataFrame] => DataFrame): DagStep =
-    addStep(name, inputs)(build)
+    addStep(name, inputs, "resolver")(build)
 
   /** Run every step in topological (insertion-respecting) order. */
   def run(): Map[String, DataFrame] = {
@@ -48,7 +49,41 @@ final class Dag {
     results.toMap
   }
 
+  /** Re-run from `name` down (reference dags.py "run from step", the daily
+    * "rerun from this model" action): invalidates the cached results of
+    * `name` and every transitive dependent, keeps everything upstream, then
+    * runs. Returns the refreshed full result map.
+    */
+  def runFrom(name: String): Map[String, DataFrame] = {
+    require(steps.contains(name), s"unknown step $name")
+    dependents(name).foreach(results.remove)
+    run()
+  }
+
+  /** `name` plus every step that transitively depends on it. */
+  private[dags] def dependents(name: String): Set[String] = {
+    val out = mutable.Set(name)
+    var grew = true
+    while (grew) {
+      grew = false
+      steps.values.foreach { s =>
+        if (!out.contains(s.name) && s.dependsOn.exists(out.contains)) {
+          out += s.name; grew = true
+        }
+      }
+    }
+    out.toSet
+  }
+
+  /** Step inspection (reference dags.py step listing): (name, kind,
+    * dependencies, materialised?) in insertion order.
+    */
+  def describe: Seq[(String, String, Seq[String], Boolean)] =
+    steps.values.toSeq.map(s => (s.name, s.kind, s.dependsOn, results.contains(s.name)))
+
   def result(name: String): DataFrame = results(name)
 }
 
-final case class DagStep(name: String, dependsOn: Seq[String], build: Map[String, DataFrame] => DataFrame)
+final case class DagStep(
+    name: String, dependsOn: Seq[String],
+    build: Map[String, DataFrame] => DataFrame, kind: String = "step")

@@ -59,6 +59,17 @@ object Warehouse {
     }
   }
 
+  /** Deterministic source peek (reference sources.py:277 `sample`: "top n
+    * entries"). A naive `limit(n)` depends on partition order; ordering by a
+    * hash of the key gives a stable pseudo-random sample and plans as
+    * TakeOrderedAndProject — a distributed top-k, never a full sort.
+    */
+  def sampleRows(df: DataFrame, n: Int, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val ordering = xxhash64(keyCols.map(col): _*) +: keyCols.map(col)
+    df.orderBy(ordering: _*).limit(n)
+  }
+
   /** JDBC sink (append/overwrite a warehouse table). */
   def writeJdbc(
       df: DataFrame, url: String, table: String,

@@ -18,6 +18,50 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no registered query plans a cartesian or unjustified nested-loop join") {
+    // Justified broadcast nested loops (tiny broadcast side by design):
+    // - dx_knn_brute: the tiny query set broadcast against the distributed
+    //   corpus — the exact baseline the ANN variants are scored against.
+    // - dx_knn_ivf: the probe step crosses each query with the nlist(=16)-row
+    //   broadcast centroid table — the canonical IVF cell-ranking plan.
+    val bnljJustified = Set("dx_knn_brute", "dx_knn_ivf")
+    Registry.all.foreach { d =>
+      val plan = d.fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${d.name} plans a CartesianProduct")
+      if (!bnljJustified(d.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${d.name} plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("dag runs from a step, invalidating only dependents") {
+    val dag = new graft.dags.Dag
+    var builds = List.empty[String]
+    dag.source("src") { builds ::= "src"; Tables(spark, sfDir, "nation") }
+    dag.model("m", Seq("src")) { deps => builds ::= "m"; deps("src").limit(5) }
+    dag.resolver("r", Seq("m")) { deps => builds ::= "r"; deps("m").limit(1) }
+    dag.run()
+    assert(builds.reverse == List("src", "m", "r"))
+    builds = Nil
+    dag.runFrom("m")
+    assert(builds.reverse == List("m", "r"), "src must stay cached")
+    assert(dag.describe.map(s => (s._1, s._2)) ==
+      Seq(("src", "source"), ("m", "model"), ("r", "resolver")))
+    assert(dag.describe.forall(_._4))
+  }
+
+  test("source sampling is a deterministic top-k, not a full sort") {
+    import graft.sources.Warehouse
+    val cust = Tables(spark, sfDir, "customer")
+    val s1 = Warehouse.sampleRows(cust, 10, Seq("c_custkey"))
+    val s2 = Warehouse.sampleRows(cust, 10, Seq("c_custkey"))
+    assert(s1.count() == 10)
+    assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("oracle SQL references only known tables") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
