@@ -1,59 +1,88 @@
 package graft.operators.ann
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
+import graft.functions.Centroids
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor search.
   *
-  * Coarse quantizer: MLlib KMeans over L2-normalized vectors (spherical
-  * k-means approximation, so euclidean cell assignment tracks cosine
-  * neighborhoods). Targets are partitioned into `nlist` cells; a query
-  * probes its `nprobe` nearest cells and exact-reranks only those targets.
-  * At corpus scale the cell id is the shuffle/partition key and the scan
-  * per query drops from N to ~N * nprobe / nlist.
+  * Coarse quantizer: spherical k-means fit with Lloyd iterations on a
+  * bounded, deterministic sample of L2-normalized vectors, on the driver —
+  * the standard IVF practice at corpus scale (FAISS trains its quantizer on
+  * a sample too: the cells only need to partition space, not see every
+  * point). Fitting on a 100 TB corpus with a distributed solver would spend
+  * cluster-wide jobs to refine cells whose quality plateaus after a few
+  * thousand samples.
+  *
+  * Targets are assigned to cells and queries ranked against centroids by
+  * the native codegen'd [[graft.functions.NearestCentroids]] — one fused
+  * loop per row, no row explosion, no assignment shuffle. A query probes
+  * its `nprobe` nearest cells and exact-reranks only those targets; the
+  * cell id is the only join key, so at scale the per-query scan drops from
+  * N to ~N·nprobe/nlist.
   */
 object Ivf {
 
-  private def normalized(vecCol: String) =
-    expr(
-      s"""transform($vecCol, x -> CAST(x AS DOUBLE) /
-         | sqrt(aggregate($vecCol, 0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin)
+  /** Driver-side Lloyd fit over a deterministic hash-ordered sample.
+    * Returns `nlist` centroids of unit-normalized points (empty cells keep
+    * their previous centroid).
+    */
+  private[graft] def fitCentroids(
+      targets: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, maxSample: Int = 4096, iters: Int = 5,
+      seed: Long = 42L): Seq[Seq[Double]] = {
+    val sample = targets
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(maxSample)
+      .select("v")
+      .collect()
+      .map { r =>
+        val a = r.getSeq[Float](0).map(_.toDouble).toArray
+        val n = math.sqrt(a.map(x => x * x).sum)
+        if (n == 0) a else a.map(_ / n)
+      }
+    require(sample.nonEmpty, "cannot fit a quantizer on an empty target set")
+    val dim = sample.head.length
+    val rnd = new java.util.Random(seed)
+    val centroids = Array.tabulate(nlist)(_ => sample(rnd.nextInt(sample.length)).clone())
+
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      for (c <- 0 until nlist if counts(c) > 0; i <- 0 until dim)
+        centroids(c)(i) = sums(c)(i) / counts(c)
+    }
+    centroids.map(_.toSeq).toSeq
+  }
 
   def search(
       queries: DataFrame, targets: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val spark = targets.sparkSession
-    import spark.implicits._
+    val cents = fitCentroids(targets, idCol, vecCol, nlist)
 
-    val tv = targets
+    val cells = targets
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
-      .withColumn("features", array_to_vector(normalized("te")))
-    // random init: k-means|| spends several jobs picking seeds, which
-    // dominates fit time; for a coarse quantizer random seeds + a few
-    // Lloyd iterations give equivalent cells
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(3)
-      .setInitMode("random").fit(tv)
-    val cells = model.transform(tv).select(col("neighbor_id"), col("te"), col("prediction").as("cell"))
-
-    // Tiny centroid table (nlist rows) — broadcast for the probe ranking.
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
+      .withColumn("cell", element_at(Centroids.nearest(col("te"), cents, 1), 1))
 
     val probes = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
-      .withColumn("qn", normalized("qe"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        expr("aggregate(zip_with(qn, centroid, (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x)"))
-      .withColumn("probe_rank",
-        row_number().over(Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
-      .filter(col("probe_rank") <= nprobe)
-      .select("query_id", "qe", "cell")
+      .withColumn("cell", explode(Centroids.nearest(col("qe"), cents, nprobe)))
 
     probes.join(cells, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -37,38 +37,48 @@ object MinHashLSH {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
+    // Shingle-hash sets, computed once and materialised: the signature pass
+    // reads them, and the verify step re-joins them for surviving
+    // candidates only. Jaccard over the 64-bit shingle hashes equals
+    // jaccard over the shingles (collisions negligible), and longs
+    // compare ~10x cheaper than strings in array_intersect.
+    val sets = hashed(shingled(docs, idCol, textCol, shingleSize))
+      .select(col("id"), expr("array_distinct(hs)").as("hs"))
+      .localCheckpoint(false)
+
     // Native codegen'd signature: one fused pass over the shingle hashes
     // computes all k permutation minima (graft.functions.MinHashSignature).
-    val withSig = hashed(shingled(docs, idCol, textCol, shingleSize))
-      .select(col("id"), col("shingles"),
-        graft.functions.Sketches.minhashSignature(col("hs"), numHashes).as("sig"))
-
-    // One row per (doc, band): bucket = hash of the band's signature slice.
+    // The band table carries ONLY (id, band, bucket) — 3 longs — so the
+    // explode, the bucket-cap window, and the self-join never shuffle the
+    // shingle arrays.
+    val withSig = sets.select(col("id"),
+      graft.functions.Sketches.minhashSignature(col("hs"), numHashes).as("sig"))
     val bandExprs = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => s"sig[${b * rows + r}]").mkString(", ")
       expr(s"named_struct('band', $b, 'bucket', xxhash64($slice))")
     }
     val exploded = withSig
-      .select(col("id"), col("shingles"), explode(array(bandExprs: _*)).as("bb"))
-      .select(col("id"), col("shingles"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), explode(array(bandExprs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    // Cap runaway buckets before the quadratic join. Materialised once
-    // (lazy localCheckpoint): both sides of the self-join read it, instead
-    // of recomputing shingling + signatures twice.
+    // Cap runaway buckets (boilerplate shingle sets) before the quadratic
+    // join — the standard guard against hot-bucket blowup; capped docs are
+    // caught by their other bands.
     val counted = exploded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("bucket_n") <= maxBucket)
-      .localCheckpoint(false)
 
-    val l = counted.select(col("band"), col("bucket"), col("id").as("left_id"), col("shingles").as("ls"))
-    val r = counted.select(col("band"), col("bucket"), col("id").as("right_id"), col("shingles").as("rs"))
+    val l = counted.select(col("band"), col("bucket"), col("id").as("left_id"))
+    val r = counted.select(col("band"), col("bucket"), col("id").as("right_id"))
     val cands = l.join(r, Seq("band", "bucket"))
       .filter(col("left_id") < col("right_id"))
-      .select("left_id", "right_id", "ls", "rs")
+      .select("left_id", "right_id")
       .dropDuplicates("left_id", "right_id")
 
     cands
+      .join(sets.select(col("id").as("left_id"), col("hs").as("ls")), "left_id")
+      .join(sets.select(col("id").as("right_id"), col("hs").as("rs")), "right_id")
       .withColumn("jaccard",
         expr("""CAST(size(array_intersect(ls, rs)) AS DOUBLE) /
                 size(array_union(ls, rs))"""))
