@@ -95,12 +95,38 @@ object CosineSimilarity {
 
 /** SparkSessionExtensions hook: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get graft's
-  * native functions in every session (including pure-SQL users).
+  * native functions in every session (including pure-SQL users):
+  * `cosine_sim(a, b)`, `minhash_signature(hashes, k)`,
+  * `simhash64(hashes)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(
-      (FunctionIdentifier("cosine_sim"),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-        { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) }))
+    GraftExtensions.all.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def intLiteral(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[graft] val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) }),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      { exprs: Seq[Expression] =>
+        MinHashSignature(exprs(0), intLiteral(exprs(1), "minhash_signature k")) }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      { exprs: Seq[Expression] => SimHash64(exprs(0)) }))
+
+  /** Session-local registration of every graft native function. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
 }

@@ -13,6 +13,37 @@ import org.apache.spark.sql.functions._
   */
 object Link {
 
+  /** Validates a comparison condition the way the reference does
+    * (models/comparison.py `comparison`): it must parse as a boolean
+    * expression, every column must be qualified as `l.` or `r.`, and both
+    * sides must be referenced — an unreferenced side means the "comparison"
+    * is really a filter and the join it feeds a cross product. Parsed with
+    * Spark's own SQL parser, so whatever passes here is exactly what the
+    * join will evaluate.
+    */
+  def validateComparison(cond: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    val parsed =
+      try CatalystSqlParser.parseExpression(cond)
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(s"comparison does not parse: $cond", e)
+      }
+    var left = false; var right = false
+    parsed.foreach {
+      case a: UnresolvedAttribute =>
+        a.nameParts.map(_.toLowerCase) match {
+          case parts if parts.length > 1 && parts.head == "l" => left = true
+          case parts if parts.length > 1 && parts.head == "r" => right = true
+          case parts => throw new IllegalArgumentException(
+            s"column ${parts.mkString(".")} must be qualified as l.<col> or r.<col> in: $cond")
+        }
+      case _ => ()
+    }
+    require(left && right, s"comparison must reference both l. and r. columns: $cond")
+  }
+
   private def pairs(
       left: DataFrame, right: DataFrame,
       leftId: String, rightId: String,
@@ -30,12 +61,14 @@ object Link {
   def deterministic(
       left: DataFrame, right: DataFrame,
       leftId: String, rightId: String,
-      comparisons: Seq[String]): DataFrame =
+      comparisons: Seq[String]): DataFrame = {
+    comparisons.foreach(validateComparison)
     comparisons
       .map(c => pairs(left, right, leftId, rightId, c))
       .reduce(_ union _)
       .distinct()
       .withColumn("score", lit(1.0))
+  }
 
   /** DeterministicLinker, sequential rounds: after each round, every matched
     * left/right id is removed from the candidate pool (left anti join) before
@@ -99,6 +132,7 @@ object Link {
       weightedComparisons: Seq[(String, Double)],
       threshold: Double): DataFrame = {
     require(weightedComparisons.size <= 63, "bitmask carries at most 63 comparisons")
+    weightedComparisons.foreach(c => validateComparison(c._1))
     val milli = weightedComparisons.map(w => math.round(w._2 * 1000))
     val totalMilli = milli.sum
     val parsed = weightedComparisons.zipWithIndex.map { case ((cond, _), idx) =>
@@ -157,6 +191,8 @@ object Link {
       blocking: String,
       comparisons: Seq[(String, Double, Double)], // (cond, agreeWeight, disagreeWeight)
       threshold: Double): DataFrame = {
+    validateComparison(blocking)
+    comparisons.foreach(c => validateComparison(c._1))
     val weight = comparisons
       .map { case (cond, a, d) => when(expr(cond), lit(a)).otherwise(lit(d)) }
       .reduce(_ + _)
@@ -180,6 +216,7 @@ object Link {
       leftId: String, rightId: String,
       deterministicRules: Seq[String], recall: Double): Double = {
     require(recall > 0 && recall <= 1)
+    deterministicRules.foreach(validateComparison)
     val matched = deterministicRules
       .map(c => pairs(left, right, leftId, rightId, c))
       .reduce(_ union _)
@@ -205,6 +242,8 @@ object Link {
       iterations: Int = 20,
       lambdaInit: Double = 0.1,
       threshold: Double = 0.5): (DataFrame, Seq[(Double, Double)]) = {
+    validateComparison(blocking)
+    comparisons.foreach(validateComparison)
     val gammas = comparisons.zipWithIndex.map { case (cond, i) =>
       when(expr(cond), 1).otherwise(0).as(s"g$i")
     }

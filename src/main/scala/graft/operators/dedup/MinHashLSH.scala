@@ -30,36 +30,49 @@ object MinHashLSH {
   private def hashed(shingled: DataFrame): DataFrame =
     shingled.withColumn("hs", expr("transform(shingles, s -> xxhash64(s))"))
 
+  /** (id, hs) distinct shingle-hash sets — works on batch and streaming
+    * DataFrames alike (pure per-row expressions).
+    */
+  def setsOf(docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    hashed(shingled(docs, idCol, textCol, shingleSize))
+      .select(col("id"), expr("array_distinct(hs)").as("hs"))
+
+  /** One row per (id, band): bucket = hash of the band's signature slice.
+    * Carries any extra columns of `sets` through.
+    */
+  def bandsOf(sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val withSig = sets.withColumn("sig",
+      graft.functions.Sketches.minhashSignature(col("hs"), numHashes))
+    val bandExprs = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => s"sig[${b * rows + r}]").mkString(", ")
+      expr(s"named_struct('band', $b, 'bucket', xxhash64($slice))")
+    }
+    withSig
+      .withColumn("bb", explode(array(bandExprs: _*)))
+      .withColumn("band", col("bb.band"))
+      .withColumn("bucket", col("bb.bucket"))
+      .drop("bb", "sig")
+  }
+
   def candidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-
     // Shingle-hash sets, computed once and materialised: the signature pass
     // reads them, and the verify step re-joins them for surviving
     // candidates only. Jaccard over the 64-bit shingle hashes equals
     // jaccard over the shingles (collisions negligible), and longs
     // compare ~10x cheaper than strings in array_intersect.
-    val sets = hashed(shingled(docs, idCol, textCol, shingleSize))
-      .select(col("id"), expr("array_distinct(hs)").as("hs"))
-      .localCheckpoint(false)
+    val sets = setsOf(docs, idCol, textCol, shingleSize).localCheckpoint(false)
 
     // Native codegen'd signature: one fused pass over the shingle hashes
     // computes all k permutation minima (graft.functions.MinHashSignature).
     // The band table carries ONLY (id, band, bucket) — 3 longs — so the
     // explode, the bucket-cap window, and the self-join never shuffle the
     // shingle arrays.
-    val withSig = sets.select(col("id"),
-      graft.functions.Sketches.minhashSignature(col("hs"), numHashes).as("sig"))
-    val bandExprs = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => s"sig[${b * rows + r}]").mkString(", ")
-      expr(s"named_struct('band', $b, 'bucket', xxhash64($slice))")
-    }
-    val exploded = withSig
-      .select(col("id"), explode(array(bandExprs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val exploded = bandsOf(sets, numHashes, bands).select("id", "band", "bucket")
 
     // Cap runaway buckets (boilerplate shingle sets) before the quadratic
     // join — the standard guard against hot-bucket blowup; capped docs are

@@ -53,6 +53,46 @@ object Streams {
       .dropDuplicates("left_id", "right_id")
       .withColumn("score", lit(1.0))
 
+  /** Incremental near-duplicate detection: a stream of new documents is
+    * checked against a static, pre-indexed corpus via MinHash band buckets
+    * — the streaming twin of `MinHashLSH.candidatePairs`.
+    *
+    * Everything on the stream side is stateless per-row work (shingle →
+    * signature → band buckets), and every join is stream-static (bucket
+    * equi-join against the corpus band table, then the corpus shingle sets
+    * for exact-jaccard verify), so state never grows with the stream. The
+    * trailing dropDuplicates collapses multi-band hits; bound its state
+    * with a watermark on the stream side in production.
+    *
+    * @param reference static corpus of (idCol, textCol)
+    * @return (stream_id, ref_id, jaccard) verified matches
+    */
+  def incrementalDedup(
+      stream: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.operators.dedup.MinHashLSH
+    val refSets = MinHashLSH.setsOf(reference, idCol, textCol, shingleSize)
+      .localCheckpoint(false)
+    val refBands = MinHashLSH.bandsOf(refSets, numHashes, bands)
+      .select(col("id").as("ref_id"), col("band"), col("bucket"))
+    // stream side carries its shingle set through the band explode so the
+    // verify step needs no stream-stream self-join
+    val streamBands = MinHashLSH.bandsOf(
+      MinHashLSH.setsOf(stream, idCol, textCol, shingleSize), numHashes, bands)
+      .select(col("id").as("stream_id"), col("hs").as("shs"), col("band"), col("bucket"))
+    streamBands
+      .join(refBands, Seq("band", "bucket"))
+      .join(refSets.select(col("id").as("ref_id"), col("hs").as("rhs")), "ref_id")
+      .withColumn("jaccard",
+        expr("""CAST(size(array_intersect(shs, rhs)) AS DOUBLE) /
+                size(array_union(shs, rhs))"""))
+      .filter(col("jaccard") >= threshold)
+      .select("stream_id", "ref_id", "jaccard")
+      .dropDuplicates("stream_id", "ref_id")
+  }
+
   /** Stream-stream interval join: match events from two live streams whose
     * timestamps fall within `intervalSeconds` of each other, keyed on
     * `key`. Both sides carry watermarks, so Spark can discard buffered

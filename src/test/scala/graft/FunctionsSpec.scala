@@ -96,6 +96,20 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("all native functions register for SQL use") {
+    graft.functions.GraftExtensions.register(spark)
+    Tables(spark, sfDir, "documents").limit(10).createOrReplaceTempView("docs_fn_test")
+    val r = spark.sql(
+      """SELECT minhash_signature(hs, 8) AS sig, simhash64(hs) AS sh,
+        |  cosine_sim(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS cs
+        |FROM (SELECT transform(split(text, ' '), t -> xxhash64(t)) AS hs
+        |      FROM docs_fn_test)""".stripMargin)
+    val rows = r.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getSeq[Long](0).length == 8))
+    assert(rows.forall(x => math.abs(x.getDouble(2) - 1.0) < 1e-12))
+  }
+
   test("cosine_sim registers for SQL use") {
     CosineSimilarity.register(spark)
     val emb = Tables(spark, sfDir, "embeddings").limit(5)

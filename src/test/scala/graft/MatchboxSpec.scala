@@ -110,6 +110,22 @@ class MatchboxSpec extends SparkSpec {
     assert(joins <= 2, s"expected at most 2 joins after fusing, saw $joins")
   }
 
+  test("comparison validation requires l./r. qualification on both sides") {
+    Link.validateComparison("l.name = r.name AND abs(l.x - r.y) < 2")
+    intercept[IllegalArgumentException] {
+      Link.validateComparison("l.name = name2") // unqualified column
+    }
+    intercept[IllegalArgumentException] {
+      Link.validateComparison("l.a = l.b") // never references r
+    }
+    intercept[IllegalArgumentException] {
+      Link.validateComparison("t.a = r.b") // unknown table alias
+    }
+    intercept[IllegalArgumentException] {
+      Link.validateComparison("l.a == == r.b") // unparseable
+    }
+  }
+
   test("weighted linker splits top-level ANDs paren-aware") {
     assert(Link.splitTopAnd("l.a = r.a AND (l.b = r.b OR l.c = r.c) AND abs(l.x) < 2") ==
       Seq("l.a = r.a", "(l.b = r.b OR l.c = r.c)", "abs(l.x) < 2"))

@@ -7,6 +7,7 @@ import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class Rec(id: Long, nationkey: Int)
+case class Doc(id: Long, text: String)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -54,6 +55,26 @@ class StreamingSpec extends SparkSpec {
       .select(col("c_custkey").cast("long").as("left_id"), col("s_suppkey").cast("long").as("right_id"))
     assert(streamed.count() > 0)
     assert(streamed.except(batchPairs).isEmpty && batchPairs.except(streamed).isEmpty)
+  }
+
+  test("incremental streaming dedup finds near-dups of the static corpus only") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    // stream: a perturbed copy of doc 7 (near-dup) and an unrelated doc
+    val doc7 = corpus.filter(col("doc_id") === 7).select("text").head().getString(0)
+    val newDocs = Seq(
+      Doc(1000007L, doc7.dropRight(10) + " stream dup tail"),
+      Doc(2000000L, "completely unrelated text with no overlapping shingles at all"))
+    val input = MemoryStream[Doc]
+    input.addData(newDocs)
+    val q = Streams.incrementalDedup(
+      input.toDF().withColumnRenamed("id", "doc_id"), corpus, "doc_id", "text")
+      .writeStream.format("memory").queryName("stream_dedup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("stream_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1000007L, 7L)), s"near-dup of doc 7 not found: $out")
+    assert(!out.exists(_._1 == 2000000L), s"unrelated doc matched: $out")
   }
 
   test("stream-stream interval join matches pairs within the window") {
