@@ -357,7 +357,186 @@ object Relational {
       |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
       |ORDER BY set_op, nationkey""".stripMargin
 
+  // ---- round-2 TPC-H additions (columns restricted to the testdata's
+  // TPC-H-ish schema: no partsupp / shipmode / commitdate variants) -------
+
+  /** TPC-H Q7 volume shipping: bilateral trade volume between two nations
+    * by ship year. Both nation dims broadcast.
+    */
+  private def q7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        date_format(col("l_shipdate"), "yyyy").as("l_year"))
+      .agg((sum(Num.cents(col("l_extendedprice")) *
+        (lit(100) - Num.cents(col("l_discount")))) / 10000.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7Sql =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  strftime(l_shipdate, '%Y') AS l_year,
+       |  sum(${Num.centsSql("l_extendedprice")} * (100 - ${Num.centsSql("l_discount")}))/10000.0 AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q10 returned items: revenue lost to returns per customer over a
+    * quarter, top 20.
+    */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-04-01 00:00:00").cast("timestamp"))
+      .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg((sum(Num.cents(col("l_extendedprice")) *
+        (lit(100) - Num.cents(col("l_discount")))) / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  sum(${Num.centsSql("l_extendedprice")} * (100 - ${Num.centsSql("l_discount")}))/10000.0 AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1999-04-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q15 top supplier: suppliers achieving the maximum quarterly
+    * revenue (ties kept). The max is a one-row broadcast, not a rescan.
+    */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1999-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg((sum(Num.cents(col("l_extendedprice")) *
+        (lit(100) - Num.cents(col("l_discount")))) / 10000.0).as("total_revenue"))
+    val mx = rev.agg(max("total_revenue").as("max_revenue"))
+    rev.join(broadcast(mx), col("total_revenue") === col("max_revenue"))
+      .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Sql =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    sum(${Num.centsSql("l_extendedprice")} * (100 - ${Num.centsSql("l_discount")}))/10000.0 AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q18 large orders: customers whose orders exceed 250 total
+    * quantity. The HAVING side is a semi-join driver, so only qualifying
+    * orders rescan lineitem.
+    */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg((sum(Num.cents(col("l_quantity"))) / 100.0).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18Sql =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, sum(${Num.centsSql("l_quantity")})/100.0 AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum(${Num.centsSql("l_quantity")})/100.0 > 250)
+       |SELECT c_custkey, c_name, o_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice, total_qty
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN big ON o_orderkey = l_orderkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q22-style idle wealthy customers: above-average balance, no
+    * orders in the final year — per-nation count and exact balance sum.
+    * The global average is a one-row broadcast; the "no recent orders" is a
+    * left-anti join.
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(Num.cents(col("c_acctbal"))) / 100.0 / count(lit(1))).as("avg_bal"))
+    val recent = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    customer
+      .join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_custs"),
+        (sum(Num.cents(col("c_acctbal"))) / 100.0).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q22Sql =
+    s"""SELECT c_nationkey, count(*) AS n_custs,
+       |  sum(${Num.centsSql("c_acctbal")})/100.0 AS total_bal
+       |FROM customer
+       |WHERE c_acctbal > (
+       |    SELECT sum(${Num.centsSql("c_acctbal")})/100.0/count(*)
+       |    FROM customer WHERE c_acctbal > 0)
+       |  AND c_custkey NOT IN (
+       |    SELECT o_custkey FROM orders
+       |    WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q7_volume_shipping", q7, Some(q7Sql)),
+    QueryDef("q10_returned_items", q10, Some(q10Sql)),
+    QueryDef("q15_top_supplier", q15, Some(q15Sql)),
+    QueryDef("q18_large_orders", q18, Some(q18Sql)),
+    QueryDef("q22_idle_customers", q22, Some(q22Sql)),
     QueryDef("q17_scalar_subquery", q17, Some(q17Sql)),
     QueryDef("q_set_ops", qSetOps, Some(qSetOpsSql)),
     QueryDef("q4_exists_agg", q4, Some(q4Sql)),

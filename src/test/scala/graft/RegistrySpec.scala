@@ -24,7 +24,10 @@ class RegistrySpec extends SparkSpec {
     //   corpus — the exact baseline the ANN variants are scored against.
     // - dx_knn_ivf: the probe step crosses each query with the nlist(=16)-row
     //   broadcast centroid table — the canonical IVF cell-ranking plan.
-    val bnljJustified = Set("dx_knn_brute", "dx_knn_ivf")
+    // - q22_idle_customers: the non-equi comparison against the ONE-row
+    //   broadcast global-average aggregate — Spark's canonical plan for an
+    //   uncorrelated scalar predicate.
+    val bnljJustified = Set("dx_knn_brute", "dx_knn_ivf", "q22_idle_customers")
     Registry.all.foreach { d =>
       val plan = d.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
