@@ -130,10 +130,73 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Random-hyperplane sign-bit bucket over an `array<float>` vector: bit p of
+  * the result is set when `signs[p] · v >= 0`. The ±1 hyperplane matrix is
+  * fixed at plan time and rides along as a flat `double[]` reference object,
+  * so the whole bucket computation is one fused codegen loop — the
+  * higher-order-function formulation evaluates `numPlanes` interpreted
+  * `aggregate(zip_with(...))` lambdas per row instead.
+  */
+case class HyperplaneBits(child: Expression, signs: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  private val numPlanes = signs.length
+  private val dim = signs.head.length
+  private val flat: Array[Double] = signs.flatten.toArray
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bits"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val len = math.min(dim, v.numElements())
+    var bits = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < len) { dot += flat(p * dim + i) * v.getFloat(i); i += 1 }
+      if (dot >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      // All locals via ctx.freshName (fused-twice safety).
+      val flatRef = ctx.addReferenceObj("hyperplaneSigns", flat, "double[]")
+      val len = ctx.freshName("len")
+      val bits = ctx.freshName("bits")
+      val p = ctx.freshName("p")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $len = Math.min($dim, $a.numElements());
+         |long $bits = 0L;
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    $dot += $flatRef[$p * $dim + $i] * (double) $a.getFloat($i);
+         |  }
+         |  if ($dot >= 0) $bits |= (1L << $p);
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Sketches {
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), numHashes))
 
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  def hyperplaneBits(vec: Column, signs: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(HyperplaneBits(ColumnBridge.expression(vec), signs))
 }

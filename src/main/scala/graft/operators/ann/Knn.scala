@@ -64,17 +64,15 @@ object Knn {
 
   /** Sign-bit bucket from `numPlanes` hyperplanes; `planeOffset` selects an
     * independent plane family so banded LSH can derive per-band buckets.
+    * Runs as the native codegen'd
+    * [[graft.functions.HyperplaneBits]] — one fused loop per row rather
+    * than `numPlanes` interpreted higher-order-function lambdas.
     */
   def lshBucket(vecCol: String, numPlanes: Int, dim: Int,
-      planeOffset: Int = 0): org.apache.spark.sql.Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val w = hyperplane(planeOffset + p, dim).mkString("array(", "D, ", "D)")
-      expr(
-        s"""CASE WHEN aggregate(zip_with($vecCol, $w, (x, y) -> CAST(x AS DOUBLE) * y),
-           | 0D, (a, v) -> a + v) >= 0 THEN ${1L << p}L ELSE 0L END""".stripMargin)
-    }
-    bits.reduce(_ + _)
-  }
+      planeOffset: Int = 0): org.apache.spark.sql.Column =
+    graft.functions.Sketches.hyperplaneBits(
+      col(vecCol),
+      (0 until numPlanes).map(p => hyperplane(planeOffset + p, dim).toSeq))
 
   def lsh(
       queries: DataFrame, targets: DataFrame,

@@ -27,28 +27,33 @@ object Media {
         lit("application/octet-stream").as("mime"),
         length(encode(col(textCol), "utf-8")).cast("long").as("n_bytes")).as("meta"))
 
-  private val featureSchema = StructType(Seq(
-    StructField("media_id", LongType),
-    StructField("n_bytes", LongType),
-    StructField("checksum", LongType),
-    StructField("fake_width", LongType),
-    StructField("fake_height", LongType)))
-
   /** STUB decode: per-partition batch "decoding" producing deterministic
     * fake features (byte length, additive checksum, fake dimensions).
-    * Swap the body for a real codec; the batching shape stays the same.
+    * Swap the iterator body for a real codec (load the library once per
+    * partition, decode row-by-row); the batching shape stays the same.
+    *
+    * Typed `Dataset.mapPartitions` rather than `.rdd`: the plan keeps a
+    * single Catalyst pipeline (column pruning reaches the scan; no RDD
+    * round-trip), which is the Scala analogue of a `mapInPandas` batch UDF.
     */
   def extractFeatures(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession
-    val rdd = payloads.select("media_id", "payload").rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        var sum = 0L
-        bytes.foreach(b => sum = sum * 31 + (b & 0xff))
-        Row(id, bytes.length.toLong, sum, (bytes.length % 640).toLong, ((bytes.length * 7) % 480).toLong)
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup (codec init) goes here, once per batch
+        it.map { case (id, bytes) =>
+          var sum = 0L
+          bytes.foreach(b => sum = sum * 31 + (b & 0xff))
+          MediaFeatures(id, bytes.length.toLong, sum,
+            (bytes.length % 640).toLong, ((bytes.length * 7) % 480).toLong)
+        }
       }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 }
+
+final case class MediaFeatures(
+    media_id: Long, n_bytes: Long, checksum: Long,
+    fake_width: Long, fake_height: Long)

@@ -82,8 +82,9 @@ class PipelineSpec extends SparkSpec {
     val f1 = Media.extractFeatures(p)
     val f2 = Media.extractFeatures(p)
     assert(f1.except(f2).isEmpty && f2.except(f1).isEmpty)
-    val joined = f1.join(p, f1("media_id") === p("media_id"))
-      .filter(f1("n_bytes") =!= p("meta.n_bytes"))
+    val joined = f1.alias("f").join(p.alias("p"),
+        col("f.media_id") === col("p.media_id"))
+      .filter(col("f.n_bytes") =!= col("p.meta.n_bytes"))
     assert(joined.isEmpty)
   }
 
