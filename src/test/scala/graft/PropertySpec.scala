@@ -40,6 +40,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangle block join equals the naive cartesian on random vectors for any B") {
+    val rng = new Random(11)
+    for (trial <- 1 to 3) {
+      val n = 20 + rng.nextInt(40)
+      val dim = 4
+      val vecs = (0 until n).map { i =>
+        // sparse-ish ids (not 0..n-1) to exercise pmod blocking
+        (i.toLong * 3 + rng.nextInt(2), Array.fill(dim)(rng.nextFloat() * 2 - 1))
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val naive = df.select(col("vec_id").as("left_id"), col("embedding").as("ea"))
+        .join(df.select(col("vec_id").as("right_id"), col("embedding").as("eb")),
+          col("left_id") < col("right_id"))
+        .withColumn("sim", graft.functions.CosineSimilarity(col("ea"), col("eb")))
+        .filter(col("sim") >= 0.2)
+        .select("left_id", "right_id", "sim")
+      for (b <- Seq(1, 3, 8)) {
+        val tri = graft.operators.dedup.EmbedDedup
+          .allPairs(df, "vec_id", "embedding", threshold = 0.2, numBlocks = b)
+        assert(tri.except(naive).isEmpty && naive.except(tri).isEmpty,
+          s"trial $trial B=$b")
+      }
+    }
+  }
+
   test("normalise is idempotent and orientation-invariant on random edge lists") {
     val rng = new Random(7)
     val edges = Seq.fill(300)((rng.nextInt(40).toLong, rng.nextInt(40).toLong,
