@@ -84,13 +84,9 @@ object Ivf {
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
       .withColumn("cell", explode(Centroids.nearest(col("qe"), cents, nprobe)))
 
-    probes.join(cells, "cell")
+    val scored = probes.join(cells, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", graft.functions.CosineSimilarity(col("qe"), col("te")))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
-          .cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    Knn.topKPerQuery(scored, k)
   }
 }

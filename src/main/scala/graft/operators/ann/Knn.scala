@@ -35,6 +35,16 @@ object Knn {
   private def cosine(a: String, b: String) =
     graft.functions.CosineSimilarity(col(a), col(b))
 
+  /** Per-query top-k via the custom bounded-heap operator
+    * (graft.plans.TopK): O(n log k) per partition and O(queries·k) memory
+    * after the hash exchange, where the window-function idiom would sort
+    * every query's full candidate list.
+    */
+  private[ann] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perKey(
+      scored, Seq("query_id"), "sim", k, tieCols = Seq("neighbor_id"))
+      .select("query_id", "neighbor_id", "rank", "sim")
+
   def bruteForce(
       queries: DataFrame, targets: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -43,12 +53,7 @@ object Knn {
     val scored = t.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine("qe", "te"))
-    scored
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
-          .cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic ±1 hyperplanes: component i of plane p is the sign of a
@@ -83,13 +88,9 @@ object Knn {
       bucket.as("bucket"))
     val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"),
       bucket.as("bucket"))
-    t.join(broadcast(q), "bucket")
+    val scored = t.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine("qe", "te"))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
-          .cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    topKPerQuery(scored, k)
   }
 }
