@@ -24,10 +24,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-  /** Build the session and register graft's native SQL functions. */
+  /** Build the session and register graft's native SQL functions and the
+    * per-key top-k planner strategy.
+    */
   def create(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
-    functions.CosineSimilarity.register(spark)
+    functions.GraftExtensions.register(spark)
+    plans.TopK.register(spark)
     spark
   }
 }
