@@ -190,9 +190,89 @@ case class HyperplaneBits(child: Expression, signs: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Fused whitespace tokenization + k-gram shingle hashing over a string
+  * column: `out[i] = chain-hash of the hashes of tokens i..i+k-1`.
+  *
+  * Replaces the `transform(sequence(...), i -> xxhash64(concat_ws(' ',
+  * slice(split(text), i, k))))` pipeline, which allocates the split array,
+  * k-slices, and joined shingle strings per row and runs every lambda
+  * interpreted. Here tokens are found in one pass over the UTF-8 bytes
+  * (ASCII whitespace, matching `split('\\s+')` on ASCII text), each token
+  * hashed in place (no copies), and k-grams combined with an xxh64 chain.
+  * Shingle identities differ from the string formulation but are an
+  * equivalent set fingerprint (collisions negligible); use where the
+  * consumer needs shingle *sets*, not shingle strings.
+  *
+  * Codegen stays in whole-stage: the generated code is a single static
+  * call, so the surrounding projection keeps its fused loop.
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private final val Seed = 42L // Spark's xxhash64 default seed
+
+  /** One pass: tokenize on ASCII whitespace, hash tokens in place, emit
+    * chained k-gram hashes. Fewer than k tokens → one hash over all of
+    * them; zero tokens → empty array.
+    */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val n = s.numBytes()
+    val tokenHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val ws = i == n || {
+        val b = org.apache.spark.unsafe.Platform.getByte(base, offset + i)
+        b == 32 || (b >= 9 && b <= 13)
+      }
+      if (ws) {
+        if (start >= 0) {
+          tokenHashes += XXH64.hashUnsafeBytes(base, offset + start, i - start, Seed)
+          start = -1
+        }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    val m = tokenHashes.length
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val width = math.min(k, m)
+    val out = new Array[Long](math.max(m - width + 1, 1))
+    var j = 0
+    while (j < out.length) {
+      var acc = Seed
+      var t = 0
+      while (t < width) { acc = XXH64.hashLong(tokenHashes(j + t), acc); t += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object Sketches {
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), numHashes))
+
+  def shingleHashes(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
 
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))

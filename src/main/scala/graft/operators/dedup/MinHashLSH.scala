@@ -31,11 +31,15 @@ object MinHashLSH {
     shingled.withColumn("hs", expr("transform(shingles, s -> xxhash64(s))"))
 
   /** (id, hs) distinct shingle-hash sets — works on batch and streaming
-    * DataFrames alike (pure per-row expressions).
+    * DataFrames alike (pure per-row expressions). Uses the fused native
+    * tokenizer+shingler (graft.functions.ShingleHashes): one pass over the
+    * text bytes, no split arrays or shingle strings materialised.
     */
   def setsOf(docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
-    hashed(shingled(docs, idCol, textCol, shingleSize))
-      .select(col("id"), expr("array_distinct(hs)").as("hs"))
+    docs.select(
+      col(idCol).cast("long").as("id"),
+      array_distinct(
+        graft.functions.Sketches.shingleHashes(col(textCol), shingleSize)).as("hs"))
 
   /** One row per (id, band): bucket = hash of the band's signature slice.
     * Carries any extra columns of `sets` through.

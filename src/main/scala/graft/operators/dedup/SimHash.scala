@@ -20,10 +20,10 @@ object SimHash {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).cast("long").as("id"),
-      expr(s"transform(array_distinct(split(trim($textCol), '\\\\s+')), t -> xxhash64(t))")
-        .as("th"))
-      // Native codegen'd bit-vote fold (graft.functions.SimHash64): one
-      // fused loop instead of a 64-slot zip_with per token.
+      // Fused native tokenize+hash (k=1 shingles = distinct token hashes),
+      // then the native codegen'd bit-vote fold — no split arrays, no
+      // interpreted lambdas anywhere in the fingerprint path.
+      array_distinct(graft.functions.Sketches.shingleHashes(col(textCol), 1)).as("th"))
       .withColumn("simhash", graft.functions.Sketches.simhash64(col("th")))
       .select("id", "simhash")
 

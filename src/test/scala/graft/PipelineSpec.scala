@@ -35,6 +35,34 @@ class PipelineSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("native shingle hashes mirror the string-shingle set structure") {
+    import graft.functions.Sketches
+    val docs = Tables(spark, sfDir, "documents").limit(100)
+    val stringSets = MinHashLSH.shingled(docs, "doc_id", "text", 3)
+      .select(col("id"), size(col("shingles")).as("n_str"))
+    val nativeSets = docs.select(col("doc_id").cast("long").as("id"),
+      size(array_distinct(Sketches.shingleHashes(col("text"), 3))).as("n_native"))
+    val joined = stringSets.join(nativeSets, "id")
+    assert(joined.filter(col("n_str") =!= col("n_native")).isEmpty,
+      "distinct shingle counts must agree (collisions negligible)")
+    // jaccard parity on the synthesized near-dup pairs
+    val dupes = docsWithDupes
+    val sets = MinHashLSH.setsOf(dupes, "doc_id", "text", 3)
+    val hashJ = sets.alias("a")
+      .join(sets.alias("b"), col("b.id") === col("a.id") + 1000000)
+      .select(col("a.id"),
+        (size(array_intersect(col("a.hs"), col("b.hs"))).cast("double") /
+          size(array_union(col("a.hs"), col("b.hs")))).as("jh"))
+    val strSets = MinHashLSH.shingled(dupes, "doc_id", "text", 3)
+    val strJ = strSets.alias("a")
+      .join(strSets.alias("b"), col("b.id") === col("a.id") + 1000000)
+      .select(col("a.id"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(array_union(col("a.shingles"), col("b.shingles")))).as("js"))
+    val cmp = hashJ.join(strJ, "id").filter(col("jh") =!= col("js"))
+    assert(cmp.isEmpty, "hash-set jaccard must equal string-set jaccard")
+  }
+
   test("simhash pairs are within the declared hamming budget") {
     val pairs = SimHash.candidatePairs(docsWithDupes, "doc_id", "text", maxHamming = 3)
     assert(pairs.filter(col("hamming") > 3).isEmpty)
