@@ -172,11 +172,6 @@ object Pipeline {
       maxHamming = 3)
       .orderBy("left_id", "right_id")
 
-  private val shingleSpark =
-    """array_distinct(transform(
-      |  sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
-      |  i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i, 3))))""".stripMargin
-
   private val shingleDuck =
     """list_distinct(list_transform(
       |  range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
@@ -195,10 +190,14 @@ object Pipeline {
     // formulation; jaccard values are unchanged, so the array-based DuckDB
     // oracle still matches bit-for-bit. Shingles are 64-bit hashes
     // (collisions negligible).
+    // Shingles via the fused native tokenizer+shingler: identities differ
+    // from the string shingles the oracle intersects, but distinct-set
+    // cardinalities — and therefore every jaccard value — are identical
+    // (collisions negligible; parity spec'd in PipelineSpec).
     val docs = withDupes(s, dir, exact = false)
       .select(col("doc_id"), col("lang"),
         expr("length(text) DIV 100").as("bucket"),
-        expr(s"transform($shingleSpark, x -> xxhash64(x))").as("sh"))
+        array_distinct(graft.functions.Sketches.shingleHashes(col("text"), 3)).as("sh"))
       .localCheckpoint(false)
     val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
     val inv = docs.select(col("lang"), col("bucket"), col("doc_id"), explode(col("sh")).as("shingle"))
