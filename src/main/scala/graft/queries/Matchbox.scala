@@ -439,6 +439,28 @@ object Matchbox {
       |FROM supplier JOIN g ON s_suppkey = c_custkey
       |ORDER BY cluster_id, source, rec_key""".stripMargin
 
+  /** Root/leaf/source/key dump (reference results.py `as_dump`): every
+    * member row with its resolved cluster and its own leaf id; records no
+    * model touched keep singleton clusters. The oracle exploits the 1-1
+    * link structure (customer leaf 2k always wins the min) — the Spark
+    * side runs the general lookup.
+    */
+  private def resolveDump(s: SparkSession, dir: String): DataFrame = {
+    val (comp, members) = resolveParts(s, dir)
+    Lookup.asLookup(comp, members)
+      .select(col("cluster_id"), col("id").as("leaf_id"), col("source"), col("rec_key"))
+      .orderBy("cluster_id", "source", "rec_key")
+  }
+
+  private val resolveDumpSql =
+    """SELECT cluster_id, leaf_id, source, rec_key FROM (
+      |  SELECT 2 * c_custkey AS cluster_id, 2 * c_custkey AS leaf_id,
+      |    'customer' AS source, c_custkey AS rec_key FROM customer
+      |  UNION ALL
+      |  -- every supplier key is a customer key: always co-clustered at 2k
+      |  SELECT 2 * s_suppkey, 2 * s_suppkey + 1, 'supplier', s_suppkey FROM supplier)
+      |ORDER BY cluster_id, source, rec_key""".stripMargin
+
   /** Merge two resolutions over three namespaced sources (customer: 3k,
     * supplier: 3k+1, part: 3k+2): resolution A links customer↔supplier on
     * key equality, resolution B links customer↔part; the merged clustering
@@ -651,6 +673,7 @@ object Matchbox {
     QueryDef("mb_cluster_hash", clusterHashQuery, Some(clusterHashSql)),
     QueryDef("mb_resolve_lookup", resolveLookup, Some(resolveLookupSql)),
     QueryDef("mb_resolve_merge", resolveMerge, Some(resolveMergeSql)),
+    QueryDef("mb_resolve_dump", resolveDump, Some(resolveDumpSql)),
     QueryDef("mb_match_keys", matchKeys, Some(matchKeysSql)),
     QueryDef("mb_normalise_scores", normaliseScores, Some(normaliseScoresSql)),
     QueryDef("mb_eval_pr", evalPr, Some(evalPrSql)),
