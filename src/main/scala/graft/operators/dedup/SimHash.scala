@@ -37,8 +37,11 @@ object SimHash {
     val chunkExprs = (0 until bands).map { b =>
       expr(s"named_struct('band', $b, 'chunk', shiftrightunsigned(simhash, ${b * width}) & ${(1L << width) - 1})")
     }
+    // Materialised once (lazy localCheckpoint): both sides of the
+    // self-join read the fingerprints instead of re-tokenizing the corpus.
     val exploded = sh.select(col("id"), col("simhash"), explode(array(chunkExprs: _*)).as("c"))
       .select(col("id"), col("simhash"), col("c.band").as("band"), col("c.chunk").as("chunk"))
+      .localCheckpoint(false)
 
     val l = exploded.select(col("band"), col("chunk"), col("id").as("left_id"), col("simhash").as("lh"))
     val r = exploded.select(col("band"), col("chunk"), col("id").as("right_id"), col("simhash").as("rh"))
