@@ -119,7 +119,9 @@ object PrecisionRecall {
   }
 
   private def fromNet(assignments: DataFrame, rawNet: DataFrame): DataFrame = {
-    val net = rawNet.filter(col("net") =!= 0.0)
+    // materialised once: the model side and the validation side of the
+    // final full-outer join both read the netted pairs
+    val net = rawNet.filter(col("net") =!= 0.0).localCheckpoint(false)
 
     val judgedLeaves = net.select(col("a").as("id"))
       .union(net.select(col("b").as("id"))).distinct()
