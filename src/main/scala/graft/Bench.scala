@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Whole-process CPU nanoseconds (all Spark executor threads included —
+    * local mode is one JVM). Against wall time this distinguishes a plan
+    * regression (CPU grows with wall) from shared-box contention (wall grows,
+    * CPU doesn't).
+    */
+  private def processCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,14 +43,22 @@ object Bench {
       (if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
        else SparkEntry.queries).toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
+      val cpu0 = processCpuNanos(); val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = if (cpu0 < 0) -1.0 else (processCpuNanos() - cpu0) / 1e9
+      val gc = (gcMillis() - gc0) / 1e3
+      (name, wall, cpu, gc)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val cpus_ = jmap(_._3)
+    val gcs = jmap(_._4)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalCpu = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpus_,"gc_sec":$gcs,"total_cpu":$totalCpu,"cores":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

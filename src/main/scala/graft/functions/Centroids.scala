@@ -38,6 +38,10 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: I
     var i = 0
     while (i < len) { val v = q.getFloat(i).toDouble; nq += v * v; i += 1 }
     nq = math.sqrt(nq)
+    // all-zero vector: dot products are 0 too, so nq=1 ranks cells by ||c||²
+    // (deterministic minimum-norm assignment) instead of NaN-poisoning every
+    // score and emitting cell -1
+    if (nq == 0.0) nq = 1.0
     val bestIdx = Array.fill(n)(-1)
     val bestScore = Array.fill(n)(Double.MaxValue)
     var c = 0
@@ -81,6 +85,7 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: I
          |  double $v = (double) $a.getFloat($i); $nq += $v * $v;
          |}
          |$nq = Math.sqrt($nq);
+         |if ($nq == 0.0) $nq = 1.0;
          |int[] $bestIdx = new int[$n];
          |double[] $bestScore = new double[$n];
          |java.util.Arrays.fill($bestIdx, -1);

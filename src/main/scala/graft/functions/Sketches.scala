@@ -140,6 +140,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 case class HyperplaneBits(child: Expression, signs: Seq[Seq[Double]])
     extends UnaryExpression {
 
+  // > 64 planes would wrap `1L << p` (shift mod 64) and silently alias plane
+  // p with plane p-64, corrupting buckets — fail at construction instead.
+  require(signs.nonEmpty && signs.length <= 64,
+    s"hyperplane_bits packs into a 64-bit bucket: need 1..64 planes, got ${signs.length}")
+
   private val numPlanes = signs.length
   private val dim = signs.head.length
   private val flat: Array[Double] = signs.flatten.toArray

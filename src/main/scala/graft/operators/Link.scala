@@ -82,36 +82,68 @@ object Link {
     var remainingR = right
     var acc: Option[DataFrame] = None
     for (round <- rounds) {
+      // Each round's matches feed the accumulator union AND both anti-join
+      // sides; the shrunken pools feed the next round. Without truncation the
+      // plan for round r embeds the full join work of rounds 1..r-1 (and
+      // replays this round's join three times) — O(R^2) recompute. A lazy
+      // localCheckpoint materialises each once and cuts lineage per round.
       val matches = deterministic(remainingL, remainingR, leftId, rightId, round)
+        .localCheckpoint(false)
       acc = Some(acc.map(_ union matches).getOrElse(matches))
       val ml = matches.select(col("left_id")).distinct()
       val mr = matches.select(col("right_id")).distinct()
-      remainingL = remainingL.join(ml, remainingL(leftId) === ml("left_id"), "left_anti")
-      remainingR = remainingR.join(mr, remainingR(rightId) === mr("right_id"), "left_anti")
+      remainingL = remainingL
+        .join(ml, remainingL(leftId) === ml("left_id"), "left_anti")
+        .localCheckpoint(false)
+      remainingR = remainingR
+        .join(mr, remainingR(rightId) === mr("right_id"), "left_anti")
+        .localCheckpoint(false)
     }
     acc.get
   }
 
-  /** Splits a SQL boolean expression on top-level ANDs (paren-aware). */
-  private[graft] def splitTopAnd(cond: String): Seq[String] = {
-    val parts = scala.collection.mutable.Buffer[String]()
-    val upper = cond.toUpperCase
-    var depth = 0; var start = 0; var i = 0
-    while (i < cond.length) {
-      cond(i) match {
-        case '(' => depth += 1; i += 1
-        case ')' => depth -= 1; i += 1
-        case _ =>
-          if (depth == 0 && upper.startsWith(" AND ", i)) {
-            parts += cond.substring(start, i); start = i + 5; i += 5
-          } else i += 1
-      }
+  /** Splits a comparison on top-level AND nodes of its *parsed* expression.
+    * Walking the AST (not the text) means SQL precedence is respected —
+    * `a AND b OR c` parses as `(a AND b) OR c`, whose top level is an Or, so
+    * it yields a single conjunct — and ` AND ` inside string literals is
+    * never mistaken for a connective.
+    */
+  private[graft] def splitConjuncts(cond: String)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    def walk(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => walk(a) ++ walk(b)
+      case other => Seq(other)
     }
-    parts += cond.substring(start)
-    parts.map(_.trim).filter(_.nonEmpty).toSeq
+    walk(CatalystSqlParser.parseExpression(cond))
   }
 
-  private val EquiConjunct = """(?i)\s*l\.(\w+)\s*=\s*r\.(\w+)\s*""".r
+  /** If `e` is an equality between an `l.`-qualified and an `r.`-qualified
+    * column (either order), the canonical (leftCol, rightCol) pair.
+    */
+  private[graft] def asEquiConjunct(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    def side(a: Any): Option[(String, String)] = a match {
+      case attr: UnresolvedAttribute =>
+        attr.nameParts.map(_.toLowerCase) match {
+          case Seq(q, c) if q == "l" || q == "r" => Some((q, c))
+          case _ => None
+        }
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, b) =>
+        (side(a), side(b)) match {
+          case (Some(("l", lc)), Some(("r", rc))) => Some((lc, rc))
+          case (Some(("r", rc)), Some(("l", lc))) => Some((lc, rc))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 
   /** WeightedDeterministicLinker: each comparison contributes its weight when
     * it matches; score = matched weight / total weight, kept when >=
@@ -133,37 +165,42 @@ object Link {
       threshold: Double): DataFrame = {
     require(weightedComparisons.size <= 63, "bitmask carries at most 63 comparisons")
     weightedComparisons.foreach(c => validateComparison(c._1))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val milli = weightedComparisons.map(w => math.round(w._2 * 1000))
     val totalMilli = milli.sum
     val parsed = weightedComparisons.zipWithIndex.map { case ((cond, _), idx) =>
-      val (equis, residuals) = splitTopAnd(cond).partition {
-        case EquiConjunct(_, _) => true
-        case _ => false
-      }
-      (equis.sorted, residuals, idx, cond)
+      val conjuncts = splitConjuncts(cond).map(e => (asEquiConjunct(e), e))
+      val (equis, residuals) = conjuncts.partition(_._1.isDefined)
+      (equis.flatMap(_._1).sorted, residuals.map(_._2), idx, cond)
     }
-    val tagged = parsed.groupBy(_._1).toSeq.map { case (equis, members) =>
-      if (equis.isEmpty)
-        // No equality conjunct to block on: per-comparison join (the
-        // caller's condition decides the join strategy).
-        members.map { case (_, _, idx, cond) =>
-          pairs(left, right, leftId, rightId, cond)
-            .withColumn("cmask", lit(1L << idx))
-        }.reduce(_ unionByName _)
-      else {
-        val mask = members.map { case (_, residuals, idx, _) =>
-          val flag =
-            if (residuals.isEmpty) lit(true) else expr(residuals.mkString(" AND "))
-          when(flag, lit(1L << idx)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        left.alias("l")
-          .join(right.alias("r"), expr(equis.mkString(" AND ")))
-          .select(
-            col(s"l.$leftId").cast("long").as("left_id"),
-            col(s"r.$rightId").cast("long").as("right_id"),
-            mask.as("cmask"))
-          .filter(col("cmask") =!= 0)
-      }
+    val tagged = parsed.groupBy(_._1).toSeq.sortBy(_._1.mkString(",")).map {
+      case (equiKeys, members) =>
+        if (equiKeys.isEmpty)
+          // No top-level equality conjunct to block on (including pure-OR
+          // comparisons): per-comparison join — the caller's condition
+          // decides the join strategy, semantics untouched.
+          members.map { case (_, _, idx, cond) =>
+            pairs(left, right, leftId, rightId, cond)
+              .withColumn("cmask", lit(1L << idx))
+          }.reduce(_ unionByName _)
+        else {
+          val mask = members.map { case (_, residuals, idx, _) =>
+            val flag =
+              if (residuals.isEmpty) lit(true)
+              else residuals.map(ColumnBridge.column).reduce(_ && _)
+            when(flag, lit(1L << idx)).otherwise(lit(0L))
+          }.reduce(_ + _)
+          val joinCond = equiKeys
+            .map { case (lc, rc) => col(s"l.$lc") === col(s"r.$rc") }
+            .reduce(_ && _)
+          left.alias("l")
+            .join(right.alias("r"), joinCond)
+            .select(
+              col(s"l.$leftId").cast("long").as("left_id"),
+              col(s"r.$rightId").cast("long").as("right_id"),
+              mask.as("cmask"))
+            .filter(col("cmask") =!= 0)
+        }
     }.reduce(_ unionByName _)
     val weightFromMask = weightedComparisons.indices.map { i =>
       when(col("cmask").bitwiseAND(lit(1L << i)) =!= 0, lit(milli(i))).otherwise(lit(0L))

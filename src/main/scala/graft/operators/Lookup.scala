@@ -19,9 +19,14 @@ object Lookup {
     * stable under re-runs (documented divergence).
     */
   def mergeResolutions(a: DataFrame, b: DataFrame): DataFrame = {
-    val edges = a.unionByName(b)
+    // Tag each resolution before the union: cluster ids are arbitrary and an
+    // id reused by unrelated clusters in a and b must NOT collapse them into
+    // one star — only co-membership within a single resolution is an edge.
+    val tagged = a.select(col("cluster_id"), col("leaf_id")).withColumn("side", lit(0))
+      .unionByName(b.select(col("cluster_id"), col("leaf_id")).withColumn("side", lit(1)))
+    val edges = tagged
       .withColumn("rep", min("leaf_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+        org.apache.spark.sql.expressions.Window.partitionBy("side", "cluster_id")))
       .filter(col("leaf_id") =!= col("rep"))
       .select(col("rep").as("src"), col("leaf_id").as("dst"))
     val comp = Components.connected(edges)

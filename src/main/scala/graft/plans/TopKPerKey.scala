@@ -36,24 +36,42 @@ case class TopKPerKeyPlan(
     copy(child = newChild)
 }
 
+/** Physical bounded-heap top-k per key.
+  *
+  * Runs in two stages, the `TakeOrderedAndProject` pattern generalised to
+  * per-key limits: a `partial = true` instance keeps a k-heap per key per
+  * *input* partition (no distribution requirement, no exchange), so the hash
+  * exchange the final instance declares only ever carries
+  * partitions·keys·k rows instead of every scored candidate. For ANN rerank
+  * that is the difference between shuffling n·q candidates and shuffling a
+  * bounded digest. The partial stage emits no rank (ranks are only
+  * meaningful after the global merge).
+  */
 case class TopKPerKeyExec(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    rankAttr: AttributeReference, child: SparkPlan) extends UnaryExecNode {
+    rankAttr: AttributeReference, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+  // claimed by BOTH stages: the partial stage doesn't emit the rank, but it
+  // references the attr (case-class field), and an unclaimed reference would
+  // flag the node as missing input
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
 
   // The hash exchange on the key is the ONLY shuffle; EnsureRequirements
-  // inserts it from this declaration.
+  // inserts it from the final stage's declaration. The partial stage runs
+  // wherever the child's rows already are.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
@@ -72,17 +90,24 @@ case class TopKPerKeyExec(
           heap.poll(); heap.add(row.copy())
         }
       }
-      val resultProj = UnsafeProjection.create(
-        childOutput :+ rankAttr, childOutput :+ rankAttr)
-      val joined = new JoinedRow
-      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val rows = heap.toArray(new Array[InternalRow](heap.size()))
-        java.util.Arrays.sort(rows, ordering)
-        rows.iterator.zipWithIndex.map { case (r, i) =>
-          rankRow.update(0, (i + 1).toLong)
-          resultProj(joined(r, rankRow))
+      if (isPartial) {
+        // survivors only — rank assignment waits for the global merge
+        heaps.values().iterator().asScala.flatMap { heap =>
+          heap.toArray(new Array[InternalRow](heap.size())).iterator
+        }
+      } else {
+        val resultProj = UnsafeProjection.create(
+          childOutput :+ rankAttr, childOutput :+ rankAttr)
+        val joined = new JoinedRow
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        heaps.values().iterator().asScala.flatMap { heap =>
+          val rows = heap.toArray(new Array[InternalRow](heap.size()))
+          java.util.Arrays.sort(rows, ordering)
+          rows.iterator.zipWithIndex.map { case (r, i) =>
+            rankRow.update(0, (i + 1).toLong)
+            resultProj(joined(r, rankRow))
+          }
         }
       }
     }
@@ -92,11 +117,19 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
-/** Plans [[TopKPerKeyPlan]] to [[TopKPerKeyExec]]. */
+/** Plans [[TopKPerKeyPlan]] as partial-then-final [[TopKPerKeyExec]].
+  * The map-side partial is skipped for unbounded k (it would buffer whole
+  * partitions for no shuffle saving).
+  */
 object TopKStrategy extends SparkStrategy {
+  private val PartialMaxK = 100000
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, rankAttr, child) =>
-      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+      val inner =
+        if (k <= PartialMaxK)
+          TopKPerKeyExec(keys, order, k, rankAttr, partial = true, planLater(child))
+        else planLater(child)
+      TopKPerKeyExec(keys, order, k, rankAttr, partial = false, inner) :: Nil
     case _ => Nil
   }
 }

@@ -48,7 +48,10 @@ object Warehouse {
     val props = new java.util.Properties()
     connectionProperties.foreach { case (k, v) => props.setProperty(k, v) }
     (partitionColumn, predicates) match {
-      case (Some(colName), _) =>
+      case (Some(colName), ps) =>
+        require(ps.isEmpty,
+          "partitionColumn and explicit predicates are mutually exclusive — " +
+            "range partitioning would silently drop the predicate shards")
         require(numPartitions > 0 && upperBound > lowerBound,
           "partitioned JDBC read needs numPartitions and bounds")
         spark.read.jdbc(url, table, colName, lowerBound, upperBound, numPartitions, props)

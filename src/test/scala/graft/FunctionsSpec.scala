@@ -39,6 +39,28 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("sketch guards: >64 planes rejected, zero vectors get real cells") {
+    // 65 planes would wrap 1L << p and alias plane 65 with plane 1
+    intercept[IllegalArgumentException] {
+      Sketches.hyperplaneBits(col("x"), Seq.fill(65)(Seq(1.0, -1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hyperplaneBits(col("x"), Nil)
+    }
+    // an all-zero vector must land in the minimum-norm cell, not cell -1
+    // with NaN scores — in both interpreted and codegen'd paths
+    import graft.functions.Centroids
+    val cents = Seq(Seq(3.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0))
+    val df = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, 0f))).toDF("id", "v")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val cells = df.select(col("id"), Centroids.nearest(col("v"), cents, 1).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).head).toMap
+      assert(cells(1L) == 1, s"zero vector should take the min-norm cell, got $cells")
+      assert(cells(2L) == 1)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("rowHash canonicalises nulls as NUL, matching the reference and oracle") {
     import graft.functions.Hashing
     val df = Seq(("a", Some("x")), ("b", None)).toDF("k", "v")

@@ -60,6 +60,17 @@ class MatchboxSpec extends SparkSpec {
     assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("mergeResolutions never merges unrelated clusters that reuse an id") {
+    import graft.operators.Lookup
+    // both resolutions use cluster id 1 for disjoint leaf sets — ids are
+    // arbitrary per resolution, so these must stay separate components
+    val a = Seq((1L, 1L), (1L, 2L)).toDF("cluster_id", "leaf_id")
+    val b = Seq((1L, 10L), (1L, 11L)).toDF("cluster_id", "leaf_id")
+    val merged = Lookup.mergeResolutions(a, b).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("viewCluster gathers one cluster's records across sources, qualified or merged") {
     import graft.operators.Lookup
     val custSrc = Seq((1L, "alice", 10L), (2L, "bob", 20L)).toDF("k", "name", "bal")
@@ -126,10 +137,34 @@ class MatchboxSpec extends SparkSpec {
     }
   }
 
-  test("weighted linker splits top-level ANDs paren-aware") {
-    assert(Link.splitTopAnd("l.a = r.a AND (l.b = r.b OR l.c = r.c) AND abs(l.x) < 2") ==
-      Seq("l.a = r.a", "(l.b = r.b OR l.c = r.c)", "abs(l.x) < 2"))
-    assert(Link.splitTopAnd("l.a = r.a") == Seq("l.a = r.a"))
+  test("weighted linker splits conjuncts on the parsed AST, not text") {
+    def equis(cond: String) = Link.splitConjuncts(cond).flatMap(Link.asEquiConjunct)
+    // paren-guarded OR stays one conjunct; the equi key and residual split out
+    assert(Link.splitConjuncts("l.a = r.a AND (l.b = r.b OR l.c = r.c) AND abs(l.x) < 2").size == 3)
+    assert(equis("l.a = r.a AND (l.b = r.b OR l.c = r.c) AND abs(l.x) < 2") == Seq(("a", "a")))
+    // SQL precedence: "a AND b OR c" is (a AND b) OR c — the top level is an
+    // Or, so NO equi conjunct may be hoisted into a join key
+    assert(equis("l.a = r.a AND l.b = r.b OR l.c = r.c").isEmpty)
+    // ' AND ' inside a string literal is not a connective
+    val lits = Link.splitConjuncts("l.a = r.a AND l.tag = 'fish AND chips'")
+    assert(lits.size == 2 && equis("l.a = r.a AND l.tag = 'fish AND chips'") == Seq(("a", "a")))
+    // reversed equality canonicalises to the same key
+    assert(equis("r.a = l.a") == Seq(("a", "a")))
+  }
+
+  test("weighted linker keeps OR-branch matches (no unsound equi hoisting)") {
+    val src = Seq((1L, "x", "k1"), (2L, "y", "k2")).toDF("id", "name", "key")
+    val dst = Seq((10L, "x", "k1"), (20L, "zzz", "k2"), (30L, "y", "other"))
+      .toDF("id", "name", "key")
+    // (key match AND name match) OR name match: pair (2, 30) matches only via
+    // the OR branch — a textual splitter that hoisted `l.key = r.key` into the
+    // join would silently drop it.
+    val scored = Link.weighted(
+      src, dst, "id", "id",
+      Seq(("l.key = r.key AND l.name = r.name OR l.name = r.name", 1.0)),
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scored == Set((1L, 10L), (2L, 30L)))
   }
 
   test("EM linker learns m > u for discriminative comparisons") {

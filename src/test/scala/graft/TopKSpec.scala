@@ -49,6 +49,33 @@ class TopKSpec extends SparkSpec {
       s"no per-group sort expected:\n$plan")
   }
 
+  test("map-side partial bounds shuffle volume to partitions·keys·k") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // checkpoint the 8-partition input so the top-k job's ONLY shuffle is the
+    // operator's own hash exchange
+    val df = randomScored(7, nKeys = 2, nRows = 4000)
+      .repartition(8).localCheckpoint(true)
+    val rows = df.count()
+    val topk = TopK.perKey(df, Seq("query_id"), "sim", 3, tieCols = Seq("neighbor_id"))
+    assert(topk.collect().length == 6)
+    // AQE hides materialized exchanges inside query stages — descend into them
+    def findExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case s: ShuffleExchangeExec => s +: s.children.flatMap(findExchanges)
+      case q: QueryStageExec => findExchanges(q.plan)
+      case a: AdaptiveSparkPlanExec => findExchanges(a.executedPlan)
+      case other => other.children.flatMap(findExchanges)
+    }
+    val exchanges = findExchanges(topk.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty,
+      s"expected the operator's hash exchange:\n${topk.queryExecution.executedPlan}")
+    val written = exchanges.map(_.metrics("shuffleRecordsWritten").value).sum
+    // 8 partitions × 2 keys × k=3 = 48 max; without the partial stage this
+    // would be every scored candidate (~4000)
+    assert(written <= 48, s"partial top-k should bound shuffle rows, wrote $written of $rows")
+  }
+
   test("ascending order and custom rank name work") {
     val df = Seq((1L, 10L, 5.0), (1L, 11L, 1.0), (1L, 12L, 3.0)).toDF("query_id", "neighbor_id", "sim")
     val r = TopK.perKey(df, Seq("query_id"), "sim", 2, descending = false,
