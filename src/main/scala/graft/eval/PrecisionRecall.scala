@@ -78,6 +78,32 @@ object PrecisionRecall {
     multiFromNet(models, Judgements.net(judgements, expansion),
       Judgements.leaves(judgements, expansion))
 
+  /** Pair expansion is quadratic in cluster size: one over-merged cluster of
+    * judged leaves emits |C|²/2 pairs out of a single reducer — and an
+    * over-permissive linker is exactly what eval exists to catch, so the
+    * "clusters are small" assumption cannot be trusted here. Any cluster with
+    * more judged members than `spark.graft.eval.maxClusterSize` (default
+    * 100000) fails loudly, naming the cluster, instead of OOMing the
+    * evaluator. The probe is one map-side-combinable count aggregate over the
+    * (already checkpointed) membership — negligible next to the expansion.
+    */
+  private def guardClusterSizes(member: DataFrame, what: String): Unit = {
+    val maxSize = member.sparkSession.conf
+      .get("spark.graft.eval.maxClusterSize", "100000").toLong
+    member.groupBy("component").agg(count(lit(1)).as("csize"))
+      .filter(col("csize") > maxSize)
+      .orderBy(col("csize").desc)
+      .take(1)
+      .foreach { r =>
+        val size = r.getLong(1)
+        throw new IllegalStateException(
+          s"$what cluster ${r.get(0)} has $size judged members; pair expansion would " +
+            s"emit ~${size * size / 2} pairs on one reducer. This usually means the " +
+            "model over-merged. Raise spark.graft.eval.maxClusterSize only if a " +
+            s"cluster of $size is genuinely expected.")
+      }
+  }
+
   private def multiFromNet(
       models: Seq[DataFrame], rawNet: DataFrame,
       rawJudgementLeaves: DataFrame): DataFrame = {
@@ -97,7 +123,8 @@ object PrecisionRecall {
       .select(col("a"), col("b"), lit(1L).as("v"))
 
     val perModel = models.zipWithIndex.map { case (assignments, i) =>
-      val member = assignments.join(shared, "id")
+      val member = assignments.join(shared, "id").localCheckpoint(false)
+      guardClusterSizes(member, s"model $i")
       val modelPairs = member.alias("x")
         .join(member.alias("y"),
           col("x.component") === col("y.component") && col("x.id") < col("y.id"))
@@ -126,7 +153,8 @@ object PrecisionRecall {
     val judgedLeaves = net.select(col("a").as("id"))
       .union(net.select(col("b").as("id"))).distinct()
 
-    val member = assignments.join(judgedLeaves, "id")
+    val member = assignments.join(judgedLeaves, "id").localCheckpoint(false)
+    guardClusterSizes(member, "model")
     val modelPairs = member.alias("x")
       .join(member.alias("y"),
         col("x.component") === col("y.component") && col("x.id") < col("y.id"))

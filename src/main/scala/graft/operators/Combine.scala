@@ -28,7 +28,18 @@ object Combine {
     * combination of requested data across sources.
     */
   def explode(left: DataFrame, right: DataFrame, id: String): DataFrame =
-    left.join(right, Seq(id), "full_outer").distinct()
+    explode(Seq(left, right), id)
+
+  /** N-ary `explode` (the reference shape, queries.py:150-210: one combine
+    * call over *all* requested sources): a fold of full-outer equi-joins on
+    * the id, deduped once at the end. Each join shuffles on the same id key,
+    * so successive joins reuse the partitioning (no re-exchange between
+    * stages), and the single trailing distinct beats a distinct per join.
+    */
+  def explode(sources: Seq[DataFrame], id: String): DataFrame = {
+    require(sources.nonEmpty, "explode needs at least one source")
+    sources.reduce(_.join(_, Seq(id), "full_outer")).distinct()
+  }
 
   /** `set_agg`: one row per entity id, every other column aggregated to a
     * sorted array of distinct values. Partial aggregation keeps the shuffle

@@ -263,6 +263,41 @@ object Link {
     math.min(math.max((matched / recall) / total, 1e-9), 1 - 1e-9)
   }
 
+  /** u estimation from random pair sampling — the twin of splink's
+    * `estimate_u_using_random_sampling` (reference splinklinker.py:80,
+    * `linker_training_functions`). Random pairs are overwhelmingly
+    * non-matches, so each comparison's agreement rate over a uniform pair
+    * sample estimates u = P(agree | non-match) *without blocking bias*: u
+    * trained only on blocked candidates is inflated, because blocking keys
+    * correlate with the comparisons.
+    *
+    * Scale shape: √maxPairs rows are drawn from each side by xxhash64
+    * ordering (deterministic pseudo-random, plans as a distributed top-k —
+    * the same device as Ivf.fitCentroids), and their cross join is exactly
+    * maxPairs distributed rows; all k agreement rates come back in ONE
+    * aggregate. Nothing quadratic in the inputs ever runs.
+    */
+  def estimateU(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      comparisons: Seq[String],
+      maxPairs: Long = 1000000L): Seq[Double] = {
+    require(maxPairs >= 4, "maxPairs too small to sample")
+    comparisons.foreach(validateComparison)
+    val perSide = math.max(2, math.sqrt(maxPairs.toDouble).toLong.toInt)
+    def sample(df: DataFrame, id: String) =
+      df.orderBy(xxhash64(col(id)), col(id)).limit(perSide)
+    val pairs = sample(left, leftId).alias("l")
+      .crossJoin(broadcast(sample(right, rightId).alias("r")))
+    val rates = pairs.agg(
+      avg(when(expr(comparisons.head), 1.0).otherwise(0.0)).as("u0"),
+      comparisons.tail.zipWithIndex.map { case (c, i) =>
+        avg(when(expr(c), 1.0).otherwise(0.0)).as(s"u${i + 1}")
+      }: _*).head()
+    comparisons.indices
+      .map(i => math.min(math.max(rates.getDouble(i), 1e-6), 1 - 1e-6))
+  }
+
   /** Fellegi–Sunter with EM-estimated m/u parameters.
     *
     * The E and M steps run as distributed aggregations over the *pattern
@@ -270,6 +305,12 @@ object Link {
     * 2^k rows for k comparisons), so only that tiny table ever reaches the
     * driver; the pair set itself stays distributed. Returns (scored pairs,
     * learned (m, u) per comparison).
+    *
+    * `uInit` seeds u (e.g. from [[estimateU]]'s random-pair sampling, the
+    * splink training recipe); with `trainU = false` those values are held
+    * fixed and EM trains only λ and m on the blocked candidates — blocked
+    * pairs over-represent agreement, so a sampled u is the less biased
+    * estimate and splink pins it.
     */
   def fellegiSunterEm(
       left: DataFrame, right: DataFrame,
@@ -278,7 +319,11 @@ object Link {
       comparisons: Seq[String],
       iterations: Int = 20,
       lambdaInit: Double = 0.1,
-      threshold: Double = 0.5): (DataFrame, Seq[(Double, Double)]) = {
+      threshold: Double = 0.5,
+      uInit: Option[Seq[Double]] = None,
+      trainU: Boolean = true): (DataFrame, Seq[(Double, Double)]) = {
+    uInit.foreach(u => require(u.size == comparisons.size,
+      s"uInit has ${u.size} entries for ${comparisons.size} comparisons"))
     validateComparison(blocking)
     comparisons.foreach(validateComparison)
     val gammas = comparisons.zipWithIndex.map { case (cond, i) =>
@@ -297,7 +342,7 @@ object Link {
 
     var lambda = lambdaInit
     var m = Array.fill(comparisons.size)(0.9)
-    var u = Array.fill(comparisons.size)(0.1)
+    var u = uInit.map(_.toArray).getOrElse(Array.fill(comparisons.size)(0.1))
     for (_ <- 1 to iterations) {
       // E-step on patterns; M-step accumulators
       var wSum = 0.0; var nSum = 0.0
@@ -315,7 +360,8 @@ object Link {
       lambda = math.min(math.max(wSum / nSum, 1e-9), 1 - 1e-9)
       comparisons.indices.foreach { i =>
         m(i) = math.min(math.max(mNum(i) / wSum, 1e-6), 1 - 1e-6)
-        u(i) = math.min(math.max(uNum(i) / (nSum - wSum), 1e-6), 1 - 1e-6)
+        if (trainU)
+          u(i) = math.min(math.max(uNum(i) / (nSum - wSum), 1e-6), 1 - 1e-6)
       }
     }
 

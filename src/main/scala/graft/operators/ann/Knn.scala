@@ -79,17 +79,34 @@ object Knn {
       col(vecCol),
       (0 until numPlanes).map(p => hyperplane(planeOffset + p, dim).toSeq))
 
+  /** Multi-table random-hyperplane LSH (the standard recall lever: a single
+    * 6-plane table only finds neighbors agreeing on all 6 sign bits —
+    * recall collapses as similarity falls below ~0.95). Each of `tables`
+    * independent plane families hashes both sides; candidates are the union
+    * of per-table bucket collisions, deduped once, then exact-reranked.
+    * Recall rises as 1-(1-p^b)^T while candidate volume stays ~T·n/2^b per
+    * query — the knob to turn at corpus scale is `tables`, not brute force.
+    *
+    * Scale shape: queries are broadcast, so the 8× target-side explode is
+    * pure map-side compute (no target shuffle); only candidate pairs reach
+    * the dedup exchange, and the top-k operator's map-side partial bounds
+    * the rerank shuffle.
+    */
   def lsh(
       queries: DataFrame, targets: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    val bucket = lshBucket(vecCol, numPlanes, dim)
-    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"),
-      bucket.as("bucket"))
-    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"),
-      bucket.as("bucket"))
-    val scored = t.join(broadcast(q), "bucket")
+      numPlanes: Int = 6, dim: Int = 64, tables: Int = 8): DataFrame = {
+    require(tables >= 1, "need at least one hash table")
+    val tableBuckets = (0 until tables)
+      .map(t => lshBucket(vecCol, numPlanes, dim, planeOffset = t * numPlanes))
+    def hashed(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).cast("long").as(idAs), col(vecCol).as(vecAs),
+        posexplode(array(tableBuckets: _*)).as(Seq("tbl", "bucket")))
+    val q = hashed(queries, "query_id", "qe")
+    val t = hashed(targets, "neighbor_id", "te")
+    val scored = t.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", cosine("qe", "te"))
     topKPerQuery(scored, k)
   }

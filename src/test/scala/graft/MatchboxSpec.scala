@@ -167,6 +167,46 @@ class MatchboxSpec extends SparkSpec {
     assert(scored == Set((1L, 10L), (2L, 30L)))
   }
 
+  test("sampled u matches exact all-pairs u, and EM holds a fixed u") {
+    val even = Tables(spark, sfDir, "customer").filter(col("c_custkey") % 2 === 0)
+    val odd = Tables(spark, sfDir, "customer").filter(col("c_custkey") % 2 === 1)
+    val comparisons = Seq(
+      "l.c_mktsegment = r.c_mktsegment",
+      "abs(l.c_acctbal - r.c_acctbal) < 100")
+    // exact u: agreement rate over the full cross product
+    val exact = even.alias("l").crossJoin(odd.alias("r"))
+      .agg(
+        avg(when(expr(comparisons(0)), 1.0).otherwise(0.0)),
+        avg(when(expr(comparisons(1)), 1.0).otherwise(0.0)))
+      .head()
+    val exactU = Seq(exact.getDouble(0), exact.getDouble(1))
+    // sample big enough to cover both sides completely → bit-identical
+    val full = Link.estimateU(even, odd, "c_custkey", "c_custkey", comparisons,
+      maxPairs = 4000000L)
+    // same pair set, different plan → allow last-ulp double-sum divergence
+    comparisons.indices.foreach { i =>
+      assert(math.abs(full(i) - exactU(i)) < 1e-12,
+        s"full-cover sample should be exact: $full vs $exactU")
+    }
+    // a 100x smaller sample stays within loose tolerance and is deterministic
+    val sampled = Link.estimateU(even, odd, "c_custkey", "c_custkey", comparisons,
+      maxPairs = 40000L)
+    comparisons.indices.foreach { i =>
+      assert(math.abs(sampled(i) - exactU(i)) < 0.1,
+        s"sampled u($i)=${sampled(i)} far from exact ${exactU(i)}")
+    }
+    assert(sampled == Link.estimateU(even, odd, "c_custkey", "c_custkey", comparisons,
+      maxPairs = 40000L))
+    // trainU = false pins u at the sampled values through EM
+    val (_, params) = Link.fellegiSunterEm(
+      even, odd, "c_custkey", "c_custkey",
+      blocking = "l.c_nationkey = r.c_nationkey",
+      comparisons = comparisons,
+      uInit = Some(sampled), trainU = false)
+    assert(params.map(_._2) == sampled)
+    assert(params.forall { case (m, u) => m > 0 && m < 1 && u > 0 && u < 1 })
+  }
+
   test("EM linker learns m > u for discriminative comparisons") {
     val even = Tables(spark, sfDir, "customer").filter(col("c_custkey") % 2 === 0)
     val odd = Tables(spark, sfDir, "customer").filter(col("c_custkey") % 2 === 1)
