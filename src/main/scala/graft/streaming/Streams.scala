@@ -93,6 +93,50 @@ object Streams {
       .dropDuplicates("stream_id", "ref_id")
   }
 
+  /** Incremental embedding near-duplicate detection: a stream of new
+    * vectors is checked against a static, pre-indexed corpus via banded
+    * random-hyperplane buckets — the streaming twin of
+    * [[graft.operators.dedup.EmbedDedup.lshPairs]], and the embedding
+    * sibling of [[incrementalDedup]].
+    *
+    * The hyperplane signature is a per-row native expression (stateless),
+    * the band explode multiplies the stream by `bands` (bounded, stateless),
+    * and both joins are stream-static: bucket equi-join against the corpus
+    * band table, then the corpus vectors for the exact cosine verify. State
+    * never grows with the stream; the trailing dropDuplicates collapses
+    * multi-band hits (bound its state with a watermark in production).
+    *
+    * @param reference static corpus of (idCol, vecCol)
+    * @return (stream_id, ref_id, sim) verified near-duplicates
+    */
+  def incrementalEmbedDedup(
+      stream: DataFrame, reference: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double = 0.3, bands: Int = 8, planesPerBand: Int = 4,
+      dim: Int = 64): DataFrame = {
+    import graft.operators.ann.Knn
+    def banded(df: DataFrame, idAs: String, vecAs: String) = {
+      val sig = array((0 until bands).map { k =>
+        struct(lit(k).as("band"),
+          Knn.lshBucket(vecCol, planesPerBand, dim, planeOffset = k * planesPerBand)
+            .as("key"))
+      }: _*)
+      df.select(col(idCol).cast("long").as(idAs), col(vecCol).as(vecAs),
+          explode(sig).as("bs"))
+        .select(col(idAs), col(vecAs), col("bs.band").as("band"), col("bs.key").as("key"))
+    }
+    val refBands = banded(reference, "ref_id", "rvec").localCheckpoint(false)
+    // the stream side carries its vector through the band explode so the
+    // verify step needs no second stream join
+    banded(stream, "stream_id", "svec")
+      .join(refBands, Seq("band", "key"))
+      .filter(col("stream_id") =!= col("ref_id"))
+      .withColumn("sim", graft.functions.CosineSimilarity(col("svec"), col("rvec")))
+      .filter(col("sim") >= threshold)
+      .select("stream_id", "ref_id", "sim")
+      .dropDuplicates("stream_id", "ref_id")
+  }
+
   /** Stream-stream interval join: match events from two live streams whose
     * timestamps fall within `intervalSeconds` of each other, keyed on
     * `key`. Both sides carry watermarks, so Spark can discard buffered

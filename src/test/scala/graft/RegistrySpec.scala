@@ -38,6 +38,44 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("dag config round-trips through JSON and rebuilds identical results") {
+    import graft.dags._
+    val spec = DagSpec(Seq(
+      SourceSpec("customers", s"$sfDir/customer.parquet",
+        select = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")),
+      ModelSpec("dupes", "dedupe_naive", Seq("customers"),
+        leftId = "c_custkey", uniqueFields = Seq("c_nationkey", "c_mktsegment")),
+      ModelSpec("links", "link_weighted", Seq("customers", "customers"),
+        leftId = "c_custkey",
+        comparisons = Seq(
+          ComparisonSpec("l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment",
+            weight = Some(0.7)),
+          ComparisonSpec("l.c_nationkey = r.c_nationkey AND abs(l.c_acctbal - r.c_acctbal) < 10",
+            weight = Some(0.3))),
+        threshold = Some(0.5)),
+      ResolverSpec("clusters", Seq("dupes", "links"),
+        thresholds = Map("links" -> 0.6))))
+
+    val json = DagConfig.toJson(spec)
+    val rehydrated = DagConfig.fromJson(json)
+    assert(rehydrated == spec, "JSON round-trip must preserve the spec exactly")
+
+    val r1 = DagConfig.build(spark, spec).run()
+    val r2 = DagConfig.build(spark, rehydrated).run()
+    assert(r1.keySet == Set("customers", "dupes", "links", "clusters"))
+    for (step <- r1.keySet) {
+      assert(r1(step).except(r2(step)).isEmpty && r2(step).except(r1(step)).isEmpty,
+        s"step $step differs after config rebuild")
+    }
+    assert(r1("clusters").count() > 0)
+    // a model kind outside the spec surface fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      DagConfig.build(spark, DagSpec(Seq(
+        SourceSpec("s", s"$sfDir/nation.parquet"),
+        ModelSpec("bad", "no_such_kind", Seq("s"), leftId = "n_nationkey")))).run()
+    }
+  }
+
   test("dag runs from a step, invalidating only dependents") {
     val dag = new graft.dags.Dag
     var builds = List.empty[String]

@@ -8,6 +8,7 @@ import java.sql.Timestamp
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class Rec(id: Long, nationkey: Int)
 case class Doc(id: Long, text: String)
+case class Vec(vec_id: Long, embedding: Seq[Float])
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -75,6 +76,29 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.contains((1000007L, 7L)), s"near-dup of doc 7 not found: $out")
     assert(!out.exists(_._1 == 2000000L), s"unrelated doc matched: $out")
+  }
+
+  test("incremental streaming embed-dedup matches the static corpus only") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Tables(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val v7 = corpus.filter(col("vec_id") === 7).select("embedding").head()
+      .getSeq[Float](0)
+    val v3 = corpus.filter(col("vec_id") === 3).select("embedding").head()
+      .getSeq[Float](0)
+    val input = MemoryStream[Vec]
+    input.addData(Seq(
+      Vec(1000007L, v7), // exact copy: cosine 1, guaranteed bucket collision
+      Vec(2000003L, v3.map(-_)))) // near-negation of the corpus: no match >= 0.8
+    val q = Streams.incrementalEmbedDedup(
+      input.toDF(), corpus, "vec_id", "embedding", threshold = 0.8)
+      .writeStream.format("memory").queryName("stream_embed").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("stream_embed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists { case (s, ref, sim) => s == 1000007L && ref == 7L && sim > 0.999 },
+      s"exact copy of vec 7 not recovered: ${out.toSeq}")
+    assert(!out.exists(_._1 == 2000003L), s"negated vector matched: ${out.toSeq}")
+    assert(out.forall(_._3 >= 0.8), "verify step must enforce the threshold exactly")
   }
 
   test("stream-stream interval join matches pairs within the window") {
