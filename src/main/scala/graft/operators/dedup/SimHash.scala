@@ -45,11 +45,14 @@ object SimHash {
 
     val l = exploded.select(col("band"), col("chunk"), col("id").as("left_id"), col("simhash").as("lh"))
     val r = exploded.select(col("band"), col("chunk"), col("id").as("right_id"), col("simhash").as("rh"))
+    // hamming verify BEFORE the dedup exchange: bit_count(xor) is a
+    // row-local codegen'd filter, so only verified near-dups (a vanishing
+    // fraction of raw band collisions) ever shuffle for the multi-band dedup
     l.join(r, Seq("band", "chunk"))
       .filter(col("left_id") < col("right_id"))
-      .dropDuplicates("left_id", "right_id")
       .withColumn("hamming", expr("bit_count(lh ^ rh)"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("left_id", "right_id")
       .select(col("left_id"), col("right_id"), col("hamming").cast("long").as("hamming"))
   }
 }
