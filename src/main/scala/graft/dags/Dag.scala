@@ -81,6 +81,42 @@ final class Dag {
   def describe: Seq[(String, String, Seq[String], Boolean)] =
     steps.values.toSeq.map(s => (s.name, s.kind, s.dependsOn, results.contains(s.name)))
 
+  /** String rendering of the DAG (reference dags.py:384 `draw`): `"tree"`
+    * shows apex steps (steps nothing depends on) with their dependency
+    * trees; `"list"` shows steps as a numbered list in execution order.
+    * Each step carries a kind marker and an execution-status marker —
+    * `[x]` materialised, `[ ]` awaiting — driven by the same result cache
+    * `run()`/`runFrom()` maintain.
+    */
+  def draw(mode: String = "tree"): String = {
+    require(mode == "tree" || mode == "list", s"unknown draw mode $mode")
+    if (steps.isEmpty) return "Empty DAG"
+    val stepNo = steps.keys.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    def marker(s: DagStep) = {
+      val status = if (results.contains(s.name)) "[x]" else "[ ]"
+      s"$status ${s.kind} ${s.name}"
+    }
+    if (mode == "list")
+      steps.values.map(s => s"${stepNo(s.name)}. ${marker(s)}").mkString("\n")
+    else {
+      val dependedOn = steps.values.flatMap(_.dependsOn).toSet
+      val apex = steps.values.filterNot(s => dependedOn(s.name)).toSeq
+      val sb = new StringBuilder
+      def render(s: DagStep, prefix: String, isLast: Boolean, isApex: Boolean): Unit = {
+        val connector = if (isApex) "" else if (isLast) "└── " else "├── "
+        sb.append(prefix).append(connector).append(marker(s)).append('\n')
+        val childPrefix =
+          if (isApex) prefix else prefix + (if (isLast) "    " else "│   ")
+        val deps = s.dependsOn
+        deps.zipWithIndex.foreach { case (d, i) =>
+          render(steps(d), childPrefix, i == deps.size - 1, isApex = false)
+        }
+      }
+      apex.foreach(a => render(a, "", isLast = true, isApex = true))
+      sb.result().stripLineEnd
+    }
+  }
+
   def result(name: String): DataFrame = results(name)
 }
 

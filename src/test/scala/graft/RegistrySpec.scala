@@ -76,6 +76,22 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("dag draw renders tree and list with execution status") {
+    val dag = new graft.dags.Dag
+    dag.source("src") { Tables(spark, sfDir, "nation") }
+    dag.model("m", Seq("src"))(deps => deps("src").limit(5))
+    dag.resolver("r", Seq("m"))(deps => deps("m").limit(1))
+    val before = dag.draw()
+    assert(before ==
+      """[ ] resolver r
+        |└── [ ] model m
+        |    └── [ ] source src""".stripMargin, s"got:\n$before")
+    assert(dag.draw("list") == "1. [ ] source src\n2. [ ] model m\n3. [ ] resolver r")
+    dag.run()
+    assert(dag.draw().linesIterator.forall(_.contains("[x]")), "all steps materialised")
+    intercept[IllegalArgumentException](dag.draw("graph"))
+  }
+
   test("dag runs from a step, invalidating only dependents") {
     val dag = new graft.dags.Dag
     var builds = List.empty[String]
