@@ -402,6 +402,60 @@ object Relational {
        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** TPC-H Q8 national market share: NATION_3's share of ECONOMY-part
+    * revenue delivered into EUROPE customers, by order year. The share is a
+    * single double division of two exact integer cent-sums (conditional
+    * numerator via map-side `when`), so it is bit-identical across engines.
+    * All dimension joins (part filter, both nation lookups, region) are
+    * broadcasts; the only shuffles are the fact-fact joins and the final
+    * per-year aggregate.
+    */
+  private def q8(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables(s, dir, "part")
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val nationC = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val region = Tables(s, dir, "region")
+      .filter(col("r_name") === "EUROPE").select("r_regionkey")
+    val nationS = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = Num.cents(col("l_extendedprice")) * (lit(100) - Num.cents(col("l_discount")))
+    Tables(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nationC), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nationS), col("s_nationkey") === col("s_nk"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0L))) /
+        sum(vol)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private val q8Sql =
+    s"""SELECT strftime(o_orderdate, '%Y') AS o_year,
+       |  sum(CASE WHEN n2.n_name = 'NATION_3'
+       |      THEN ${Num.centsSql("l_extendedprice")} * (100 - ${Num.centsSql("l_discount")})
+       |      ELSE 0 END)
+       |  / sum(${Num.centsSql("l_extendedprice")} * (100 - ${Num.centsSql("l_discount")})) AS mkt_share
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |JOIN region ON n1.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** TPC-H Q10 returned items: revenue lost to returns per customer over a
     * quarter, top 20.
     */
@@ -533,6 +587,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q7_volume_shipping", q7, Some(q7Sql)),
+    QueryDef("q8_market_share", q8, Some(q8Sql)),
     QueryDef("q10_returned_items", q10, Some(q10Sql)),
     QueryDef("q15_top_supplier", q15, Some(q15Sql)),
     QueryDef("q18_large_orders", q18, Some(q18Sql)),
