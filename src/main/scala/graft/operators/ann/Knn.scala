@@ -99,14 +99,23 @@ object Knn {
     require(tables >= 1, "need at least one hash table")
     val tableBuckets = (0 until tables)
       .map(t => lshBucket(vecCol, numPlanes, dim, planeOffset = t * numPlanes))
-    def hashed(df: DataFrame, idAs: String, vecAs: String) =
-      df.select(col(idCol).cast("long").as(idAs), col(vecCol).as(vecAs),
+    def hashed(df: DataFrame, idAs: String) =
+      df.select(col(idCol).cast("long").as(idAs),
         posexplode(array(tableBuckets: _*)).as(Seq("tbl", "bucket")))
-    val q = hashed(queries, "query_id", "qe")
-    val t = hashed(targets, "neighbor_id", "te")
-    val scored = t.join(broadcast(q), Seq("tbl", "bucket"))
+    // Candidate generation and dedup carry bare id pairs — the vectors
+    // would otherwise ride through the dedup exchange `tables` times over.
+    // Vectors come back after: targets in one equi-join (broadcastable by
+    // AQE when the candidate set is small), queries as an explicit broadcast.
+    val cand = hashed(targets, "neighbor_id")
+      .join(broadcast(hashed(queries, "query_id")), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
+      .join(targets.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("te")), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("qe"))), "query_id")
       .withColumn("sim", cosine("qe", "te"))
     topKPerQuery(scored, k)
   }

@@ -65,6 +65,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("n-ary explode equals chained binary explode on random sources") {
+    import graft.operators.Combine
+    val rng = new Random(7)
+    for (trial <- 1 to 3) {
+      def src(c: String) = Seq.fill(10 + rng.nextInt(20))(
+        (rng.nextInt(12).toLong, rng.nextInt(5))).toDF("id", c)
+      val (a, b, c) = (src("x"), src("y"), src("z"))
+      val nary = Combine.explode(Seq(a, b, c), "id")
+      val chained = Combine.explode(Combine.explode(a, b, "id"), c, "id")
+      assert(nary.except(chained).isEmpty && chained.except(nary).isEmpty,
+        s"trial $trial: n-ary and chained explode disagree")
+      // every source id survives some row (full-outer semantics)
+      val ids = nary.select("id").distinct().collect().map(_.getLong(0)).toSet
+      val expected = (a.select("id") union b.select("id") union c.select("id"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      assert(ids == expected)
+    }
+  }
+
+  test("sampled u is clamped, deterministic, and exact under full coverage") {
+    import graft.operators.Link
+    val rng = new Random(13)
+    val left = Seq.fill(40)((rng.nextInt(1000).toLong, rng.nextInt(4)))
+      .distinctBy(_._1).toDF("id", "g")
+    val right = Seq.fill(40)((rng.nextInt(1000).toLong + 10000, rng.nextInt(4)))
+      .distinctBy(_._1).toDF("id", "g")
+    val cond = Seq("l.g = r.g")
+    val u = Link.estimateU(left, right, "id", "id", cond, maxPairs = 1000000L)
+    assert(u.head > 0 && u.head < 1)
+    assert(u == Link.estimateU(left, right, "id", "id", cond, maxPairs = 1000000L))
+    // full coverage: the sample is the whole cross product, so u is the
+    // exact agreement rate
+    val exact = left.alias("l").crossJoin(right.alias("r"))
+      .agg(avg(when(expr("l.g = r.g"), 1.0).otherwise(0.0))).head().getDouble(0)
+    assert(math.abs(u.head - exact) < 1e-12, s"${u.head} vs $exact")
+  }
+
   test("normalise is idempotent and orientation-invariant on random edge lists") {
     val rng = new Random(7)
     val edges = Seq.fill(300)((rng.nextInt(40).toLong, rng.nextInt(40).toLong,
