@@ -32,9 +32,13 @@ object Combine {
 
   /** N-ary `explode` (the reference shape, queries.py:150-210: one combine
     * call over *all* requested sources): a fold of full-outer equi-joins on
-    * the id, deduped once at the end. Each join shuffles on the same id key,
-    * so successive joins reuse the partitioning (no re-exchange between
-    * stages), and the single trailing distinct beats a distinct per join.
+    * the id, deduped once at the end — the single trailing distinct beats a
+    * distinct per join. Each fold step re-shuffles the accumulated side:
+    * the coalesce(l.id, r.id) projection hides the join-key partitioning
+    * from Catalyst (the rows *are* still hash(id)-placed, but the optimizer
+    * can't prove it through a coalesce), so N sources cost N-1 exchanges of
+    * the growing spine — the inherent price of the declarative full-outer
+    * chain, linear in sources, never quadratic in rows.
     */
   def explode(sources: Seq[DataFrame], id: String): DataFrame = {
     require(sources.nonEmpty, "explode needs at least one source")
