@@ -118,6 +118,24 @@ final class Dag {
   }
 
   def result(name: String): DataFrame = results(name)
+
+  /** Content fingerprint of a materialised step (reference resolvers.py:186
+    * `_fingerprint` via common/transform.py `hash_cluster_leaves`): an
+    * order-invariant digest of the step's full result — typed row hashes
+    * combined under the same sorted-digest contract as the table/cluster
+    * hash — so two runs fingerprint identically iff their results have the
+    * same content, regardless of row order or partitioning. This is the
+    * run-persistence primitive: a step whose inputs' fingerprints are
+    * unchanged can be skipped on re-run.
+    */
+  def fingerprint(name: String): String = {
+    import org.apache.spark.sql.functions.col
+    val df = results.getOrElse(name, throw new IllegalStateException(
+      s"step $name is not materialised — run() first"))
+    df.select(graft.functions.Hashing.rowHashTyped(df, df.columns.toSeq).as("h"))
+      .agg(graft.functions.Hashing.clusterHash(col("h")).as("fp"))
+      .head().getString(0)
+  }
 }
 
 final case class DagStep(

@@ -76,6 +76,29 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("dag step fingerprints are content hashes: stable, order-invariant") {
+    val dag = new graft.dags.Dag
+    dag.source("src") { Tables(spark, sfDir, "nation") }
+    dag.model("m", Seq("src"))(deps => deps("src").select("n_nationkey", "n_name"))
+    intercept[IllegalStateException](dag.fingerprint("m")) // not materialised yet
+    dag.run()
+    val fp = dag.fingerprint("m")
+    assert(fp.length == 64) // sha256 hex
+    // re-running from the source rebuilds the result; same content → same fp
+    dag.runFrom("src")
+    assert(dag.fingerprint("m") == fp)
+    // row order must not matter; different content must
+    val dag2 = new graft.dags.Dag
+    dag2.source("src") { Tables(spark, sfDir, "nation") }
+    dag2.model("m", Seq("src"))(deps =>
+      deps("src").orderBy(org.apache.spark.sql.functions.col("n_name").desc)
+        .select("n_nationkey", "n_name"))
+    dag2.model("m2", Seq("src"))(deps => deps("src").select("n_nationkey", "n_regionkey"))
+    dag2.run()
+    assert(dag2.fingerprint("m") == fp, "row order changed the fingerprint")
+    assert(dag2.fingerprint("m2") != fp)
+  }
+
   test("dag draw renders tree and list with execution status") {
     val dag = new graft.dags.Dag
     dag.source("src") { Tables(spark, sfDir, "nation") }
