@@ -234,6 +234,74 @@ object Pipeline {
        |WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.3
        |ORDER BY left_id, right_id""".stripMargin
 
+  /** End-to-end dedup *resolution* — what a training-data pipeline actually
+    * ships: near-dup pair detection (exact n-gram jaccard, inverted-index
+    * formulation) → connected components over the pair graph → one
+    * canonical keep id per duplicate group (min member), docs untouched by
+    * any pair keeping themselves. A corpus filter is then just
+    * `kept = doc_id == keep_id`. Fully oracle-checked: the DuckDB twin
+    * replays the jaccard join and a recursive min-label closure.
+    */
+  private def dedupResolve(s: SparkSession, dir: String): DataFrame = {
+    val docs = withDupes(s, dir, exact = false).select(col("doc_id"))
+    val comp = graft.operators.Components.connected(
+      dedupNgram(s, dir).select(col("left_id").as("src"), col("right_id").as("dst")))
+    docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("keep_id"),
+        (col("doc_id") === coalesce(col("component"), col("doc_id"))).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupResolveSql = {
+    val edges =
+      s"""SELECT l.doc_id AS src, r.doc_id AS dst
+         |FROM sh l JOIN sh r
+         |  ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.3""".stripMargin
+    s"""WITH RECURSIVE
+       |docs2 AS (${dupesSql(exact = false)}),
+       |sh AS (SELECT doc_id, lang, length(text) // 100 AS bucket, $shingleDuck AS sh FROM docs2),
+       |e0 AS ($edges),
+       |edges AS (SELECT src, dst FROM e0 WHERE src <> dst
+       |          UNION SELECT dst, src FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS keep_id,
+       |  d.doc_id = coalesce(c.component, d.doc_id) AS kept
+       |FROM docs2 d LEFT JOIN comp c ON d.doc_id = c.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic stratified sampling — per-language quota for corpus
+    * curation. The pseudo-random order is md5 of the id (identical in both
+    * engines), and the per-group quota runs on the custom bounded-heap
+    * [[graft.plans.TopK]] operator: per input partition a 20-element heap
+    * per language, so the exchange carries partitions·langs·20 rows — the
+    * row_number-window idiom would sort every language group in full.
+    */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopK.perKey(docs, Seq("lang"), "h", k = 20,
+      descending = false, tieCols = Seq("doc_id"), rankName = "rn")
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  private val sampleStratifiedSql =
+    """SELECT doc_id, lang, rn FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
   // ---- similarity search ---------------------------------------------
   private def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
@@ -372,6 +440,8 @@ object Pipeline {
     QueryDef("dx_dedup_minhash", dedupMinhash, None),
     QueryDef("dx_dedup_simhash", dedupSimhash, None),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("dx_dedup_resolve", dedupResolve, Some(dedupResolveSql)),
+    QueryDef("dx_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("dx_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("dx_dedup_embed_lsh", dedupEmbedLsh, None),
     QueryDef("dx_knn_brute", knnBrute, Some(knnBruteSql)),

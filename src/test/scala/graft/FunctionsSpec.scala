@@ -142,10 +142,10 @@ class FunctionsSpec extends SparkSpec {
     assert(n == 25)
   }
 
-  test("warehouse round-trips csv, json, parquet and partitioned writes") {
+  test("warehouse round-trips csv, json, parquet, orc and partitioned writes") {
     val dir = new java.io.File("target/warehouse-spec").getAbsolutePath
     val src = Tables(spark, sfDir, "nation")
-    for (fmt <- Seq("parquet", "csv", "json")) {
+    for (fmt <- Seq("parquet", "csv", "json", "orc")) {
       val p = s"$dir/$fmt"
       src.write.format(fmt).mode("overwrite").option("header", "true").save(p)
       val back = Warehouse.read(spark, fmt, p)
