@@ -128,6 +128,89 @@ object Pipeline {
       |    i -> md5(substr(text, i, 8)))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII scrubbing — the redaction pass every shipped training corpus runs.
+    * Emails are planted deterministically (doc_id % 5) so the operator has
+    * true positives in both engines; output is the redaction count plus a
+    * digest of the scrubbed text, proving byte-identical scrub results.
+    * The pattern uses no engine-specific regex features (safe under both
+    * Java regex and RE2).
+    */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  private def scrub(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("seeded",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact: user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(col("text")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("seeded"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        md5(regexp_replace(col("seeded"), emailRe, "<EMAIL>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+
+  private val scrubSql =
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |      ELSE text END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  md5(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
+      |FROM seeded ORDER BY doc_id""".stripMargin
+
+  /** Within-document repetition ratio (a standard quality signal: spammy /
+    * templated text repeats its own n-grams): 1 − distinct/total 3-gram
+    * shingles, on the fused native tokenizer+shingler.
+    */
+  private def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("sh", graft.functions.Sketches.shingleHashes(col("text"), 3))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"),
+        round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
+          size(col("sh")), 6).as("repetition_ratio"))
+      .orderBy("doc_id")
+
+  // lazy: shingleDuck is declared later in the file
+  private lazy val repetitionSql =
+    s"""SELECT doc_id,
+       |  CAST(greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) AS BIGINT) AS n_shingles,
+       |  CAST(len($shingleDuck) AS BIGINT) AS n_distinct,
+       |  round(CAST(1 AS DOUBLE) - CAST(len($shingleDuck) AS DOUBLE)
+       |    / greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1), 6) AS repetition_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus data-card stats: per-language document counts, token totals and
+    * exact-integer-ratio means — the summary table a dataset release ships.
+    * One map-side-combinable aggregate over per-row codegen'd metrics.
+    */
+  private def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("lang"),
+        expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        (sum("n_chars") / count(lit(1))).as("mean_chars"))
+      .orderBy("lang")
+
+  private val corpusStatsSql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+      |  CAST(min(length(text)) AS BIGINT) AS min_chars,
+      |  CAST(max(length(text)) AS BIGINT) AS max_chars,
+      |  CAST(sum(length(text)) AS BIGINT) / count(*) AS mean_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- dedup ----------------------------------------------------------
   /** documents plus perturbed copies (id + 1,000,000) so near/exact-dup
     * operators have true positives to find — mirrored exactly in the oracle.
@@ -453,5 +536,8 @@ object Pipeline {
     QueryDef("dx_quality", quality, Some(qualitySql)),
     QueryDef("dx_tokens", tokens, Some(tokensSql)),
     QueryDef("dx_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("dx_scrub", scrub, Some(scrubSql)),
+    QueryDef("dx_repetition", repetition, Some(repetitionSql)),
+    QueryDef("dx_corpus_stats", corpusStats, Some(corpusStatsSql)),
     QueryDef("dx_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)))
 }
