@@ -52,8 +52,65 @@ object Media {
       }
       .toDF()
   }
+
+  /** STUB resize: binary-in/binary-out per-partition transform — the shape
+    * of an image resize batch job. The fake "resize" deterministically
+    * samples the payload down to `targetW × targetH` bytes (stride
+    * sampling), so output size is exact and content is a pure function of
+    * the input; swap the loop body for a real codec resize.
+    */
+  def resizeStub(payloads: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val target = targetW * targetH
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // always exactly target bytes: stride < 1 repeats source bytes
+          // (upsample), stride > 1 skips (downsample) — like a real resize
+          val out = new Array[Byte](target)
+          val stride = bytes.length.toDouble / out.length
+          var i = 0
+          while (i < out.length) {
+            out(i) = if (bytes.isEmpty) 0 else bytes(math.min((i * stride).toInt, bytes.length - 1))
+            i += 1
+          }
+          (id, out, targetW.toLong, targetH.toLong)
+        }
+      }
+      .toDF("media_id", "payload", "width", "height")
+  }
+
+  /** STUB frame sampling: one media row explodes to one row per sampled
+    * "frame" (fixed-size byte window, every `everyN`-th) — the shape of a
+    * video frame-extraction job: per-partition batch iteration, one→many
+    * via iterator flatMap (no driver involvement, no RDD round-trip).
+    */
+  def sampleFrames(
+      payloads: DataFrame, frameBytes: Int = 256, everyN: Int = 2): DataFrame = {
+    require(frameBytes > 0 && everyN > 0)
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = math.max((bytes.length + frameBytes - 1) / frameBytes, 1)
+          (0 until nFrames by everyN).iterator.map { f =>
+            val from = math.min(f * frameBytes, math.max(bytes.length - 1, 0))
+            val until = math.min(from + frameBytes, bytes.length)
+            MediaFrame(id, f.toLong, java.util.Arrays.copyOfRange(bytes, from, math.max(until, from)))
+          }
+        }
+      }
+      .toDF()
+  }
 }
 
 final case class MediaFeatures(
     media_id: Long, n_bytes: Long, checksum: Long,
     fake_width: Long, fake_height: Long)
+
+final case class MediaFrame(media_id: Long, frame_idx: Long, frame: Array[Byte])

@@ -142,6 +142,27 @@ class PipelineSpec extends SparkSpec {
     assert(approx.except(exact).isEmpty, "LSH pair not present in exact result")
   }
 
+  test("media resize and frame sampling keep the partition-batch shape") {
+    val p = Media.withPayload(Tables(spark, sfDir, "documents").limit(50), "doc_id", "text")
+    // resize: exact output size, deterministic content
+    val r1 = Media.resizeStub(p, 16, 8)
+    val r2 = Media.resizeStub(p, 16, 8)
+    assert(r1.except(r2).isEmpty && r2.except(r1).isEmpty)
+    val sizes = r1.select(length(col("payload")).as("n"), col("width"), col("height"))
+      .distinct().collect()
+    assert(sizes.forall(r => r.getInt(0) == 16 * 8 && r.getLong(1) == 16 && r.getLong(2) == 8),
+      s"unexpected resize shapes: ${sizes.toSeq}")
+    // frame sampling: every 2nd 256-byte window, count matches the payload size
+    val frames = Media.sampleFrames(p, frameBytes = 256, everyN = 2)
+    val counts = frames.groupBy("media_id").count()
+      .join(p.select(col("media_id"), col("meta.n_bytes").as("nb")), "media_id")
+    val bad = counts.filter(
+      col("count") =!= expr("(CAST(ceil(nb / 256.0) AS BIGINT) + 1) DIV 2"))
+    assert(bad.isEmpty, s"frame counts off: ${bad.collect().toSeq.take(5)}")
+    // frames are real prefixes/windows of the payload bytes
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).isEmpty)
+  }
+
   test("exact dedup groups the synthesized duplicates") {
     val df = Registry.byName("dx_dedup_exact").fn(spark, sfDir)
     val dupGroups = df.filter(col("n_copies") === 2).count()
