@@ -317,6 +317,33 @@ object Pipeline {
        |WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.3
        |ORDER BY left_id, right_id""".stripMargin
 
+  /** Driver-gated MinHash recall floor over the *planted* duplicates: the
+    * synthesized near-dup pairs (doc_id, doc_id+1000000) are known to both
+    * engines, so the truth set needs no quadratic brute force at any scale
+    * factor. MinHash misses a planted pair either by LSH banding
+    * (probability ~1e-12 at 16 bands for jaccard ≥ 0.9) or because the
+    * mutation pushed a short doc below the jaccard threshold — the 0.95
+    * floor allows the latter. Oracle pins the planted count from the data
+    * and the flag to true.
+    */
+  private def dedupMinhashGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("left_id"), (col("doc_id") + 1000000).as("right_id"))
+      .localCheckpoint(false)
+    val found = MinHashLSH.candidatePairs(withDupes(s, dir, exact = false),
+      "doc_id", "text", threshold = 0.5)
+      .select("left_id", "right_id")
+    val nPlanted = planted.count()
+    val hits = planted.join(found, Seq("left_id", "right_id"), "left_semi").count()
+    Seq((nPlanted, hits.toDouble / nPlanted >= 0.95)).toDF("n_planted", "recall_ok")
+  }
+
+  private val dedupMinhashGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted, CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
   /** End-to-end dedup *resolution* — what a training-data pipeline actually
     * ships: near-dup pair detection (exact n-gram jaccard, inverted-index
     * formulation) → connected components over the pair graph → one
@@ -521,6 +548,7 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_minhash", dedupMinhash, None),
+    QueryDef("dx_dedup_minhash_gate", dedupMinhashGate, Some(dedupMinhashGateSql)),
     QueryDef("dx_dedup_simhash", dedupSimhash, None),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("dx_dedup_resolve", dedupResolve, Some(dedupResolveSql)),
