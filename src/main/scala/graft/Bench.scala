@@ -57,7 +57,8 @@ object Bench {
     val cpus_ = jmap(_._3)
     val gcs = jmap(_._4)
     val total = results.map(_._2).sum
-    val totalCpu = results.map(_._3).sum
+    // -1 per-query sentinels (unsupported MXBean) must not sum to nonsense
+    val totalCpu = if (results.exists(_._3 < 0)) -1.0 else results.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpus_,"gc_sec":$gcs,"total_cpu":$totalCpu,"cores":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -120,7 +120,13 @@ object Link {
   }
 
   /** If `e` is an equality between an `l.`-qualified and an `r.`-qualified
-    * column (either order), the canonical (leftCol, rightCol) pair.
+    * column (either order), the canonical (leftCol, rightCol) pair. The
+    * alias qualifier is matched case-insensitively, but column-name case is
+    * PRESERVED: the caller rebuilds join conditions from these names, and
+    * lower-casing them would break resolution under
+    * spark.sql.caseSensitive=true (and wrongly fuse columns differing only
+    * by case). Mixed-case spellings of the same column simply don't fuse —
+    * a missed optimisation, never a wrong plan.
     */
   private[graft] def asEquiConjunct(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Option[(String, String)] = {
@@ -128,8 +134,9 @@ object Link {
     import org.apache.spark.sql.catalyst.expressions.EqualTo
     def side(a: Any): Option[(String, String)] = a match {
       case attr: UnresolvedAttribute =>
-        attr.nameParts.map(_.toLowerCase) match {
-          case Seq(q, c) if q == "l" || q == "r" => Some((q, c))
+        attr.nameParts match {
+          case Seq(q, c) if q.equalsIgnoreCase("l") || q.equalsIgnoreCase("r") =>
+            Some((q.toLowerCase, c))
           case _ => None
         }
       case _ => None
@@ -294,6 +301,8 @@ object Link {
       comparisons.tail.zipWithIndex.map { case (c, i) =>
         avg(when(expr(c), 1.0).otherwise(0.0)).as(s"u${i + 1}")
       }: _*).head()
+    require(!rates.isNullAt(0),
+      "cannot estimate u: the sampled pair set is empty (empty input side?)")
     comparisons.indices
       .map(i => math.min(math.max(rates.getDouble(i), 1e-6), 1 - 1e-6))
   }

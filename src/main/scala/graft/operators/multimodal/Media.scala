@@ -60,7 +60,9 @@ object Media {
     * the input; swap the loop body for a real codec resize.
     */
   def resizeStub(payloads: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    require(targetW > 0 && targetH > 0)
+    require(targetW > 0 && targetH > 0 &&
+      targetW.toLong * targetH <= Int.MaxValue,
+      s"target $targetW x $targetH overflows a byte array")
     val spark = payloads.sparkSession
     import spark.implicits._
     val target = targetW * targetH

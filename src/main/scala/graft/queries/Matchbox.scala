@@ -267,23 +267,27 @@ object Matchbox {
     * random pair sample (no blocking bias), then held fixed while EM trains
     * λ and m on the blocked candidates.
     */
-  private def linkEm(s: SparkSession, dir: String): DataFrame = {
-    val even = evenCustomers(s, dir)
-    val odd = oddCustomers(s, dir)
-    val comparisons = Seq(
-      "l.c_mktsegment = r.c_mktsegment",
-      "abs(l.c_acctbal - r.c_acctbal) < 100")
-    val u = Link.estimateU(even, odd, "c_custkey", "c_custkey", comparisons,
-      maxPairs = 250000L)
+  // One EM recipe shared by mb_link_em and its gate — if the query's
+  // configuration drifts, the gate must drift with it or it gates nothing.
+  private val emComparisons = Seq(
+    "l.c_mktsegment = r.c_mktsegment",
+    "abs(l.c_acctbal - r.c_acctbal) < 100")
+  private val emBlocking =
+    "l.c_nationkey = r.c_nationkey AND abs(l.c_custkey - r.c_custkey) <= 20"
+
+  private def emRun(s: SparkSession, dir: String, u: Seq[Double]) =
     Link.fellegiSunterEm(
-      even, odd,
-      "c_custkey", "c_custkey",
-      blocking = "l.c_nationkey = r.c_nationkey AND abs(l.c_custkey - r.c_custkey) <= 20",
-      comparisons = comparisons,
-      threshold = 0.0,
-      uInit = Some(u), trainU = false)._1
+      evenCustomers(s, dir), oddCustomers(s, dir),
+      "c_custkey", "c_custkey", emBlocking, emComparisons,
+      threshold = 0.0, uInit = Some(u), trainU = false)
+
+  private def emSampledU(s: SparkSession, dir: String): Seq[Double] =
+    Link.estimateU(evenCustomers(s, dir), oddCustomers(s, dir),
+      "c_custkey", "c_custkey", emComparisons, maxPairs = 250000L)
+
+  private def linkEm(s: SparkSession, dir: String): DataFrame =
+    emRun(s, dir, emSampledU(s, dir))._1
       .orderBy("left_id", "right_id")
-  }
 
   /** Driver-gated EM evidence (the mb_link_em twin is iterative, so it has
     * no SQL oracle): mb_link_em's claim is that it is *deterministic given
@@ -296,17 +300,14 @@ object Matchbox {
     */
   private def linkEmGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val even = evenCustomers(s, dir)
-    val odd = oddCustomers(s, dir)
-    val comparisons = Seq(
-      "l.c_mktsegment = r.c_mktsegment",
-      "abs(l.c_acctbal - r.c_acctbal) < 100")
-    val blocking = "l.c_nationkey = r.c_nationkey AND abs(l.c_custkey - r.c_custkey) <= 20"
-    val u = Link.estimateU(even, odd, "c_custkey", "c_custkey", comparisons,
-      maxPairs = 250000L)
-    def run() = Link.fellegiSunterEm(
-      even, odd, "c_custkey", "c_custkey", blocking, comparisons,
-      iterations = 20, threshold = 0.0, uInit = Some(u), trainU = false)
+    val u = emSampledU(s, dir)
+    // lazy localCheckpoint: each run's scored output feeds a hash AND (for
+    // run 1) the stats aggregate — without it the blocked candidate join
+    // would re-execute per downstream action
+    def run() = {
+      val (scored, params) = emRun(s, dir, u)
+      (scored.localCheckpoint(false), params)
+    }
     def scoreHash(df: DataFrame): Long = df
       .agg(expr(
         "bit_xor(xxhash64(left_id, right_id, CAST(round(score, 9) AS STRING)))"))

@@ -168,6 +168,11 @@ object Pipeline {
     */
   private def repetition(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      // repetition is defined over docs with at least one full 3-gram; the
+      // same predicate in both engines keeps the under-3-token edge (where
+      // Spark's fused shingler and the string twin legitimately differ) out
+      // of the domain entirely
+      .filter(expr("size(split(trim(text), '\\\\s+')) >= 3"))
       .withColumn("sh", graft.functions.Sketches.shingleHashes(col("text"), 3))
       .select(col("doc_id"),
         size(col("sh")).cast("long").as("n_shingles"),
@@ -179,11 +184,13 @@ object Pipeline {
   // lazy: shingleDuck is declared later in the file
   private lazy val repetitionSql =
     s"""SELECT doc_id,
-       |  CAST(greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) AS BIGINT) AS n_shingles,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) - 2 AS BIGINT) AS n_shingles,
        |  CAST(len($shingleDuck) AS BIGINT) AS n_distinct,
        |  round(CAST(1 AS DOUBLE) - CAST(len($shingleDuck) AS DOUBLE)
-       |    / greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1), 6) AS repetition_ratio
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |    / (len(string_split_regex(trim(text), '\\s+')) - 2), 6) AS repetition_ratio
+       |FROM documents
+       |WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+       |ORDER BY doc_id""".stripMargin
 
   /** Corpus data-card stats: per-language document counts, token totals and
     * exact-integer-ratio means — the summary table a dataset release ships.
