@@ -65,6 +65,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("distributed components path handles a 20k-edge mixed graph exactly") {
+    // forces the large-star/small-star path (threshold 0) at a size where
+    // multiple rounds actually run: chains (deep diameter), cliques (wide),
+    // random noise edges — compared against the reference union-find
+    val rng = new Random(99)
+    val chain = (0L until 4000L).sliding(2).map(p => (p.head, p.last)).toSeq
+    val cliques = (0 until 40).flatMap { c =>
+      val base = 10000L + c * 50
+      for (i <- 0 until 12; j <- i + 1 until 12) yield (base + i, base + j)
+    }
+    val noise = Seq.fill(12000)((rng.nextInt(30000).toLong, rng.nextInt(30000).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = chain ++ cliques ++ noise
+    val expected = referenceComponents(edges)
+    val got = Components.connected(edges.toDF("src", "dst"), smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"distributed components wrong on ${edges.size} edges: " +
+        s"${got.toSet.diff(expected.toSet).take(5)} vs ${expected.toSet.diff(got.toSet).take(5)}")
+  }
+
+  test("AST-fused weighted linker equals the naive per-comparison scoring on random rules") {
+    import graft.operators.Link
+    val rng = new Random(21)
+    val n = 60
+    def side(tag: String) = (0 until n).map { i =>
+      (i.toLong, rng.nextInt(4), rng.nextInt(3), s"v${rng.nextInt(5)}", rng.nextInt(100))
+    }.toDF("id", "a", "b", "name", "x")
+    val left = side("l").localCheckpoint(true)
+    val right = side("r").localCheckpoint(true)
+    // rule pool mixes fusable equi-ANDs, residuals, parenthesised ORs, and
+    // top-level ORs (never fusable), plus a literal containing ' AND '
+    val pool = Seq(
+      "l.a = r.a AND l.b = r.b",
+      "l.a = r.a AND abs(l.x - r.x) < 30",
+      "l.b = r.b AND (l.name = r.name OR l.x = r.x)",
+      "l.a = r.a AND l.name = r.name OR l.b = r.b",
+      "l.name = r.name AND l.name != 'zz AND zz'",
+      "r.a = l.a AND l.x = r.x")
+    for (trial <- 1 to 4) {
+      val rules = rng.shuffle(pool).take(2 + rng.nextInt(3))
+        .map(c => (c, 0.1 + rng.nextInt(9) / 10.0))
+      val threshold = 0.2 + rng.nextInt(4) / 10.0
+      val fused = Link.weighted(left, right, "id", "id", rules, threshold)
+      // naive: per-comparison pair sets, integer milli-weights, same ratio
+      val totalMilli = rules.map(w => math.round(w._2 * 1000)).sum
+      val naive = rules.map { case (c, w) =>
+        left.alias("l").join(right.alias("r"), expr(c))
+          .select(col("l.id").cast("long").as("left_id"),
+            col("r.id").cast("long").as("right_id"))
+          .distinct()
+          .withColumn("w", lit(math.round(w * 1000)))
+      }.reduce(_ unionByName _)
+        .groupBy("left_id", "right_id")
+        .agg((sum(col("w")) / (1.0 * totalMilli)).as("score"))
+        .filter(col("score") >= threshold)
+      assert(fused.except(naive).isEmpty && naive.except(fused).isEmpty,
+        s"trial $trial rules=$rules threshold=$threshold")
+    }
+  }
+
   test("n-ary explode equals chained binary explode on random sources") {
     import graft.operators.Combine
     val rng = new Random(7)
