@@ -45,21 +45,28 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val cpu0 = processCpuNanos(); val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = if (cpu0 < 0) -1.0 else (processCpuNanos() - cpu0) / 1e9
       val gc = (gcMillis() - gc0) / 1e3
-      (name, wall, cpu, gc)
+      (name, wall, cpu, gc, ok)
     }
-    def jmap(f: ((String, Double, Double, Double)) => Double): String =
+    def jmap(f: ((String, Double, Double, Double, Boolean)) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jmap(_._2)
     val cpus_ = jmap(_._3)
     val gcs = jmap(_._4)
+    // a failed query must be visible, never a fast "success": its name is
+    // listed and its wall time still counts toward the total
+    val failed = results.filterNot(_._5).map(r => s"\"" + r._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // -1 per-query sentinels (unsupported MXBean) must not sum to nonsense
     val totalCpu = if (results.exists(_._3 < 0)) -1.0 else results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpus_,"gc_sec":$gcs,"total_cpu":$totalCpu,"cores":$cpus,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpus_,"gc_sec":$gcs,"total_cpu":$totalCpu,"cores":$cpus,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,8 +43,20 @@ object Num {
   /** A <=2-decimal-place double as integer hundredths. */
   def cents(c: Column): Column = round(c * lit(100)).cast("long")
 
+  /** Sum of an exact-integer (cents or cents-product) column in a
+    * decimal(38,0) accumulator — the Catalyst analogue of DuckDB's HUGEINT
+    * sum. Per-row products fit a long, but a single group aggregating
+    * billions of rows (one q1 group is a quarter of lineitem — ~1.5e14 rows
+    * at the 100 TB design point) overflows a long accumulator, and ANSI
+    * mode turns that into a query abort. 128-bit accumulation never
+    * overflows in practice and converts to double identically to the
+    * oracle's HUGEINT at the final division.
+    */
+  def bigSum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+
   /** Exact sum of a <=2dp double column, returned as double. */
-  def moneySum(c: Column): Column = sum(cents(c)) / 100.0
+  def moneySum(c: Column): Column = bigSum(cents(c)) / 100.0
 
   /** SQL twin of [[cents]] for the DuckDB oracle. */
   def centsSql(expr: String): String = s"CAST(round(($expr) * 100) AS BIGINT)"

@@ -25,16 +25,20 @@ object PrecisionRecall {
     * those with positive net. Ratios are computed as exact integer counts
     * divided once — deterministic across engines.
     */
-  def apply(assignments: DataFrame, judgements: DataFrame): DataFrame = {
-    val net = judgements
-      .select(
-        least(col("left_id"), col("right_id")).as("a"),
-        greatest(col("left_id"), col("right_id")).as("b"),
-        col("verdict"))
-      .groupBy("a", "b")
-      .agg(sum("verdict").cast("double").as("net"))
-    fromNet(assignments, net)
-  }
+  def apply(assignments: DataFrame, judgements: DataFrame): DataFrame =
+    fromNet(assignments, netOf(judgements))
+
+  /** Canonicalise (left, right) pair orientation and net the verdicts —
+    * shared by single- and multi-model scoring so the netting semantics
+    * cannot diverge between them.
+    */
+  private def netOf(judgements: DataFrame): DataFrame = judgements
+    .select(
+      least(col("left_id"), col("right_id")).as("a"),
+      greatest(col("left_id"), col("right_id")).as("b"),
+      col("verdict"))
+    .groupBy("a", "b")
+    .agg(sum("verdict").cast("double").as("net"))
 
   /** Full reference semantics: judgements as (shown, endorsed) cluster rows
     * plus a cluster expansion table — netted by [[Judgements.net]].
@@ -56,13 +60,7 @@ object PrecisionRecall {
     * only.
     */
   def multi(models: Seq[DataFrame], judgements: DataFrame): DataFrame = {
-    val net = judgements
-      .select(
-        least(col("left_id"), col("right_id")).as("a"),
-        greatest(col("left_id"), col("right_id")).as("b"),
-        col("verdict"))
-      .groupBy("a", "b")
-      .agg(sum("verdict").cast("double").as("net"))
+    val net = netOf(judgements)
     val leaves = net.filter(col("net") =!= 0.0)
       .select(col("a").as("id"))
       .union(net.filter(col("net") =!= 0.0).select(col("b").as("id")))

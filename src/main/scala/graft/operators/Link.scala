@@ -23,6 +23,7 @@ object Link {
     */
   def validateComparison(cond: String): Unit = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, UnresolvedNamedLambdaVariable}
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
     val parsed =
       try CatalystSqlParser.parseExpression(cond)
@@ -30,15 +31,32 @@ object Link {
         case e: Exception =>
           throw new IllegalArgumentException(s"comparison does not parse: $cond", e)
       }
-    var left = false; var right = false
+    // lambda arguments (`exists(l.tags, t -> ...)`) parse as plain
+    // attributes in the body — binding happens at analysis — so collect
+    // their names first and exempt them from the qualification rule
+    val lambdaArgs = scala.collection.mutable.Set[String]()
     parsed.foreach {
-      case a: UnresolvedAttribute =>
-        a.nameParts.map(_.toLowerCase) match {
-          case parts if parts.length > 1 && parts.head == "l" => left = true
-          case parts if parts.length > 1 && parts.head == "r" => right = true
-          case parts => throw new IllegalArgumentException(
-            s"column ${parts.mkString(".")} must be qualified as l.<col> or r.<col> in: $cond")
-        }
+      case f: LambdaFunction => f.arguments.foreach {
+        case v: UnresolvedNamedLambdaVariable =>
+          lambdaArgs ++= v.nameParts.map(_.toLowerCase)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    var left = false; var right = false
+    def check(rawParts: Seq[String]): Unit = rawParts.map(_.toLowerCase) match {
+      case parts if parts.length > 1 && parts.head == "l" => left = true
+      case parts if parts.length > 1 && parts.head == "r" => right = true
+      case parts if parts.length == 1 && lambdaArgs(parts.head) => ()
+      case parts => throw new IllegalArgumentException(
+        s"column ${parts.mkString(".")} must be qualified as l.<col> or r.<col> in: $cond")
+    }
+    parsed.foreach {
+      case a: UnresolvedAttribute => check(a.nameParts)
+      // the parser wraps EVERY attribute inside a lambda body as a
+      // lambda-variable candidate (binding happens at analysis) — a
+      // multi-part one is really an outer column reference
+      case v: UnresolvedNamedLambdaVariable => check(v.nameParts)
       case _ => ()
     }
     require(left && right, s"comparison must reference both l. and r. columns: $cond")
@@ -78,6 +96,7 @@ object Link {
       left: DataFrame, right: DataFrame,
       leftId: String, rightId: String,
       rounds: Seq[Seq[String]]): DataFrame = {
+    require(rounds.nonEmpty, "deterministicRounds needs at least one round")
     var remainingL = left
     var remainingR = right
     var acc: Option[DataFrame] = None

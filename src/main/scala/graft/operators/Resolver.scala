@@ -17,6 +17,7 @@ object Resolver {
   def computeClusters(
       modelEdges: Map[String, DataFrame],
       thresholds: Map[String, Double] = Map.empty): DataFrame = {
+    require(modelEdges.nonEmpty, "resolver needs at least one model's edges")
     val unknown = thresholds.keySet -- modelEdges.keySet
     require(unknown.isEmpty, s"Unknown models in thresholds: $unknown")
     val filtered = modelEdges.map { case (name, edges) =>

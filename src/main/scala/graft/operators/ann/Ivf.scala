@@ -70,10 +70,15 @@ object Ivf {
     centroids.map(_.toSeq).toSeq
   }
 
+  /** @param excludeSelf as in [[Knn.bruteForce]]: default suits
+    *   self-search; pass false for cross-dataset queries with colliding
+    *   id spaces.
+    */
   def search(
       queries: DataFrame, targets: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
     val cents = fitCentroids(targets, idCol, vecCol, nlist)
 
     val cells = targets
@@ -85,7 +90,7 @@ object Ivf {
       .withColumn("cell", explode(Centroids.nearest(col("qe"), cents, nprobe)))
 
     val scored = probes.join(cells, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", graft.functions.CosineSimilarity(col("qe"), col("te")))
     Knn.topKPerQuery(scored, k)
   }

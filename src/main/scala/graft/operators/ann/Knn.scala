@@ -45,13 +45,19 @@ object Knn {
       scored, Seq("query_id"), "sim", k, tieCols = Seq("neighbor_id"))
       .select("query_id", "neighbor_id", "rank", "sim")
 
+  /** @param excludeSelf drop (query_id == neighbor_id) pairs — correct for
+    *   self-search over one corpus (the default usage); pass false when
+    *   queries and targets are DIFFERENT datasets whose ids may
+    *   coincidentally collide, or id-equal true neighbors are silently lost.
+    */
   def bruteForce(
       queries: DataFrame, targets: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
     val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
     val scored = t.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", cosine("qe", "te"))
     topKPerQuery(scored, k)
   }
@@ -92,10 +98,14 @@ object Knn {
     * the dedup exchange, and the top-k operator's map-side partial bounds
     * the rerank shuffle.
     */
+  /** @param excludeSelf as in [[bruteForce]]: default suits self-search;
+    *   pass false for cross-dataset queries with colliding id spaces.
+    */
   def lsh(
       queries: DataFrame, targets: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 6, dim: Int = 64, tables: Int = 8): DataFrame = {
+      numPlanes: Int = 6, dim: Int = 64, tables: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
     require(tables >= 1, "need at least one hash table")
     val tableBuckets = (0 until tables)
       .map(t => lshBucket(vecCol, numPlanes, dim, planeOffset = t * numPlanes))
@@ -108,7 +118,7 @@ object Knn {
     // AQE when the candidate set is small), queries as an explicit broadcast.
     val cand = hashed(targets, "neighbor_id")
       .join(broadcast(hashed(queries, "query_id")), Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand

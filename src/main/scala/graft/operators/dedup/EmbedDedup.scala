@@ -60,6 +60,26 @@ object EmbedDedup {
         col("sim"))
   }
 
+  /** (id, vec, band, key) banded hyperplane signatures — shared by the
+    * batch self-join and the streaming twin
+    * ([[graft.streaming.Streams.incrementalEmbedDedup]]): both sides of the
+    * stream-vs-corpus contract MUST hash with the same plane families or
+    * the stream never collides with the corpus buckets.
+    */
+  private[graft] def bandedSignatures(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String,
+      bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
+    val sig = array((0 until bands).map { k =>
+      struct(lit(k).as("band"),
+        Knn.lshBucket(vecCol, planesPerBand, dim, planeOffset = k * planesPerBand).as("key"))
+    }: _*)
+    vectors
+      .select(col(idCol).cast("long").as(idAs), col(vecCol).as(vecAs),
+        explode(sig).as("bs"))
+      .select(col(idAs), col(vecAs), col("bs.band").as("band"), col("bs.key").as("key"))
+  }
+
   /** Approximate cosine-threshold self-join: banded hyperplane LSH
     * candidates, exact cosine verify. Output ⊆ [[allPairs]] output.
     */
@@ -68,12 +88,8 @@ object EmbedDedup {
       threshold: Double, bands: Int = 8, planesPerBand: Int = 4,
       dim: Int = 64): DataFrame = {
     val v = vectors.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
-    val sig = array((0 until bands).map { k =>
-      struct(lit(k).as("band"),
-        Knn.lshBucket("vec", planesPerBand, dim, planeOffset = k * planesPerBand).as("key"))
-    }: _*)
-    val banded = v.select(col("vid"), col("vec"), explode(sig).as("bs"))
-      .select(col("vid"), col("vec"), col("bs.band").as("band"), col("bs.key").as("key"))
+    val banded = bandedSignatures(vectors, idCol, vecCol, "vid", "vec",
+      bands, planesPerBand, dim)
     val cands = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -27,9 +27,6 @@ object MinHashLSH {
           .stripMargin).as("shingles"))
 
   /** 64-bit hashes of each shingle, computed once per doc. */
-  private def hashed(shingled: DataFrame): DataFrame =
-    shingled.withColumn("hs", expr("transform(shingles, s -> xxhash64(s))"))
-
   /** (id, hs) distinct shingle-hash sets — works on batch and streaming
     * DataFrames alike (pure per-row expressions). Uses the fused native
     * tokenizer+shingler (graft.functions.ShingleHashes): one pass over the

@@ -21,13 +21,16 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        (sum(qty) / 100.0).as("sum_qty"),
-        (sum(ext) / 100.0).as("sum_base_price"),
-        (sum(ext * (lit(100) - disc)) / 10000.0).as("sum_disc_price"),
-        (sum(ext * (lit(100) - disc) * (lit(100) + tax)) / 1000000.0).as("sum_charge"),
-        (sum(qty) / 100.0 / count(lit(1))).as("avg_qty"),
-        (sum(ext) / 100.0 / count(lit(1))).as("avg_price"),
-        (sum(disc) / 100.0 / count(lit(1))).as("avg_disc"),
+        // decimal(38,0) accumulators (Num.bigSum): one group here is a
+        // quarter of lineitem, far past a long accumulator at the design
+        // scale; DuckDB's HUGEINT sum is the oracle twin
+        (Num.bigSum(qty) / 100.0).as("sum_qty"),
+        (Num.bigSum(ext) / 100.0).as("sum_base_price"),
+        (Num.bigSum(ext * (lit(100) - disc)) / 10000.0).as("sum_disc_price"),
+        (Num.bigSum(ext * (lit(100) - disc) * (lit(100) + tax)) / 1000000.0).as("sum_charge"),
+        (Num.bigSum(qty) / 100.0 / count(lit(1))).as("avg_qty"),
+        (Num.bigSum(ext) / 100.0 / count(lit(1))).as("avg_price"),
+        (Num.bigSum(disc) / 100.0 / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -54,7 +57,7 @@ object Relational {
         col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
       .agg(
-        (sum(Num.cents(col("l_extendedprice")) * Num.cents(col("l_discount"))) / 10000.0)
+        (Num.bigSum(Num.cents(col("l_extendedprice")) * Num.cents(col("l_discount"))) / 10000.0)
           .as("revenue"),
         count(lit(1)).as("n_items"))
 
@@ -68,7 +71,7 @@ object Relational {
        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
 
   private def q3(s: SparkSession, dir: String): DataFrame = {
-    val revenue = sum(
+    val revenue = Num.bigSum(
       Num.cents(col("l_extendedprice")) * (lit(100) - Num.cents(col("l_discount")))) / 10000.0
     Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
@@ -114,7 +117,7 @@ object Relational {
       .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg((sum(
+      .agg((Num.bigSum(
         Num.cents(col("l_extendedprice")) * (lit(100) - Num.cents(col("l_discount")))) / 10000.0)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
@@ -173,7 +176,7 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n_items"),
-        (sum(Num.cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+        (Num.bigSum(Num.cents(col("l_quantity"))) / 100.0).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -232,7 +235,7 @@ object Relational {
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
       .agg(
         count(lit(1)).as("n"),
-        (sum(Num.cents(col("value"))) / 100.0).as("sum_value"))
+        (Num.bigSum(Num.cents(col("value"))) / 100.0).as("sum_value"))
       .orderBy("event_type", "hour_start")
 
   private val qEventsWindowSql =
@@ -293,9 +296,9 @@ object Relational {
         col("l_shipdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
       .join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
       .agg(
-        (sum(when(col("p_type").like("PROMO%"), ext).otherwise(lit(0L))) / 100.0)
+        (Num.bigSum(when(col("p_type").like("PROMO%"), ext).otherwise(lit(0L))) / 100.0)
           .as("promo_revenue"),
-        (sum(ext) / 100.0).as("total_revenue"))
+        (Num.bigSum(ext) / 100.0).as("total_revenue"))
   }
 
   private val q14Sql =
@@ -320,7 +323,7 @@ object Relational {
       .filter(Num.cents(col("l_quantity")) * lit(2) * col("n") < col("sum_qc"))
       .agg(
         count(lit(1)).as("n_small"),
-        (sum(Num.cents(col("l_extendedprice"))) / 100.0).as("small_revenue"))
+        (Num.bigSum(Num.cents(col("l_extendedprice"))) / 100.0).as("small_revenue"))
   }
 
   private val q17Sql =
@@ -381,7 +384,7 @@ object Relational {
         (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         date_format(col("l_shipdate"), "yyyy").as("l_year"))
-      .agg((sum(Num.cents(col("l_extendedprice")) *
+      .agg((Num.bigSum(Num.cents(col("l_extendedprice")) *
         (lit(100) - Num.cents(col("l_discount")))) / 10000.0).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
@@ -432,8 +435,8 @@ object Relational {
       .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nationS), col("s_nationkey") === col("s_nk"))
       .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
-      .agg((sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0L))) /
-        sum(vol)).as("mkt_share"))
+      .agg((Num.bigSum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0L))).cast("double") /
+        Num.bigSum(vol).cast("double")).as("mkt_share"))
       .orderBy("o_year")
   }
 
@@ -470,7 +473,7 @@ object Relational {
       .filter(col("l_returnflag") === "R")
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-      .agg((sum(Num.cents(col("l_extendedprice")) *
+      .agg((Num.bigSum(Num.cents(col("l_extendedprice")) *
         (lit(100) - Num.cents(col("l_discount")))) / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -497,7 +500,7 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1999-01-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("1999-04-01 00:00:00").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg((sum(Num.cents(col("l_extendedprice")) *
+      .agg((Num.bigSum(Num.cents(col("l_extendedprice")) *
         (lit(100) - Num.cents(col("l_discount")))) / 10000.0).as("total_revenue"))
     val mx = rev.agg(max("total_revenue").as("max_revenue"))
     rev.join(broadcast(mx), col("total_revenue") === col("max_revenue"))
@@ -526,7 +529,7 @@ object Relational {
   private def q18(s: SparkSession, dir: String): DataFrame = {
     val big = Tables(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg((sum(Num.cents(col("l_quantity"))) / 100.0).as("total_qty"))
+      .agg((Num.bigSum(Num.cents(col("l_quantity"))) / 100.0).as("total_qty"))
       .filter(col("total_qty") > 250)
     Tables(s, dir, "customer")
       .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
@@ -559,7 +562,7 @@ object Relational {
   private def q22(s: SparkSession, dir: String): DataFrame = {
     val customer = Tables(s, dir, "customer")
     val avgBal = customer.filter(col("c_acctbal") > 0)
-      .agg((sum(Num.cents(col("c_acctbal"))) / 100.0 / count(lit(1))).as("avg_bal"))
+      .agg((Num.bigSum(Num.cents(col("c_acctbal"))) / 100.0 / count(lit(1))).as("avg_bal"))
     val recent = Tables(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp"))
       .select(col("o_custkey")).distinct()
@@ -569,7 +572,7 @@ object Relational {
       .groupBy(col("c_nationkey"))
       .agg(
         count(lit(1)).as("n_custs"),
-        (sum(Num.cents(col("c_acctbal"))) / 100.0).as("total_bal"))
+        (Num.bigSum(Num.cents(col("c_acctbal"))) / 100.0).as("total_bal"))
       .orderBy("c_nationkey")
   }
 

@@ -19,12 +19,13 @@ object Warehouse {
       spark: SparkSession, format: String, path: String,
       schema: Option[StructType] = None,
       options: Map[String, String] = Map.empty): DataFrame = {
-    val reader = spark.read.format(format).options(options)
-    schema.fold(
-      if (format == "csv" || format == "json")
-        reader.option("inferSchema", "true").option("header", "true")
-      else reader
-    )(sch => reader.schema(sch)).load(path)
+    // header applies with AND without an explicit schema — otherwise a
+    // schema'd CSV read would ingest the header line as a data row
+    val base = spark.read.format(format).options(options)
+    val reader =
+      if (format == "csv" || format == "json") base.option("header", "true")
+      else base
+    schema.fold(reader.option("inferSchema", "true"))(reader.schema).load(path)
   }
 
   /** Relational-warehouse source over JDBC — the reference's primary ingest

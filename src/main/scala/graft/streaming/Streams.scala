@@ -114,17 +114,9 @@ object Streams {
       idCol: String, vecCol: String,
       threshold: Double = 0.3, bands: Int = 8, planesPerBand: Int = 4,
       dim: Int = 64): DataFrame = {
-    import graft.operators.ann.Knn
-    def banded(df: DataFrame, idAs: String, vecAs: String) = {
-      val sig = array((0 until bands).map { k =>
-        struct(lit(k).as("band"),
-          Knn.lshBucket(vecCol, planesPerBand, dim, planeOffset = k * planesPerBand)
-            .as("key"))
-      }: _*)
-      df.select(col(idCol).cast("long").as(idAs), col(vecCol).as(vecAs),
-          explode(sig).as("bs"))
-        .select(col(idAs), col(vecAs), col("bs.band").as("band"), col("bs.key").as("key"))
-    }
+    import graft.operators.dedup.EmbedDedup.bandedSignatures
+    def banded(df: DataFrame, idAs: String, vecAs: String) =
+      bandedSignatures(df, idCol, vecCol, idAs, vecAs, bands, planesPerBand, dim)
     val refBands = banded(reference, "ref_id", "rvec").localCheckpoint(false)
     // the stream side carries its vector through the band explode so the
     // verify step needs no second stream join

@@ -123,6 +123,11 @@ class MatchboxSpec extends SparkSpec {
 
   test("comparison validation requires l./r. qualification on both sides") {
     Link.validateComparison("l.name = r.name AND abs(l.x - r.y) < 2")
+    // lambda variables are bound at analysis, not qualification errors
+    Link.validateComparison("exists(l.tags, t -> t = r.tag)")
+    intercept[IllegalArgumentException] {
+      Link.validateComparison("exists(l.tags, t -> u = r.tag)") // u unbound
+    }
     intercept[IllegalArgumentException] {
       Link.validateComparison("l.name = name2") // unqualified column
     }
