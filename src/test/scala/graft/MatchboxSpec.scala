@@ -121,6 +121,20 @@ class MatchboxSpec extends SparkSpec {
     assert(joins <= 2, s"expected at most 2 joins after fusing, saw $joins")
   }
 
+  test("reference empty-result edge cases return empty, not errors") {
+    // mirrors test_dedupers_deterministic.py::test_no_deduplication,
+    // test_linkers_deterministic.py::test_no_matching_entities_linking,
+    // test_components.py::test_components_compute_clusters_returns_empty_for_no_edges
+    val unique = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    assert(Dedupe.naive(unique, "id", Seq("v")).isEmpty)
+    val l = Seq((1L, "x")).toDF("id", "v")
+    val r = Seq((2L, "y")).toDF("id", "v")
+    assert(Link.deterministic(l, r, "id", "id", Seq("l.v = r.v")).isEmpty)
+    import graft.operators.Resolver
+    val weak = Seq((1L, 2L, 0.4)).toDF("left_id", "right_id", "score")
+    assert(Resolver.computeClusters(Map("m" -> weak), Map("m" -> 0.9)).isEmpty)
+  }
+
   test("comparison validation requires l./r. qualification on both sides") {
     Link.validateComparison("l.name = r.name AND abs(l.x - r.y) < 2")
     // lambda variables are bound at analysis, not qualification errors
