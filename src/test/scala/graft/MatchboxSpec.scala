@@ -267,6 +267,21 @@ class MatchboxSpec extends SparkSpec {
     assert(out((1L, 2L)) == 0.9 && out((3L, 4L)) == 0.5 && out.size == 2)
   }
 
+  test("score normalisation rejects out-of-range, NaN, and null scores") {
+    // reference results.py normalise_model_scores raises on invalid scores
+    def run(score: java.lang.Double) = Scores.normalise(
+      Seq((1L, 2L)).toDF("left_id", "right_id")
+        .withColumn("score", lit(score).cast("double"))).collect()
+    run(0.0); run(1.0) // bounds are inclusive
+    for (bad <- Seq[java.lang.Double](1.5, -0.1, Double.NaN, null)) {
+      val e = intercept[Exception](run(bad))
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("must be in [0.0, 1.0]")),
+        s"score $bad: unexpected error ${e.getMessage}")
+    }
+  }
+
   test("rounds linker never rematches a pool removed in round 1") {
     val df = Registry.byName("mb_link_rounds").fn(spark, sfDir)
     // round-1 matches are key-equality; any id matched there must not appear
