@@ -57,14 +57,25 @@ object Combine {
   }
 
   /** Cleaning dict: each alias maps to a SQL expression over the input
-    * columns; the id passes through; unmentioned columns are dropped
-    * (reference: queries.py `_clean`). Expressions are compiled by Catalyst
-    * — they stay inside whole-stage codegen.
+    * columns; the id — and, as in the reference, a `leaf_id` column when
+    * present — passes through; unmentioned columns are dropped
+    * (reference: queries.py `_clean`; leaf_id rule pinned by
+    * test_queries.py::test_clean_leaf_id_passed_through). Expressions are
+    * compiled by Catalyst — they stay inside whole-stage codegen. Aliases
+    * are emitted in sorted order so the output schema never depends on Map
+    * iteration order.
     */
   def clean(df: DataFrame, id: String, cleaning: Map[String, String]): DataFrame = {
-    val cols: Seq[Column] = col(id) +: cleaning.toSeq.map { case (alias, sql) =>
-      expr(sql).as(alias)
-    }
+    val passthrough =
+      id +: (if (df.columns.contains("leaf_id") && id != "leaf_id") Seq("leaf_id") else Nil)
+    val cols: Seq[Column] = passthrough.map(col) ++
+      cleaning.toSeq.sortBy(_._1).map { case (alias, sql) => expr(sql).as(alias) }
     df.select(cols: _*)
   }
+
+  /** None = no cleaning: the original frame unchanged (reference
+    * test_clean_none_returns_original).
+    */
+  def clean(df: DataFrame, id: String, cleaning: Option[Map[String, String]]): DataFrame =
+    cleaning.fold(df)(clean(df, id, _))
 }

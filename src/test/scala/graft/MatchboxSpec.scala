@@ -121,6 +121,18 @@ class MatchboxSpec extends SparkSpec {
     assert(joins <= 2, s"expected at most 2 joins after fusing, saw $joins")
   }
 
+  test("clean passes leaf_id through and treats None as no-op (reference contract)") {
+    import graft.operators.Combine
+    val df = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "leaf_id", "value")
+    val cleaned = Combine.clean(df, "id", Map("doubled" -> "value * 2"))
+    assert(cleaned.columns.toSeq == Seq("id", "leaf_id", "doubled"))
+    assert(cleaned.orderBy("id").collect().map(_.getInt(2)).toSeq == Seq(20, 40))
+    // None = original unchanged; empty dict = id (+ leaf_id) only
+    assert(Combine.clean(df, "id", None).columns.toSeq == df.columns.toSeq)
+    assert(Combine.clean(df, "id", Map.empty[String, String]).columns.toSeq ==
+      Seq("id", "leaf_id"))
+  }
+
   test("reference empty-result edge cases return empty, not errors") {
     // mirrors test_dedupers_deterministic.py::test_no_deduplication,
     // test_linkers_deterministic.py::test_no_matching_entities_linking,
