@@ -91,6 +91,15 @@ object Lookup {
       .withColumn("cluster_id", coalesce(col("component"), col("id")))
       .drop("component")
 
+  /** Leaf sets per cluster (reference results.py:132 `as_leaf_sets`): each
+    * cluster's sorted distinct leaf ids as one array row. Partial
+    * aggregation pre-combines the collect on the map side; sorting makes
+    * array contents deterministic.
+    */
+  def asLeafSets(dump: DataFrame): DataFrame =
+    dump.groupBy("cluster_id")
+      .agg(sort_array(collect_set(col("leaf_id"))).as("leaf_ids"))
+
   /** `match`: for probe keys in one source, return the co-clustered keys of
     * a target source.
     */

@@ -121,6 +121,14 @@ class MatchboxSpec extends SparkSpec {
     assert(joins <= 2, s"expected at most 2 joins after fusing, saw $joins")
   }
 
+  test("asLeafSets groups sorted distinct leaves per cluster") {
+    import graft.operators.Lookup
+    val dump = Seq((1L, 5L), (1L, 3L), (1L, 5L), (2L, 9L)).toDF("cluster_id", "leaf_id")
+    val sets = Lookup.asLeafSets(dump).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sets == Map(1L -> Seq(3L, 5L), 2L -> Seq(9L)))
+  }
+
   test("clean passes leaf_id through and treats None as no-op (reference contract)") {
     import graft.operators.Combine
     val df = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "leaf_id", "value")
