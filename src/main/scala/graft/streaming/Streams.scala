@@ -23,7 +23,7 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        (sum(Num.cents(col("value"))) / 100.0).as("sum_value"))
+        Num.moneySum(col("value")).as("sum_value"))
       .select(
         col("window.start").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
