@@ -79,27 +79,81 @@ object PrecisionRecall {
   /** Pair expansion is quadratic in cluster size: one over-merged cluster of
     * judged leaves emits |C|²/2 pairs out of a single reducer — and an
     * over-permissive linker is exactly what eval exists to catch, so the
-    * "clusters are small" assumption cannot be trusted here. Any cluster with
-    * more judged members than `spark.graft.eval.maxClusterSize` (default
-    * 100000) fails loudly, naming the cluster, instead of OOMing the
-    * evaluator. The probe is one map-side-combinable count aggregate over the
-    * (already checkpointed) membership — negligible next to the expansion.
+    * "clusters are small" assumption cannot be trusted here. Any cluster
+    * with more judged members than `spark.graft.eval.maxClusterSize`
+    * (default 100000) either fails loudly, naming the cluster, or — with
+    * `spark.graft.eval.expandLargeClusters=true` — has its expansion spread
+    * over triangle blocks (see [[expandPairs]]) so the evaluator still
+    * completes. The probe is one map-side-combinable count aggregate over
+    * the (already checkpointed) membership — negligible next to the
+    * expansion. Returns the components that need the blocked path (empty in
+    * the usual case).
     */
-  private def guardClusterSizes(member: DataFrame, what: String): Unit = {
-    val maxSize = member.sparkSession.conf
-      .get("spark.graft.eval.maxClusterSize", "100000").toLong
-    member.groupBy("component").agg(count(lit(1)).as("csize"))
+  private def guardClusterSizes(member: DataFrame, what: String): Seq[Long] = {
+    val conf = member.sparkSession.conf
+    val maxSize = conf.get("spark.graft.eval.maxClusterSize", "100000").toLong
+    val expand = conf.get("spark.graft.eval.expandLargeClusters", "false").toBoolean
+    val oversized = member.groupBy("component").agg(count(lit(1)).as("csize"))
       .filter(col("csize") > maxSize)
       .orderBy(col("csize").desc)
-      .take(1)
-      .foreach { r =>
-        val size = r.getLong(1)
-        throw new IllegalStateException(
-          s"$what cluster ${r.get(0)} has $size judged members; pair expansion would " +
-            s"emit ~${size * size / 2} pairs on one reducer. This usually means the " +
-            "model over-merged. Raise spark.graft.eval.maxClusterSize only if a " +
-            s"cluster of $size is genuinely expected.")
-      }
+      .collect()
+    if (oversized.nonEmpty && !expand) {
+      val r = oversized.head
+      val size = r.getLong(1)
+      throw new IllegalStateException(
+        s"$what cluster ${r.get(0)} has $size judged members; pair expansion would " +
+          s"emit ~${size * size / 2} pairs on one reducer. This usually means the " +
+          "model over-merged. Raise spark.graft.eval.maxClusterSize only if a " +
+          s"cluster of $size is genuinely expected, or set " +
+          "spark.graft.eval.expandLargeClusters=true to spread the expansion " +
+          "over triangle blocks.")
+    }
+    oversized.map(_.getLong(0)).toSeq
+  }
+
+  /** Within-cluster pair expansion. Clusters under the size cap use the
+    * plain self-equi-join on the cluster id (one shuffle, one reducer per
+    * cluster). Oversized clusters take the triangle block partition
+    * (the [[graft.operators.dedup.EmbedDedup.allPairs]] device): members
+    * replicate to the block-pairs of a B×B triangle and pairs come from an
+    * equi-join on (component, blockPair), so the |C|²/2 compute spreads
+    * over B(B+1)/2 reducers with O(|C|·B) shuffle instead of one reducer.
+    * Output for both paths: canonical (a < b) pairs, each exactly once.
+    */
+  private def expandPairs(member: DataFrame, oversized: Seq[Long]): DataFrame = {
+    val plain = {
+      val m = if (oversized.isEmpty) member
+        else member.filter(!col("component").isInCollection(oversized))
+      m.alias("x")
+        .join(m.alias("y"),
+          col("x.component") === col("y.component") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+    }
+    if (oversized.isEmpty) plain
+    else {
+      val spark = member.sparkSession
+      val numBlocks = spark.conf.get("spark.graft.eval.expansionBlocks", "16").toInt
+      val big = member.filter(col("component").isInCollection(oversized))
+        .withColumn("blk", pmod(col("id"), lit(numBlocks)).cast("int"))
+      val blockPairs = spark.range(numBlocks.toLong * numBlocks)
+        .select(
+          (col("id") / numBlocks).cast("int").as("bi"),
+          pmod(col("id"), lit(numBlocks)).cast("int").as("bj"))
+        .filter(col("bi") <= col("bj"))
+      val left = big.join(broadcast(blockPairs), col("blk") === col("bi"))
+        .select(col("component"), col("bi"), col("bj"), col("id").as("xa"))
+      val right = big.join(broadcast(blockPairs), col("blk") === col("bj"))
+        .select(col("component").as("rc"), col("bi").as("rbi"),
+          col("bj").as("rbj"), col("id").as("xb"))
+      // cross-block pairs materialise in exactly one orientation; same-block
+      // pairs need the id-order filter (the allPairs invariant)
+      val blocked = left.join(right,
+          col("component") === col("rc") &&
+            col("bi") === col("rbi") && col("bj") === col("rbj") &&
+            (col("bi") < col("rbj") || col("xa") < col("xb")))
+        .select(least(col("xa"), col("xb")).as("a"), greatest(col("xa"), col("xb")).as("b"))
+      plain.unionByName(blocked)
+    }
   }
 
   private def multiFromNet(
@@ -122,11 +176,8 @@ object PrecisionRecall {
 
     val perModel = models.zipWithIndex.map { case (assignments, i) =>
       val member = assignments.join(shared, "id").localCheckpoint(false)
-      guardClusterSizes(member, s"model $i")
-      val modelPairs = member.alias("x")
-        .join(member.alias("y"),
-          col("x.component") === col("y.component") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("a"), col("y.id").as("b"))
+      val oversized = guardClusterSizes(member, s"model $i")
+      val modelPairs = expandPairs(member, oversized)
         .join(net, Seq("a", "b")) // drop un-judged and neutrally-judged pairs
         .select(col("a"), col("b"), lit(1L).as("m"))
       modelPairs.join(validation, Seq("a", "b"), "full_outer")
@@ -152,11 +203,8 @@ object PrecisionRecall {
       .union(net.select(col("b").as("id"))).distinct()
 
     val member = assignments.join(judgedLeaves, "id").localCheckpoint(false)
-    guardClusterSizes(member, "model")
-    val modelPairs = member.alias("x")
-      .join(member.alias("y"),
-        col("x.component") === col("y.component") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val oversized = guardClusterSizes(member, "model")
+    val modelPairs = expandPairs(member, oversized)
       .join(net, Seq("a", "b")) // drop un-judged and neutrally-judged pairs
 
     // Shared-leaves rule: validation pairs must lie within the model's leaf

@@ -81,11 +81,21 @@ class EvalSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("40 judged members"))
       assert(e.getMessage.contains("maxClusterSize"))
-      // same data under the default cap evaluates fine
+      // opt-in triangle-block expansion: same cap, but the mega-cluster's
+      // pairs spread over block-pair reducers — results identical to naive
+      spark.conf.set("spark.graft.eval.expandLargeClusters", "true")
+      spark.conf.set("spark.graft.eval.expansionBlocks", "4")
+      val blocked = PrecisionRecall(mega, judged).head()
+      spark.conf.unset("spark.graft.eval.expandLargeClusters")
       spark.conf.unset("spark.graft.eval.maxClusterSize")
       val r = PrecisionRecall(mega, judged).head()
       assert(r.getAs[Long]("n_validation") == 39L)
-    } finally spark.conf.unset("spark.graft.eval.maxClusterSize")
+      assert(blocked == r, s"blocked expansion diverged: $blocked vs $r")
+    } finally {
+      spark.conf.unset("spark.graft.eval.maxClusterSize")
+      spark.conf.unset("spark.graft.eval.expandLargeClusters")
+      spark.conf.unset("spark.graft.eval.expansionBlocks")
+    }
   }
 
   test("judgement validation flags duplicates and shown/endorsed inconsistency") {
