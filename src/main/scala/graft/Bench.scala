@@ -55,18 +55,38 @@ object Bench {
       val gc = (gcMillis() - gc0) / 1e3
       (name, wall, cpu, gc, ok)
     }
-    def jmap(f: ((String, Double, Double, Double, Boolean)) => Double): String =
-      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = jmap(_._2)
-    val cpus_ = jmap(_._3)
-    val gcs = jmap(_._4)
+    def round(v: Double, dp: Int): String = {
+      val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).bigDecimal
+        .stripTrailingZeros.toPlainString
+      if (s == "-0") "0" else s
+    }
+    def jmap(f: ((String, Double, Double, Double, Boolean)) => Double, dp: Int): String =
+      results.map(r => s"\"" + r._1 + "\":" + round(f(r), dp)).mkString("{", ",", "}")
     // a failed query must be visible, never a fast "success": its name is
     // listed and its wall time still counts toward the total
     val failed = results.filterNot(_._5).map(r => s"\"" + r._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // -1 per-query sentinels (unsupported MXBean) must not sum to nonsense
     val totalCpu = if (results.exists(_._3 < 0)) -1.0 else results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpus_,"gc_sec":$gcs,"total_cpu":$totalCpu,"cores":$cpus,"failed":$failed,"sf":"$sfDir"}""")
+    val totalGc = results.map(_._4).sum
+    // Full-precision per-query wall/cpu/gc detail goes to a repo file; the
+    // stdout line must stay compact because the bench harness keeps only the
+    // tail of stdout (observed: last 2000 chars), and an over-long line gets
+    // its head — including "value" — truncated away (this is what voided the
+    // round-3 official bench numbers).
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2, 6)},"cpu_sec":${jmap(_._3, 6)},"gc_sec":${jmap(_._4, 6)},"total_cpu":$totalCpu,"total_gc":$totalGc,"cores":$cpus,"failed":$failed,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // detail file is best-effort
+    def line(dp: Int): String =
+      s"""{"metric":"total","value":${round(total, 2)},"unit":"sec","queries":${jmap(_._2, dp)},"total_cpu":${round(totalCpu, 1)},"total_gc":${round(totalGc, 1)},"cores":$cpus,"failed":$failed,"sf":"$sfDir"}"""
+    // Degrade per-query precision until the line fits the tail window with
+    // room for sbt's trailing "[success] ..." line (~80 chars) and its own
+    // "[info] " prefix.
+    val out = (2 to 0 by -1).map(line).find(_.length <= 1850).getOrElse(
+      s"""{"metric":"total","value":${round(total, 2)},"unit":"sec","queries":{},"total_cpu":${round(totalCpu, 1)},"cores":$cpus,"failed":$failed,"sf":"$sfDir"}""")
+    println(out)
     spark.stop()
   }
 }

@@ -89,7 +89,7 @@ object PrecisionRecall {
     * expansion. Returns the components that need the blocked path (empty in
     * the usual case).
     */
-  private def guardClusterSizes(member: DataFrame, what: String): Seq[Long] = {
+  private def guardClusterSizes(member: DataFrame, what: String): Seq[Any] = {
     val conf = member.sparkSession.conf
     val maxSize = conf.get("spark.graft.eval.maxClusterSize", "100000").toLong
     val expand = conf.get("spark.graft.eval.expandLargeClusters", "false").toBoolean
@@ -108,7 +108,8 @@ object PrecisionRecall {
           "spark.graft.eval.expandLargeClusters=true to spread the expansion " +
           "over triangle blocks.")
     }
-    oversized.map(_.getLong(0)).toSeq
+    // read generically — components may carry string ids upstream of hashing
+    oversized.map(_.get(0)).toSeq
   }
 
   /** Within-cluster pair expansion. Clusters under the size cap use the
@@ -120,7 +121,7 @@ object PrecisionRecall {
     * over B(B+1)/2 reducers with O(|C|·B) shuffle instead of one reducer.
     * Output for both paths: canonical (a < b) pairs, each exactly once.
     */
-  private def expandPairs(member: DataFrame, oversized: Seq[Long]): DataFrame = {
+  private def expandPairs(member: DataFrame, oversized: Seq[Any]): DataFrame = {
     val plain = {
       val m = if (oversized.isEmpty) member
         else member.filter(!col("component").isInCollection(oversized))
@@ -133,8 +134,15 @@ object PrecisionRecall {
     else {
       val spark = member.sparkSession
       val numBlocks = spark.conf.get("spark.graft.eval.expansionBlocks", "16").toInt
+      require(numBlocks >= 1,
+        s"spark.graft.eval.expansionBlocks must be >= 1, got $numBlocks " +
+          "(a non-positive block count would silently drop every pair from " +
+          "oversized clusters)")
+      // hash the id before pmod: ids need not be numeric (pmod on a string id
+      // yields null → zero pairs, silently), and hashing also spreads skewed
+      // numeric id ranges evenly over blocks
       val big = member.filter(col("component").isInCollection(oversized))
-        .withColumn("blk", pmod(col("id"), lit(numBlocks)).cast("int"))
+        .withColumn("blk", pmod(xxhash64(col("id")), lit(numBlocks.toLong)).cast("int"))
       val blockPairs = spark.range(numBlocks.toLong * numBlocks)
         .select(
           (col("id") / numBlocks).cast("int").as("bi"),

@@ -66,8 +66,12 @@ object Combine {
     * iteration order.
     */
   def clean(df: DataFrame, id: String, cleaning: Map[String, String]): DataFrame = {
+    // A cleaning alias may redefine a passthrough column (e.g. leaf_id); the
+    // alias wins and the automatic passthrough is skipped — emitting both
+    // would duplicate the name and break downstream col() resolution.
     val passthrough =
-      id +: (if (df.columns.contains("leaf_id") && id != "leaf_id") Seq("leaf_id") else Nil)
+      (id +: (if (df.columns.contains("leaf_id") && id != "leaf_id") Seq("leaf_id") else Nil))
+        .filterNot(cleaning.contains)
     val cols: Seq[Column] = passthrough.map(col) ++
       cleaning.toSeq.sortBy(_._1).map { case (alias, sql) => expr(sql).as(alias) }
     df.select(cols: _*)

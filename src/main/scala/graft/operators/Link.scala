@@ -364,9 +364,14 @@ object Link {
 
     val gCols = comparisons.indices.map(i => s"g$i")
     // Pattern contingency table: tiny (<= 2^k rows), collected to the driver.
+    // Sorted by gamma vector: collect() order follows partition order, and
+    // floating-point accumulation below is order-sensitive — an unsorted
+    // table can flip last-ulp bits between runs and break the bit-exact
+    // determinism the mb_link_em_gate asserts.
     val patterns = cand.groupBy(gCols.map(col): _*).count()
       .collect()
       .map(row => (gCols.map(row.getAs[Int]), row.getAs[Long]("count")))
+      .sortBy(_._1.mkString(","))
 
     var lambda = lambdaInit
     var m = Array.fill(comparisons.size)(0.9)

@@ -98,6 +98,33 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("blocked expansion handles string ids and rejects non-positive block counts") {
+    // pre-fix, pmod(string_id, B) was null → the blocked path silently
+    // emitted zero pairs for any non-numeric id; now ids are hashed first
+    val ids = (1 to 25).map(i => s"doc-$i")
+    val mega = ids.map(i => (i, "c1")).toDF("id", "component")
+    val judged = ids.sliding(2).map(p => (p.head, p.last, 1)).toSeq
+      .toDF("left_id", "right_id", "verdict")
+    try {
+      val plain = PrecisionRecall(mega, judged).head()
+      spark.conf.set("spark.graft.eval.maxClusterSize", "10")
+      spark.conf.set("spark.graft.eval.expandLargeClusters", "true")
+      spark.conf.set("spark.graft.eval.expansionBlocks", "4")
+      val blocked = PrecisionRecall(mega, judged).head()
+      assert(blocked.getAs[Long]("n_validation") == 24L)
+      assert(blocked == plain, s"string-id blocked expansion diverged: $blocked vs $plain")
+      spark.conf.set("spark.graft.eval.expansionBlocks", "0")
+      val e = intercept[IllegalArgumentException] {
+        PrecisionRecall(mega, judged).head()
+      }
+      assert(e.getMessage.contains("expansionBlocks"))
+    } finally {
+      spark.conf.unset("spark.graft.eval.maxClusterSize")
+      spark.conf.unset("spark.graft.eval.expandLargeClusters")
+      spark.conf.unset("spark.graft.eval.expansionBlocks")
+    }
+  }
+
   test("judgement validation flags duplicates and shown/endorsed inconsistency") {
     import graft.eval.Judgements
     val exp = Seq(

@@ -139,6 +139,10 @@ class MatchboxSpec extends SparkSpec {
     assert(Combine.clean(df, "id", None).columns.toSeq == df.columns.toSeq)
     assert(Combine.clean(df, "id", Map.empty[String, String]).columns.toSeq ==
       Seq("id", "leaf_id"))
+    // a cleaning alias that redefines leaf_id wins — no duplicate column
+    val aliased = Combine.clean(df, "id", Map("leaf_id" -> "upper(leaf_id)"))
+    assert(aliased.columns.toSeq == Seq("id", "leaf_id"))
+    assert(aliased.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("A", "B"))
   }
 
   test("reference empty-result edge cases return empty, not errors") {
