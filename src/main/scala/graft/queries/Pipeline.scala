@@ -351,6 +351,55 @@ object Pipeline {
     """SELECT CAST(count(*) AS BIGINT) AS n_planted, CAST(1 AS BOOLEAN) AS recall_ok
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** Driver-gated SimHash *banding losslessness*: the band blocking promises
+    * recall 1.0 for hamming ≤ bands−1 — this gate proves it per round by
+    * comparing the banded candidate pairs against a brute-force hamming
+    * check over every doc pair. The brute side runs as a triangle
+    * block-partition equi-join (the [[graft.operators.dedup.EmbedDedup]]
+    * device) over the 16-byte (id, simhash) table — no cartesian in the
+    * plan, O(n·B) shuffle — with the codegen'd `bit_count(xor)` filter
+    * row-local before any exchange. A planted-recall floor (the minhash
+    * gate's shape) would be dishonest here: the tail mutation legitimately
+    * pushes many planted pairs past hamming 3, and that miss is the
+    * *fingerprint's* property, not the operator's. What the operator owes
+    * the user is exactly "banded ≡ brute force", so that is what's gated.
+    * Oracle pins the corpus size from the data and the flag to true.
+    */
+  private def dedupSimhashGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = withDupes(s, dir, exact = false)
+    val banded = SimHash.candidatePairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("left_id", "right_id").localCheckpoint(false)
+    val sh = SimHash.simhash(corpus, "doc_id", "text").localCheckpoint(false)
+    val numBlocks = 8
+    val blk = sh.withColumn("blk", pmod(xxhash64(col("id")), lit(numBlocks.toLong)).cast("int"))
+    val blockPairs = s.range(numBlocks.toLong * numBlocks)
+      .select((col("id") / numBlocks).cast("int").as("bi"),
+        pmod(col("id"), lit(numBlocks)).cast("int").as("bj"))
+      .filter(col("bi") <= col("bj"))
+    val left = blk.join(broadcast(blockPairs), col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("id").as("la"), col("simhash").as("lh"))
+    val right = blk.join(broadcast(blockPairs), col("blk") === col("bj"))
+      .select(col("bi").as("rbi"), col("bj").as("rbj"), col("id").as("rb"), col("simhash").as("rh"))
+    val brute = left.join(right,
+        col("bi") === col("rbi") && col("bj") === col("rbj") &&
+          (col("bi") < col("rbj") || col("la") < col("rb")))
+      .filter(expr("bit_count(lh ^ rh) <= 3"))
+      .select(least(col("la"), col("rb")).as("left_id"),
+        greatest(col("la"), col("rb")).as("right_id"))
+    val nBrute = brute.count()
+    val nBanded = banded.count()
+    val nHit = brute.join(banded, Seq("left_id", "right_id"), "left_semi").count()
+    val nDocs = corpus.count()
+    Seq((nDocs, nBrute == nBanded && nHit == nBrute))
+      .toDF("n_docs", "banding_lossless")
+  }
+
+  private val dedupSimhashGateSql =
+    """SELECT CAST(count(*) + count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_docs,
+      |  CAST(1 AS BOOLEAN) AS banding_lossless
+      |FROM documents""".stripMargin
+
   /** End-to-end dedup *resolution* — what a training-data pipeline actually
     * ships: near-dup pair detection (exact n-gram jaccard, inverted-index
     * formulation) → connected components over the pair graph → one
@@ -522,6 +571,37 @@ object Pipeline {
       .select(col("left_id"), col("right_id"), round(col("sim"), 6).as("sim_r"))
       .orderBy("left_id", "right_id")
 
+  /** Driver-gated embed-LSH floor. The corpus's organic pairs are
+    * uniform-random vectors (neighbor cosine ~0.35 even for "near" dups) —
+    * the hyperplane-LSH worst case, where recall is probabilistic and a
+    * floor would gate noise. What LSH *guarantees* is that identical (and
+    * near-identical) vectors share every band signature and are always
+    * emitted — so the gate plants exact duplicate vectors
+    * (vec_id + 1,000,000, same embedding — mirrored in the oracle's count)
+    * and requires every planted pair back: recall 1.0, not a tuned floor.
+    */
+  private def dedupEmbedLshGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+    val corpus = emb.unionByName(
+      planted.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val pairs = graft.operators.dedup.EmbedDedup
+      .lshPairs(corpus, "vec_id", "embedding", threshold = 0.3,
+        bands = 8, planesPerBand = 8)
+      .select("left_id", "right_id")
+    val truth = planted
+      .select(col("vec_id").as("left_id"), (col("vec_id") + 1000000).as("right_id"))
+      .localCheckpoint(false)
+    val nPlanted = truth.count()
+    val nHit = truth.join(pairs, Seq("left_id", "right_id"), "left_semi").count()
+    Seq((nPlanted, nHit == nPlanted)).toDF("n_planted", "recall_ok")
+  }
+
+  private val dedupEmbedLshGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted, CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin
+
   private val dedupEmbedSql =
     """WITH p AS (
       |  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
@@ -557,11 +637,13 @@ object Pipeline {
     QueryDef("dx_dedup_minhash", dedupMinhash, None),
     QueryDef("dx_dedup_minhash_gate", dedupMinhashGate, Some(dedupMinhashGateSql)),
     QueryDef("dx_dedup_simhash", dedupSimhash, None),
+    QueryDef("dx_dedup_simhash_gate", dedupSimhashGate, Some(dedupSimhashGateSql)),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("dx_dedup_resolve", dedupResolve, Some(dedupResolveSql)),
     QueryDef("dx_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("dx_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("dx_dedup_embed_lsh", dedupEmbedLsh, None),
+    QueryDef("dx_dedup_embed_lsh_gate", dedupEmbedLshGate, Some(dedupEmbedLshGateSql)),
     QueryDef("dx_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("dx_knn_lsh", knnLsh, None),
     QueryDef("dx_knn_ivf", knnIvf, None),
