@@ -228,6 +228,38 @@ object Relational {
       |FROM z GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Point-in-time attribution: each purchase joined to the most recent
+    * prior (or same-instant) click by the same user — [[graft.operators
+    * .AsOf]]'s backward join (one key shuffle + window sort; no range
+    * explosion). Oracle is DuckDB's native ASOF LEFT JOIN. Spark reads the
+    * TIMESTAMP(NANOS) column at microsecond precision, so the oracle casts
+    * to µs timestamps before joining and both sides emit the gap via
+    * epoch-microsecond arithmetic — bit-exact (no sub-µs ties exist in the
+    * data at any sf).
+    */
+  private def qEventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    graft.operators.AsOf.joinBackward(purchases, clicks, Seq("user_id"),
+        "ts", "cts", rightPrefix = "", rightTiebreak = Some("click_id"))
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  private val qEventsAsofSql =
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, c.click_id,
+      |  CAST(epoch_us(p.ts) - epoch_us(c.cts) AS BIGINT) AS gap_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+      |ORDER BY event_id""".stripMargin
+
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .groupBy(
@@ -608,5 +640,6 @@ object Relational {
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
     QueryDef("q_events_sessionize", qSessionize, Some(qSessionizeSql)),
-    QueryDef("q_events_window_agg", qEventsWindow, Some(qEventsWindowSql)))
+    QueryDef("q_events_window_agg", qEventsWindow, Some(qEventsWindowSql)),
+    QueryDef("q_events_asof", qEventsAsof, Some(qEventsAsofSql)))
 }
