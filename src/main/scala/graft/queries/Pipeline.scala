@@ -351,6 +351,92 @@ object Pipeline {
     """SELECT CAST(count(*) AS BIGINT) AS n_planted, CAST(1 AS BOOLEAN) AS recall_ok
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** Driver-gated HyperLogLog accuracy: `approx_count_distinct` (the
+    * one-pass mergeable sketch that replaces exact `count(distinct)` at
+    * corpus scale — exact distinct is a full shuffle of every distinct
+    * value, the sketch is a few KB per partition) must land within 5% of
+    * the exact count on this corpus. The sketch's internals aren't
+    * oracle-comparable across engines; the accuracy contract is. Oracle
+    * pins the exact count from the data and the flag to true.
+    */
+  private def cardinalityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = withDupes(s, dir, exact = true)
+    val row = corpus.agg(
+      countDistinct(col("text")).as("exact"),
+      approx_count_distinct(col("text"), 0.02).as("approx")).head()
+    val exact = row.getLong(0); val approx = row.getLong(1)
+    Seq((exact, math.abs(approx - exact).toDouble / exact <= 0.05))
+      .toDF("n_exact", "approx_ok")
+  }
+
+  private val cardinalityGateSql =
+    """SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+      |  CAST(1 AS BOOLEAN) AS approx_ok
+      |FROM documents""".stripMargin
+
+  /** URL canonicalisation + dedup — the standard web-corpus prefilter:
+    * normalise scheme/host case, strip `www.`, drop fragments and
+    * `utm_*`/`fbclid` tracking params, trim trailing slashes, then group.
+    * URLs are seeded deterministically from doc_id (the documents table has
+    * no URL column) with planted case/slash/tracking variants, mirrored in
+    * the oracle. The whole pass is per-row codegen'd regex work plus one
+    * groupBy — the 100 TB shape. Regexes avoid lookaround so Java and RE2
+    * semantics agree.
+    */
+  private def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables(s, dir, "documents").select(col("doc_id"),
+      expr(s"""concat(
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'https://WWW.Example.com'
+          WHEN 1 THEN 'https://www.example.com' ELSE 'https://example.com' END,
+        '/docs/', CAST(doc_id % 100 AS STRING),
+        CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+        '?utm_source=feed&page=', CAST(doc_id % 5 AS STRING),
+        CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=x' ELSE '' END,
+        CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)""").as("url"))
+    val canon = seeded.withColumn("no_frag", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("host",
+        regexp_replace(lower(regexp_extract(col("no_frag"), "^https?://([^/?#]+)", 1)),
+          "^www\\.", ""))
+      .withColumn("path",
+        regexp_replace(regexp_extract(col("no_frag"), "^https?://[^/?#]+([^?#]*)", 1),
+          "/$", ""))
+      .withColumn("qs",
+        regexp_replace(
+          regexp_replace(regexp_extract(col("no_frag"), "\\?([^#]*)", 1),
+            "(^|&)(utm_[a-z]+|fbclid)=[^&]*", ""),
+          "^&", ""))
+      .withColumn("canonical_url",
+        concat(lit("https://"), col("host"), col("path"),
+          when(col("qs") =!= "", concat(lit("?"), col("qs"))).otherwise(lit(""))))
+    canon.groupBy("canonical_url")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_url")
+  }
+
+  private val dedupUrlSql =
+    """WITH seeded AS (
+      |  SELECT doc_id, concat(
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'https://WWW.Example.com'
+      |      WHEN 1 THEN 'https://www.example.com' ELSE 'https://example.com' END,
+      |    '/docs/', CAST(doc_id % 100 AS VARCHAR),
+      |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      |    '?utm_source=feed&page=', CAST(doc_id % 5 AS VARCHAR),
+      |    CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=x' ELSE '' END,
+      |    CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    concat('https://',
+      |      regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^https?://([^/?#]+)', 1)), '^www\.', ''),
+      |      regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '^https?://[^/?#]+([^?#]*)', 1), '/$', ''),
+      |      CASE WHEN regexp_replace(regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1), '(^|&)(utm_[a-z]+|fbclid)=[^&]*', '', 'g'), '^&', '') <> ''
+      |        THEN concat('?', regexp_replace(regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1), '(^|&)(utm_[a-z]+|fbclid)=[^&]*', '', 'g'), '^&', ''))
+      |        ELSE '' END) AS canonical_url
+      |  FROM seeded)
+      |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
   /** Driver-gated SimHash *banding losslessness*: the band blocking promises
     * recall 1.0 for hamming ≤ bands−1 — this gate proves it per round by
     * comparing the banded candidate pairs against a brute-force hamming
@@ -634,6 +720,8 @@ object Pipeline {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dx_dedup_url", dedupUrl, Some(dedupUrlSql)),
+    QueryDef("dx_cardinality_gate", cardinalityGate, Some(cardinalityGateSql)),
     QueryDef("dx_dedup_minhash", dedupMinhash, None),
     QueryDef("dx_dedup_minhash_gate", dedupMinhashGate, Some(dedupMinhashGateSql)),
     QueryDef("dx_dedup_simhash", dedupSimhash, None),

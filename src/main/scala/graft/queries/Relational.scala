@@ -228,6 +228,35 @@ object Relational {
       |FROM z GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Discrete percentiles of price per return flag — SQL-standard
+    * `PERCENTILE_DISC ... WITHIN GROUP`, which both engines implement as
+    * "smallest value whose cumulative distribution reaches p". Discrete
+    * (element-picking), not continuous: interpolation arithmetic could
+    * diverge in last ulps across engines; selecting an actual data value
+    * cannot. Spark plans this as a single sort-based aggregate per group —
+    * one shuffle, no window. At 100 TB the approx sketch
+    * (`approx_percentile`) replaces the exact sort-agg; sketch internals
+    * differ across engines by construction, so the exact variant is what
+    * gets oracle-compared.
+    */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql("""SELECT l_returnflag,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+      |  percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99,
+      |  count(*) AS n
+      |FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  private val qPercentilesSql =
+    """SELECT l_returnflag,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+      |  percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Point-in-time attribution: each purchase joined to the most recent
     * prior (or same-instant) click by the same user — [[graft.operators
     * .AsOf]]'s backward join (one key shuffle + window sort; no range
@@ -641,5 +670,6 @@ object Relational {
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
     QueryDef("q_events_sessionize", qSessionize, Some(qSessionizeSql)),
     QueryDef("q_events_window_agg", qEventsWindow, Some(qEventsWindowSql)),
-    QueryDef("q_events_asof", qEventsAsof, Some(qEventsAsofSql)))
+    QueryDef("q_events_asof", qEventsAsof, Some(qEventsAsofSql)),
+    QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)))
 }
