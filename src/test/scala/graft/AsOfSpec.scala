@@ -81,6 +81,37 @@ class AsOfSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("matches a naive per-row maximum scan on randomized data (both directions)") {
+    // deterministic pseudo-random corpus: ~hash-scattered times over few
+    // keys so ties, misses, and dense histories all occur
+    val rng = new scala.util.Random(42)
+    val ls = (1 to 300).map(i => (s"k${rng.nextInt(5)}", rng.nextInt(50).toLong, i.toLong))
+    val rs = (1 to 200).map(j => (s"k${rng.nextInt(6)}", rng.nextInt(50).toLong, j.toLong))
+    val l = ls.toDF("k", "t", "lid")
+    val r = rs.toDF("k", "rt", "rid")
+    val out = AsOf.joinBackward(l, r, Seq("k"), "t", "rt", rightTiebreak = Some("rid"))
+      .collect().map(x => x.getAs[Long]("lid") -> Option(x.getAs[Any]("right_rid"))).toMap
+    val naive = ls.map { case (k, t, lid) =>
+      val cands = rs.filter(c => c._1 == k && c._2 <= t)
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(c => (c._2, c._3))._3))
+    }.toMap
+    assert(out.size == naive.size)
+    naive.foreach { case (lid, exp) =>
+      assert(out(lid).map(_.asInstanceOf[Long]) == exp, s"lid=$lid")
+    }
+    val fwd = AsOf.joinForward(l, r, Seq("k"), "t", "rt", rightTiebreak = Some("rid"))
+      .collect().map(x => x.getAs[Long]("lid") -> Option(x.getAs[Any]("right_rid"))).toMap
+    val naiveFwd = ls.map { case (k, t, lid) =>
+      val cands = rs.filter(c => c._1 == k && c._2 >= t)
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.minBy(c => (c._2, c._3))._3))
+    }.toMap
+    naiveFwd.foreach { case (lid, exp) =>
+      assert(fwd(lid).map(_.asInstanceOf[Long]) == exp, s"fwd lid=$lid")
+    }
+  }
+
   test("plan shuffles once on the key — no range cross product") {
     val out = AsOf.joinBackward(left, right, Seq("k"), "t", "rt")
     val plan = out.queryExecution.executedPlan.toString
