@@ -81,6 +81,17 @@ class AsOfSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("timestamp time columns work with INTERVAL tolerance") {
+    val l = Seq(("a", "2024-01-01 10:00:00", "x"), ("a", "2024-01-01 12:00:00", "y"))
+      .toDF("k", "t", "label").withColumn("t", col("t").cast("timestamp"))
+    val r = Seq(("a", "2024-01-01 09:30:00", 1.0), ("a", "2024-01-01 09:00:00", 2.0))
+      .toDF("k", "rt", "price").withColumn("rt", col("rt").cast("timestamp"))
+    val out = collectMap(AsOf.joinBackward(l, r, Seq("k"), "t", "rt",
+      tolerance = Some(expr("INTERVAL 1 HOUR"))))
+    // x: 09:30 is 30min back (within 1h); y: 09:30 is 2.5h back (outside)
+    assert(out == Map("x" -> Some(1.0), "y" -> None))
+  }
+
   test("matches a naive per-row maximum scan on randomized data (both directions)") {
     // deterministic pseudo-random corpus: ~hash-scattered times over few
     // keys so ties, misses, and dense histories all occur
