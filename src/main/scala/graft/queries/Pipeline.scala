@@ -351,6 +351,50 @@ object Pipeline {
     """SELECT CAST(count(*) AS BIGINT) AS n_planted, CAST(1 AS BOOLEAN) AS recall_ok
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** TF-IDF top terms per document — the keyword-extraction staple. Exact
+    * integer scoring keeps it engine-deterministic: textbook `log(N/df)`
+    * differs in last ulps across libm implementations, so the idf here is
+    * the scaled integer ratio `1000000·N div df` (identical floor division
+    * both engines), which preserves the tf-idf ranking for fixed N. Shape:
+    * explode → two partial-agg groupBys (tf, then df over the already-
+    * distinct (doc, term) pairs — never re-touching raw tokens) → equi-join
+    * tf⋈df (AQE broadcasts the vocab side when it fits; stays a hash join
+    * at corpus scale) → bounded-heap [[graft.plans.TopK]] per doc, so the
+    * final exchange carries ≤ partitions·docs·3 rows, not every scored
+    * term.
+    */
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(expr("split(trim(lower(text)), '\\\\s+')")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr("(1000000L * n_docs) DIV df"))
+      .select("doc_id", "term", "tf", "df", "score")
+    graft.plans.TopK.perKey(scored, Seq("doc_id"), "score", k = 3,
+        descending = true, tieCols = Seq("term"), rankName = "rn")
+      .select("doc_id", "rn", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rn")
+  }
+
+  private val tfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df, tf * ((1000000 * n_docs) // df) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rn FROM scored)
+      |SELECT doc_id, rn, term, tf, df, CAST(score AS BIGINT) AS score
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   /** Driver-gated HyperLogLog accuracy: `approx_count_distinct` (the
     * one-pass mergeable sketch that replaces exact `count(distinct)` at
     * corpus scale — exact distinct is a full shuffle of every distinct
@@ -722,6 +766,7 @@ object Pipeline {
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_url", dedupUrl, Some(dedupUrlSql)),
     QueryDef("dx_cardinality_gate", cardinalityGate, Some(cardinalityGateSql)),
+    QueryDef("dx_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("dx_dedup_minhash", dedupMinhash, None),
     QueryDef("dx_dedup_minhash_gate", dedupMinhashGate, Some(dedupMinhashGateSql)),
     QueryDef("dx_dedup_simhash", dedupSimhash, None),
