@@ -228,6 +228,35 @@ object Relational {
       |FROM z GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Sliding-window running revenue: per customer, the sum of order totals
+    * over a trailing 30-day RANGE frame — the moving-aggregate class
+    * (RANGE, not ROWS: frame membership depends on the *value* distance,
+    * so two orders on the same day always share a frame). Dates become
+    * epoch days so the frame bound is integer arithmetic in both engines;
+    * money sums ride the exact cents domain. One shuffle on the partition
+    * key, one sort — the standard windowed-aggregate cost.
+    */
+  private def qWindowSliding(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("d")
+      .rangeBetween(-30, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).as("d"),
+        Num.cents(col("o_totalprice")).as("cents"))
+      .withColumn("trailing_30d", (sum("cents").over(w) / 100.0))
+      .select(col("o_orderkey"), col("o_custkey"), col("d"), col("trailing_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qWindowSlidingSql =
+    s"""SELECT o_orderkey, o_custkey,
+       |  CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INT) AS d,
+       |  sum(${Num.centsSql("o_totalprice")}) OVER (
+       |    PARTITION BY o_custkey
+       |    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+       |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) / 100.0 AS trailing_30d
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Discrete percentiles of price per return flag — SQL-standard
     * `PERCENTILE_DISC ... WITHIN GROUP`, which both engines implement as
     * "smallest value whose cumulative distribution reaches p". Discrete
