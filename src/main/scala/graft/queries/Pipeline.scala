@@ -762,6 +762,140 @@ object Pipeline {
       |  sha256(text) AS payload_sha
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Gopher-style hard quality filters (Rae et al. 2021, "Scaling Language
+    * Models" §A.1.1 rule set, re-expressed as one codegen'd scan): word-count
+    * window, mean-word-length window, stopword presence, lexical diversity.
+    * Every rule is a per-row expression — no shuffle until the final
+    * order-by, so the scan streams at parquet speed at any corpus size; on a
+    * cluster the keep-filter pushes straight down onto the column scan.
+    */
+  private def qualityRules(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("mean_word_len",
+        expr("CAST(length(regexp_replace(text, '\\\\s', '')) AS DOUBLE) / n_tokens"))
+      .withColumn("distinct_ratio",
+        expr("CAST(size(array_distinct(toks)) AS DOUBLE) / n_tokens"))
+      .withColumn("wc_ok", col("n_tokens").between(20, 80))
+      .withColumn("mwl_ok", col("mean_word_len").between(3.0, 4.5))
+      .withColumn("stop_ok", expr("array_contains(toks, 'the')"))
+      .withColumn("div_ok", col("distinct_ratio") >= 0.5)
+      .withColumn("keep",
+        col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("div_ok"))
+      .select("doc_id", "n_tokens", "mean_word_len", "distinct_ratio",
+        "wc_ok", "mwl_ok", "stop_ok", "div_ok", "keep")
+      .orderBy("doc_id")
+
+  private val qualityRulesSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace
+      |  FROM documents),
+      |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(n_nonspace AS DOUBLE) / len(toks) AS mean_word_len,
+      |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+      |  list_contains(toks, 'the') AS stop_ok FROM t)
+      |SELECT doc_id, n_tokens, mean_word_len, distinct_ratio,
+      |  n_tokens BETWEEN 20 AND 80 AS wc_ok,
+      |  mean_word_len BETWEEN 3.0 AND 4.5 AS mwl_ok,
+      |  stop_ok,
+      |  distinct_ratio >= 0.5 AS div_ok,
+      |  (n_tokens BETWEEN 20 AND 80) AND (mean_word_len BETWEEN 3.0 AND 4.5)
+      |    AND stop_ok AND distinct_ratio >= 0.5 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination — the pre-training hygiene pass that drops
+    * training documents sharing any 3-gram with a held-out eval set (the
+    * n-gram-overlap rule of Brown et al. 2020 §C / GPT-3 appendix). The eval
+    * set is the deterministic `doc_id % 50 = 0` slice so both engines agree
+    * on it. Inverted-index formulation: explode each side to distinct
+    * (shingle, doc) postings, equi-join train postings against the
+    * deduplicated eval shingle vocabulary, count distinct hits per training
+    * doc. One shuffle on the shingle key, one on doc_id — never a doc×doc
+    * join. At corpus scale the join key would be `xxhash64(shingle)` (8
+    * bytes instead of a string); kept as the string here so the DuckDB twin
+    * is exact.
+    */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables(s, dir, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
+          | i -> concat(try_element_at(toks, i), ' ',
+          |             try_element_at(toks, CAST(i + 1 AS INT)), ' ',
+          |             try_element_at(toks, CAST(i + 2 AS INT)))))""".stripMargin))
+        .as("sh"))
+    val evalVocab = shingled.filter(col("doc_id") % 50 === 0)
+      .select("sh").distinct()
+    shingled.filter(col("doc_id") % 50 =!= 0)
+      .join(evalVocab, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    s"""WITH s AS (
+       |  SELECT doc_id, unnest($shingleDuck) AS sh FROM documents),
+       |ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM s JOIN ev USING (sh)
+       |WHERE doc_id % 50 <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Exact corpus-wide frequent-token top-k: two-phase hash aggregate (the
+    * map-side partial combine keeps shuffle volume at |vocab| per partition,
+    * not |tokens|) + a global bounded top-k. Deterministic tiebreak on the
+    * token itself. The sketch-path twin for open vocabularies is
+    * [[graft.operators.HeavyHitters]], gated by dx_heavy_hitters_gate.
+    */
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(expr("split(trim(text), '\\\\s+')")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+      .limit(20)
+
+  private val heavyHittersSql =
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS cnt FROM t
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
+  /** Driver-gated Misra–Gries guarantee: every token with true frequency
+    * strictly above n/k must appear in the merged per-partition sketch
+    * (k = 8 counters — smaller than the vocabulary, so the decrement path
+    * is actually exercised). Exact integer comparison `cnt * 8 > n` keeps
+    * the threshold engine-identical. The oracle pins the data-derived heavy
+    * count and the coverage flag.
+    */
+  private def heavyHittersGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select(explode(expr("split(trim(text), '\\\\s+')")).as("token"))
+      .localCheckpoint(false)
+    val n = toks.count()
+    val heavy = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 8 > n)
+    val cand = graft.operators.HeavyHitters.candidates(toks, "token", 8)
+      .select(col("key").as("token"))
+    val nHeavy = heavy.count()
+    val missed = heavy.join(cand, Seq("token"), "left_anti").count()
+    Seq((nHeavy, missed == 0L)).toDF("n_heavy", "covered_ok")
+  }
+
+  private val heavyHittersGateSql =
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+      |n AS (SELECT count(*) AS total FROM t)
+      |SELECT CAST((SELECT count(*) FROM c, n WHERE cnt * 8 > total) AS BIGINT) AS n_heavy,
+      |  true AS covered_ok""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_url", dedupUrl, Some(dedupUrlSql)),
@@ -784,6 +918,10 @@ object Pipeline {
     QueryDef("dx_knn_ivf_recall", knnRecallGate(knnIvf, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_lang_id", langId, Some(langIdSql)),
     QueryDef("dx_quality", quality, Some(qualitySql)),
+    QueryDef("dx_quality_rules", qualityRules, Some(qualityRulesSql)),
+    QueryDef("dx_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("dx_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("dx_heavy_hitters_gate", heavyHittersGate, Some(heavyHittersGateSql)),
     QueryDef("dx_tokens", tokens, Some(tokensSql)),
     QueryDef("dx_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("dx_scrub", scrub, Some(scrubSql)),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Num, QueryDef, Tables}
+import graft.operators.RangeJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -678,7 +679,45 @@ object Relational {
        |    WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** Pure range join (no equality conjunct): high-quantity shipments landing
+    * inside each big order's 8-day order window. Spark's planner would pick
+    * BroadcastNestedLoopJoin for the raw range predicate; `RangeJoin`
+    * rewrites it to a 7-day band equi-join + exact verify (see
+    * operators/RangeJoin.scala), so both sides shuffle-partition on the band
+    * key and the candidate set is linear, not quadratic. Filters are applied
+    * before the join so they push to the parquet scans.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01")
+    val points = Tables(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(
+        datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("ship_day"),
+        col("l_quantity").cast("long").as("qty"))
+    val intervals = Tables(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("start_day"))
+      .withColumn("end_day", col("start_day") + 7)
+    RangeJoin.pointInInterval(
+        points, "ship_day", intervals, "start_day", "end_day", bandWidth = 7)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_ship"), sum("qty").as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qRangeJoinSql =
+    """SELECT o_orderkey, count(*) AS n_ship,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM orders JOIN lineitem
+      |  ON l_shipdate >= o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+      |WHERE o_totalprice > 400000 AND l_quantity >= 45
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q7_volume_shipping", q7, Some(q7Sql)),
     QueryDef("q8_market_share", q8, Some(q8Sql)),
     QueryDef("q10_returned_items", q10, Some(q10Sql)),
