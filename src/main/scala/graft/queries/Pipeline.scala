@@ -896,6 +896,46 @@ object Pipeline {
       |SELECT CAST((SELECT count(*) FROM c, n WHERE cnt * 8 > total) AS BIGINT) AS n_heavy,
       |  true AS covered_ok""".stripMargin
 
+  /** Distributed spherical k-means cluster census over the embeddings table
+    * (operators/cluster/KMeans): per-cell population under the final
+    * centroids. Cluster populations have no SQL twin (the fit is iterative),
+    * so this is rows-only; the Lloyd invariants are driver-gated by
+    * dx_embed_kmeans_gate.
+    */
+  private def embedKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.cluster.KMeans
+      .fit(Tables(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 4)
+      .assignments
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy("cell")
+
+  /** Driver-gated Lloyd invariants: inertia non-increasing across
+    * iterations (guaranteed for exact Lloyd; 1e-9 relative tolerance
+    * absorbs float merge order), every point assigned exactly once
+    * (cluster populations sum to the table count — pinned from the data by
+    * the oracle), and the cell-id range respected.
+    */
+  private def embedKmeansGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fit = graft.operators.cluster.KMeans
+      .fit(Tables(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 4)
+    val sizes = fit.assignments.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nPoints = sizes.map(_._2).sum
+    val cellsOk = sizes.nonEmpty && sizes.forall { case (c, _) => c >= 0 && c < 8 }
+    val inertiaOk = fit.inertia.sliding(2).forall {
+      case Seq(a, b) => b <= a * (1 + 1e-9) + 1e-9
+      case _ => true
+    }
+    Seq((nPoints, cellsOk, inertiaOk)).toDF("n_points", "cells_ok", "inertia_ok")
+  }
+
+  private val embedKmeansGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_points, true AS cells_ok,
+      |  true AS inertia_ok
+      |FROM embeddings""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_url", dedupUrl, Some(dedupUrlSql)),
@@ -922,6 +962,8 @@ object Pipeline {
     QueryDef("dx_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("dx_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("dx_heavy_hitters_gate", heavyHittersGate, Some(heavyHittersGateSql)),
+    QueryDef("dx_embed_kmeans", embedKmeans, None),
+    QueryDef("dx_embed_kmeans_gate", embedKmeansGate, Some(embedKmeansGateSql)),
     QueryDef("dx_tokens", tokens, Some(tokensSql)),
     QueryDef("dx_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("dx_scrub", scrub, Some(scrubSql)),
