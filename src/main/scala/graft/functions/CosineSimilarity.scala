@@ -97,7 +97,7 @@ object CosineSimilarity {
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get graft's
   * native functions in every session (including pure-SQL users):
   * `cosine_sim(a, b)`, `minhash_signature(hashes, k)`,
-  * `simhash64(hashes)`.
+  * `simhash64(hashes)`, `interleave_bits(a, b)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -123,7 +123,10 @@ object GraftExtensions {
         MinHashSignature(exprs(0), intLiteral(exprs(1), "minhash_signature k")) }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      { exprs: Seq[Expression] => SimHash64(exprs(0)) }))
+      { exprs: Seq[Expression] => SimHash64(exprs(0)) }),
+    (FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      { exprs: Seq[Expression] => InterleaveBits(exprs(0), exprs(1)) }))
 
   /** Session-local registration of every graft native function. */
   def register(spark: SparkSession): Unit =

@@ -338,6 +338,31 @@ object Relational {
        |GROUP BY event_type, hour_start
        |ORDER BY event_type, hour_start""".stripMargin
 
+  /** Per-user ordered event sequences — the training-sequence construction
+    * step of a behavioral/LM pipeline (group → order → serialize). One
+    * shuffle on the grouping key; per-group state is the user's own event
+    * list, so memory tracks the heaviest user, not the table.
+    * `array_sort` over (ts, event_id, type) structs gives a deterministic
+    * total order (event_id is unique); the oracle orders by epoch_us(ts) so
+    * both engines compare timestamps at the same microsecond precision
+    * (Spark reads the nanos column truncated to µs).
+    */
+  private def qEventSequences(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(
+        col("user_id"),
+        size(col("evs")).cast("long").as("n_events"),
+        expr("array_join(transform(evs, e -> e.event_type), '>')").as("sequence"))
+      .orderBy("user_id")
+
+  private val qEventSequencesSql =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS sequence
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   private def q4(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables(s, dir, "orders")
       .filter(
@@ -739,5 +764,6 @@ object Relational {
     QueryDef("q_events_sessionize", qSessionize, Some(qSessionizeSql)),
     QueryDef("q_events_window_agg", qEventsWindow, Some(qEventsWindowSql)),
     QueryDef("q_events_asof", qEventsAsof, Some(qEventsAsofSql)),
+    QueryDef("q_events_sequences", qEventSequences, Some(qEventSequencesSql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)))
 }

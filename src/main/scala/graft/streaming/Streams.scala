@@ -150,6 +150,23 @@ object Streams {
       .select(col("k").as(key), col("lts"), col("rts"))
   }
 
+  /** Streaming exact dedup with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps a key's dedup state only until
+    * the event-time watermark passes it, so state size tracks the watermark
+    * horizon instead of the full stream history — the only exact-dedup
+    * formulation that survives an unbounded ingest feed. Emits the first
+    * arrival of each key (e.g. a content hash) per watermark horizon;
+    * re-arrivals inside the horizon are suppressed.
+    */
+  def watermarkDedup(
+      records: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    records
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom streaming state: gap-based sessionization with
     * `flatMapGroupsWithState` — the arbitrary-state surface for semantics
     * windows can't express. State per user is one open session (start,

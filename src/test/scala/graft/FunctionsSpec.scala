@@ -123,13 +123,15 @@ class FunctionsSpec extends SparkSpec {
     Tables(spark, sfDir, "documents").limit(10).createOrReplaceTempView("docs_fn_test")
     val r = spark.sql(
       """SELECT minhash_signature(hs, 8) AS sig, simhash64(hs) AS sh,
-        |  cosine_sim(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS cs
+        |  cosine_sim(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS cs,
+        |  interleave_bits(3L, 0L) AS z
         |FROM (SELECT transform(split(text, ' '), t -> xxhash64(t)) AS hs
         |      FROM docs_fn_test)""".stripMargin)
     val rows = r.collect()
     assert(rows.length == 10)
     assert(rows.forall(_.getSeq[Long](0).length == 8))
     assert(rows.forall(x => math.abs(x.getDouble(2) - 1.0) < 1e-12))
+    assert(rows.forall(_.getLong(3) == 5L))
   }
 
   test("cosine_sim registers for SQL use") {

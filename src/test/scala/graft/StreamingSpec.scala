@@ -149,6 +149,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((2L, 5L, 1L)), s"user 2 session missing: $out")
   }
 
+  test("watermarked streaming dedup suppresses re-arrivals within the horizon") {
+    implicit val ctx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(mins: Int) = new Timestamp(t0.getTime + mins * 60000L)
+
+    val input = MemoryStream[Ev]
+    // batch 1: key A twice in-batch, key B once
+    input.addData(Seq(Ev(at(0), "A", 1.0), Ev(at(1), "A", 2.0), Ev(at(2), "B", 3.0)))
+    val q = Streams.watermarkDedup(input.toDF(), "ts", Seq("event_type"), "30 minutes")
+      .writeStream.format("memory").queryName("wmdedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: A re-arrives inside the horizon (suppressed), C is new
+      input.addData(Seq(Ev(at(5), "A", 4.0), Ev(at(6), "C", 5.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("wmdedup").select("event_type", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("A", "B", "C"), s"expected one row per key, got $out")
+    assert(out("A") == 1.0, "the FIRST arrival of a duplicated key must win")
+  }
+
   test("dag runs steps in dependency order and memoises results") {
     val dag = new graft.dags.Dag
     dag.source("customer")(Tables(spark, sfDir, "customer"))
