@@ -936,6 +936,52 @@ object Pipeline {
       |  true AS inertia_ok
       |FROM embeddings""".stripMargin
 
+  /** SemDeDup semantic near-dup pairs (operators/dedup/SemDedup): k-means
+    * cells bound the candidate set to Σ n_c² — the web-scale semantic
+    * pruning path. Pair membership depends on the iterative fit, so
+    * rows-only; the containment + planted-recall contracts are driver-gated
+    * below.
+    */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.SemDedup
+      .pairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, k = 8, iters = 4)
+      .select(col("left_id"), col("right_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("left_id", "right_id")
+
+  /** Driver-gated SemDeDup contracts: (a) within-cell pairs are a subset of
+    * the exact all-pairs join at the same threshold; (b) planted exact
+    * duplicates (identical vectors — deterministic assignment puts both
+    * copies in the same cell) are always recovered: recall 1.0, not a tuned
+    * floor. Oracle pins the data-derived planted count and both flags.
+    */
+  private def dedupSemanticGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+    val corpus = emb.unionByName(
+      planted.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val sem = graft.operators.dedup.SemDedup
+      .pairs(corpus, "vec_id", "embedding", threshold = 0.3, k = 8, iters = 4)
+      .select("left_id", "right_id").localCheckpoint(false)
+    val exact = graft.operators.dedup.EmbedDedup
+      .allPairs(corpus, "vec_id", "embedding", threshold = 0.3)
+      .select("left_id", "right_id")
+    val truth = planted
+      .select(col("vec_id").as("left_id"), (col("vec_id") + 1000000).as("right_id"))
+      .localCheckpoint(false)
+    val nPlanted = truth.count()
+    val nHit = truth.join(sem, Seq("left_id", "right_id"), "left_semi").count()
+    val escaped = sem.join(exact, Seq("left_id", "right_id"), "left_anti").count()
+    Seq((nPlanted, escaped == 0L, nHit == nPlanted))
+      .toDF("n_planted", "subset_ok", "recall_ok")
+  }
+
+  private val dedupSemanticGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted, CAST(1 AS BOOLEAN) AS subset_ok,
+      |  CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_url", dedupUrl, Some(dedupUrlSql)),
@@ -964,6 +1010,8 @@ object Pipeline {
     QueryDef("dx_heavy_hitters_gate", heavyHittersGate, Some(heavyHittersGateSql)),
     QueryDef("dx_embed_kmeans", embedKmeans, None),
     QueryDef("dx_embed_kmeans_gate", embedKmeansGate, Some(embedKmeansGateSql)),
+    QueryDef("dx_dedup_semantic", dedupSemantic, None),
+    QueryDef("dx_dedup_semantic_gate", dedupSemanticGate, Some(dedupSemanticGateSql)),
     QueryDef("dx_tokens", tokens, Some(tokensSql)),
     QueryDef("dx_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("dx_scrub", scrub, Some(scrubSql)),
