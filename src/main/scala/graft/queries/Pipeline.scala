@@ -982,6 +982,127 @@ object Pipeline {
       |  CAST(1 AS BOOLEAN) AS recall_ok
       |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin
 
+  /** Sequence packing — grouping documents into fixed token budgets is how
+    * training batches are actually materialised (packed sequences waste no
+    * pad tokens). Deterministic contiguous packing: shard documents into
+    * hash-independent buckets (`doc_id % 16` — each bucket packs
+    * independently, so parallelism scales with the bucket count and no
+    * global order is needed), running-total the token counts inside each
+    * bucket, and open a new pack every `budget` tokens. A document joins
+    * the pack its first token lands in (the standard streaming packer: a
+    * pack can overflow by at most one document, never undershoot).
+    * Windows partition by bucket — bounded state, no single-partition sort.
+    */
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"))
+      .withColumn("bucket", col("doc_id") % 16)
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        col("bucket") * 100000 + expr("(cum - n_tokens) div 512"))
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("pack_tokens"))
+      .orderBy("pack_id")
+  }
+
+  private val packSequencesSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    doc_id % 16 AS bucket
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens, bucket,
+      |  CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+      |SELECT bucket * 100000 + (cum - n_tokens) // 512 AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
+
+  /** BM25 keyword search top-10 (Robertson–Spärck Jones; k1=1.2, b=0.75) —
+    * the retrieval-engine capability over the same inverted index the dedup
+    * and tf-idf paths use. Per-(doc,term) scores come from exact-integer
+    * tf/df/dl plus one shared avgdl double, so both engines evaluate
+    * IDENTICAL double expression trees; the per-doc total is a fixed-order
+    * sum of the (≤3) per-term columns — never a shuffle-ordered double
+    * aggregation. Scores rounded to 6dp for cross-engine ln() ulp safety.
+    * Plan: explode → (doc,term) count → broadcast df + one-row stats →
+    * pivot → top-k; the one-row stats cross-join is the same scalar shape
+    * as dx_tfidf/q22.
+    */
+  private val bm25Terms = Seq("hash", "join", "window")
+
+  private def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("split(trim(text), '\\\\s+')").as("toks"))
+      .withColumn("dl", expr("CAST(size(toks) AS BIGINT)"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(bm25Terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s",
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val perDoc = scored
+      .groupBy("doc_id")
+      .pivot("term", bm25Terms)
+      .agg(max("s"))
+    val total = bm25Terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .reduceLeft(_ + _)
+    perDoc
+      .withColumn("score", total)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), round(col("score"), 6).as("score_r"))
+  }
+
+  private val bm25SearchSql = {
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val totalExpr = bm25Terms.zipWithIndex
+      .map { case (t, i) => s"coalesce(s$i, 0.0)" }.mkString(" + ")
+    val pivots = bm25Terms.zipWithIndex
+      .map { case (t, i) => s"max(CASE WHEN term = '$t' THEN s END) AS s$i" }
+      .mkString(",\n  ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |  WHERE term IN ($terms)
+       |  GROUP BY doc_id, dl, term),
+       |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |sc AS (
+       |  SELECT doc_id, tf.term AS term,
+       |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * CAST(2.2 AS DOUBLE))
+       |      / (tf + CAST(1.2 AS DOUBLE)
+       |           * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+       |  FROM tf, dfr, st WHERE tf.term = dfr.term),
+       |p AS (SELECT doc_id, $pivots FROM sc GROUP BY doc_id)
+       |SELECT doc_id, round($totalExpr, 6) AS score_r
+       |FROM p ORDER BY $totalExpr DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_url", dedupUrl, Some(dedupUrlSql)),
@@ -1012,6 +1133,8 @@ object Pipeline {
     QueryDef("dx_embed_kmeans_gate", embedKmeansGate, Some(embedKmeansGateSql)),
     QueryDef("dx_dedup_semantic", dedupSemantic, None),
     QueryDef("dx_dedup_semantic_gate", dedupSemanticGate, Some(dedupSemanticGateSql)),
+    QueryDef("dx_pack_sequences", packSequences, Some(packSequencesSql)),
+    QueryDef("dx_bm25_search", bm25Search, Some(bm25SearchSql)),
     QueryDef("dx_tokens", tokens, Some(tokensSql)),
     QueryDef("dx_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("dx_scrub", scrub, Some(scrubSql)),

@@ -27,10 +27,12 @@ class RegistrySpec extends SparkSpec {
     // - q22_idle_customers: the non-equi comparison against the ONE-row
     //   broadcast global-average aggregate — Spark's canonical plan for an
     //   uncorrelated scalar predicate.
-    // - dx_tfidf: idf needs the ONE-row broadcast corpus-size aggregate
-    //   crossed into every term row — same uncorrelated-scalar shape as q22.
-    val bnljJustified =
-      Set("dx_knn_brute", "dx_knn_ivf", "q22_idle_customers", "dx_tfidf")
+    // - dx_tfidf / dx_bm25_search: idf needs the ONE-row broadcast
+    //   corpus-stats aggregate crossed into every term row — same
+    //   uncorrelated-scalar shape as q22.
+    val bnljJustified = Set(
+      "dx_knn_brute", "dx_knn_ivf", "q22_idle_customers", "dx_tfidf",
+      "dx_bm25_search")
     Registry.all.foreach { d =>
       val plan = d.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
