@@ -59,9 +59,57 @@ object InterleaveBits {
   def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }
 
+/** Upper-bound binary search of a value into a sorted cut-point array:
+  * returns the number of cuts <= value, i.e. the rank bucket in
+  * [0, cuts.length]. The cuts ride into generated code as a shared
+  * `double[]` reference object; the search is a static call, so the whole
+  * bucketing stays inside whole-stage codegen at O(log buckets) per row.
+  */
+case class SearchedBucket(child: Expression, cuts: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "searched_bucket"
+  override def nullIntolerant: Boolean = true
+
+  private lazy val cutsArr: Array[Double] = cuts.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    SearchedBucket.bucketOf(v.asInstanceOf[Double], cutsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cutsRef = ctx.addReferenceObj("cuts", cutsArr, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.SearchedBucket.bucketOf($v, $cutsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SearchedBucket {
+  /** First index whose cut exceeds `v` (upper bound) — deterministic under
+    * repeated cut points, unlike a raw `Arrays.binarySearch`. Public and
+    * stable: generated code calls it statically.
+    */
+  def bucketOf(v: Double, cuts: Array[Double]): Long = {
+    var lo = 0
+    var hi = cuts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+}
+
 object ZOrder {
   def interleave(a: Column, b: Column): Column =
     ColumnBridge.column(InterleaveBits(
       ColumnBridge.expression(a.cast("long")),
       ColumnBridge.expression(b.cast("long"))))
+
+  def searchedBucket(c: Column, cuts: Array[Double]): Column =
+    ColumnBridge.column(SearchedBucket(
+      ColumnBridge.expression(c.cast("double")), cuts.toSeq))
 }

@@ -14,22 +14,27 @@ import org.apache.spark.sql.functions._
   * in both, so point/range predicates on EITHER dimension skip most files.
   *
   * The write path is deliberately plain Spark: bucket each dimension to its
-  * percentile rank (value-balanced even under skew), interleave,
+  * approximate percentile rank (value-balanced even under skew), interleave,
   * `repartitionByRange` on the code (range partitioning keeps file count
   * deterministic and files disjoint in z-space), then sort within
   * partitions so row groups inside a file are clustered too.
   */
 object Layout {
 
-  /** Percentile-rank bucket of `c` into `buckets` values (0 .. buckets-1),
-    * exact and deterministic via ntile over a global order. For truly huge
-    * inputs swap in `approxQuantile`-derived cut points; ntile keeps the
-    * spec's determinism.
+  /** Percentile cut points for `c` via distributed Greenwald–Khanna
+    * summaries (`approxQuantile`): one map-side pass, driver memory
+    * O(buckets), NO global sort — this is what survives 100 TB, where the
+    * previous ntile-over-a-global-Window formulation funneled every row
+    * through a single partition. Rank error <= 0.5/buckets keeps adjacent
+    * buckets honest; exact boundary placement is irrelevant to z-layout
+    * (any consistent monotone bucketing clusters equally well).
+    *
+    * Note this runs a Spark action at plan-build time (layout is a write
+    * path, not a lazy transform).
     */
-  private def rankBucket(df: DataFrame, c: String, buckets: Int): Column =
-    (ntile(buckets).over(
-      org.apache.spark.sql.expressions.Window.orderBy(col(c), monotonically_increasing_id())) - 1)
-      .cast("long")
+  private def rankCuts(df: DataFrame, c: String, buckets: Int): Array[Double] =
+    df.stat.approxQuantile(
+      c, (1 until buckets).map(_.toDouble / buckets).toArray, 0.5 / buckets)
 
   /** Z-cluster `df` by two numeric dimensions into `numFiles` output
     * partitions; returns the frame ready to write (one file per partition,
@@ -40,15 +45,13 @@ object Layout {
       dim1: String,
       dim2: String,
       numFiles: Int,
-      rankBuckets: Int = 1 << 16): DataFrame = {
+      rankBuckets: Int = 1 << 12): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    val coded = df
-      .withColumn("__b1", rankBucket(df, dim1, rankBuckets))
-      .withColumn("__b2", rankBucket(df, dim2, rankBuckets))
-      .withColumn("__z", ZOrder.interleave(col("__b1"), col("__b2")))
-    coded
+    val b1 = ZOrder.searchedBucket(col(dim1), rankCuts(df, dim1, rankBuckets))
+    val b2 = ZOrder.searchedBucket(col(dim2), rankCuts(df, dim2, rankBuckets))
+    df.withColumn("__z", ZOrder.interleave(b1, b2))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__b1", "__b2", "__z")
+      .drop("__z")
   }
 }

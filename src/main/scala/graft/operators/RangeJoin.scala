@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Banded (bucketized) range join: points to enclosing intervals.
   *
@@ -46,10 +48,14 @@ object RangeJoin {
       bandWidth: Long,
       extraEquiKeys: Seq[String] = Nil): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
-    // Exact floor division in long arithmetic: (a - pmod(a, w)) is a
-    // multiple of w, so `div` is exact. floor(a / w) on doubles would lose
-    // band-boundary precision once the domain is epoch micros (~1e15).
-    def band(c: Column): Column = (c - pmod(c, lit(bandWidth))).divide(lit(bandWidth)).cast("long")
+    // Exact floor division in pure long arithmetic: (a - pmod(a, w)) is a
+    // multiple of w, and integral `div` never leaves the long domain.
+    // (`/` on longs is Divide-through-double — exact only below 2^53, which
+    // would mis-band epoch-micros keys near the top of the long range.)
+    def band(c: Column): Column =
+      ColumnBridge.column(new IntegralDivide(
+        ColumnBridge.expression(c - pmod(c, lit(bandWidth))),
+        ColumnBridge.expression(lit(bandWidth))))
     val p = points.withColumn("__band", band(col(pointCol)))
     val i = intervals.withColumn(
       "__band",

@@ -1001,13 +1001,16 @@ object Pipeline {
         expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tokens"))
       .withColumn("bucket", col("doc_id") % 16)
       .withColumn("cum", sum("n_tokens").over(w))
-      .withColumn("pack_id",
-        col("bucket") * 100000 + expr("(cum - n_tokens) div 512"))
-      .groupBy("pack_id")
+      // Two-column pack key: a fused `bucket * C + ordinal` id aliases
+      // across buckets once any bucket accumulates C packs — at corpus
+      // scale that silently merges unrelated packs. (bucket, pack_no)
+      // cannot collide at any scale.
+      .withColumn("pack_no", expr("(cum - n_tokens) div 512"))
+      .groupBy("bucket", "pack_no")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("pack_tokens"))
-      .orderBy("pack_id")
+      .orderBy("bucket", "pack_no")
   }
 
   private val packSequencesSql =
@@ -1019,9 +1022,9 @@ object Pipeline {
       |c AS (SELECT doc_id, n_tokens, bucket,
       |  CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
-      |SELECT bucket * 100000 + (cum - n_tokens) // 512 AS pack_id,
+      |SELECT bucket, (cum - n_tokens) // 512 AS pack_no,
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-      |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
+      |FROM c GROUP BY 1, 2 ORDER BY bucket, pack_no""".stripMargin
 
   /** BM25 keyword search top-10 (Robertson–Spärck Jones; k1=1.2, b=0.75) —
     * the retrieval-engine capability over the same inverted index the dedup

@@ -53,6 +53,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("searched bucket is an exact upper bound, ties and all, codegen on") {
+    import graft.functions.SearchedBucket
+    val cuts = Array(1.0, 3.0, 3.0, 7.0)
+    assert(SearchedBucket.bucketOf(0.5, cuts) == 0L)
+    assert(SearchedBucket.bucketOf(1.0, cuts) == 1L) // boundary goes up
+    assert(SearchedBucket.bucketOf(3.0, cuts) == 3L) // past BOTH equal cuts
+    assert(SearchedBucket.bucketOf(7.5, cuts) == 4L)
+    val df = Seq(0.5, 1.0, 3.0, 7.5).toDF("v")
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val got = df.select(
+        ZOrder.searchedBucket(col("v"), cuts).as("b")).as[Long].collect().toSeq
+      assert(got == Seq(0L, 1L, 3L, 4L))
+    }
+  }
+
+  test("zorder plans no global-window single-partition exchange") {
+    val data = Seq.fill(100)((Random.nextInt(50).toLong, Random.nextInt(50).toLong))
+      .toDF("x", "y")
+    val plan = Layout.zorder(data, "x", "y", 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"zorder still plans a Window:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"zorder funnels through a single partition:\n$plan")
+  }
+
   test("z-order layout prunes partitions for predicates on the SECOND dimension") {
     val rng = new Random(11)
     val data = Seq.fill(4000)((rng.nextInt(1000).toLong, rng.nextInt(1000).toLong))

@@ -62,6 +62,20 @@ class RangeJoinSpec extends SparkSpec {
       s"range join fell back to a nested loop:\n$plan")
   }
 
+  test("bands are exact beyond 2^53 (double floor-division would mis-band)") {
+    // 2^53 + 1 is the first long a double cannot represent; points and
+    // interval bounds straddling a band boundary up there must still match
+    // exactly. Width 3 makes boundaries land off the double grid.
+    val base = (1L << 53) + 1L
+    val points = Seq((1L, base), (2L, base + 1L), (3L, base + 2L), (4L, base + 3L))
+      .toDF("point_id", "p")
+    val intervals = Seq((100L, base, base + 1L), (101L, base + 3L, base + 3L))
+      .toDF("interval_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 3L)
+      .select("point_id", "interval_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 100L), (4L, 101L)))
+  }
+
   test("rejects a non-positive band width") {
     val (points, intervals) = randomData(6, 10, 5)
     intercept[IllegalArgumentException] {

@@ -19,27 +19,59 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("no registered query plans a cartesian or unjustified nested-loop join") {
-    // Justified broadcast nested loops (tiny broadcast side by design):
-    // - dx_knn_brute: the tiny query set broadcast against the distributed
-    //   corpus — the exact baseline the ANN variants are scored against.
-    // - dx_knn_ivf: the probe step crosses each query with the nlist(=16)-row
-    //   broadcast centroid table — the canonical IVF cell-ranking plan.
-    // - q22_idle_customers: the non-equi comparison against the ONE-row
-    //   broadcast global-average aggregate — Spark's canonical plan for an
-    //   uncorrelated scalar predicate.
-    // - dx_tfidf / dx_bm25_search: idf needs the ONE-row broadcast
-    //   corpus-stats aggregate crossed into every term row — same
-    //   uncorrelated-scalar shape as q22.
-    val bnljJustified = Set(
-      "dx_knn_brute", "dx_knn_ivf", "q22_idle_customers", "dx_tfidf",
-      "dx_bm25_search")
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+
+    // A BNLJ is justified ONLY when its broadcast side is provably tiny by
+    // construction — and the assertion checks the build side's actual plan
+    // shape, so a regression elsewhere in the query can't hide behind the
+    // exemption:
+    // - scalar-aggregate broadcast (q22_idle_customers / dx_tfidf /
+    //   dx_bm25_search): the ONE-row ungrouped corpus-stats aggregate
+    //   crossed into every row — Spark's canonical uncorrelated-scalar plan.
+    // - bounded query-set broadcast (dx_knn_brute, dx_knn_ivf probe): a
+    //   single filtered scan with no joins/aggregates under the broadcast —
+    //   the exact-baseline ANN shape.
+    val scalarAggBuild: SparkPlan => Boolean = b => flatten(b).exists {
+      case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
+      case _ => false
+    }
+    val boundedScanBuild: SparkPlan => Boolean = b => {
+      val nodes = flatten(b)
+      !nodes.exists(_.isInstanceOf[BaseJoinExec]) &&
+        !nodes.exists(_.isInstanceOf[BaseAggregateExec]) &&
+        nodes.count(_.nodeName.contains("Scan")) <= 1
+    }
+    val bnljJustified: Map[String, SparkPlan => Boolean] = Map(
+      "dx_knn_brute" -> boundedScanBuild,
+      "dx_knn_ivf" -> boundedScanBuild,
+      "q22_idle_customers" -> scalarAggBuild,
+      "dx_tfidf" -> scalarAggBuild,
+      "dx_bm25_search" -> scalarAggBuild)
+
     Registry.all.foreach { d =>
-      val plan = d.fn(spark, sfDir).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
+      val plan = d.fn(spark, sfDir).queryExecution.executedPlan
+      val nodes = flatten(plan)
+      assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
         s"${d.name} plans a CartesianProduct")
-      if (!bnljJustified(d.name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"${d.name} plans a BroadcastNestedLoopJoin")
+      val bnljs = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+      bnljs.foreach { j =>
+        val ok = bnljJustified.get(d.name)
+        assert(ok.isDefined, s"${d.name} plans an unjustified BroadcastNestedLoopJoin")
+        val build = if (j.buildSide == BuildLeft) j.left else j.right
+        assert(ok.get(build),
+          s"${d.name}: BNLJ build side is not the justified tiny shape:\n$build")
+      }
+      assert(bnljs.size <= 1, s"${d.name} plans ${bnljs.size} BNLJs (max 1 justified)")
     }
   }
 
