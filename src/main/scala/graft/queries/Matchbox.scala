@@ -735,8 +735,52 @@ object Matchbox {
       |  CAST((SELECT count(*) FROM tp) AS DOUBLE) / (SELECT count(*) FROM mj) AS precision_score,
       |  CAST((SELECT count(*) FROM tp) AS DOUBLE) / (SELECT count(*) FROM v) AS recall_score""".stripMargin
 
+  /** CDC merge of a change batch into the indexed base (the warehouse
+    * refresh step every matchbox-style deployment runs between pipeline
+    * executions; reference sources re-index on upstream change). The delta
+    * is a deterministic slice of the base itself — updates (+100 balance),
+    * key deletes, and inserts under shifted keys — so both engines derive
+    * the identical batch. Plan shape (operators/Merge): base LEFT ANTI
+    * broadcast(delta keys) + UNION ALL of non-delete delta rows — the base
+    * never shuffles; see Merge.upsert for the 100 TB rationale.
+    */
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val updates = base
+      .filter(col("c_custkey") % 10 === 3 && col("c_custkey") % 53 =!= 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), lit("U").as("op"))
+    val deletes = base.filter(col("c_custkey") % 53 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("D").as("op"))
+    val inserts = base.filter(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+        lit(0.0).as("c_acctbal"), lit("I").as("op"))
+    graft.operators.Merge.upsert(
+      base, updates.unionByName(deletes).unionByName(inserts), Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  private val mergeUpsertSql =
+    """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      |delta AS (
+      |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, 'U' AS op
+      |  FROM base WHERE c_custkey % 10 = 3 AND c_custkey % 53 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, 'D' FROM base WHERE c_custkey % 53 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, CAST(0.0 AS DOUBLE), 'I'
+      |  FROM base WHERE c_custkey % 97 = 0)
+      |SELECT b.c_custkey, b.c_name, b.c_acctbal FROM base b
+      |  ANTI JOIN delta d ON b.c_custkey = d.c_custkey
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal FROM delta WHERE op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mb_source_index", sourceIndex, Some(sourceIndexSql)),
+    QueryDef("mb_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("mb_table_hash", tableHash, Some(tableHashSql)),
     QueryDef("mb_query_concat", queryConcat, Some(queryConcatSql)),
     QueryDef("mb_query_explode", queryExplode, Some(queryExplodeSql)),

@@ -1106,8 +1106,132 @@ object Pipeline {
        |FROM p ORDER BY $totalExpr DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Exact substring-duplicate pairs (the exact-match half of Lee et al.
+    * 2021, arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better"): documents sharing at least one identical run of
+    * `subK` consecutive tokens, with the count of distinct shared runs.
+    * Same inverted-index shape as dx_dedup_ngram — (window, doc) postings,
+    * postings-group pair expansion, never doc×doc — so the work is Σdf²
+    * over window frequencies (max df 3 on this corpus). At corpus scale
+    * the join key becomes `xxhash64(window)` (8 bytes) and ultra-common
+    * boilerplate windows get a df cap, exactly as the ngram path documents;
+    * kept as the raw string here so the DuckDB twin is exact.
+    */
+  private val subK = 6
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .filter(expr(s"size(toks) >= $subK"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(toks) - $subK + 1),
+           | i -> concat_ws(' ', slice(toks, i, $subK))))""".stripMargin)).as("win"))
+      .groupBy("win")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    named_struct('left_id', x, 'right_id', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.left_id").as("left_id"), col("p.right_id").as("right_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("left_id", "right_id")
+
+  private val dedupSubstringSql =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |w AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - $subK + 2),
+       |        i -> array_to_string(list_slice(toks, i, i + $subK - 1), ' '))) AS win
+       |      FROM t WHERE len(toks) >= $subK)
+       |SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS n_shared
+       |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY left_id, right_id""".stripMargin
+
+  /** Overlapping sliding-window chunking — the context-window preparation
+    * step between cleaning and packing: split each document into
+    * `chunkW`-token windows advancing by `chunkS` (stride < window ⇒
+    * adjacent chunks overlap, the standard long-document recipe). Pure
+    * per-row explode: no shuffle until the final order-by, so it streams
+    * map-side at any corpus size. Chunk content is carried as an md5
+    * digest so the row stays narrow while still proving byte-identical
+    * chunk text across engines.
+    */
+  private val (chunkW, chunkS) = (32, 16)
+  private def chunk(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("n_chunks",
+        expr(s"IF(n <= $chunkW, 1L, 1L + (n - $chunkW + $chunkS - 1) DIV $chunkS)"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_no"))
+      .withColumn("chunk_tokens",
+        expr(s"least(CAST($chunkW AS BIGINT), n - chunk_no * $chunkS)"))
+      .withColumn("chunk_hash", expr(
+        s"md5(concat_ws(' ', slice(toks, CAST(chunk_no * $chunkS + 1 AS INT), CAST(chunk_tokens AS INT))))"))
+      .select("doc_id", "chunk_no", "chunk_tokens", "chunk_hash")
+      .orderBy("doc_id", "chunk_no")
+
+  private val chunkSql =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |m AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+       |c AS (SELECT doc_id, toks, n,
+       |        CASE WHEN n <= $chunkW THEN 1 ELSE 1 + (n - $chunkW + $chunkS - 1) // $chunkS END AS n_chunks
+       |      FROM m),
+       |e AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_no FROM c)
+       |SELECT doc_id, chunk_no,
+       |  least($chunkW, n - chunk_no * $chunkS) AS chunk_tokens,
+       |  md5(array_to_string(list_slice(toks, chunk_no * $chunkS + 1,
+       |    chunk_no * $chunkS + least($chunkW, n - chunk_no * $chunkS)), ' ')) AS chunk_hash
+       |FROM e ORDER BY doc_id, chunk_no""".stripMargin
+
+  /** Temperature-scaled domain mixing (the multilingual data-balancing
+    * recipe of mT5/XLM-R: sample language l with probability ∝ n_l^α,
+    * α = 0.5, so low-resource languages are up-weighted relative to their
+    * corpus share). All allocation math is exact integers — weights are
+    * `floor(sqrt(n_l)·1e6)` (sqrt is IEEE-correctly-rounded in both
+    * engines, the scaled floor kills last-ulp drift and makes the integer
+    * sum order-independent) and quotas are `T·w_l div Σw` — so both
+    * engines compute identical quotas. Selection is the deterministic
+    * md5 pseudo-order; per-language take runs on the bounded-heap TopK
+    * operator (k = T caps every heap), NOT a global sort: at corpus scale
+    * each executor keeps T rows per language and only winners shuffle.
+    */
+  private def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val target = 200
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val quotas = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_l"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1e6) AS BIGINT)"))
+      .withColumn("quota", expr(s"$target * w DIV sum(w) OVER ()"))
+      .select("lang", "n_l", "quota")
+    val ranked = graft.plans.TopK.perKey(docs, Seq("lang"), "h", k = target,
+      descending = false, tieCols = Seq("doc_id"), rankName = "rn")
+    ranked.join(broadcast(quotas), "lang")
+      .filter(col("rn") <= col("quota"))
+      .select("lang", "doc_id", "rn", "quota")
+      .orderBy("lang", "rn")
+  }
+
+  private val sampleTemperatureSql =
+    """WITH q AS (
+      |  SELECT lang, count(*) AS n_l,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w
+      |  FROM documents GROUP BY lang),
+      |a AS (SELECT lang, n_l, CAST(200 * w // sum(w) OVER () AS BIGINT) AS quota FROM q),
+      |r AS (SELECT doc_id, lang,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      |  FROM documents)
+      |SELECT r.lang AS lang, r.doc_id, r.rn, a.quota
+      |FROM r JOIN a ON r.lang = a.lang WHERE r.rn <= a.quota
+      |ORDER BY r.lang, r.rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
+    QueryDef("dx_chunk", chunk, Some(chunkSql)),
+    QueryDef("dx_sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("dx_dedup_url", dedupUrl, Some(dedupUrlSql)),
     QueryDef("dx_cardinality_gate", cardinalityGate, Some(cardinalityGateSql)),
     QueryDef("dx_tfidf", tfidf, Some(tfidfSql)),

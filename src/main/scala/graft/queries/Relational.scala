@@ -193,6 +193,36 @@ object Relational {
        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Full CUBE over two order dimensions with `grouping_id` markers — the
+    * grouping-sets surface ROLLUP doesn't cover (every subset, plus the
+    * bitmask telling report consumers which dimensions are aggregated
+    * away). Same single-shuffle expansion as rollup: Spark's Expand node
+    * replicates each input row once per grouping set map-side, partial
+    * aggregation keeps the exchange at cardinality(sets)·|groups|.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        (Num.bigSum(Num.cents(col("o_totalprice"))) / 100.0).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("gid"), col("n_orders"), col("sum_price"))
+      .orderBy("gid", "orderstatus", "orderpriority")
+
+  private val qGroupingSetsSql =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       |  count(*) AS n_orders,
+       |  sum(${Num.centsSql("o_totalprice")})/100.0 AS sum_price
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY gid, orderstatus, orderpriority""".stripMargin
+
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run   = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -761,6 +791,7 @@ object Relational {
     QueryDef("q_window", qWindow, Some(qWindowSql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
+    QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     QueryDef("q_events_sessionize", qSessionize, Some(qSessionizeSql)),
     QueryDef("q_events_window_agg", qEventsWindow, Some(qEventsWindowSql)),
     QueryDef("q_events_asof", qEventsAsof, Some(qEventsAsofSql)),

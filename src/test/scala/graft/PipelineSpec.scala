@@ -163,6 +163,76 @@ class PipelineSpec extends SparkSpec {
     assert(frames.filter(col("frame_idx") % 2 =!= 0).isEmpty)
   }
 
+  test("chunking covers every token: windows overlap by stride and end at n") {
+    val df = Registry.byName("dx_chunk").fn(spark, sfDir).cache()
+    // recompute expected chunk hashes directly from the text in Scala —
+    // proves the chunk CONTENT, not just the counts
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((docId, text) <- docs.take(500)) {
+      val toks = text.trim.split("\\s+")
+      val n = toks.length
+      val nChunks = if (n <= 32) 1 else 1 + (n - 32 + 15) / 16
+      val expected = (0 until nChunks).map { c =>
+        val slice = toks.slice(c * 16, c * 16 + math.min(32, n - c * 16))
+        val hex = md.digest(slice.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (docId, c.toLong) -> (slice.length.toLong, hex)
+      }.toMap
+      val mine = got.filter(_._1._1 == docId)
+      assert(mine == expected, s"doc $docId chunks diverge")
+    }
+    df.unpersist()
+  }
+
+  test("substring dedup equals the brute-force shared-window count") {
+    val k = 6
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .filter(expr(s"size(toks) >= $k"))
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(sequence(1, size(toks) - $k + 1),
+           | i -> concat_ws(' ', slice(toks, i, $k))))""".stripMargin).as("wins"))
+    val l = docs.select(col("doc_id").as("left_id"), col("wins").as("lw"))
+    val r = docs.select(col("doc_id").as("right_id"), col("wins").as("rw"))
+    val brute = l.crossJoin(r).filter(col("left_id") < col("right_id"))
+      .withColumn("n_shared", expr("CAST(size(array_intersect(lw, rw)) AS BIGINT)"))
+      .filter(col("n_shared") >= 1)
+      .select("left_id", "right_id", "n_shared")
+    val got = Registry.byName("dx_dedup_substring").fn(spark, sfDir)
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "inverted-index substring pairs diverge from brute force")
+  }
+
+  test("temperature sampling honours quotas and damps the majority language") {
+    val df = Registry.byName("dx_sample_temperature").fn(spark, sfDir).cache()
+    val perLang = df.groupBy("lang")
+      .agg(count(lit(1)).as("taken"), max("quota").as("quota"),
+        max("rn").as("max_rn"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val corpus = Tables(spark, sfDir, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.nonEmpty)
+    for ((lang, taken, quota) <- perLang)
+      assert(taken == math.min(quota, corpus(lang)),
+        s"$lang took $taken of quota $quota (corpus ${corpus(lang)})")
+    // α=0.5 damping: the majority language's share of the SAMPLE must be
+    // strictly below its share of the corpus — the reason this operator
+    // exists at all
+    val total = perLang.map(_._2).sum.toDouble
+    val corpusTotal = corpus.values.sum.toDouble
+    val (maxLang, maxN) = corpus.maxBy(_._2)
+    val sampled = perLang.find(_._1 == maxLang).map(_._2).getOrElse(0L)
+    assert(sampled / total < maxN / corpusTotal,
+      s"$maxLang share not damped: ${sampled / total} vs ${maxN / corpusTotal}")
+    df.unpersist()
+  }
+
   test("exact dedup groups the synthesized duplicates") {
     val df = Registry.byName("dx_dedup_exact").fn(spark, sfDir)
     val dupGroups = df.filter(col("n_copies") === 2).count()
