@@ -1227,6 +1227,138 @@ object Pipeline {
       |FROM r JOIN a ON r.lang = a.lang WHERE r.rn <= a.quota
       |ORDER BY r.lang, r.rn""".stripMargin
 
+  /** Fixed-weight linear quality classifier — the shape of the fastText /
+    * logistic-regression corpus filters every shipped training set runs
+    * (quality features → w·f ≥ margin keep decision). Weights are pinned
+    * and all arithmetic is exact-integer (features in per-mille, floor
+    * division), so the decision boundary is bit-identical cross-engine —
+    * no sigmoid, the monotone margin test decides identically. Pure
+    * per-row codegen'd scan: the 100 TB cost is one pass, no shuffle.
+    */
+  private def classifierFilter(s: SparkSession, dir: String): DataFrame = {
+    val en = langProfiles.toMap.apply("en")
+    Tables(s, dir, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("n_nonspace", expr("CAST(length(regexp_replace(text, '\\\\s', '')) AS BIGINT)"))
+      .withColumn("f_stop", expr(s"(1000 * ${sparkLangScore(en)}) div n_tokens"))
+      .withColumn("f_len", expr("least(1000L, 10 * n_tokens)"))
+      .withColumn("f_mtl", expr("(10 * n_nonspace) div n_tokens"))
+      .withColumn("score", expr("greatest(0L, 40 * f_stop + 60 * f_len - 8 * abs(f_mtl - 55)) div 100"))
+      .withColumn("keep", col("score") >= 500)
+      .select("doc_id", "f_stop", "f_len", "f_mtl", "score", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val classifierFilterSql = {
+    val en = langProfiles.toMap.apply("en")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |    CAST((1000 * ${duckLangScore(en)}) // len(toks) AS BIGINT) AS f_stop,
+       |    CAST(least(1000, 10 * len(toks)) AS BIGINT) AS f_len,
+       |    CAST((10 * n_nonspace) // len(toks) AS BIGINT) AS f_mtl
+       |  FROM t)
+       |SELECT doc_id, f_stop, f_len, f_mtl,
+       |  CAST(greatest(0, 40 * f_stop + 60 * f_len - 8 * abs(f_mtl - 55)) // 100 AS BIGINT) AS score,
+       |  (greatest(0, 40 * f_stop + 60 * f_len - 8 * abs(f_mtl - 55)) // 100 >= 500) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Rare-token document scoring — the integer-exact stand-in for the
+    * perplexity/surprisal filters (CCNet-style) that rank documents by how
+    * unusual their vocabulary is against the corpus: per document, the
+    * mean corpus document-frequency of its tokens. The df table is the
+    * inverted index aggregated to vocabulary size; re-joining it to the
+    * token stream is a posting-list equi-join on the token (the shuffle
+    * key a 100 TB vocabulary join wants), then one per-doc aggregate. All
+    * integers — a float log-prob sum would not be cross-engine exact.
+    */
+  private def tokenRarity(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+    val dfreq = toks.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    toks.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("sum_df"))
+      .withColumn("mean_df_milli", expr("(1000 * sum_df) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val tokenRaritySql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY tok)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(df) AS BIGINT) AS sum_df,
+      |  CAST((1000 * sum(df)) // count(*) AS BIGINT) AS mean_df_milli
+      |FROM t JOIN df USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Deterministic corpus sharding — the write-side layout step that turns
+    * a curated corpus into N equal-ish training shards with a
+    * content-derived, order-free assignment (first md5 nibble → 16
+    * shards). The assignment is a pure per-row expression (no global
+    * sort, no ntile single-partition funnel — the scale trap), and the
+    * per-shard census is one groupBy over 16 groups. At 100 TB the same
+    * expression feeds `DataFrameWriter.partitionBy` for the physical
+    * write; the census output is what's oracle-compared.
+    */
+  private def shard(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        col("doc_id"), col("n_chars"), col("lang"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("shard")
+
+  private val shardSql =
+    """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Driver-gated quantile-sketch accuracy: `approx_percentile` (the
+    * mergeable sketch that replaces the exact sort-aggregate at corpus
+    * scale) must satisfy its rank contract — the CDF at the approximate
+    * p-quantile lands within p ± 0.05 (the sketch guarantees ±1/accuracy;
+    * the slack absorbs duplicate-value CDF jumps). Sketch internals are
+    * not oracle-comparable across engines; the rank contract is checked
+    * Spark-side against the exact CDF and the oracle pins the row count
+    * from the data plus the flag.
+    */
+  private def percentileGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select(graft.Num.cents(col("value")).as("cents"))
+    val approx = ev.agg(
+      count(lit(1)).as("n"),
+      expr("approx_percentile(cents, 0.5, 1000)").as("p50"),
+      expr("approx_percentile(cents, 0.9, 1000)").as("p90")).head()
+    val n = approx.getLong(0)
+    val ranks = ev.agg(
+      sum(when(col("cents") <= approx.getLong(1), 1L).otherwise(0L)).as("r50"),
+      sum(when(col("cents") <= approx.getLong(2), 1L).otherwise(0L)).as("r90")).head()
+    val ok = math.abs(ranks.getLong(0).toDouble / n - 0.5) <= 0.05 &&
+      math.abs(ranks.getLong(1).toDouble / n - 0.9) <= 0.05
+    Seq((n, ok)).toDF("n_rows", "rank_ok")
+  }
+
+  private val percentileGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BOOLEAN) AS rank_ok
+      |FROM events""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
@@ -1253,6 +1385,10 @@ object Pipeline {
     QueryDef("dx_lang_id", langId, Some(langIdSql)),
     QueryDef("dx_quality", quality, Some(qualitySql)),
     QueryDef("dx_quality_rules", qualityRules, Some(qualityRulesSql)),
+    QueryDef("dx_classifier_filter", classifierFilter, Some(classifierFilterSql)),
+    QueryDef("dx_token_rarity", tokenRarity, Some(tokenRaritySql)),
+    QueryDef("dx_shard", shard, Some(shardSql)),
+    QueryDef("dx_percentile_gate", percentileGate, Some(percentileGateSql)),
     QueryDef("dx_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("dx_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("dx_heavy_hitters_gate", heavyHittersGate, Some(heavyHittersGateSql)),

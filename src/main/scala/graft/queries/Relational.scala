@@ -223,6 +223,81 @@ object Relational {
        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
        |ORDER BY gid, orderstatus, orderpriority""".stripMargin
 
+  /** PIVOT: order totals cross-tabbed status × priority — the
+    * report-shaping surface (`groupBy().pivot()`). Pivot values are pinned
+    * (F/O/P) so the output schema is static: Spark then plans a single
+    * hash aggregate over conditional sums — one shuffle, identical to the
+    * hand-written CASE WHEN form the oracle uses, and no second pass to
+    * discover pivot values (which at 100 TB would be a full extra scan;
+    * pinning values is the scale idiom).
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg((Num.bigSum(Num.cents(col("o_totalprice"))) / 100.0))
+      .select(col("orderpriority"),
+        coalesce(col("F"), lit(0.0)).as("price_f"),
+        coalesce(col("O"), lit(0.0)).as("price_o"),
+        coalesce(col("P"), lit(0.0)).as("price_p"))
+      .orderBy("orderpriority")
+
+  private val qPivotSql = {
+    def branch(v: String) =
+      s"coalesce(sum(CASE WHEN o_orderstatus = '$v' THEN ${Num.centsSql("o_totalprice")} END)/100.0, 0.0)"
+    s"""SELECT o_orderpriority AS orderpriority,
+       |  ${branch("F")} AS price_f,
+       |  ${branch("O")} AS price_o,
+       |  ${branch("P")} AS price_p
+       |FROM orders GROUP BY o_orderpriority ORDER BY orderpriority""".stripMargin
+  }
+
+  /** Native `session_window` sessionization — the one-shot session
+    * aggregate Spark plans without a window-function sort pass (and the
+    * exact batch twin of the streaming session-window state operator; the
+    * streaming side is spec-gated in StreamingSpec). Semantics: a session
+    * extends to last-event + gap, and an event exactly on that horizon
+    * still MERGES — a new session needs a strictly larger gap
+    * (spec-pinned in RelationalSpec with a crafted boundary event; the
+    * test data itself has no exact-boundary ties). The oracle rebuilds
+    * the same islands with lag/cumsum at µs precision using the same
+    * strict `>` convention. Money rides exact cents; session bounds are
+    * emitted as epoch-µs integers.
+    */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (Num.bigSum(Num.cents(col("value"))) / 100.0).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
+  private val qSessionWindowSql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    ${Num.centsSql("value")} AS cents
+       |  FROM events),
+       |x AS (
+       |  SELECT user_id, us, cents,
+       |    lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+       |y AS (
+       |  SELECT user_id, us, cents,
+       |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+       |  FROM x),
+       |z AS (
+       |  SELECT user_id, us, cents,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM y)
+       |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+       |  count(*) AS n_events, sum(cents)/100.0 AS sum_value
+       |FROM z GROUP BY user_id, sid
+       |ORDER BY user_id, start_us""".stripMargin
+
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run   = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -789,6 +864,9 @@ object Relational {
     QueryDef("q3_topk_join", q3, Some(q3Sql)),
     QueryDef("q5_multijoin", q5, Some(q5Sql)),
     QueryDef("q_window", qWindow, Some(qWindowSql)),
+    QueryDef("q_window_sliding", qWindowSliding, Some(qWindowSlidingSql)),
+    QueryDef("q_pivot", qPivot, Some(qPivotSql)),
+    QueryDef("q_session_window", qSessionWindow, Some(qSessionWindowSql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
     QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),

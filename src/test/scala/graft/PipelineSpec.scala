@@ -239,4 +239,58 @@ class PipelineSpec extends SparkSpec {
     val expected = Tables(spark, sfDir, "documents").filter(col("doc_id") % 7 === 0).count()
     assert(dupGroups == expected)
   }
+
+  test("classifier filter score is the pinned weighted margin of its own features") {
+    val df = Registry.byName("dx_classifier_filter").fn(spark, sfDir)
+    // recompute the decision from the emitted features: the published
+    // weights are the contract, the score column must be exactly w·f
+    val bad = df.filter(
+      col("score") =!= expr("greatest(0L, 40 * f_stop + 60 * f_len - 8 * abs(f_mtl - 55)) div 100") ||
+        col("keep") =!= (col("score") >= 500)).count()
+    assert(bad == 0)
+    val bounds = df.agg(min("score"), max("score"), min("f_stop"), max("f_stop")).head()
+    assert(bounds.getLong(0) >= 0 && bounds.getLong(1) <= 1000)
+    assert(bounds.getLong(2) >= 0 && bounds.getLong(3) <= 1000)
+    // both classes must be populated or the filter is vacuous
+    assert(df.filter(col("keep")).count() > 0 && df.filter(!col("keep")).count() > 0)
+  }
+
+  test("token rarity matches a direct recomputation for sampled documents") {
+    val df = Registry.byName("dx_token_rarity").fn(spark, sfDir)
+    val docs = Tables(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"), explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+    val sample = df.filter(col("doc_id") < 5).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val myToks = toks.filter(col("doc_id") === id).select("tok").collect().map(_.getString(0))
+      // df of each token = number of distinct docs containing it, over the corpus
+      val dfMap = toks.filter(col("tok").isin(myToks.distinct: _*))
+        .groupBy("tok").agg(countDistinct("doc_id").as("df"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val sumDf = myToks.map(dfMap).sum
+      assert(r.getAs[Long]("n_tokens") == myToks.length, s"doc $id token count")
+      assert(r.getAs[Long]("sum_df") == sumDf, s"doc $id sum_df")
+      assert(r.getAs[Long]("mean_df_milli") == 1000 * sumDf / myToks.length, s"doc $id mean")
+    }
+  }
+
+  test("shard census covers every document exactly once with hex-nibble shards") {
+    val df = Registry.byName("dx_shard").fn(spark, sfDir)
+    val rows = df.collect()
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val nibbles = "0123456789abcdef".map(_.toString).toSet
+    assert(rows.map(_.getAs[String]("shard")).toSet.subsetOf(nibbles))
+    // assignment is content-derived, not order-derived: rerun is identical
+    val again = Registry.byName("dx_shard").fn(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("percentile sketch meets its rank contract") {
+    val df = Registry.byName("dx_percentile_gate").fn(spark, sfDir)
+    val row = df.head()
+    assert(row.getAs[Boolean]("rank_ok"))
+    assert(row.getAs[Long]("n_rows") == Tables(spark, sfDir, "events").count())
+  }
 }

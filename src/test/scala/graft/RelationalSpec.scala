@@ -33,4 +33,55 @@ class RelationalSpec extends SparkSpec {
     val totalEvents = df.agg(sum("n_events")).head.getLong(0)
     assert(totalEvents == Tables(spark, sfDir, "events").count())
   }
+
+  test("session_window merges an event exactly ON the gap boundary (oracle convention)") {
+    import spark.implicits._
+    // user 1: 0s and 1000s merge; 2800s sits exactly gap(1800s) after 1000s
+    // and still MERGES (Spark needs a strictly larger gap to split); 4601s is
+    // 1800s+1µs-free beyond 2801s → splits. The q_session_window oracle uses
+    // the same strict `>` convention. No event in the test data sits exactly
+    // on a boundary, so this spec is what pins the cross-engine convention
+    // to Spark's actual semantics.
+    val ev = Seq((1L, 0L), (1L, 1000L), (1L, 2800L), (1L, 4601L))
+      .toDF("user_id", "off")
+      .select(col("user_id"), timestamp_seconds(col("off") + 1700000000L).as("ts"))
+    val sessions = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("sw.start")).as("start_us"), col("n"))
+      .orderBy("start_us").collect()
+    assert(sessions.length == 2, s"expected 2 sessions, got ${sessions.toSeq}")
+    assert(sessions(0).getAs[Long]("n") == 3 && sessions(1).getAs[Long]("n") == 1)
+    // and the registered query's sessions partition the events
+    val df = Registry.byName("q_session_window").fn(spark, sfDir)
+    assert(df.agg(sum("n_events")).head.getLong(0) == Tables(spark, sfDir, "events").count())
+    // session bounds are consistent: end = last event + gap >= start + gap
+    assert(df.filter(col("end_us") - col("start_us") < 1800L * 1000000L).count() == 0)
+  }
+
+  test("q_pivot equals the conditional-aggregation form") {
+    val pivoted = Registry.byName("q_pivot").fn(spark, sfDir)
+    def branch(v: String) =
+      expr(s"coalesce(sum(CASE WHEN o_orderstatus = '$v' THEN ${Num.centsSql("o_totalprice")} END)/100.0, 0.0)")
+    val manual = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority").as("orderpriority"))
+      .agg(branch("F").as("price_f"), branch("O").as("price_o"), branch("P").as("price_p"))
+    assert(pivoted.exceptAll(manual).isEmpty && manual.exceptAll(pivoted).isEmpty)
+  }
+
+  test("q_window_sliding trailing sum matches a naive range self-join") {
+    val df = Registry.byName("q_window_sliding").fn(spark, sfDir)
+    val orders = Tables(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).as("d"),
+      Num.cents(col("o_totalprice")).as("cents"))
+    val naive = orders.as("a").join(orders.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("b.d") >= col("a.d") - 30 && col("b.d") <= col("a.d"))
+      .groupBy(col("a.o_orderkey").as("o_orderkey"))
+      .agg((sum(col("b.cents")) / 100.0).as("expected"))
+    val joined = df.join(naive, "o_orderkey")
+    assert(joined.filter(col("trailing_30d") =!= col("expected")).count() == 0)
+    assert(joined.count() == orders.count())
+  }
 }
