@@ -1359,7 +1359,86 @@ object Pipeline {
     """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BOOLEAN) AS rank_ok
       |FROM events""".stripMargin
 
+  /** Flagship corpus-curation pipeline — the data-side twin of
+    * `mb_pipeline_e2e`, composing the shipped-corpus steps end to end:
+    * PII scrub → exact dedup (keep lowest id) → classifier quality filter
+    * → per-language cap in deterministic pseudo-random order. Every stage
+    * is one of the already-oracle-matched operators, so the whole
+    * composition is SQL-expressible and bit-exact cross-engine. Plan
+    * shape at scale: one per-row scrub scan, one content-hash groupBy,
+    * one semi-join back, one per-row score scan, and the bounded-heap
+    * TopK cap (partitions·langs·30 exchange rows) — no global sort.
+    */
+  private def corpusE2e(s: SparkSession, dir: String): DataFrame = {
+    val en = langProfiles.toMap.apply("en")
+    val scrubbed = withDupes(s, dir, exact = true)
+      .withColumn("seeded",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact: user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(col("seeded"), emailRe, "<EMAIL>").as("text"))
+    val keep = scrubbed.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val kept = scrubbed.join(keep, Seq("doc_id"), "left_semi")
+    val scored = kept
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("n_nonspace", expr("CAST(length(regexp_replace(text, '\\\\s', '')) AS BIGINT)"))
+      .withColumn("f_stop", expr(s"(1000 * ${sparkLangScore(en)}) div n_tokens"))
+      .withColumn("f_len", expr("least(1000L, 10 * n_tokens)"))
+      .withColumn("f_mtl", expr("(10 * n_nonspace) div n_tokens"))
+      .withColumn("score", expr("greatest(0L, 40 * f_stop + 60 * f_len - 8 * abs(f_mtl - 55)) div 100"))
+      .filter(col("score") >= 500)
+      .select(col("doc_id"), col("lang"), col("score"),
+        md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopK.perKey(scored, Seq("lang"), "h", k = 30,
+      descending = false, tieCols = Seq("doc_id"), rankName = "rn")
+      .select(col("lang"), col("rn"), col("doc_id"), col("score"))
+      .orderBy("lang", "rn")
+  }
+
+  private val corpusE2eSql = {
+    val en = langProfiles.toMap.apply("en")
+    s"""WITH docs2 AS (${dupesSql(exact = true)}),
+       |seeded AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      ELSE text END AS t
+       |  FROM docs2),
+       |scrubbed AS (
+       |  SELECT doc_id, lang,
+       |    regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS text
+       |  FROM seeded),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM scrubbed GROUP BY md5(text)),
+       |kept AS (SELECT s.* FROM scrubbed s JOIN keep USING (doc_id)),
+       |feat AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace
+       |  FROM kept),
+       |f AS (SELECT doc_id, lang,
+       |    CAST((1000 * ${duckLangScore(en)}) // len(toks) AS BIGINT) AS f_stop,
+       |    CAST(least(1000, 10 * len(toks)) AS BIGINT) AS f_len,
+       |    CAST((10 * n_nonspace) // len(toks) AS BIGINT) AS f_mtl
+       |  FROM feat),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |    CAST(greatest(0, 40 * f_stop + 60 * f_len - 8 * abs(f_mtl - 55)) // 100 AS BIGINT) AS score
+       |  FROM f),
+       |r AS (
+       |  SELECT lang, doc_id, score,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+       |  FROM q WHERE score >= 500)
+       |SELECT lang, rn, doc_id, score FROM r WHERE rn <= 30
+       |ORDER BY lang, rn""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dx_corpus_e2e", corpusE2e, Some(corpusE2eSql)),
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QueryDef("dx_chunk", chunk, Some(chunkSql)),

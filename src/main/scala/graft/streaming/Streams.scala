@@ -167,6 +167,27 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Native `session_window` streaming sessionization — the built-in
+    * session state operator (streaming twin of the oracle-matched batch
+    * query `q_session_window`). Spark merges per-user session state
+    * incrementally across micro-batches; the watermark finalises (emits,
+    * in append mode) sessions whose gap horizon has passed and evicts
+    * their state — which is what bounds state on an unbounded stream.
+    * Prefer this over [[sessionize]] when plain gap semantics suffice;
+    * `flatMapGroupsWithState` remains for session logic windows can't
+    * express.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), Num.moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Custom streaming state: gap-based sessionization with
     * `flatMapGroupsWithState` — the arbitrary-state surface for semantics
     * windows can't express. State per user is one open session (start,

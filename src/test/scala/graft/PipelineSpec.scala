@@ -287,6 +287,31 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("corpus e2e pipeline composes scrub, dedup, filter and cap coherently") {
+    val df = Registry.byName("dx_corpus_e2e").fn(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // dedup keeps the lowest id of each content group: a planted +1e6 copy
+    // shares its original's scrubbed text (1e6 % 5 = 0 preserves the email
+    // seeding), so no copy may survive into the curated roster
+    assert(rows.forall(_.getAs[Long]("doc_id") < 1000000L))
+    // classifier margin and per-language cap hold on every row
+    assert(rows.forall(_.getAs[Long]("score") >= 500L))
+    val perLang = rows.groupBy(_.getAs[String]("lang"))
+    perLang.foreach { case (lang, rs) =>
+      val rns = rs.map(_.getAs[Long]("rn")).sorted
+      assert(rns.last <= 30, s"$lang over cap")
+      assert(rns.sameElements(1L to rns.length), s"$lang ranks not dense")
+    }
+    // unseeded docs (no email appended, scrub is a no-op) score identically
+    // in the standalone classifier — the composition changes nothing for them
+    val standalone = Registry.byName("dx_classifier_filter").fn(spark, sfDir)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("score").as("s2"))
+    val joined = df.filter(col("doc_id") % 5 =!= 0).join(standalone, "doc_id")
+    assert(joined.filter(col("score") =!= col("s2")).count() == 0)
+  }
+
   test("percentile sketch meets its rank contract") {
     val df = Registry.byName("dx_percentile_gate").fn(spark, sfDir)
     val row = df.head()

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class SEv(user_id: Long, ts: Timestamp, value: Double)
 case class Rec(id: Long, nationkey: Int)
 case class Doc(id: Long, text: String)
 case class Vec(vec_id: Long, embedding: Seq[Float])
@@ -147,6 +148,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((1L, 0L, 2L)), s"first session of user 1 missing: $out")
     assert(out.contains((1L, 55L, 1L)), s"second session of user 1 missing: $out")
     assert(out.contains((2L, 5L, 1L)), s"user 2 session missing: $out")
+  }
+
+  test("native session_window stream finalises sessions past the watermark") {
+    implicit val ctx = spark.sqlContext
+    def ts(min: Long) = new Timestamp((1440 + min) * 60000)
+    val input = MemoryStream[SEv]
+    // user 1: two sessions separated by a 40-min gap; user 2: one session
+    input.addData(Seq(
+      SEv(1, ts(0), 1.0), SEv(1, ts(10), 2.5),
+      SEv(1, ts(55), 4.0), SEv(2, ts(5), 8.0)))
+    val q = Streams.sessionWindows(input.toDF(), gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("swsessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance event time so the watermark passes every session's horizon
+      input.addData(Seq(SEv(99, ts(500), 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("swsessions").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").getTime / 60000 - 1440,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(out.contains((1L, 0L, 2L, 3.5)), s"first session of user 1 missing: $out")
+    assert(out.contains((1L, 55L, 1L, 4.0)), s"second session of user 1 missing: $out")
+    assert(out.contains((2L, 5L, 1L, 8.0)), s"user 2 session missing: $out")
+    // the flush event's own session must NOT have been finalised yet
+    assert(!out.exists(_._1 == 99L), s"unfinalised session leaked: $out")
   }
 
   test("watermarked streaming dedup suppresses re-arrivals within the horizon") {
