@@ -298,6 +298,84 @@ object Relational {
        |FROM z GROUP BY user_id, sid
        |ORDER BY user_id, start_us""".stripMargin
 
+  /** Ordered conversion funnel view → click → purchase: each stage's
+    * timestamp must strictly follow the previous stage's first completion
+    * for the same user. Three per-user min-aggregates chained by joins —
+    * every shuffle is on user_id and post-aggregate (one row per user),
+    * so the plan is three cheap exchanges regardless of event volume; no
+    * window sort, no event×event join. Conversion rates are emitted as
+    * exact integer per-mille.
+    */
+  private def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("c_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    val nv = v.count(); val nc = c.count(); val np = p.count()
+    import s.implicits._
+    Seq((nv, nc, np, 1000 * nc / nv, 1000 * np / nc))
+      .toDF("n_view", "n_click_after", "n_purchase_after", "click_rate_milli", "purchase_rate_milli")
+  }
+
+  private val qEventsFunnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND us > v_us GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > c_us GROUP BY e.user_id)
+      |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+      |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+      |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after,
+      |  CAST(1000 * (SELECT count(*) FROM c) // (SELECT count(*) FROM v) AS BIGINT) AS click_rate_milli,
+      |  CAST(1000 * (SELECT count(*) FROM p) // (SELECT count(*) FROM c) AS BIGINT) AS purchase_rate_milli""".stripMargin
+
+  /** Cohort retention: users grouped by signup day, counted again if they
+    * produce any event in days 1-7 after signup. Two per-user aggregates
+    * and one semi-join — the cohort matrix never materialises user×day.
+    */
+  private def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("day0"))
+    val retained = ev.join(cohort, "user_id")
+      .filter(col("day") > col("day0") && col("day") <= col("day0") + 7)
+      .select("user_id", "day0").distinct()
+    cohort.groupBy("day0").agg(count(lit(1)).as("n_signup"))
+      .join(
+        retained.groupBy("day0").agg(count(lit(1)).as("n_retained")),
+        Seq("day0"), "left")
+      .select(col("day0"),
+        col("n_signup"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .orderBy("day0")
+  }
+
+  private val qEventsRetentionSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(day) AS day0 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |retained AS (
+      |  SELECT DISTINCT e.user_id, day0 FROM e JOIN cohort USING (user_id)
+      |  WHERE day > day0 AND day <= day0 + 7),
+      |s AS (SELECT day0, CAST(count(*) AS BIGINT) AS n_signup FROM cohort GROUP BY day0),
+      |r AS (SELECT day0, CAST(count(*) AS BIGINT) AS n_retained FROM retained GROUP BY day0)
+      |SELECT s.day0 AS day0, n_signup, coalesce(n_retained, 0) AS n_retained
+      |FROM s LEFT JOIN r ON s.day0 = r.day0
+      |ORDER BY day0""".stripMargin
+
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run   = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -873,6 +951,8 @@ object Relational {
     QueryDef("q_events_sessionize", qSessionize, Some(qSessionizeSql)),
     QueryDef("q_events_window_agg", qEventsWindow, Some(qEventsWindowSql)),
     QueryDef("q_events_asof", qEventsAsof, Some(qEventsAsofSql)),
+    QueryDef("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),
+    QueryDef("q_events_retention", qEventsRetention, Some(qEventsRetentionSql)),
     QueryDef("q_events_sequences", qEventSequences, Some(qEventSequencesSql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)))
 }

@@ -59,6 +59,57 @@ class RelationalSpec extends SparkSpec {
     assert(df.filter(col("end_us") - col("start_us") < 1800L * 1000000L).count() == 0)
   }
 
+  test("q_events_funnel matches a per-user scan and stages are monotone") {
+    val row = Registry.byName("q_events_funnel").fn(spark, sfDir).head()
+    val (nv, nc, np) = (row.getAs[Long]("n_view"),
+      row.getAs[Long]("n_click_after"), row.getAs[Long]("n_purchase_after"))
+    assert(nv >= nc && nc >= np)
+    // naive per-user recomputation of the chained first-completion funnel
+    val byUser = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    var (env, enc, enp) = (0L, 0L, 0L)
+    byUser.values.foreach { evs =>
+      def firstAfter(tpe: String, after: Long): Option[Long] = {
+        val ts = evs.filter(e => e.getAs[String]("event_type") == tpe)
+          .map(_.getAs[Long]("us")).filter(_ > after)
+        if (ts.isEmpty) None else Some(ts.min)
+      }
+      firstAfter("view", Long.MinValue).foreach { v =>
+        env += 1
+        firstAfter("click", v).foreach { c =>
+          enc += 1
+          firstAfter("purchase", c).foreach(_ => enp += 1)
+        }
+      }
+    }
+    assert((nv, nc, np) == ((env, enc, enp)), s"got ($nv,$nc,$np) expected ($env,$enc,$enp)")
+  }
+
+  test("q_events_retention counts distinct returning users per cohort day") {
+    val df = Registry.byName("q_events_retention").fn(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.forall(r => r.getAs[Long]("n_retained") <= r.getAs[Long]("n_signup")))
+    // naive recompute
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day")).collect()
+    val day0 = evs.filter(_.getAs[String]("event_type") == "signup")
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.map(_.getAs[Long]("day")).min }
+    val retained = evs.filter { e =>
+      day0.get(e.getAs[Long]("user_id")).exists { d0 =>
+        val d = e.getAs[Long]("day"); d > d0 && d <= d0 + 7
+      }
+    }.map(e => (e.getAs[Long]("user_id"), day0(e.getAs[Long]("user_id")))).toSet
+    val expected = day0.groupBy(_._2).map { case (d, us) =>
+      d -> (us.size.toLong, retained.count(_._2 == d).toLong)
+    }
+    val got = rows.map(r => r.getAs[Long]("day0") ->
+      (r.getAs[Long]("n_signup"), r.getAs[Long]("n_retained"))).toMap
+    assert(got == expected, s"cohorts differ: $got vs $expected")
+  }
+
   test("q_pivot equals the conditional-aggregation form") {
     val pivoted = Registry.byName("q_pivot").fn(spark, sfDir)
     def branch(v: String) =
