@@ -1040,13 +1040,20 @@ object Pipeline {
   private val bm25Terms = Seq("hash", "join", "window")
 
   private def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    // One tokenize pass total: doc length + query-term occurrences are
+    // derived in a single projection and the (tiny: 3 longs + matched
+    // terms per doc) result is materialised with localCheckpoint, so the
+    // corpus statistics branch and the tf branch don't each re-split every
+    // document (the split was the whole query's CPU cost, paid twice).
+    val termArr = bm25Terms.map(t => s"'$t'").mkString("array(", ", ", ")")
     val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .select(col("doc_id"),
-        expr("split(trim(text), '\\\\s+')").as("toks"))
-      .withColumn("dl", expr("CAST(size(toks) AS BIGINT)"))
+        expr("CAST(size(toks) AS BIGINT)").as("dl"),
+        expr(s"filter(toks, t -> array_contains($termArr, t))").as("ftoks"))
+      .localCheckpoint(false)
     val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(bm25Terms: _*))
+      .select(col("doc_id"), col("dl"), explode(col("ftoks")).as("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
