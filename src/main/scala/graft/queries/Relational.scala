@@ -502,6 +502,41 @@ object Relational {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
       |ORDER BY event_id""".stripMargin
 
+  /** Forward point-in-time join — the other as-of direction (spec-only
+    * until r7): each click joined to the user's next purchase at-or-after
+    * it, with a 2-hour tolerance so stale matches null out (left-join
+    * semantics preserved). Same one-key-shuffle union + running-first
+    * plan as the backward join; oracle is DuckDB's native ASOF with the
+    * reversed inequality plus an explicit tolerance filter re-applied as
+    * a projection (DuckDB ASOF has no tolerance parameter).
+    */
+  private def qEventsAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    graft.operators.AsOf.joinForward(clicks, purchases, Seq("user_id"),
+        "ts", "pts", rightPrefix = "", rightTiebreak = Some("purchase_id"),
+        tolerance = Some(expr("INTERVAL 2 HOURS")))
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  private val qEventsAsofFwdSql =
+    """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT c.event_id, c.user_id, p.purchase_id,
+      |    epoch_us(p.pts) - epoch_us(c.ts) AS gap_us
+      |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.pts)
+      |SELECT event_id, user_id,
+      |  CASE WHEN gap_us <= 7200000000 THEN purchase_id END AS purchase_id,
+      |  CASE WHEN gap_us <= 7200000000 THEN CAST(gap_us AS BIGINT) END AS gap_us
+      |FROM j ORDER BY event_id""".stripMargin
+
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .groupBy(
@@ -951,6 +986,7 @@ object Relational {
     QueryDef("q_events_sessionize", qSessionize, Some(qSessionizeSql)),
     QueryDef("q_events_window_agg", qEventsWindow, Some(qEventsWindowSql)),
     QueryDef("q_events_asof", qEventsAsof, Some(qEventsAsofSql)),
+    QueryDef("q_events_asof_fwd", qEventsAsofFwd, Some(qEventsAsofFwdSql)),
     QueryDef("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),
     QueryDef("q_events_retention", qEventsRetention, Some(qEventsRetentionSql)),
     QueryDef("q_events_sequences", qEventSequences, Some(qEventSequencesSql)),
