@@ -762,6 +762,38 @@ object Pipeline {
       |  sha256(text) AS payload_sha
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Frame sampling over opaque media payloads — the video half of the
+    * multimodal surface (every `everyN`-th fixed-size byte window, the
+    * one→many partition-batched explode of `Media.sampleFrames`). The
+    * stub "decode" slices payload bytes, so frame content is a pure
+    * function of the payload and the oracle can recompute every frame's
+    * md5 with plain substring arithmetic (document text is pure ASCII at
+    * every sf: char offsets ≡ byte offsets, checked by the n_bytes twin
+    * in dx_multimodal_meta). Swap the stub for a real codec and the
+    * oracle column becomes a spec instead — the plumbing under test
+    * (schema, batching, fan-out) is the part that survives.
+    */
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Media.sampleFrames(
+        Media.withPayload(Tables(s, dir, "documents"), "doc_id", "text"),
+        frameBytes = 64, everyN = 2)
+      .select(col("media_id"), col("frame_idx"),
+        expr("CAST(length(frame) AS BIGINT)").as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("media_id", "frame_idx")
+
+  private val multimodalFramesSql =
+    """WITH d AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+      |f AS (
+      |  SELECT doc_id, text, n,
+      |    unnest(range(0, CAST((n + 63) // 64 AS BIGINT), 2)) AS frame_idx
+      |  FROM d)
+      |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(least(64, n - frame_idx * 64) AS BIGINT) AS frame_bytes,
+      |  md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   /** Gopher-style hard quality filters (Rae et al. 2021, "Scaling Language
     * Models" §A.1.1 rule set, re-expressed as one codegen'd scan): word-count
     * window, mean-word-length window, stopword presence, lexical diversity.
@@ -1489,5 +1521,6 @@ object Pipeline {
     QueryDef("dx_scrub", scrub, Some(scrubSql)),
     QueryDef("dx_repetition", repetition, Some(repetitionSql)),
     QueryDef("dx_corpus_stats", corpusStats, Some(corpusStatsSql)),
-    QueryDef("dx_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)))
+    QueryDef("dx_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+    QueryDef("dx_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)))
 }
