@@ -406,6 +406,33 @@ object Matchbox {
       |FROM supplier JOIN customer ON c_custkey = s_suppkey
       |ORDER BY cluster_id, source""".stripMargin
 
+  /** One cluster's records viewed across sources (reference results.py:138
+    * `view_cluster`, oracle-matched since r7 — spec-only before): resolve
+    * customer+supplier, then fetch and diagonal-concat the members of the
+    * cluster holding key 7 (cluster_id 14 under the 2k/2k+1 vertex
+    * encoding) with source-qualified columns. The oracle rebuilds the
+    * two-source view directly from the deterministic resolution shape.
+    */
+  private def clusterView(s: SparkSession, dir: String): DataFrame = {
+    val (comp, members) = resolveParts(s, dir)
+    val lookup = comp.join(members, "id")
+      .select(col("component").as("cluster_id"), col("source"), col("rec_key"))
+    val cust = Tables(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    graft.operators.Lookup.viewCluster(14L,
+      Seq(("customer", cust, "c_custkey"), ("supplier", supp, "s_suppkey")), lookup)
+  }
+
+  private val clusterViewSql =
+    """SELECT c_custkey AS customer_c_custkey, CAST(NULL AS BIGINT) AS supplier_s_suppkey,
+      |  c_name AS customer_c_name, c_nationkey AS customer_c_nationkey,
+      |  CAST(NULL AS VARCHAR) AS supplier_s_name, CAST(NULL AS INTEGER) AS supplier_s_nationkey
+      |FROM customer WHERE c_custkey = 7
+      |UNION ALL
+      |SELECT CAST(NULL AS BIGINT), s_suppkey, CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+      |  s_name, s_nationkey
+      |FROM supplier WHERE s_suppkey = 7""".stripMargin
+
   private def matchKeys(s: SparkSession, dir: String): DataFrame = {
     val (comp, members) = resolveParts(s, dir)
     val assigned = comp.join(members, "id")
@@ -797,6 +824,7 @@ object Matchbox {
     QueryDef("mb_components", componentsQuery, Some(componentsSql)),
     QueryDef("mb_cluster_hash", clusterHashQuery, Some(clusterHashSql)),
     QueryDef("mb_resolve_lookup", resolveLookup, Some(resolveLookupSql)),
+    QueryDef("mb_cluster_view", clusterView, Some(clusterViewSql)),
     QueryDef("mb_resolve_merge", resolveMerge, Some(resolveMergeSql)),
     QueryDef("mb_resolve_dump", resolveDump, Some(resolveDumpSql)),
     QueryDef("mb_match_keys", matchKeys, Some(matchKeysSql)),

@@ -223,6 +223,32 @@ object Relational {
        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
        |ORDER BY gid, orderstatus, orderpriority""".stripMargin
 
+  /** Hot-key-salted fact⋈dim join, oracle-proven exact (spec-only until
+    * r7): `Skew.saltedJoin` splits each skewed probe key across `salts`
+    * deterministic sub-keys and replicates the build side per salt, so a
+    * single mega-key's rows spread over `salts` reducers instead of one.
+    * The oracle is the plain unsalted join — same rows by construction,
+    * now driver-checked. At 100 TB this is the manual fallback when AQE's
+    * skew splitting can't apply (e.g. the skewed side feeds a
+    * co-partitioned downstream agg).
+    */
+  private def qSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), Num.cents(col("l_extendedprice")).as("cents"))
+    val supp = Tables(s, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.Skew.saltedJoin(li, supp, "suppkey", salts = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"), (Num.bigSum(col("cents")) / 100.0).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  private val qSkewSaltedSql =
+    s"""SELECT s_nationkey, count(*) AS n_items,
+       |  sum(${Num.centsSql("l_extendedprice")})/100.0 AS revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** PIVOT: order totals cross-tabbed status × priority — the
     * report-shaping surface (`groupBy().pivot()`). Pivot values are pinned
     * (F/O/P) so the output schema is static: Spark then plans a single
@@ -979,6 +1005,7 @@ object Relational {
     QueryDef("q_window", qWindow, Some(qWindowSql)),
     QueryDef("q_window_sliding", qWindowSliding, Some(qWindowSlidingSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
+    QueryDef("q_skew_salted", qSkewSalted, Some(qSkewSaltedSql)),
     QueryDef("q_session_window", qSessionWindow, Some(qSessionWindowSql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
