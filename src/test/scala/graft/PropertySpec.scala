@@ -184,4 +184,48 @@ class PropertySpec extends SparkSpec {
       .groupBy("left_id", "right_id").agg(max("score").as("score"))
     assert(once.except(truth).isEmpty && truth.except(once).isEmpty)
   }
+
+  test("session_window equals the strict-gap islands formulation on random streams") {
+    // Random event streams with deliberate exact-boundary collisions (gaps
+    // drawn near the 60s session gap, including exactly 60s): the native
+    // operator must match the lag/cumsum islands rebuild that the
+    // q_session_window DuckDB oracle uses, with the SAME strict `>` split.
+    val rng = new Random(7)
+    for (trial <- 1 to 4) {
+      val rows = (1 to 3).flatMap { user =>
+        var t = 1700000000000000L // µs
+        (1 to 20 + rng.nextInt(30)).map { _ =>
+          // ~1 in 4 gaps land exactly on the 60s boundary (must MERGE)
+          val gap = rng.nextInt(4) match {
+            case 0 => 60000000L
+            case 1 => 60000001L + rng.nextInt(1000000)
+            case _ => rng.nextInt(60000000).toLong
+          }
+          t += gap
+          (user.toLong, t)
+        }
+      }
+      val ev = rows.toDF("user_id", "us")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+      val native = ev
+        .groupBy(col("user_id"), session_window(col("ts"), "60 seconds").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"), col("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us")
+      val islands = rows.toDF("user_id", "us")
+        .withColumn("prev", lag("us", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 60000000L, 1).otherwise(0))
+        .withColumn("sid", sum("new_s").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(min("us").as("start_us"), (max("us") + 60000000L).as("end_us"),
+          count(lit(1)).as("n"))
+        .select("user_id", "start_us", "end_us", "n")
+      assert(native.except(islands).isEmpty && islands.except(native).isEmpty,
+        s"trial $trial: native session_window diverges from strict-gap islands")
+    }
+  }
 }
