@@ -335,18 +335,27 @@ object Relational {
   private def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // each stage frame is |users-at-stage| rows; checkpointing stops the
+    // later stages (and the final count union) from replaying the event
+    // scans of every earlier stage
     val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("us").as("v_us"))
+      .groupBy("user_id").agg(min("us").as("v_us")).localCheckpoint(false)
     val c = ev.filter(col("event_type") === "click").join(v, "user_id")
       .filter(col("us") > col("v_us"))
-      .groupBy("user_id").agg(min("us").as("c_us"))
+      .groupBy("user_id").agg(min("us").as("c_us")).localCheckpoint(false)
     val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
       .filter(col("us") > col("c_us"))
       .groupBy("user_id").agg(min("us").as("p_us"))
-    val nv = v.count(); val nc = c.count(); val np = p.count()
-    import s.implicits._
-    Seq((nv, nc, np, 1000 * nc / nv, 1000 * np / nc))
-      .toDF("n_view", "n_click_after", "n_purchase_after", "click_rate_milli", "purchase_rate_milli")
+    // one declarative plan for the report row — no driver-side counting
+    v.select(lit("v").as("st")).unionByName(c.select(lit("c").as("st")))
+      .unionByName(p.select(lit("p").as("st")))
+      .groupBy().pivot("st", Seq("v", "c", "p")).count()
+      .select(
+        coalesce(col("v"), lit(0L)).as("n_view"),
+        coalesce(col("c"), lit(0L)).as("n_click_after"),
+        coalesce(col("p"), lit(0L)).as("n_purchase_after"))
+      .withColumn("click_rate_milli", expr("(1000 * n_click_after) div n_view"))
+      .withColumn("purchase_rate_milli", expr("(1000 * n_purchase_after) div n_click_after"))
   }
 
   private val qEventsFunnelSql =
