@@ -433,6 +433,80 @@ object Matchbox {
       |  s_name, s_nationkey
       |FROM supplier WHERE s_suppkey = 7""".stripMargin
 
+  /** Judgement netting as an oracle-matched query (reference eval.py
+    * `process_judgements`; distributed twin `Judgements.net`, spec-only
+    * until r7). Deterministic seeding: each nation's suppliers form a
+    * shown cluster; one judgement endorses its even-key members, a second
+    * its odd-key members (together a valid partition). Net weights: pairs
+    * inside an endorsed set get `1 + (n_shown − n_endorsed)/n_shown`,
+    * cross pairs collect `−n_endorsed/n_shown` from both endorsements —
+    * two-term double sums, order-safe (IEEE addition of two terms is
+    * commutative), so the oracle's CASE arithmetic is bit-exact.
+    */
+  private def judgementsNet(s: SparkSession, dir: String): DataFrame = {
+    val supp = Tables(s, dir, "supplier")
+      .select(col("s_nationkey").cast("long").as("nk"), col("s_suppkey").as("id"))
+    val shown = supp.groupBy("nk")
+      .agg(sort_array(collect_list("id")).as("leaves"))
+      .select(col("nk").as("root"), col("leaves"))
+    def endorsedSet(parity: Int, offset: Long) = supp
+      .filter(col("id") % 2 === parity)
+      .groupBy("nk")
+      .agg(sort_array(collect_list("id")).as("leaves"))
+      .select((col("nk") + offset).as("root"), col("leaves"))
+    val expansion = shown
+      .unionByName(endorsedSet(0, 1000L)).unionByName(endorsedSet(1, 2000L))
+    // derive judgement rows from the endorsed sets that actually exist —
+    // a nation whose suppliers are all one parity gets one endorsement
+    // covering the whole shown cluster, not a phantom empty one
+    val judgements = expansion.filter(col("root") >= 1000L)
+      .select((col("root") % 1000L).as("shown"), col("root").as("endorsed"))
+    graft.eval.Judgements.net(judgements, expansion)
+      .orderBy("a", "b")
+  }
+
+  private val judgementsNetSql =
+    """WITH s AS (SELECT CAST(s_nationkey AS BIGINT) AS nk, s_suppkey AS id FROM supplier),
+      |c AS (SELECT nk, count(*) AS n,
+      |    count(*) FILTER (id % 2 = 0) AS ne, count(*) FILTER (id % 2 = 1) AS no
+      |  FROM s GROUP BY nk),
+      |p AS (SELECT a.nk, a.id AS a, b.id AS b
+      |  FROM s a JOIN s b ON a.nk = b.nk AND a.id < b.id)
+      |SELECT a, b,
+      |  CASE
+      |    WHEN a % 2 = 0 AND b % 2 = 0 THEN (1.0 + (n - ne) / n) + (-no / n)
+      |    WHEN a % 2 = 1 AND b % 2 = 1 THEN (1.0 + (n - no) / n) + (-ne / n)
+      |    ELSE (-ne / n) + (-no / n)
+      |  END AS net
+      |FROM p JOIN c USING (nk)
+      |ORDER BY a, b""".stripMargin
+
+  /** λ estimation (splink `estimate_probability_two_random_records_match`)
+    * as an oracle-matched scalar: distinct rule-match count, scaled by the
+    * declared recall over the full pair space, clamped to (0,1) — the
+    * oracle replays the identical double arithmetic. Spec-only until r7.
+    */
+  private def lambdaEstimate(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val supp = Tables(s, dir, "supplier")
+    val lam = Link.estimateLambda(cust, supp, "c_custkey", "s_suppkey",
+      Seq("l.c_custkey = r.s_suppkey",
+        "l.c_nationkey = r.s_nationkey AND l.c_custkey = r.s_suppkey"),
+      recall = 0.8)
+    import s.implicits._
+    Seq(lam).toDF("lambda")
+  }
+
+  private val lambdaEstimateSql =
+    """WITH m AS (
+      |  SELECT count(DISTINCT (c_custkey, s_suppkey)) AS matched
+      |  FROM customer JOIN supplier ON c_custkey = s_suppkey),
+      |t AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM customer)
+      |           * (SELECT CAST(count(*) AS DOUBLE) FROM supplier) AS total)
+      |SELECT least(greatest((CAST(matched AS DOUBLE) / CAST(0.8 AS DOUBLE)) / total,
+      |    CAST(1e-9 AS DOUBLE)), CAST(1 AS DOUBLE) - CAST(1e-9 AS DOUBLE)) AS lambda
+      |FROM m, t""".stripMargin
+
   private def matchKeys(s: SparkSession, dir: String): DataFrame = {
     val (comp, members) = resolveParts(s, dir)
     val assigned = comp.join(members, "id")
@@ -830,6 +904,8 @@ object Matchbox {
     QueryDef("mb_match_keys", matchKeys, Some(matchKeysSql)),
     QueryDef("mb_normalise_scores", normaliseScores, Some(normaliseScoresSql)),
     QueryDef("mb_eval_pr", evalPr, Some(evalPrSql)),
+    QueryDef("mb_judgements_net", judgementsNet, Some(judgementsNetSql)),
+    QueryDef("mb_lambda", lambdaEstimate, Some(lambdaEstimateSql)),
     QueryDef("mb_eval_pr_multi", evalPrMulti, Some(evalPrMultiSql)),
     QueryDef("mb_eval_sample", evalSample, Some(evalSampleSql)),
     QueryDef("mb_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)))
