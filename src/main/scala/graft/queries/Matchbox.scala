@@ -507,6 +507,39 @@ object Matchbox {
       |    CAST(1e-9 AS DOUBLE)), CAST(1 AS DOUBLE) - CAST(1e-9 AS DOUBLE)) AS lambda
       |FROM m, t""".stripMargin
 
+  /** Sampled-u estimation (splink `estimate_u_using_random_sampling`,
+    * `Link.estimateU`; spec-only until r7) run at full pair coverage so
+    * the estimate is exact and oracle-comparable: with `maxPairs` above
+    * |customer|·|supplier| at every sf the hash-ordered sample is the
+    * whole table on each side, the agreement rate is an exact
+    * integer-ratio double (sums of 0/1 doubles are exact), and the oracle
+    * replays count-ratio + clamp arithmetic identically. The sampling
+    * path below full coverage stays property-spec'd (PropertySpec).
+    */
+  private def sampledU(s: SparkSession, dir: String): DataFrame = {
+    val us = Link.estimateU(
+      Tables(s, dir, "customer"), Tables(s, dir, "supplier"),
+      "c_custkey", "s_suppkey",
+      Seq("l.c_nationkey = r.s_nationkey",
+        "l.c_custkey % 10 = r.s_suppkey % 10",
+        "abs(l.c_acctbal - r.s_acctbal) < 100"),
+      maxPairs = 4000000000L)
+    import s.implicits._
+    Seq((us(0), us(1), us(2))).toDF("u_nation", "u_mod10", "u_balance")
+  }
+
+  private val sampledUSql = {
+    def u(cond: String) =
+      s"""least(greatest(
+         |    CAST(count(*) FILTER ($cond) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+         |    CAST(1e-6 AS DOUBLE)), CAST(1 AS DOUBLE) - CAST(1e-6 AS DOUBLE))""".stripMargin
+    s"""SELECT
+       |  ${u("c_nationkey = s_nationkey")} AS u_nation,
+       |  ${u("c_custkey % 10 = s_suppkey % 10")} AS u_mod10,
+       |  ${u("abs(c_acctbal - s_acctbal) < 100")} AS u_balance
+       |FROM customer, supplier""".stripMargin
+  }
+
   private def matchKeys(s: SparkSession, dir: String): DataFrame = {
     val (comp, members) = resolveParts(s, dir)
     val assigned = comp.join(members, "id")
@@ -906,6 +939,7 @@ object Matchbox {
     QueryDef("mb_eval_pr", evalPr, Some(evalPrSql)),
     QueryDef("mb_judgements_net", judgementsNet, Some(judgementsNetSql)),
     QueryDef("mb_lambda", lambdaEstimate, Some(lambdaEstimateSql)),
+    QueryDef("mb_sampled_u", sampledU, Some(sampledUSql)),
     QueryDef("mb_eval_pr_multi", evalPrMulti, Some(evalPrMultiSql)),
     QueryDef("mb_eval_sample", evalSample, Some(evalSampleSql)),
     QueryDef("mb_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)))
