@@ -1476,8 +1476,35 @@ object Pipeline {
        |ORDER BY lang, rn""".stripMargin
   }
 
+  /** The Z-order layout's core — the native `interleave_bits` Morton
+    * expression (`functions.InterleaveBits`, whole-stage codegen) —
+    * oracle-matched bit for bit: the oracle rebuilds each code with a
+    * 32-term shift/mask sum (disjoint bit positions, so sum ≡ bit-or).
+    * The full `Layout.zorder` pass (approxQuantile rank buckets → range
+    * partition) stays spec-gated in LayoutSpec because sketch-derived cut
+    * points aren't cross-engine comparable; the bit interleave that gives
+    * the layout its pruning power is.
+    */
+  private def zorderKey(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        graft.functions.ZOrder.interleave(col("c_custkey") % 1024, col("c_nationkey"))
+          .as("zkey"))
+      .orderBy("c_custkey")
+
+  private val zorderKeySql =
+    """SELECT c_custkey,
+      |  CAST(
+      |    list_sum(list_transform(range(0, 32), i ->
+      |      (((c_custkey % 1024) >> i) & 1) << (2 * i))) +
+      |    list_sum(list_transform(range(0, 32), i ->
+      |      ((CAST(c_nationkey AS BIGINT) >> i) & 1) << (2 * i + 1)))
+      |  AS BIGINT) AS zkey
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_corpus_e2e", corpusE2e, Some(corpusE2eSql)),
+    QueryDef("dx_zorder_key", zorderKey, Some(zorderKeySql)),
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QueryDef("dx_chunk", chunk, Some(chunkSql)),
