@@ -1502,8 +1502,51 @@ object Pipeline {
       |  AS BIGINT) AS zkey
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Data-quality expectations over the corpus — the pre-ship validation
+    * gate (`operators/Expectations`): completeness, uniqueness, value
+    * ranges, set membership and cross-column consistency, ALL evaluated
+    * in one aggregate pass (single scan however many checks are
+    * declared), reported as exact per-mille metrics with acceptance
+    * bands.
+    */
+  private def expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    val docs = Tables(s, dir, "documents")
+    evaluate(docs, Seq(
+      Check("text_complete", completeness(docs, "text"), 1000, 1000),
+      Check("doc_id_unique", uniqueness(docs, "doc_id"), 1000, 1000),
+      Check("n_chars_in_range", compliance("n_chars BETWEEN 1 AND 10000"), 1000, 1000),
+      Check("lang_in_set", compliance("lang IN ('de','en','es','fr','zh')"), 1000, 1000),
+      Check("n_chars_consistent", compliance("length(text) = n_chars"), 1000, 1000),
+      Check("english_share", compliance("lang = 'en'"), 200, 600)))
+      .orderBy("ord")
+  }
+
+  private val expectationsSql = {
+    val metrics = Seq(
+      ("text_complete", "(1000 * count(text)) // count(*)", 1000, 1000),
+      ("doc_id_unique", "(1000 * count(DISTINCT doc_id)) // count(*)", 1000, 1000),
+      ("n_chars_in_range", "(1000 * count(*) FILTER (n_chars BETWEEN 1 AND 10000)) // count(*)", 1000, 1000),
+      ("lang_in_set", "(1000 * count(*) FILTER (lang IN ('de','en','es','fr','zh'))) // count(*)", 1000, 1000),
+      ("n_chars_consistent", "(1000 * count(*) FILTER (length(text) = n_chars)) // count(*)", 1000, 1000),
+      ("english_share", "(1000 * count(*) FILTER (lang = 'en')) // count(*)", 200, 600))
+    val aggs = metrics.zipWithIndex
+      .map { case ((_, m, _, _), i) => s"CAST($m AS BIGINT) AS m$i" }.mkString(",\n  ")
+    val rows = metrics.zipWithIndex.map { case ((name, _, lo, hi), i) =>
+      s"""SELECT CAST($i AS BIGINT) AS ord, '$name' AS "check", m$i AS metric,
+         |  CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi,
+         |  (m$i >= $lo AND m$i <= $hi) AS ok FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT
+       |  $aggs
+       |FROM documents)
+       |$rows
+       |ORDER BY ord""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_corpus_e2e", corpusE2e, Some(corpusE2eSql)),
+    QueryDef("dx_expectations", expectations, Some(expectationsSql)),
     QueryDef("dx_zorder_key", zorderKey, Some(zorderKeySql)),
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),

@@ -312,6 +312,25 @@ class PipelineSpec extends SparkSpec {
     assert(joined.filter(col("score") =!= col("s2")).count() == 0)
   }
 
+  test("expectations evaluate in one scan and flag violations") {
+    import graft.operators.Expectations._
+    val df = Registry.byName("dx_expectations").fn(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Boolean]("ok")), s"corpus violates expectations: ${rows.toSeq}")
+    // however many checks are declared, the table is scanned exactly once
+    // (sparkPlan, not executedPlan: AQE's toString repeats the tree as
+    // "initial" and "current" plans and would double-count the scan)
+    val scans = df.queryExecution.sparkPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single scan, got $scans")
+    // a violated band reports ok=false with the exact metric
+    val docs = Tables(spark, sfDir, "documents")
+    val bad = evaluate(docs, Seq(
+      Check("impossible_band", compliance("lang = 'en'"), 999, 1000))).head()
+    assert(!bad.getAs[Boolean]("ok") && bad.getAs[Long]("metric") < 999)
+  }
+
   test("percentile sketch meets its rank contract") {
     val df = Registry.byName("dx_percentile_gate").fn(spark, sfDir)
     val row = df.head()
