@@ -249,6 +249,36 @@ object Relational {
        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** Forward fill (gap filling): carry each user's last observed non-null
+    * reading forward in event order — the standard sparse→dense attribute
+    * densification before feature extraction. Nulls are seeded
+    * deterministically (every 3rd event), then `last_value IGNORE NULLS`
+    * over the running frame fills them; one key shuffle + sort, the plain
+    * windowed-aggregate cost. Readings ride exact cents so the fill is
+    * bit-comparable.
+    */
+  private def qForwardFill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        when(col("event_id") % 3 =!= 0, Num.cents(col("value"))).as("reading"))
+      .withColumn("filled", last("reading", ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("reading"), col("filled"))
+      .orderBy("event_id")
+  }
+
+  private val qForwardFillSql =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    CASE WHEN event_id % 3 <> 0 THEN ${Num.centsSql("value")} END AS reading
+       |  FROM events)
+       |SELECT event_id, user_id, reading,
+       |  last_value(reading IGNORE NULLS) OVER (
+       |    PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+       |FROM e ORDER BY event_id""".stripMargin
+
   /** PIVOT: order totals cross-tabbed status × priority — the
     * report-shaping surface (`groupBy().pivot()`). Pivot values are pinned
     * (F/O/P) so the output schema is static: Spark then plans a single
@@ -1015,6 +1045,7 @@ object Relational {
     QueryDef("q_window_sliding", qWindowSliding, Some(qWindowSlidingSql)),
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_skew_salted", qSkewSalted, Some(qSkewSaltedSql)),
+    QueryDef("q_forward_fill", qForwardFill, Some(qForwardFillSql)),
     QueryDef("q_session_window", qSessionWindow, Some(qSessionWindowSql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
