@@ -444,8 +444,12 @@ object Matchbox {
     * commutative), so the oracle's CASE arithmetic is bit-exact.
     */
   private def judgementsNet(s: SparkSession, dir: String): DataFrame = {
+    // cluster key is nation mod 5, not nation: at sf0.001 the ten
+    // suppliers all sit in distinct nations, and singleton clusters have
+    // no pairs to judge — coarser groups keep the query non-empty at
+    // every sf
     val supp = Tables(s, dir, "supplier")
-      .select(col("s_nationkey").cast("long").as("nk"), col("s_suppkey").as("id"))
+      .select((col("s_nationkey") % 5).cast("long").as("nk"), col("s_suppkey").as("id"))
     val shown = supp.groupBy("nk")
       .agg(sort_array(collect_list("id")).as("leaves"))
       .select(col("nk").as("root"), col("leaves"))
@@ -466,7 +470,7 @@ object Matchbox {
   }
 
   private val judgementsNetSql =
-    """WITH s AS (SELECT CAST(s_nationkey AS BIGINT) AS nk, s_suppkey AS id FROM supplier),
+    """WITH s AS (SELECT CAST(s_nationkey % 5 AS BIGINT) AS nk, s_suppkey AS id FROM supplier),
       |c AS (SELECT nk, count(*) AS n,
       |    count(*) FILTER (id % 2 = 0) AS ne, count(*) FILTER (id % 2 = 1) AS no
       |  FROM s GROUP BY nk),
