@@ -43,13 +43,30 @@ object Expectations {
     require(checks.nonEmpty, "no checks declared")
     val row = df.agg(checks.head.metric.as("m0"),
       checks.tail.zipWithIndex.map { case (c, i) => c.metric.as(s"m${i + 1}") }: _*)
+    unpivot(row, Nil, checks)
+  }
+
+  /** Grouped variant: the same one-pass evaluation per group — the
+    * per-partition quality report (per language, per source, per day).
+    * Still a single scan + one partial-aggregate shuffle on the group
+    * keys; the report explodes to |groups|·|checks| rows.
+    */
+  def evaluateGrouped(df: DataFrame, keys: Seq[String], checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks declared")
+    val row = df.groupBy(keys.map(col): _*).agg(checks.head.metric.as("m0"),
+      checks.tail.zipWithIndex.map { case (c, i) => c.metric.as(s"m${i + 1}") }: _*)
+    unpivot(row, keys, checks)
+  }
+
+  private def unpivot(row: DataFrame, keys: Seq[String], checks: Seq[Check]): DataFrame = {
     val report = checks.zipWithIndex.map { case (c, i) =>
       struct(lit(i.toLong).as("ord"), lit(c.name).as("check"),
         col(s"m$i").cast("long").as("metric"),
         lit(c.lo).as("lo"), lit(c.hi).as("hi"))
     }
-    row.select(explode(array(report: _*)).as("r"))
-      .select(col("r.ord"), col("r.check"), col("r.metric"), col("r.lo"), col("r.hi"))
+    row.select(keys.map(col) :+ explode(array(report: _*)).as("r"): _*)
+      .select(keys.map(col) ++ Seq(
+        col("r.ord"), col("r.check"), col("r.metric"), col("r.lo"), col("r.hi")): _*)
       .withColumn("ok", col("metric") >= col("lo") && col("metric") <= col("hi"))
   }
 }

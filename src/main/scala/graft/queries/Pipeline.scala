@@ -1544,9 +1544,66 @@ object Pipeline {
        |ORDER BY ord""".stripMargin
   }
 
+  /** Per-language quality report — the grouped expectations variant: the
+    * same single-scan evaluation keyed by language, reporting each
+    * group's completeness, volume and length profile with acceptance
+    * bands. |groups|·|checks| report rows from one partial-agg shuffle.
+    */
+  private def expectationsByLang(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    val docs = Tables(s, dir, "documents")
+    evaluateGrouped(docs, Seq("lang"), Seq(
+      Check("text_complete", completeness(docs, "text"), 1000, 1000),
+      Check("min_volume", expr("count(*)"), 5, Long.MaxValue),
+      Check("mean_chars_milli", expr("(1000 * sum(n_chars)) div count(*)"), 100000, 500000)))
+      .orderBy("lang", "ord")
+  }
+
+  private val expectationsByLangSql = {
+    val metrics = Seq(
+      ("text_complete", "(1000 * count(text)) // count(*)", 1000L, 1000L),
+      ("min_volume", "count(*)", 5L, Long.MaxValue),
+      ("mean_chars_milli", "(1000 * sum(n_chars)) // count(*)", 100000L, 500000L))
+    val aggs = metrics.zipWithIndex
+      .map { case ((_, m, _, _), i) => s"CAST($m AS BIGINT) AS m$i" }.mkString(",\n  ")
+    val rows = metrics.zipWithIndex.map { case ((name, _, lo, hi), i) =>
+      s"""SELECT lang, CAST($i AS BIGINT) AS ord, '$name' AS "check", m$i AS metric,
+         |  CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi,
+         |  (m$i >= $lo AND m$i <= $hi) AS ok FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT lang,
+       |  $aggs
+       |FROM documents GROUP BY lang)
+       |$rows
+       |ORDER BY lang, ord""".stripMargin
+  }
+
+  /** Referential-integrity expectation across tables: every lineitem must
+    * reference an existing order (the Deequ `isContainedIn`/foreign-key
+    * check). One anti-join counts the orphans; the report row carries the
+    * orphan count with a [0,0] band. At scale this is a broadcast or
+    * shuffle equi-join — never a per-row lookup.
+    */
+  private def expectationsRi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"))
+    val orders = Tables(s, dir, "orders").select(col("o_orderkey"))
+    val orphans = li.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    Seq(("lineitem_orderkey_fk", orphans, orphans == 0L))
+      .toDF("check", "n_orphans", "ok")
+  }
+
+  private val expectationsRiSql =
+    """SELECT 'lineitem_orderkey_fk' AS "check",
+      |  CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_orphans,
+      |  (count(*) FILTER (o_orderkey IS NULL) = 0) AS ok
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_corpus_e2e", corpusE2e, Some(corpusE2eSql)),
     QueryDef("dx_expectations", expectations, Some(expectationsSql)),
+    QueryDef("dx_expectations_by_lang", expectationsByLang, Some(expectationsByLangSql)),
+    QueryDef("dx_expectations_ri", expectationsRi, Some(expectationsRiSql)),
     QueryDef("dx_zorder_key", zorderKey, Some(zorderKeySql)),
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
