@@ -33,6 +33,23 @@ object Judgements {
     * @return (a, b, net) canonical pairs with net endorsement weight
     */
   def net(judgements: DataFrame, expansion: DataFrame): DataFrame = {
+    // Same quadratic trap as eval pair expansion: one shown cluster of |C|
+    // leaves emits |C|²/2 pairs from a single row. A judgement UI would
+    // never show a 100k-member cluster, so an oversized expansion here
+    // means upstream over-merge — fail loudly rather than OOM the task
+    // (spark.graft.eval.maxClusterSize, shared with PrecisionRecall).
+    val maxSize = judgements.sparkSession.conf
+      .get("spark.graft.eval.maxClusterSize", "100000").toLong
+    val oversized = expansion.filter(size(col("leaves")) > maxSize)
+      .select(col("root"), size(col("leaves")).as("n")).take(1)
+    if (oversized.nonEmpty) {
+      val r = oversized.head
+      throw new IllegalStateException(
+        s"judgement cluster ${r.get(0)} has ${r.getInt(1)} leaves; netting would " +
+          s"expand ~${r.getInt(1).toLong * r.getInt(1) / 2} pairs from one row. " +
+          "Raise spark.graft.eval.maxClusterSize only if a cluster this size is " +
+          "genuinely expected in judgements.")
+    }
     val shownExp = expansion.select(col("root").as("shown"), col("leaves").as("shown_leaves"))
     val endorsedExp = expansion.select(col("root").as("endorsed"), col("leaves").as("endorsed_leaves"))
     val expanded = judgements

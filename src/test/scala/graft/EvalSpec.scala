@@ -159,4 +159,17 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(net((6L, 7L))) < 1e-9, s"(6,7) should neutralise: $net")
     assert(net((1L, 3L)) < 0 && net((2L, 3L)) < 0)
   }
+
+  test("judgement netting refuses an oversized cluster expansion") {
+    spark.conf.set("spark.graft.eval.maxClusterSize", "10")
+    try {
+      val bigExpansion = Seq((100L, (1L to 20L).toSeq)).toDF("root", "leaves")
+      val oneJudgement = Seq((100L, 100L)).toDF("shown", "endorsed")
+      val e = intercept[IllegalStateException](
+        graft.eval.Judgements.net(oneJudgement, bigExpansion).collect())
+      assert(e.getMessage.contains("maxClusterSize"))
+      // and the bounded path still works under the tightened cap
+      assert(graft.eval.Judgements.net(judgements, expansion).count() > 0)
+    } finally spark.conf.set("spark.graft.eval.maxClusterSize", "100000")
+  }
 }
