@@ -252,6 +252,35 @@ object Pipeline {
        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
        |FROM docs2 GROUP BY 1 ORDER BY content_hash""".stripMargin
 
+  /** Driver-gated MinHash estimator accuracy — evidence for the sketch
+    * itself, complementing the banding-recall gate: over the planted
+    * near-dup pairs the signature-agreement estimate of Jaccard must track
+    * the exact shingle-set Jaccard within a mean absolute error of 0.1
+    * (128 hashes ⇒ per-pair σ ≈ √(J(1−J)/128) ≈ 0.04). The exact side
+    * uses set intersection/union on the same shingle hashes, so the gate
+    * isolates estimator error, not tokenization differences.
+    */
+  private def minhashEstGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = MinHashLSH.setsOf(withDupes(s, dir, exact = false), "doc_id", "text", 3)
+      .withColumn("sig", graft.functions.Sketches.minhashSignature(col("hs"), 128))
+      .localCheckpoint(false)
+    val pairs = sets.select(col("id").as("lid"), col("hs").as("lhs"), col("sig").as("lsig"))
+      .join(sets.select(col("id").as("rid"), col("hs").as("rhs"), col("sig").as("rsig")),
+        col("lid") + 1000000L === col("rid"))
+      .withColumn("true_j",
+        expr("CAST(size(array_intersect(lhs, rhs)) AS DOUBLE) / size(array_union(lhs, rhs))"))
+      .withColumn("est_j",
+        expr("CAST(size(filter(zip_with(lsig, rsig, (a, b) -> a = b), x -> x)) AS DOUBLE) / 128"))
+    val row = pairs.agg(
+      count(lit(1)).as("n"), avg(abs(col("est_j") - col("true_j"))).as("mae")).head()
+    Seq((row.getLong(0), row.getDouble(1) <= 0.1)).toDF("n_pairs", "est_ok")
+  }
+
+  private val minhashEstGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(1 AS BOOLEAN) AS est_ok
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.candidatePairs(withDupes(s, dir, exact = false), "doc_id", "text",
       threshold = 0.5)
@@ -1614,6 +1643,7 @@ object Pipeline {
     QueryDef("dx_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("dx_dedup_minhash", dedupMinhash, None),
     QueryDef("dx_dedup_minhash_gate", dedupMinhashGate, Some(dedupMinhashGateSql)),
+    QueryDef("dx_minhash_est_gate", minhashEstGate, Some(minhashEstGateSql)),
     QueryDef("dx_dedup_simhash", dedupSimhash, None),
     QueryDef("dx_dedup_simhash_gate", dedupSimhashGate, Some(dedupSimhashGateSql)),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),

@@ -308,6 +308,33 @@ object Relational {
        |FROM orders GROUP BY o_orderpriority ORDER BY orderpriority""".stripMargin
   }
 
+  /** UNPIVOT (melt): the inverse reshaping of q_pivot — wide per-row
+    * measures stacked to (measure, value) rows with `stack`, the map-side
+    * Expand device (rows × measures, no shuffle until the aggregate).
+    * Cents-exact values; the oracle is the UNION ALL rebuild.
+    */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Num.cents(col("l_extendedprice")).as("price_c"),
+        Num.cents(col("l_discount")).as("disc_c"),
+        Num.cents(col("l_tax")).as("tax_c"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("stack(3, 'price', price_c, 'discount', disc_c, 'tax', tax_c) AS (measure, cents)"))
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), (Num.bigSum(col("cents")) / 100.0).as("total"))
+      .orderBy("measure")
+
+  private val qUnpivotSql =
+    s"""WITH m AS (
+       |  SELECT 'price' AS measure, ${Num.centsSql("l_extendedprice")} AS cents FROM lineitem
+       |  UNION ALL
+       |  SELECT 'discount', ${Num.centsSql("l_discount")} FROM lineitem
+       |  UNION ALL
+       |  SELECT 'tax', ${Num.centsSql("l_tax")} FROM lineitem)
+       |SELECT measure, count(*) AS n, sum(cents)/100.0 AS total
+       |FROM m GROUP BY measure ORDER BY measure""".stripMargin
+
   /** Native `session_window` sessionization — the one-shot session
     * aggregate Spark plans without a window-function sort pass (and the
     * exact batch twin of the streaming session-window state operator; the
@@ -1046,6 +1073,7 @@ object Relational {
     QueryDef("q_pivot", qPivot, Some(qPivotSql)),
     QueryDef("q_skew_salted", qSkewSalted, Some(qSkewSaltedSql)),
     QueryDef("q_forward_fill", qForwardFill, Some(qForwardFillSql)),
+    QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_session_window", qSessionWindow, Some(qSessionWindowSql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
