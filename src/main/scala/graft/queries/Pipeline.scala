@@ -823,6 +823,50 @@ object Pipeline {
       |  md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Corpus-adaptive boilerplate stripping — the cross-document removal
+    * step (C4-style: segments that recur across most documents are
+    * template noise, not content). Tokens present in >80% of documents
+    * are computed from a distinct-token document-frequency aggregate, the
+    * (small) common set rides a broadcast to a per-row filter, and each
+    * document's cleaned text is reconstructed in original token order.
+    * Two aggregates + one broadcast — the corpus-wide statistic never
+    * shuffles the documents themselves. Cleaned text is proven by md5.
+    */
+  private def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val common = docs
+      .select(explode(expr("array_distinct(toks)")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * 5 > col("n_docs") * 4)
+      .agg(sort_array(collect_list("tok")).as("common"))
+    docs.crossJoin(broadcast(common))
+      .select(col("doc_id"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+        expr("filter(toks, t -> NOT array_contains(common, t))").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("CAST(size(kept) AS BIGINT)").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |t AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
+      |dfreq AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+      |c AS (SELECT coalesce(list(tok ORDER BY tok), []) AS common FROM dfreq
+      |  WHERE df * 5 > (SELECT count(*) FROM documents) * 4),
+      |k AS (SELECT doc_id, toks,
+      |    list_filter(toks, x -> NOT list_contains(common, x)) AS kept
+      |  FROM d CROSS JOIN c)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  md5(array_to_string(kept, ' ')) AS cleaned_md5
+      |FROM k ORDER BY doc_id""".stripMargin
+
   /** Gopher-style hard quality filters (Rae et al. 2021, "Scaling Language
     * Models" §A.1.1 rule set, re-expressed as one codegen'd scan): word-count
     * window, mean-word-length window, stopword presence, lexical diversity.
@@ -1660,6 +1704,7 @@ object Pipeline {
     QueryDef("dx_lang_id", langId, Some(langIdSql)),
     QueryDef("dx_quality", quality, Some(qualitySql)),
     QueryDef("dx_quality_rules", qualityRules, Some(qualityRulesSql)),
+    QueryDef("dx_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("dx_classifier_filter", classifierFilter, Some(classifierFilterSql)),
     QueryDef("dx_token_rarity", tokenRarity, Some(tokenRaritySql)),
     QueryDef("dx_shard", shard, Some(shardSql)),

@@ -308,6 +308,31 @@ object Relational {
        |FROM orders GROUP BY o_orderpriority ORDER BY orderpriority""".stripMargin
   }
 
+  /** Correlated LATERAL subquery — the per-row dependent-subquery surface
+    * (top customer by balance per nation, deterministic tiebreak). Spark
+    * plans the correlated limit-sort via DecorrelateInnerQuery into a
+    * ranked window join, not a per-row re-execution; DuckDB runs its
+    * native LATERAL. Balances ride exact cents.
+    */
+  private def qLateralTopn(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(s"""SELECT n.n_name, c.c_custkey, c.bal / 100.0 AS best_bal
+      |FROM nation_v n,
+      |LATERAL (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |         FROM customer_v WHERE c_nationkey = n.n_nationkey
+      |         ORDER BY bal DESC, c_custkey LIMIT 1) c
+      |ORDER BY n_name""".stripMargin)
+  }
+
+  private val qLateralTopnSql =
+    """SELECT n.n_name, c.c_custkey, c.bal / 100.0 AS best_bal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |         FROM customer WHERE c_nationkey = n.n_nationkey
+      |         ORDER BY bal DESC, c_custkey LIMIT 1) c
+      |ORDER BY n_name""".stripMargin
+
   /** UNPIVOT (melt): the inverse reshaping of q_pivot — wide per-row
     * measures stacked to (measure, value) rows with `stack`, the map-side
     * Expand device (rows × measures, no shuffle until the aggregate).
@@ -1074,6 +1099,7 @@ object Relational {
     QueryDef("q_skew_salted", qSkewSalted, Some(qSkewSaltedSql)),
     QueryDef("q_forward_fill", qForwardFill, Some(qForwardFillSql)),
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
+    QueryDef("q_lateral_topn", qLateralTopn, Some(qLateralTopnSql)),
     QueryDef("q_session_window", qSessionWindow, Some(qSessionWindowSql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
