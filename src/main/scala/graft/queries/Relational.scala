@@ -308,6 +308,32 @@ object Relational {
        |FROM orders GROUP BY o_orderpriority ORDER BY orderpriority""".stripMargin
   }
 
+  /** Semi-structured JSON processing — the event-properties surface
+    * (`props` carries a JSON payload): path extraction with
+    * `get_json_object` feeding an exact-integer aggregate per event
+    * type. Per-row codegen'd parsing, one aggregate shuffle; at scale
+    * prefer `from_json` with an explicit schema so the parse happens
+    * once per row, not per extracted path.
+    */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        max("k").as("max_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_over_50"))
+      .orderBy("event_type")
+
+  private val qJsonExtractSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  CAST(count(*) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS BIGINT) AS n_over_50
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Correlated LATERAL subquery — the per-row dependent-subquery surface
     * (top customer by balance per nation, deterministic tiebreak). Spark
     * plans the correlated limit-sort via DecorrelateInnerQuery into a
@@ -1100,6 +1126,7 @@ object Relational {
     QueryDef("q_forward_fill", qForwardFill, Some(qForwardFillSql)),
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_lateral_topn", qLateralTopn, Some(qLateralTopnSql)),
+    QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
     QueryDef("q_session_window", qSessionWindow, Some(qSessionWindowSql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),

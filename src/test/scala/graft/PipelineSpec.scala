@@ -331,6 +331,32 @@ class PipelineSpec extends SparkSpec {
     assert(!bad.getAs[Boolean]("ok") && bad.getAs[Long]("metric") < 999)
   }
 
+  test("boilerplate stripping removes exactly the high-df tokens, order preserved") {
+    val df = Registry.byName("dx_boilerplate").fn(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.forall(r => r.getAs[Long]("n_kept") <= r.getAs[Long]("n_tokens")))
+    // recompute the common set and one document's cleaned text directly
+    val docs = Tables(spark, sfDir, "documents")
+    val n = docs.count()
+    val common = docs
+      .select(explode(expr("array_distinct(split(trim(text), '\\\\s+'))")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 5 > n * 4)
+      .collect().map(_.getString(0)).toSet
+    val sample = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text")).collect()
+    sample.foreach { r =>
+      val toks = r.getString(1).trim.split("\\s+")
+      val kept = toks.filterNot(common)
+      val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val got = rows.find(_.getAs[Long]("doc_id") == r.getLong(0)).get
+      assert(got.getAs[Long]("n_kept") == kept.length)
+      assert(got.getAs[String]("cleaned_md5") == expectMd5, s"doc ${r.getLong(0)} md5")
+    }
+  }
+
   test("percentile sketch meets its rank contract") {
     val df = Registry.byName("dx_percentile_gate").fn(spark, sfDir)
     val row = df.head()
