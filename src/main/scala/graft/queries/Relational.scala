@@ -308,6 +308,41 @@ object Relational {
        |FROM orders GROUP BY o_orderpriority ORDER BY orderpriority""".stripMargin
   }
 
+  /** Event-transition matrix (first-order Markov counts): for each user,
+    * consecutive event pairs in time order, counted per (from, to) type —
+    * the behaviour-model statistic. One lead window per user + one
+    * aggregate; transition probability is emitted as exact per-mille of
+    * the from-type's outgoing total.
+    */
+  private def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wFrom = Window.partitionBy("from_type")
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_milli", expr("(1000 * n) div sum(n) OVER (PARTITION BY from_type)"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val qEventTransitionsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    event_type AS from_type
+      |  FROM events),
+      |x AS (
+      |  SELECT from_type,
+      |    lead(from_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      |  FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM x
+      |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |  CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   /** Semi-structured JSON processing — the event-properties surface
     * (`props` carries a JSON payload): path extraction with
     * `get_json_object` feeding an exact-integer aggregate per event
@@ -1127,6 +1162,7 @@ object Relational {
     QueryDef("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     QueryDef("q_lateral_topn", qLateralTopn, Some(qLateralTopnSql)),
     QueryDef("q_json_extract", qJsonExtract, Some(qJsonExtractSql)),
+    QueryDef("q_event_transitions", qEventTransitions, Some(qEventTransitionsSql)),
     QueryDef("q_session_window", qSessionWindow, Some(qSessionWindowSql)),
     QueryDef("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     QueryDef("q_rollup", qRollup, Some(qRollupSql)),
