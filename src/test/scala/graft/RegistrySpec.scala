@@ -56,7 +56,12 @@ class RegistrySpec extends SparkSpec {
       "dx_knn_ivf" -> boundedScanBuild,
       "q22_idle_customers" -> scalarAggBuild,
       "dx_tfidf" -> scalarAggBuild,
-      "dx_bm25_search" -> scalarAggBuild)
+      "dx_bm25_search" -> scalarAggBuild,
+      "dx_boilerplate" -> scalarAggBuild)
+    // dx_boilerplate legitimately crosses TWO one-row aggregates into the
+    // per-document pass: the corpus count (threshold) and the collected
+    // common-token set — each build must still prove the scalar-agg shape
+    val maxBnljs = Map("dx_boilerplate" -> 2).withDefaultValue(1)
 
     Registry.all.foreach { d =>
       val plan = d.fn(spark, sfDir).queryExecution.executedPlan
@@ -71,7 +76,8 @@ class RegistrySpec extends SparkSpec {
         assert(ok.get(build),
           s"${d.name}: BNLJ build side is not the justified tiny shape:\n$build")
       }
-      assert(bnljs.size <= 1, s"${d.name} plans ${bnljs.size} BNLJs (max 1 justified)")
+      assert(bnljs.size <= maxBnljs(d.name),
+        s"${d.name} plans ${bnljs.size} BNLJs (max ${maxBnljs(d.name)} justified)")
     }
   }
 
