@@ -1,0 +1,127 @@
+package graft.operators.ann
+
+import graft.functions.Centroids
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the compressed-domain ANN scan (Jégou et
+  * al. 2011, "Product Quantization for Nearest Neighbor Search"; FAISS's
+  * default storage format). Vectors split into `m` subspaces; each
+  * subspace gets its own `ksub`-centroid codebook (driver-side Lloyd on a
+  * deterministic hash-ordered sample, the same device as
+  * [[Ivf.fitCentroids]]); a vector's code is its per-subspace nearest
+  * centroid — `m` small ints instead of `dim` floats (64-dim float → 8
+  * byte-codes here: 32× smaller scan at 100 TB, and the compressed table
+  * is what stays hot while raw vectors stay in cold storage).
+  *
+  * Search scores queries against the RECONSTRUCTION (concatenated
+  * sub-centroids — the asymmetric-distance approximation: dot(q, recon) =
+  * Σ_j dot(q_j, c_j), exactly what ADC lookup tables compute), takes an
+  * over-fetched candidate top-k from the compressed scan, then
+  * exact-reranks only those candidates against the true vectors. Encoding
+  * runs on the native codegen'd [[graft.functions.NearestCentroids]] per
+  * subspace slice; reconstruction is literal-array indexing — no
+  * interpreted lambda in the scan loop.
+  */
+object Pq {
+
+  /** Per-subspace codebooks fit on a bounded deterministic sample.
+    * @return codebooks(j)(c) = centroid c of subspace j (length dim/m)
+    */
+  private[graft] def fitCodebooks(
+      targets: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, maxSample: Int = 4096, iters: Int = 5,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val sample = targets
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(maxSample)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot fit codebooks on an empty target set")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val rnd = new java.util.Random(seed)
+    Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      val cents = Array.tabulate(ksub)(_ => pts(rnd.nextInt(pts.length)).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub)(new Array[Double](sub))
+        val counts = new Array[Long](ksub)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        for (c <- 0 until ksub if counts(c) > 0; i <- 0 until sub)
+          cents(c)(i) = sums(c)(i) / counts(c)
+      }
+      cents
+    }
+  }
+
+  /** PQ codes for a vector column: one int per subspace. */
+  private def codeCols(vecCol: String, cb: Array[Array[Array[Double]]]): Seq[Column] = {
+    val sub = cb.head.head.length
+    cb.indices.map { j =>
+      element_at(
+        Centroids.nearest(
+          slice(col(vecCol), j * sub + 1, sub), cb(j).map(_.toSeq).toSeq, 1), 1)
+        .as(s"_pq$j")
+    }
+  }
+
+  /** Reconstruction (concatenated sub-centroids) from the code columns, as
+    * the float array the cosine expression expects.
+    */
+  private def reconCol(cb: Array[Array[Array[Double]]]): Column = {
+    val parts = cb.indices.map { j =>
+      element_at(typedLit(cb(j).map(_.toSeq).toSeq), col(s"_pq$j") + 1)
+    }
+    transform(concat(parts: _*), x => x.cast("float"))
+  }
+
+  /** @param rerankFactor over-fetch multiplier for the compressed-domain
+    *   candidate top-k before the exact rerank
+    * @param excludeSelf as in [[Knn.bruteForce]]
+    */
+  def search(
+      queries: DataFrame, targets: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 256, rerankFactor: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerankFactor >= 1)
+    val cb = fitCodebooks(targets, idCol, vecCol, m, ksub)
+
+    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
+    // the compressed table: id + m codes (what a 100 TB deployment stores hot)
+    val compressed = t
+      .select(col("neighbor_id") +: codeCols("te", cb): _*)
+      .withColumn("re", reconCol(cb))
+      .select("neighbor_id", "re")
+
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
+    val approx = compressed.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", graft.functions.CosineSimilarity(col("qe"), col("re")))
+    val candidates = graft.plans.TopK.perKey(
+      approx, Seq("query_id"), "sim", k * rerankFactor, tieCols = Seq("neighbor_id"))
+      .select("query_id", "neighbor_id")
+
+    val rescored = candidates
+      .join(t, "neighbor_id")
+      .join(broadcast(q.withColumnRenamed("query_id", "qid")), col("qid") === col("query_id"))
+      .withColumn("sim", graft.functions.CosineSimilarity(col("qe"), col("te")))
+    Knn.topKPerQuery(rescored, k)
+  }
+}

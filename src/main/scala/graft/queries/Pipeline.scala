@@ -652,6 +652,15 @@ object Pipeline {
       |SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  private def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Pq.search(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
   private def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     graft.operators.ann.Ivf.search(
@@ -1701,6 +1710,8 @@ object Pipeline {
     QueryDef("dx_knn_ivf", knnIvf, None),
     QueryDef("dx_knn_lsh_recall", knnRecallGate(knnLsh, 0.3), Some(knnRecallGateSql)),
     QueryDef("dx_knn_ivf_recall", knnRecallGate(knnIvf, 0.6), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_pq", knnPq, None),
+    QueryDef("dx_knn_pq_recall", knnRecallGate(knnPq, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_lang_id", langId, Some(langIdSql)),
     QueryDef("dx_quality", quality, Some(qualitySql)),
     QueryDef("dx_quality_rules", qualityRules, Some(qualityRulesSql)),

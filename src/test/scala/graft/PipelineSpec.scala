@@ -357,6 +357,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("PQ search reranks exactly and beats the compression floor") {
+    import graft.operators.ann.{Knn, Pq}
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Knn.bruteForce(q, emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    val pq = Pq.search(q, emb, "vec_id", "embedding", 5)
+    // the rerank is exact: wherever PQ and brute agree on a neighbor, the
+    // similarity is bit-identical (same cosine over the true vectors)
+    val joined = pq.join(brute, Seq("query_id", "neighbor_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("sim") =!= col("bsim")).count() == 0)
+    // recall floor on the uniform-random worst case (gate mirrors this)
+    val recall = joined.count().toDouble / brute.count()
+    assert(recall >= 0.6, s"PQ recall $recall under floor")
+    // codebook fit is deterministic: a second search returns identical rows
+    val again = Pq.search(q, emb, "vec_id", "embedding", 5)
+    assert(pq.exceptAll(again).isEmpty && again.exceptAll(pq).isEmpty)
+  }
+
   test("percentile sketch meets its rank contract") {
     val df = Registry.byName("dx_percentile_gate").fn(spark, sfDir)
     val row = df.head()

@@ -54,6 +54,7 @@ class RegistrySpec extends SparkSpec {
     val bnljJustified: Map[String, SparkPlan => Boolean] = Map(
       "dx_knn_brute" -> boundedScanBuild,
       "dx_knn_ivf" -> boundedScanBuild,
+      "dx_knn_pq" -> boundedScanBuild,
       "q22_idle_customers" -> scalarAggBuild,
       "dx_tfidf" -> scalarAggBuild,
       "dx_bm25_search" -> scalarAggBuild,
