@@ -124,4 +124,48 @@ object Pq {
       .withColumn("sim", graft.functions.CosineSimilarity(col("qe"), col("te")))
     Knn.topKPerQuery(rescored, k)
   }
+
+  /** IVF-PQ: the production composition (FAISS `IVFx,PQy`) — the coarse
+    * quantizer bounds each query's scan to `nprobe` cells and PQ codes
+    * make that scan compressed-domain, so per-query cost is
+    * ~N·nprobe/nlist rows of `m` bytes each instead of N rows of `dim`
+    * floats. Candidates from the probed cells are scored against the PQ
+    * reconstruction, over-fetched, then exact-reranked. (Codes here
+    * quantize raw vectors, not coarse residuals — the residual refinement
+    * is a drop-in change to the codebook fit; documented, not hidden.)
+    */
+  def searchIvf(
+      queries: DataFrame, targets: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 6,
+      m: Int = 8, ksub: Int = 256, rerankFactor: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerankFactor >= 1)
+    val coarse = Ivf.fitCentroids(targets, idCol, vecCol, nlist)
+    val cb = fitCodebooks(targets, idCol, vecCol, m, ksub)
+
+    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
+    // inverted lists of compressed codes: (cell, id, codes-reconstruction)
+    val compressed = t
+      .withColumn("cell", element_at(Centroids.nearest(col("te"), coarse, 1), 1))
+      .select(col("cell") +: col("neighbor_id") +: codeCols("te", cb): _*)
+      .withColumn("re", reconCol(cb))
+      .select("cell", "neighbor_id", "re")
+
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
+    val probes = q.withColumn("cell", explode(Centroids.nearest(col("qe"), coarse, nprobe)))
+
+    val approx = probes.join(compressed, "cell")
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", graft.functions.CosineSimilarity(col("qe"), col("re")))
+    val candidates = graft.plans.TopK.perKey(
+      approx, Seq("query_id"), "sim", k * rerankFactor, tieCols = Seq("neighbor_id"))
+      .select("query_id", "neighbor_id")
+
+    val rescored = candidates
+      .join(t, "neighbor_id")
+      .join(broadcast(q.withColumnRenamed("query_id", "qid")), col("qid") === col("query_id"))
+      .withColumn("sim", graft.functions.CosineSimilarity(col("qe"), col("te")))
+    Knn.topKPerQuery(rescored, k)
+  }
 }

@@ -661,6 +661,15 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  private def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Pq.searchIvf(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
   private def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     graft.operators.ann.Ivf.search(
@@ -1712,6 +1721,8 @@ object Pipeline {
     QueryDef("dx_knn_ivf_recall", knnRecallGate(knnIvf, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_knn_pq", knnPq, None),
     QueryDef("dx_knn_pq_recall", knnRecallGate(knnPq, 0.6), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_ivfpq", knnIvfPq, None),
+    QueryDef("dx_knn_ivfpq_recall", knnRecallGate(knnIvfPq, 0.5), Some(knnRecallGateSql)),
     QueryDef("dx_lang_id", langId, Some(langIdSql)),
     QueryDef("dx_quality", quality, Some(qualitySql)),
     QueryDef("dx_quality_rules", qualityRules, Some(qualityRulesSql)),

@@ -375,6 +375,11 @@ class PipelineSpec extends SparkSpec {
     // codebook fit is deterministic: a second search returns identical rows
     val again = Pq.search(q, emb, "vec_id", "embedding", 5)
     assert(pq.exceptAll(again).isEmpty && again.exceptAll(pq).isEmpty)
+    // IVF-PQ: cell-restricted compressed scan still reranks exactly
+    val ivfpq = Pq.searchIvf(q, emb, "vec_id", "embedding", 5)
+    val j2 = ivfpq.join(brute, Seq("query_id", "neighbor_id"))
+    assert(j2.count() > 0)
+    assert(j2.filter(col("sim") =!= col("bsim")).count() == 0)
   }
 
   test("percentile sketch meets its rank contract") {
