@@ -129,10 +129,12 @@ object Pq {
     * quantizer bounds each query's scan to `nprobe` cells and PQ codes
     * make that scan compressed-domain, so per-query cost is
     * ~N·nprobe/nlist rows of `m` bytes each instead of N rows of `dim`
-    * floats. Candidates from the probed cells are scored against the PQ
-    * reconstruction, over-fetched, then exact-reranked. (Codes here
-    * quantize raw vectors, not coarse residuals — the residual refinement
-    * is a drop-in change to the codebook fit; documented, not hidden.)
+    * floats. As in FAISS, the codes quantize the coarse RESIDUAL
+    * (t − centroid(cell(t))) — residuals concentrate near zero, so the
+    * same codebook budget spends its resolution where the data actually
+    * is — and the scan-side reconstruction is centroid + decoded
+    * residual. Candidates are over-fetched from the probed cells, then
+    * exact-reranked against the true vectors.
     */
   def searchIvf(
       queries: DataFrame, targets: DataFrame,
@@ -142,14 +144,23 @@ object Pq {
       excludeSelf: Boolean = true): DataFrame = {
     require(rerankFactor >= 1)
     val coarse = Ivf.fitCentroids(targets, idCol, vecCol, nlist)
-    val cb = fitCodebooks(targets, idCol, vecCol, m, ksub)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
 
     val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
-    // inverted lists of compressed codes: (cell, id, codes-reconstruction)
-    val compressed = t
+    // residual = te − centroid(cell); codebooks fit on the residual stream
+    def withResidual(df: DataFrame): DataFrame = df
       .withColumn("cell", element_at(Centroids.nearest(col("te"), coarse, 1), 1))
-      .select(col("cell") +: col("neighbor_id") +: codeCols("te", cb): _*)
-      .withColumn("re", reconCol(cb))
+      .withColumn("cent", element_at(coarseLit, col("cell") + 1))
+      .withColumn("resid",
+        zip_with(col("te"), col("cent"), (x, c) => (x.cast("double") - c).cast("float")))
+    val residuals = withResidual(t).select(col("neighbor_id").as("id"), col("resid"))
+    val cb = fitCodebooks(residuals, "id", "resid", m, ksub)
+
+    // inverted lists of compressed codes: reconstruction = centroid + residual decode
+    val compressed = withResidual(t)
+      .select(col("cell") +: col("cent") +: col("neighbor_id") +: codeCols("resid", cb): _*)
+      .withColumn("re",
+        zip_with(col("cent"), reconCol(cb), (c, r) => (c + r.cast("double")).cast("float")))
       .select("cell", "neighbor_id", "re")
 
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
