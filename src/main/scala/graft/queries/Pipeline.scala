@@ -1489,6 +1489,36 @@ object Pipeline {
     """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BOOLEAN) AS rank_ok
       |FROM events""".stripMargin
 
+  /** Grouped variant of the quantile-sketch gate: `approx_percentile`'s
+    * rank contract must hold inside EVERY group (per event type), not
+    * just globally — the per-key profile is how the sketch is actually
+    * used in reports. One pass computes all groups' sketches; the exact
+    * CDF check joins the (tiny) approx row back per group.
+    */
+  private def percentileGroupGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), graft.Num.cents(col("value")).as("cents"))
+      .localCheckpoint(false)
+    val approx = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), expr("approx_percentile(cents, 0.5, 1000)").as("p50"))
+    val checked = ev.join(approx, "event_type")
+      .groupBy("event_type")
+      .agg(
+        first("n").as("n"),
+        sum(when(col("cents") <= col("p50"), 1L).otherwise(0L)).as("r50"))
+      .withColumn("off", abs(col("r50").cast("double") / col("n") - 0.5))
+      .agg(count(lit(1)).as("n_groups"), max("off").as("worst"))
+      .head()
+    Seq((checked.getLong(0), checked.getDouble(1) <= 0.05))
+      .toDF("n_groups", "rank_ok")
+  }
+
+  private val percentileGroupGateSql =
+    """SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+      |  CAST(1 AS BOOLEAN) AS rank_ok
+      |FROM events""".stripMargin
+
   /** Flagship corpus-curation pipeline — the data-side twin of
     * `mb_pipeline_e2e`, composing the shipped-corpus steps end to end:
     * PII scrub → exact dedup (keep lowest id) → classifier quality filter
@@ -1731,6 +1761,7 @@ object Pipeline {
     QueryDef("dx_token_rarity", tokenRarity, Some(tokenRaritySql)),
     QueryDef("dx_shard", shard, Some(shardSql)),
     QueryDef("dx_percentile_gate", percentileGate, Some(percentileGateSql)),
+    QueryDef("dx_percentile_group_gate", percentileGroupGate, Some(percentileGroupGateSql)),
     QueryDef("dx_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("dx_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("dx_heavy_hitters_gate", heavyHittersGate, Some(heavyHittersGateSql)),
