@@ -40,6 +40,12 @@ object Pq {
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "cannot fit codebooks on an empty target set")
+    // the codebooks ride into the plan as nested array literals
+    // (reconstruction indexes them per row); bound their size so a
+    // misconfigured m×ksub can't bloat the plan — past this, move the
+    // tables to ctx.addReferenceObj like NearestCentroids does
+    require(m.toLong * ksub * (sample.head.length / m) <= (1 << 20),
+      s"codebook m=$m ksub=$ksub dim=${sample.head.length} exceeds the plan-literal budget")
     val dim = sample.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
