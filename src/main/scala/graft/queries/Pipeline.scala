@@ -885,6 +885,25 @@ object Pipeline {
       |  md5(array_to_string(kept, ' ')) AS cleaned_md5
       |FROM k ORDER BY doc_id""".stripMargin
 
+  /** Token-length histogram per language — the data-card distribution
+    * plot behind `dx_corpus_stats`' scalar summary: fixed integer-width
+    * buckets (20 tokens, top bucket open) so binning is exact and
+    * engine-independent; one per-row bucket expression + one aggregate.
+    */
+  private def lengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("lang"),
+        expr("least(CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) div 20, 9L)").as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "bucket")
+
+  private val lengthHistogramSql =
+    """SELECT lang,
+      |  least(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) // 20, 9) AS bucket,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
   /** Gopher-style hard quality filters (Rae et al. 2021, "Scaling Language
     * Models" §A.1.1 rule set, re-expressed as one codegen'd scan): word-count
     * window, mean-word-length window, stopword presence, lexical diversity.
@@ -1776,6 +1795,7 @@ object Pipeline {
     QueryDef("dx_scrub", scrub, Some(scrubSql)),
     QueryDef("dx_repetition", repetition, Some(repetitionSql)),
     QueryDef("dx_corpus_stats", corpusStats, Some(corpusStatsSql)),
+    QueryDef("dx_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
     QueryDef("dx_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     QueryDef("dx_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)))
 }
