@@ -126,7 +126,12 @@ object GraftExtensions {
       { exprs: Seq[Expression] => SimHash64(exprs(0)) }),
     (FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
-      { exprs: Seq[Expression] => InterleaveBits(exprs(0), exprs(1)) }))
+      { exprs: Seq[Expression] => InterleaveBits(exprs(0), exprs(1)) }),
+    // named exactly like DuckDB's builtin so comparison-level conditions are
+    // one string valid in both engines
+    (FunctionIdentifier("jaro_winkler_similarity"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler_similarity"),
+      { exprs: Seq[Expression] => JaroWinklerSimilarity(exprs(0), exprs(1)) }))
 
   /** Session-local registration of every graft native function. */
   def register(spark: SparkSession): Unit =

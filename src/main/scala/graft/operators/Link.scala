@@ -268,6 +268,202 @@ object Link {
       .filter(col("match_weight") >= threshold)
   }
 
+  /** One multi-level comparison: ordered levels, strongest first (the splink
+    * comparison-level surface — reference: models/linkers/splinklinker.py:112,
+    * `cl.jaro_winkler_at_thresholds`). A pair's gamma for this comparison is
+    * `levels.size - idx` for the FIRST level whose condition holds (so the
+    * strongest level carries the highest gamma) and 0 when none does.
+    * `weights(g)` is the match weight carried by gamma level `g`
+    * (`weights(0)` = the all-levels-miss weight); supplied as precomputed
+    * literal doubles so scores are literal sums — bit-exact across engines.
+    */
+  final case class LevelComparison(levels: Seq[String], weights: Seq[Double]) {
+    require(weights.size == levels.size + 1,
+      s"need ${levels.size + 1} weights (levels + else), got ${weights.size}")
+    def gammaOf: org.apache.spark.sql.Column = {
+      val L = levels.size
+      levels.zipWithIndex
+        .foldLeft(org.apache.spark.sql.functions.when(lit(false), 0)) {
+          case (acc, (cond, idx)) => acc.when(expr(cond), L - idx)
+        }.otherwise(0)
+    }
+  }
+
+  /** Fellegi–Sunter scorer over multi-level fuzzy comparisons with fixed
+    * per-level weights — the pre-estimated-parameter splink path extended
+    * from binary agree/disagree to ordinal comparison levels (exact /
+    * strong-fuzzy / weak-fuzzy / miss). Emits the per-comparison gamma
+    * levels alongside the summed match weight, like splink's
+    * `gamma_<comparison>` output columns.
+    *
+    * Scale shape: identical to [[fellegiSunter]] — one equi-join on the
+    * blocking condition; every level condition (including
+    * `jaro_winkler_similarity`, a native codegen expression) evaluates
+    * inside the join's whole-stage-codegen post-filter. Nothing quadratic.
+    */
+  def fellegiSunterLevels(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blocking: String,
+      comparisons: Seq[LevelComparison],
+      threshold: Double): DataFrame = {
+    validateComparison(blocking)
+    comparisons.foreach(_.levels.foreach(validateComparison))
+    val gammaCols = comparisons.zipWithIndex.map { case (c, i) =>
+      c.gammaOf.as(s"gamma$i")
+    }
+    val weight = comparisons.zipWithIndex.map { case (c, i) =>
+      val L = c.levels.size
+      (0 to L).map(g => when(col(s"gamma$i") === g, lit(c.weights(g)))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    }.reduce(_ + _)
+    left.alias("l")
+      .join(right.alias("r"), expr(blocking))
+      .select(
+        (Seq(col(s"l.$leftId").cast("long").as("left_id"),
+             col(s"r.$rightId").cast("long").as("right_id")) ++ gammaCols): _*)
+      .withColumn("match_weight", weight)
+      .filter(col("match_weight") >= threshold)
+  }
+
+  /** EM-trained Fellegi–Sunter over ordinal gammas: m and u become
+    * per-(comparison, level) probability vectors, estimated on the pattern
+    * contingency table exactly as in [[fellegiSunterEm]] (≤ Π(Lᵢ+1) rows —
+    * still tiny — is all that reaches the driver; the pair set stays
+    * distributed). Returns (scored pairs, per-comparison (m, u) vectors
+    * indexed by gamma level).
+    */
+  def fellegiSunterEmLevels(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blocking: String,
+      comparisons: Seq[Seq[String]], // per comparison: ordered level conditions
+      iterations: Int = 20,
+      lambdaInit: Double = 0.1,
+      threshold: Double = 0.5): (DataFrame, Seq[(Seq[Double], Seq[Double])]) = {
+    validateComparison(blocking)
+    comparisons.foreach(_.foreach(validateComparison))
+    val nLevels = comparisons.map(_.size + 1) // gamma ranges over 0..L
+    val gammas = comparisons.zipWithIndex.map { case (levels, i) =>
+      LevelComparison(levels, Seq.fill(levels.size + 1)(0.0)).gammaOf.as(s"g$i")
+    }
+    val cand = left.alias("l").join(right.alias("r"), expr(blocking))
+      .select(
+        (Seq(col(s"l.$leftId").cast("long").as("left_id"),
+             col(s"r.$rightId").cast("long").as("right_id")) ++ gammas): _*)
+
+    val gCols = comparisons.indices.map(i => s"g$i")
+    // sorted for deterministic float accumulation (see fellegiSunterEm)
+    val patterns = cand.groupBy(gCols.map(col): _*).count()
+      .collect()
+      .map(row => (gCols.map(row.getAs[Int]).toIndexedSeq, row.getAs[Long]("count")))
+      .sortBy(_._1.mkString(","))
+
+    var lambda = lambdaInit
+    // init: agreement probability mass rises with level under match, falls
+    // under non-match — any monotone init in (0,1) works; EM refines it
+    val m = nLevels.map { ln =>
+      val raw = Array.tabulate(ln)(g => 1.0 + 3.0 * g)
+      val s = raw.sum; raw.map(_ / s)
+    }.toArray
+    val u = nLevels.map { ln =>
+      val raw = Array.tabulate(ln)(g => math.pow(0.2, g))
+      val s = raw.sum; raw.map(_ / s)
+    }.toArray
+    for (_ <- 1 to iterations) {
+      var wSum = 0.0; var nSum = 0.0
+      val mNum = nLevels.map(ln => new Array[Double](ln)).toArray
+      val uNum = nLevels.map(ln => new Array[Double](ln)).toArray
+      patterns.foreach { case (g, n) =>
+        val pm = g.zipWithIndex.map { case (gi, i) => m(i)(gi) }.product
+        val pu = g.zipWithIndex.map { case (gi, i) => u(i)(gi) }.product
+        val w = lambda * pm / (lambda * pm + (1 - lambda) * pu)
+        wSum += w * n; nSum += n
+        g.zipWithIndex.foreach { case (gi, i) =>
+          mNum(i)(gi) += w * n; uNum(i)(gi) += (1 - w) * n
+        }
+      }
+      lambda = math.min(math.max(wSum / nSum, 1e-9), 1 - 1e-9)
+      comparisons.indices.foreach { i =>
+        (0 until nLevels(i)).foreach { g =>
+          m(i)(g) = math.min(math.max(mNum(i)(g) / wSum, 1e-6), 1 - 1e-6)
+          u(i)(g) = math.min(math.max(uNum(i)(g) / (nSum - wSum), 1e-6), 1 - 1e-6)
+        }
+      }
+    }
+
+    val probability = {
+      val ratio = comparisons.indices.map { i =>
+        (0 until nLevels(i)).map { g =>
+          when(col(s"g$i") === g, lit(m(i)(g) / u(i)(g))).otherwise(lit(1.0))
+        }.reduce(_ * _)
+      }.reduce(_ * _)
+      val lr = lit(lambda / (1 - lambda)) * ratio
+      lr / (lr + 1)
+    }
+    val scored = cand
+      .withColumn("score", probability)
+      .filter(col("score") >= threshold)
+      .select("left_id", "right_id", "score")
+    (scored, comparisons.indices.map(i => (m(i).toSeq, u(i).toSeq)))
+  }
+
+  /** Fellegi–Sunter with a term-frequency-adjusted comparison (the splink
+    * `term_frequency_adjustments` setting — reference splinklinker.py:56-175
+    * SplinkSettings pass-through): agreeing on a COMMON value (segment
+    * "Smith") is weaker evidence than agreeing on a rare one, so the
+    * agreement likelihood ratio for the TF column is m / tf(v) — the
+    * value-specific u — instead of m / u_avg. Scores are likelihood-RATIO
+    * products (no logs: log2 differs in last ulps across libms; products of
+    * identically-ordered IEEE divisions are bit-exact cross-engine).
+    *
+    * Scale shape: the value-frequency table is one groupBy over the corpus;
+    * candidates reach it by equi-join on the left value (tiny dims
+    * broadcast via AQE, high-cardinality TF tables shuffle-join — never a
+    * driver collect). Everything else is [[fellegiSunter]]'s one blocked
+    * equi-join.
+    *
+    * @param tfAgree        SQL condition for agreement on the TF column
+    * @param tfLeftValue    `l.`-qualified column whose corpus frequency is
+    *                       the value-specific u
+    * @param tfM            P(agree | match) for the TF comparison
+    * @param tfDisagreeRatio precomputed (1-m)/(1-u_avg) literal
+    * @param corpus         the concatenated input the frequencies come from
+    * @param corpusCol      the TF column's name in `corpus`
+    * @param others         (cond, agreeRatio, disagreeRatio) fixed-ratio
+    *                       comparisons, ratios precomputed as literals
+    */
+  def fellegiSunterTf(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blocking: String,
+      tfAgree: String, tfLeftValue: String,
+      tfM: Double, tfDisagreeRatio: Double,
+      corpus: DataFrame, corpusCol: String,
+      others: Seq[(String, Double, Double)],
+      threshold: Double): DataFrame = {
+    validateComparison(blocking)
+    validateComparison(tfAgree)
+    others.foreach(c => validateComparison(c._1))
+    val total = corpus.count()
+    val freq = corpus.groupBy(col(corpusCol).as("tf_value"))
+      .agg(count(lit(1)).as("tf_cnt"))
+    val tfRatio = when(expr(tfAgree),
+        lit(tfM) / (col("tf_cnt").cast("double") / lit(total.toDouble)))
+      .otherwise(lit(tfDisagreeRatio))
+    val ratio = others.foldLeft(tfRatio) { case (acc, (cond, a, d)) =>
+      acc * when(expr(cond), lit(a)).otherwise(lit(d))
+    }
+    left.alias("l")
+      .join(right.alias("r"), expr(blocking))
+      .join(freq, expr(s"$tfLeftValue") === col("tf_value"), "left")
+      .select(
+        col(s"l.$leftId").cast("long").as("left_id"),
+        col(s"r.$rightId").cast("long").as("right_id"),
+        ratio.as("match_ratio"))
+      .filter(col("match_ratio") >= threshold)
+  }
+
   /** Estimate the prior probability that two random records match, from
     * deterministic rules of known recall (the splink
     * `estimate_probability_two_random_records_match` surface — reference:

@@ -328,6 +328,222 @@ object Matchbox {
 
   private val linkEmGateSql = "SELECT CAST(1 AS BOOLEAN) AS em_ok"
 
+  // ---- multi-level fuzzy comparisons ---------------------------------
+  /** Seeded fuzzy-duplicate pair: each ODD customer carries a perturbed
+    * copy of its even neighbour's synthetic name (md5-prefix — diverse
+    * 9-char strings, unlike the mechanical `Customer#...` names), with the
+    * perturbation keyed off the custkey: exact copy, one char dropped
+    * (JW ≈ 0.978), three chars dropped (JW ≈ 0.933), or reversed (miss).
+    * Both engines derive the names with identical md5/substr/reverse calls,
+    * so the fuzzy comparison levels are exercised bit-exactly.
+    */
+  private def fuzzyLeft(s: SparkSession, dir: String): DataFrame =
+    evenCustomers(s, dir)
+      .withColumn("sname", expr("substr(md5(CAST(c_custkey AS STRING)), 1, 9)"))
+      .withColumn("blk", expr("c_custkey DIV 20"))
+
+  private def fuzzyRight(s: SparkSession, dir: String): DataFrame =
+    oddCustomers(s, dir)
+      .withColumn("base", expr("substr(md5(CAST(c_custkey - 1 AS STRING)), 1, 9)"))
+      .withColumn("sname", expr(
+        """CASE CAST(c_custkey % 10 AS INT)
+          |  WHEN 5 THEN substr(base, 1, 8)
+          |  WHEN 7 THEN substr(base, 1, 6)
+          |  WHEN 9 THEN reverse(base)
+          |  ELSE base END""".stripMargin))
+      .withColumn("blk", expr("(c_custkey - 1) DIV 20"))
+
+  /** Multi-level fuzzy Fellegi–Sunter (splink's
+    * `cl.jaro_winkler_at_thresholds` surface — reference
+    * splinklinker.py:112): the name comparison has four ordinal levels
+    * (exact / JW ≥ 0.95 / JW ≥ 0.88 / miss), the segment comparison two;
+    * gammas ride along like splink's `gamma_` columns and the match weight
+    * is the sum of per-level literal weights. `jaro_winkler_similarity` is
+    * graft's native codegen expression, pinned bit-exact to DuckDB's
+    * builtin of the same name — the condition strings are valid in both
+    * engines verbatim.
+    */
+  private def linkFuzzy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    Link.fellegiSunterLevels(
+      fuzzyLeft(s, dir), fuzzyRight(s, dir),
+      "c_custkey", "c_custkey",
+      blocking = "l.blk = r.blk",
+      comparisons = Seq(
+        Link.LevelComparison(
+          Seq("l.sname = r.sname",
+            "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
+            "jaro_winkler_similarity(l.sname, r.sname) >= 0.88"),
+          // weights indexed by gamma: miss, weak-fuzzy, strong-fuzzy, exact
+          Seq(-3.0, 1.5, 4.0, 6.0)),
+        Link.LevelComparison(
+          Seq("l.c_mktsegment = r.c_mktsegment"),
+          Seq(-0.5, 1.2))),
+      threshold = 1.0)
+      .withColumnRenamed("gamma0", "gamma_name")
+      .withColumnRenamed("gamma1", "gamma_seg")
+      .orderBy("left_id", "right_id")
+  }
+
+  private val linkFuzzySql =
+    """WITH le AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS sname,
+      |    c_custkey // 20 AS blk
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |ri AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE CAST(c_custkey % 10 AS INT)
+      |      WHEN 5 THEN substr(base, 1, 8)
+      |      WHEN 7 THEN substr(base, 1, 6)
+      |      WHEN 9 THEN reverse(base)
+      |      ELSE base END AS sname,
+      |    (c_custkey - 1) // 20 AS blk
+      |  FROM (SELECT *, substr(md5(CAST(c_custkey - 1 AS VARCHAR)), 1, 9) AS base
+      |        FROM customer WHERE c_custkey % 2 = 1)),
+      |g AS (
+      |  SELECT l.c_custkey AS left_id, r.c_custkey AS right_id,
+      |    CASE WHEN l.sname = r.sname THEN 3
+      |         WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.95 THEN 2
+      |         WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.88 THEN 1
+      |         ELSE 0 END AS gamma_name,
+      |    CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS gamma_seg
+      |  FROM le l JOIN ri r ON l.blk = r.blk)
+      |SELECT * FROM (
+      |  SELECT CAST(left_id AS BIGINT) AS left_id, CAST(right_id AS BIGINT) AS right_id,
+      |    gamma_name, gamma_seg,
+      |    (CASE gamma_name WHEN 3 THEN CAST(6.0 AS DOUBLE) WHEN 2 THEN CAST(4.0 AS DOUBLE)
+      |       WHEN 1 THEN CAST(1.5 AS DOUBLE) ELSE CAST(-3.0 AS DOUBLE) END
+      |     + CASE gamma_seg WHEN 1 THEN CAST(1.2 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END
+      |    ) AS match_weight
+      |  FROM g)
+      |WHERE match_weight >= 1.0
+      |ORDER BY left_id, right_id""".stripMargin
+
+  /** Driver-gated EM over ordinal gammas (the trained twin of
+    * mb_link_fuzzy — iterative, so no SQL oracle): the whole pipeline runs
+    * twice from scratch and must produce bit-identical per-level (m, u)
+    * vectors and score-set hash; the learned parameters must be
+    * discriminative — the exact-match level's likelihood ratio m/u must
+    * exceed the miss level's (fuzzy agreement is evidence FOR a match).
+    */
+  private def linkFuzzyEmGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val levels = Seq(
+      Seq("l.sname = r.sname",
+        "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
+        "jaro_winkler_similarity(l.sname, r.sname) >= 0.88"),
+      Seq("l.c_mktsegment = r.c_mktsegment"))
+    def run() = {
+      val (scored, params) = Link.fellegiSunterEmLevels(
+        fuzzyLeft(s, dir), fuzzyRight(s, dir),
+        "c_custkey", "c_custkey", "l.blk = r.blk", levels, threshold = 0.5)
+      (scored.localCheckpoint(false), params)
+    }
+    def scoreHash(df: DataFrame): Long = df
+      .agg(expr(
+        "bit_xor(xxhash64(left_id, right_id, CAST(round(score, 9) AS STRING)))"))
+      .head().getLong(0)
+    val (scored1, p1) = run()
+    val (scored2, p2) = run()
+    val (mName, uName) = p1.head
+    val stats = scored1.agg(min("score"), max("score"), count(lit(1))).head()
+    val ok = p1 == p2 && scoreHash(scored1) == scoreHash(scored2) &&
+      mName.last / uName.last > mName.head / uName.head &&
+      stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0 &&
+      stats.getLong(2) > 0
+    Seq(ok).toDF("em_ok")
+  }
+
+  private val linkFuzzyEmGateSql = "SELECT CAST(1 AS BOOLEAN) AS em_ok"
+
+  /** Term-frequency-adjusted Fellegi–Sunter (splink's
+    * `term_frequency_adjustments` setting — reference splinklinker.py
+    * SplinkSettings pass-through): agreeing on a common segment is weak
+    * evidence, agreeing on a rare one strong — the agreement likelihood
+    * ratio is m / tf(value) from the corpus value-frequency table instead
+    * of m / u_avg. Scores are likelihood-ratio PRODUCTS (identical IEEE op
+    * order in both engines; no logs, whose libm last-ulps differ).
+    */
+  private def linkTf(s: SparkSession, dir: String): DataFrame =
+    Link.fellegiSunterTf(
+      evenCustomers(s, dir), oddCustomers(s, dir),
+      "c_custkey", "c_custkey",
+      blocking = "l.c_nationkey = r.c_nationkey",
+      tfAgree = "l.c_mktsegment = r.c_mktsegment",
+      tfLeftValue = "l.c_mktsegment",
+      tfM = 0.9, tfDisagreeRatio = 0.125,
+      corpus = Tables(s, dir, "customer"), corpusCol = "c_mktsegment",
+      others = Seq(("abs(l.c_acctbal - r.c_acctbal) < 100", 9.0, 0.25)),
+      threshold = 2.0)
+      .orderBy("left_id", "right_id")
+
+  private val linkTfSql =
+    """WITH tf AS (SELECT c_mktsegment AS v, count(*) AS cnt FROM customer GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM customer)
+      |SELECT * FROM (
+      |  SELECT CAST(l.c_custkey AS BIGINT) AS left_id,
+      |    CAST(r.c_custkey AS BIGINT) AS right_id,
+      |    (CASE WHEN l.c_mktsegment = r.c_mktsegment
+      |          THEN CAST(0.9 AS DOUBLE) / (CAST(tf.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE))
+      |          ELSE CAST(0.125 AS DOUBLE) END
+      |     * CASE WHEN abs(l.c_acctbal - r.c_acctbal) < 100
+      |            THEN CAST(9.0 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END) AS match_ratio
+      |  FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) l
+      |  JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 1) r
+      |    ON l.c_nationkey = r.c_nationkey
+      |  JOIN tf ON tf.v = l.c_mktsegment
+      |  CROSS JOIN tot)
+      |WHERE match_ratio >= 2.0
+      |ORDER BY left_id, right_id""".stripMargin
+
+  /** Incremental match as a batch (the server's real-time
+    * "match new records against existing clusters" promise — reference
+    * README + client/_handler/main.py — run as its batch twin): the
+    * persisted resolution is the customer components, the incoming batch
+    * is the supplier table; each new record is matched by a deterministic
+    * rule and lands in the lowest matching cluster. Spark runs the real
+    * resolution operator (large-star/small-star components); the oracle
+    * rebuilds it with a recursive CTE.
+    */
+  private def matchIncremental(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    // per-nation chains: every customer is in a >=2-member component, so
+    // each match resolves (the (nation, segment) chains of mb_components
+    // are mostly singletons at tiny sf)
+    val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    val edges = customer
+      .withColumn("dst", lead("c_custkey", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("c_custkey").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val resolution = Components.connected(edges)
+    val matches = Link.deterministic(
+      Tables(s, dir, "supplier"), customer, "s_suppkey", "c_custkey",
+      Seq("l.s_nationkey = r.c_nationkey AND abs(l.s_acctbal - r.c_acctbal) < 500"))
+    matches.join(resolution, matches("right_id") === resolution("id"))
+      .groupBy(col("left_id").as("new_key"))
+      .agg(min("component").as("cluster_id"), count(lit(1)).as("n_matches"))
+      .orderBy("new_key")
+  }
+
+  private val nationChainEdgesSql =
+    """SELECT src, dst FROM (
+      |  SELECT c_custkey AS src,
+      |    lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS dst
+      |  FROM customer) WHERE dst IS NOT NULL""".stripMargin
+
+  private val matchIncrementalSql =
+    s"""WITH comp AS (${Components.connectedSql(nationChainEdgesSql)}),
+       |pairs AS (
+       |  SELECT DISTINCT s.s_suppkey AS left_id, c.c_custkey AS right_id
+       |  FROM supplier s JOIN customer c
+       |    ON s.s_nationkey = c.c_nationkey AND abs(s.s_acctbal - c.c_acctbal) < 500)
+       |SELECT CAST(p.left_id AS BIGINT) AS new_key,
+       |  min(comp.component) AS cluster_id, count(*) AS n_matches
+       |FROM pairs p JOIN comp ON comp.id = p.right_id
+       |GROUP BY p.left_id ORDER BY new_key""".stripMargin
+
   // ---- resolver: connected components --------------------------------
   private def chainEdges(customer: DataFrame): DataFrame = {
     val w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
@@ -932,6 +1148,10 @@ object Matchbox {
     QueryDef("mb_link_fellegi_sunter", linkFellegiSunter, Some(linkFellegiSunterSql)),
     QueryDef("mb_link_em", linkEm, None),
     QueryDef("mb_link_em_gate", linkEmGate, Some(linkEmGateSql)),
+    QueryDef("mb_link_fuzzy", linkFuzzy, Some(linkFuzzySql)),
+    QueryDef("mb_link_fuzzy_em_gate", linkFuzzyEmGate, Some(linkFuzzyEmGateSql)),
+    QueryDef("mb_link_tf", linkTf, Some(linkTfSql)),
+    QueryDef("mb_match_incremental", matchIncremental, Some(matchIncrementalSql)),
     QueryDef("mb_components", componentsQuery, Some(componentsSql)),
     QueryDef("mb_cluster_hash", clusterHashQuery, Some(clusterHashSql)),
     QueryDef("mb_resolve_lookup", resolveLookup, Some(resolveLookupSql)),

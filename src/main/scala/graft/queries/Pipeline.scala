@@ -1349,10 +1349,15 @@ object Pipeline {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         md5(col("doc_id").cast("string")).as("h"))
-    val quotas = docs.groupBy("lang")
+    val weights = docs.groupBy("lang")
       .agg(count(lit(1)).as("n_l"))
       .withColumn("w", expr("CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1e6) AS BIGINT)"))
-      .withColumn("quota", expr(s"$target * w DIV sum(w) OVER ()"))
+    // Σw as a scalar aggregate broadcast back — not `sum(w) OVER ()`, whose
+    // single-partition WindowExec warning would mask real regressions in the
+    // bench log (and single-partitions a genuinely large group-count table)
+    val quotas = weights
+      .crossJoin(broadcast(weights.agg(sum("w").as("w_sum"))))
+      .withColumn("quota", expr(s"$target * w DIV w_sum"))
       .select("lang", "n_l", "quota")
     val ranked = graft.plans.TopK.perKey(docs, Seq("lang"), "h", k = target,
       descending = false, tieCols = Seq("doc_id"), rankName = "rn")

@@ -380,7 +380,8 @@ object Relational {
     Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
     s.sql(s"""SELECT n.n_name, c.c_custkey, c.bal / 100.0 AS best_bal
       |FROM nation_v n,
-      |LATERAL (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |LATERAL (SELECT c_custkey,
+      |           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal
       |         FROM customer_v WHERE c_nationkey = n.n_nationkey
       |         ORDER BY bal DESC, c_custkey LIMIT 1) c
       |ORDER BY n_name""".stripMargin)
@@ -389,7 +390,8 @@ object Relational {
   private val qLateralTopnSql =
     """SELECT n.n_name, c.c_custkey, c.bal / 100.0 AS best_bal
       |FROM nation n,
-      |LATERAL (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |LATERAL (SELECT c_custkey,
+      |           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal
       |         FROM customer WHERE c_nationkey = n.n_nationkey
       |         ORDER BY bal DESC, c_custkey LIMIT 1) c
       |ORDER BY n_name""".stripMargin
@@ -619,23 +621,25 @@ object Relational {
        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) / 100.0 AS trailing_30d
        |FROM orders ORDER BY o_orderkey""".stripMargin
 
-  /** Discrete percentiles of price per return flag — SQL-standard
-    * `PERCENTILE_DISC ... WITHIN GROUP`, which both engines implement as
-    * "smallest value whose cumulative distribution reaches p". Discrete
-    * (element-picking), not continuous: interpolation arithmetic could
-    * diverge in last ulps across engines; selecting an actual data value
-    * cannot. Spark plans this as a single sort-based aggregate per group —
-    * one shuffle, no window. At 100 TB the approx sketch
-    * (`approx_percentile`) replaces the exact sort-agg; sketch internals
-    * differ across engines by construction, so the exact variant is what
-    * gets oracle-compared.
+  /** Discrete percentiles of price per return flag, via the mergeable
+    * Greenwald–Khanna sketch (`approx_percentile`) — the 100 TB plan: a
+    * bounded-memory map-side-combinable aggregate, never the exact
+    * sort-based `percentile_disc` that buffers every group's values on one
+    * reducer. The sketch returns an actual data element whose rank error is
+    * ≤ N/accuracy; with accuracy (1e5) ≥ 2·N_group at oracle scale (sf0.01)
+    * the error is < 1 rank — i.e. exactly the `percentile_disc` element,
+    * which is what the DuckDB oracle computes (verified identical at
+    * sf0.01; at sf0.1 the element drifts by ≤2 ranks, inside the sketch
+    * contract). At larger corpora accuracy is the rank-error dial, and the
+    * sketch's contract is driver-gated by dx_percentile_gate /
+    * dx_percentile_group_gate.
     */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
     s.sql("""SELECT l_returnflag,
-      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
-      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
-      |  percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99,
+      |  approx_percentile(l_extendedprice, 0.5, 100000) AS p50,
+      |  approx_percentile(l_extendedprice, 0.9, 100000) AS p90,
+      |  approx_percentile(l_extendedprice, 0.99, 100000) AS p99,
       |  count(*) AS n
       |FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }

@@ -1,0 +1,123 @@
+package graft
+
+import graft.functions.{GraftExtensions, JaroWinklerImpl}
+import graft.operators.Link
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler kernel + multi-level / TF-adjusted Fellegi-Sunter. */
+class FuzzyLinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    JaroWinklerImpl.similarity(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("jaro-winkler matches DuckDB's reference values bit-exactly") {
+    // values read off DuckDB 1.x jaro_winkler_similarity on the same pairs
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dwayne", "duane") == 0.8400000000000001)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("abcdef", "abdcfe") == 0.9111111111111111)
+    assert(jw("prefixaaaa", "prefixbbbb") == 0.8400000000000001)
+    assert(jw("abcd", "abdc") == 0.9333333333333333)
+  }
+
+  test("jaro-winkler edge semantics: empty, identical, boost threshold, bytes") {
+    assert(jw("", "") == 0.0) // DuckDB: empty side scores 0, not 1
+    assert(jw("a", "") == 0.0)
+    assert(jw("a", "a") == 1.0)
+    assert(jw("ab", "ba") == 0.0) // window 0: no matches
+    // jaro('xy','xz') = 2/3 <= 0.7 -> NO Winkler boost despite prefix 1
+    assert(jw("xy", "xz") == 0.6666666666666666)
+    // byte (not codepoint) semantics: 'é' counts as 2
+    assert(jw("éa", "éb") == jw("xya", "xyb"))
+  }
+
+  test("jaro_winkler_similarity evaluates in codegen and SQL") {
+    GraftExtensions.register(spark)
+    val got = Seq(("martha", "marhta"), ("xy", "xz"))
+      .toDF("a", "b")
+      .selectExpr("jaro_winkler_similarity(a, b) AS s")
+      .as[Double].collect().toSeq
+    assert(got == Seq(0.9611111111111111, 0.6666666666666666))
+  }
+
+  test("fellegiSunterLevels: first matching level wins, weights summed, gammas emitted") {
+    GraftExtensions.register(spark)
+    val left = Seq((1L, "marhta", "A"), (2L, "zzzzzz", "B")).toDF("id", "name", "seg")
+    val right = Seq((10L, "martha", "A"), (20L, "qqqqqq", "B")).toDF("id", "name", "seg")
+    val out = Link.fellegiSunterLevels(
+      left.withColumn("blk", lit(1)), right.withColumn("blk", lit(1)),
+      "id", "id", "l.blk = r.blk",
+      Seq(
+        Link.LevelComparison(
+          Seq("l.name = r.name",
+            "jaro_winkler_similarity(l.name, r.name) >= 0.95",
+            "jaro_winkler_similarity(l.name, r.name) >= 0.7"),
+          Seq(-2.0, 1.0, 3.0, 5.0)),
+        Link.LevelComparison(Seq("l.seg = r.seg"), Seq(-1.0, 2.0))),
+      threshold = -10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3), r.getDouble(4))).toSet
+    // (1, 10): jw(marhta, martha)=0.961 -> gamma 2 (not exact, >= 0.95), seg agree
+    assert(out.contains((1L, 10L, 2, 1, 5.0)))
+    // (2, 20): zzzzzz vs qqqqqq -> gamma 0 (-2.0), seg agree (+2.0)
+    assert(out.contains((2L, 20L, 0, 1, 0.0)))
+    // cross pairs: gamma 0, seg disagree
+    assert(out.contains((1L, 20L, 0, 0, -3.0)))
+    assert(out.contains((2L, 10L, 0, 0, -3.0)))
+  }
+
+  test("fellegiSunterLevels rejects unqualified level conditions") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      Link.fellegiSunterLevels(df, df, "id", "id", "l.id = r.id",
+        Seq(Link.LevelComparison(Seq("name = r.name"), Seq(0.0, 1.0))), 0.0)
+    }
+  }
+
+  test("fellegiSunterEmLevels: deterministic, ordinal gammas learn a discriminative exact level") {
+    GraftExtensions.register(spark)
+    // planted duplicates agree exactly; noise pairs agree weakly or not at all
+    val left = (0L until 40L).map(i => (i, s"name$i", i / 10)).toDF("id", "name", "blk")
+    val right = (0L until 40L).map { i =>
+      val nm = if (i % 4 == 0) s"name$i" else if (i % 4 == 1) s"nam$i" else s"other$i"
+      (i + 100L, nm, i / 10)
+    }.toDF("id", "name", "blk")
+    val levels = Seq(Seq(
+      "l.name = r.name",
+      "jaro_winkler_similarity(l.name, r.name) >= 0.85"))
+    def run() = Link.fellegiSunterEmLevels(
+      left, right, "id", "id", "l.blk = r.blk", levels, iterations = 15, threshold = 0.0)
+    val (s1, p1) = run()
+    val (s2, p2) = run()
+    assert(p1 == p2)
+    assert(s1.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      s2.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val (m, u) = p1.head
+    assert(m.size == 3 && u.size == 3)
+    // exact-agreement level carries more match evidence than the miss level
+    assert(m(2) / u(2) > m(0) / u(0))
+  }
+
+  test("fellegiSunterTf: common values score lower than rare on agreement") {
+    val corpus = (Seq.fill(9)("COMMON") ++ Seq("RARE"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "seg")
+    val left = Seq((1L, "COMMON", 5.0), (2L, "RARE", 5.0)).toDF("id", "seg", "bal")
+    val right = Seq((11L, "COMMON", 5.0), (12L, "RARE", 5.0)).toDF("id", "seg", "bal")
+    val out = Link.fellegiSunterTf(
+      left.withColumn("blk", lit(1)), right.withColumn("blk", lit(1)),
+      "id", "id", "l.blk = r.blk",
+      tfAgree = "l.seg = r.seg", tfLeftValue = "l.seg",
+      tfM = 0.9, tfDisagreeRatio = 0.125,
+      corpus = corpus, corpusCol = "seg",
+      others = Seq(("abs(l.bal - r.bal) < 1", 2.0, 0.5)),
+      threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // agree on COMMON (tf 0.9): 0.9/0.9 * 2 = 2.0 ; agree on RARE (tf 0.1): 0.9/0.1 * 2 = 18.0
+    assert(math.abs(out((1L, 11L)) - 2.0) < 1e-12)
+    assert(math.abs(out((2L, 12L)) - 18.0) < 1e-12)
+    // disagreement uses the fixed ratio: 0.125 * 2.0
+    assert(math.abs(out((1L, 12L)) - 0.25) < 1e-12)
+  }
+}

@@ -56,6 +56,9 @@ class RegistrySpec extends SparkSpec {
       "dx_knn_ivf" -> boundedScanBuild,
       "dx_knn_pq" -> boundedScanBuild,
       "q22_idle_customers" -> scalarAggBuild,
+      // Σw quota denominator: one-row sum crossed into the per-language
+      // weight table (replaced the single-partition sum(w) OVER () window)
+      "dx_sample_temperature" -> scalarAggBuild,
       "dx_tfidf" -> scalarAggBuild,
       "dx_bm25_search" -> scalarAggBuild,
       "dx_boilerplate" -> scalarAggBuild)
