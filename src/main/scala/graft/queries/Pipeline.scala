@@ -959,8 +959,8 @@ object Pipeline {
     * bytes instead of a string); kept as the string here so the DuckDB twin
     * is exact.
     */
-  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val shingled = Tables(s, dir, "documents")
+  private def shingledDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
       .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
@@ -968,6 +968,9 @@ object Pipeline {
           |             try_element_at(toks, CAST(i + 1 AS INT)), ' ',
           |             try_element_at(toks, CAST(i + 2 AS INT)))))""".stripMargin))
         .as("sh"))
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val shingled = shingledDocs(s, dir)
     val evalVocab = shingled.filter(col("doc_id") % 50 === 0)
       .select("sh").distinct()
     shingled.filter(col("doc_id") % 50 =!= 0)
@@ -985,6 +988,55 @@ object Pipeline {
        |FROM s JOIN ev USING (sh)
        |WHERE doc_id % 50 <> 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Driver-gated Bloom-filter decontamination
+    * ([[graft.operators.Decontaminate.bloomFlagged]]) — the zero-shuffle
+    * scale path: the eval vocabulary's Bloom filter broadcasts to every
+    * executor and the corpus is probed inside the scan, never shuffled.
+    * Contracts checked against the exact inverted-index join on the same
+    * postings: (a) NO false negatives — every contaminated doc's flagged
+    * count covers its exact shared count (Bloom's one-sided error); (b) the
+    * shingle-level false-positive rate stays within 5× the configured fpp.
+    * Oracle pins the data-derived contaminated-doc count plus both flags.
+    */
+  private def decontaminateBloomGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shingled = shingledDocs(s, dir).localCheckpoint(false) // feeds 3 plans
+    val evalVocab = shingled.filter(col("doc_id") % 50 === 0)
+      .select("sh").distinct()
+    val train = shingled.filter(col("doc_id") % 50 =!= 0)
+    val exact = train.join(evalVocab, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val fpp = 0.001
+    val bloom = graft.operators.Decontaminate
+      .bloomFlagged(train, "doc_id", "sh", evalVocab, "sh", fpp)
+    val cmp = exact.join(bloom, Seq("doc_id"), "full").agg(
+      sum(when(col("n_shared").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+      sum(when(col("n_shared").isNotNull &&
+        (col("n_flagged").isNull || col("n_flagged") < col("n_shared")), 1L)
+        .otherwise(0L)).as("missed"),
+      coalesce(graft.Num.bigSum(col("n_shared")), lit(0)).as("shared_postings"),
+      coalesce(graft.Num.bigSum(col("n_flagged")), lit(0)).as("flagged_postings")).head()
+    val totalTrainPostings = train.count()
+    val nContaminated = cmp.getLong(0)
+    val noFalseNegatives = cmp.getLong(1) == 0L
+    val shared = cmp.getDecimal(2).longValueExact()
+    val flagged = cmp.getDecimal(3).longValueExact()
+    val cleanPostings = math.max(totalTrainPostings - shared, 1L)
+    val fpOk = (flagged - shared).toDouble / cleanPostings <= 5 * fpp
+    Seq((nContaminated, noFalseNegatives, fpOk))
+      .toDF("n_contaminated", "no_false_negatives", "fp_rate_ok")
+  }
+
+  private val decontaminateBloomGateSql =
+    s"""WITH s AS (
+       |  SELECT doc_id, unnest($shingleDuck) AS sh FROM documents),
+       |ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0)
+       |SELECT count(DISTINCT doc_id) AS n_contaminated,
+       |  CAST(1 AS BOOLEAN) AS no_false_negatives,
+       |  CAST(1 AS BOOLEAN) AS fp_rate_ok
+       |FROM s JOIN ev USING (sh)
+       |WHERE doc_id % 50 <> 0""".stripMargin
 
   /** Exact corpus-wide frequent-token top-k: two-phase hash aggregate (the
     * map-side partial combine keeps shuffle volume at |vocab| per partition,
@@ -1787,6 +1839,8 @@ object Pipeline {
     QueryDef("dx_percentile_gate", percentileGate, Some(percentileGateSql)),
     QueryDef("dx_percentile_group_gate", percentileGroupGate, Some(percentileGroupGateSql)),
     QueryDef("dx_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("dx_decontaminate_bloom_gate", decontaminateBloomGate,
+      Some(decontaminateBloomGateSql)),
     QueryDef("dx_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("dx_heavy_hitters_gate", heavyHittersGate, Some(heavyHittersGateSql)),
     QueryDef("dx_embed_kmeans", embedKmeans, None),
