@@ -59,6 +59,60 @@ object Components {
     else distributed(oriented, maxIter)
   }
 
+  /** Incrementally fold new edges into a persisted resolution — the batch
+    * twin of the reference resolver's DisjointSet union-on-arrival
+    * (components.py), re-expressed for scale: the new edges are translated
+    * into the CONTRACTED component graph (each endpoint replaced by its
+    * current representative via one equi-join per side; unseen nodes stand
+    * for themselves), components are re-solved over that contracted graph —
+    * proportional to the delta, not the edge history — and the surviving
+    * labels remap the old assignment with one more equi-join. Because every
+    * persisted representative is the minimum member id of its component,
+    * the contracted labels are again global member minima, so the result is
+    * IDENTICAL to a full recompute over the union of all edges (which is
+    * what the oracle checks).
+    *
+    * Nodes participate only via non-degenerate edges: an isolated new node
+    * (self-loop only) does not enter the resolution, matching [[connected]].
+    *
+    * @param assignment persisted `(id, component)` resolution, component =
+    *                   min member id (the [[connected]] contract)
+    * @param newEdges   `(src, dst)` new pair edges; endpoints may be new
+    * @return updated `(id, component)` over old ids ∪ new-edge endpoints
+    */
+  def addEdges(
+      assignment: DataFrame,
+      newEdges: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val a = assignment.select(
+      col("id").cast("long").as("id"), col("component").cast("long").as("component"))
+      .localCheckpoint(false) // feeds contraction, remap and anti-join
+    val e = newEdges
+      .filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint(false)
+    val contracted = e
+      .join(a.select(col("id").as("src"), col("component").as("cs")), Seq("src"), "left")
+      .join(a.select(col("id").as("dst"), col("component").as("cd")), Seq("dst"), "left")
+      .select(
+        coalesce(col("cs"), col("src")).as("src"),
+        coalesce(col("cd"), col("dst")).as("dst"))
+    val solved = connected(contracted, maxIter)
+      .select(col("id").as("rep"), col("component").as("new_comp"))
+      .localCheckpoint(false) // feeds both remap joins
+    val updatedOld = a
+      .join(solved, a("component") === solved("rep"), "left")
+      .select(a("id"), coalesce(col("new_comp"), a("component")).as("component"))
+    val newNodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst")))
+      .distinct()
+      .join(a.select("id"), Seq("id"), "left_anti")
+    val updatedNew = newNodes
+      .join(solved, newNodes("id") === solved("rep"), "left")
+      .select(newNodes("id"), coalesce(col("new_comp"), newNodes("id")).as("component"))
+    updatedOld.unionByName(updatedNew)
+  }
+
   /** Driver-side union-find with path halving; emits (id, component=min id). */
   private def driverUnionFind(
       spark: org.apache.spark.sql.SparkSession,

@@ -533,6 +533,36 @@ object Matchbox {
       |    lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS dst
       |  FROM customer) WHERE dst IS NOT NULL""".stripMargin
 
+  /** Incremental resolution maintenance: the persisted (nation, segment)
+    * chain components absorb a batch of NEW bridge edges (every 10th
+    * customer linked to the next multiple-of-10 in its nation — merging
+    * previously separate segment chains) via [[Components.addEdges]] —
+    * cost proportional to the delta, never a recompute over the edge
+    * history. The oracle IS the full recompute (recursive CTE over the
+    * union of old and new edges), so the driver check proves
+    * incremental == from-scratch, bit-exact.
+    */
+  private def componentsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val persisted = Components.connected(chainEdges(customer))
+    val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    val bridges = customer.filter(col("c_custkey") % 10 === 0)
+      .withColumn("dst", lead("c_custkey", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("c_custkey").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    Components.addEdges(persisted, bridges).orderBy("id")
+  }
+
+  private val bridgeEdgesSql =
+    """SELECT src, dst FROM (
+      |  SELECT c_custkey AS src,
+      |    lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS dst
+      |  FROM customer WHERE c_custkey % 10 = 0) WHERE dst IS NOT NULL""".stripMargin
+
+  private lazy val componentsIncrementalSql =
+    Components.connectedSql(
+      chainEdgesSql.stripMargin + "\nUNION ALL\n" + bridgeEdgesSql) + "\nORDER BY id"
+
   private val matchIncrementalSql =
     s"""WITH comp AS (${Components.connectedSql(nationChainEdgesSql)}),
        |pairs AS (
@@ -1152,6 +1182,8 @@ object Matchbox {
     QueryDef("mb_link_fuzzy_em_gate", linkFuzzyEmGate, Some(linkFuzzyEmGateSql)),
     QueryDef("mb_link_tf", linkTf, Some(linkTfSql)),
     QueryDef("mb_match_incremental", matchIncremental, Some(matchIncrementalSql)),
+    QueryDef("mb_components_incremental", componentsIncremental,
+      Some(componentsIncrementalSql)),
     QueryDef("mb_components", componentsQuery, Some(componentsSql)),
     QueryDef("mb_cluster_hash", clusterHashQuery, Some(clusterHashSql)),
     QueryDef("mb_resolve_lookup", resolveLookup, Some(resolveLookupSql)),

@@ -40,6 +40,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("addEdges incremental update equals a full recompute on random graphs") {
+    val rng = new Random(7)
+    for (trial <- 1 to 6) {
+      val n = 5 + rng.nextInt(50)
+      val mOld = 1 + rng.nextInt(2 * n)
+      val mNew = 1 + rng.nextInt(n)
+      val oldEdges = Seq.fill(mOld)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // new edges may touch brand-new nodes (ids >= n)
+      val newEdges = Seq.fill(mNew)(
+        (rng.nextInt(n + 10).toLong, rng.nextInt(n + 10).toLong))
+        .filter { case (a, b) => a != b }
+      if (oldEdges.nonEmpty && newEdges.nonEmpty) {
+        val persisted = Components.connected(oldEdges.toDF("src", "dst"))
+        val got = Components.addEdges(persisted, newEdges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val expected = referenceComponents(oldEdges ++ newEdges)
+        assert(got == expected, s"trial $trial: $got != $expected")
+      }
+    }
+  }
+
   test("triangle block join equals the naive cartesian on random vectors for any B") {
     val rng = new Random(11)
     for (trial <- 1 to 3) {
