@@ -14,14 +14,14 @@ import org.apache.spark.sql.functions._
   * byte-codes here: 32× smaller scan at 100 TB, and the compressed table
   * is what stays hot while raw vectors stay in cold storage).
   *
-  * Search scores queries against the RECONSTRUCTION (concatenated
-  * sub-centroids — the asymmetric-distance approximation: dot(q, recon) =
-  * Σ_j dot(q_j, c_j), exactly what ADC lookup tables compute), takes an
-  * over-fetched candidate top-k from the compressed scan, then
+  * Search scores queries in the COMPRESSED domain via ADC (asymmetric
+  * distance computation — cos(q, reconstruction) computed straight from
+  * the codes, [[graft.functions.PqAdcImpl]]; nothing is ever decoded),
+  * takes an over-fetched candidate top-k from that scan, then
   * exact-reranks only those candidates against the true vectors. Encoding
   * runs on the native codegen'd [[graft.functions.NearestCentroids]] per
-  * subspace slice; reconstruction is literal-array indexing — no
-  * interpreted lambda in the scan loop.
+  * subspace slice — no interpreted lambda and no per-row allocation
+  * anywhere in the scan loop.
   */
 object Pq {
 
@@ -40,12 +40,12 @@ object Pq {
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "cannot fit codebooks on an empty target set")
-    // the codebooks ride into the plan as nested array literals
-    // (reconstruction indexes them per row); bound their size so a
-    // misconfigured m×ksub can't bloat the plan — past this, move the
-    // tables to ctx.addReferenceObj like NearestCentroids does
+    // the codebooks ride with the plan as codegen reference objects (PqLut /
+    // PqAdcIvfCosine / NearestCentroids, all via ctx.addReferenceObj — never
+    // generated-source literals); bound their size so a misconfigured
+    // m×ksub doesn't silently ship a multi-GB table to every task
     require(m.toLong * ksub * (sample.head.length / m) <= (1 << 20),
-      s"codebook m=$m ksub=$ksub dim=${sample.head.length} exceeds the plan-literal budget")
+      s"codebook m=$m ksub=$ksub dim=${sample.head.length} exceeds the reference-object budget")
     val dim = sample.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
@@ -87,15 +87,11 @@ object Pq {
     }
   }
 
-  /** Reconstruction (concatenated sub-centroids) from the code columns, as
-    * the float array the cosine expression expects.
+  /** The m code columns packed as one `array<int>` — the row a 100 TB
+    * deployment stores hot (m bytes conceptually; int array here).
     */
-  private def reconCol(cb: Array[Array[Array[Double]]]): Column = {
-    val parts = cb.indices.map { j =>
-      element_at(typedLit(cb(j).map(_.toSeq).toSeq), col(s"_pq$j") + 1)
-    }
-    transform(concat(parts: _*), x => x.cast("float"))
-  }
+  private def codesCol(cb: Array[Array[Array[Double]]]): Column =
+    array(cb.indices.map(j => col(s"_pq$j")): _*)
 
   /** @param rerankFactor over-fetch multiplier for the compressed-domain
     *   candidate top-k before the exact rerank
@@ -113,13 +109,23 @@ object Pq {
     // the compressed table: id + m codes (what a 100 TB deployment stores hot)
     val compressed = t
       .select(col("neighbor_id") +: codeCols("te", cb): _*)
-      .withColumn("re", reconCol(cb))
-      .select("neighbor_id", "re")
+      .select(col("neighbor_id"), codesCol(cb).as("codes"))
 
+    // Materialise the code table: it IS the index (built once, searched
+    // many times — the FAISS lifecycle; at warehouse scale it would be a
+    // persisted m-bytes-per-row table). Also load-bearing for the plan:
+    // whole-stage codegen DEFERS stream-side expressions that are consumed
+    // only above a join into the join's per-build-row loop, so without the
+    // barrier the 8x nearest_centroids encode re-runs PER PAIR (measured
+    // 4x slower; the pre-ADC formulation was saved only by its `transform`
+    // HOF accidentally breaking codegen fusion).
+    .localCheckpoint(false)
+
+    // ADC scan: codes never decode, nothing per-pair allocates
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
     val approx = compressed.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("sim", graft.functions.CosineSimilarity(col("qe"), col("re")))
+      .withColumn("sim", graft.functions.PqAdc.cosineDirect(col("qe"), col("codes"), cb))
     val candidates = graft.plans.TopK.perKey(
       approx, Seq("query_id"), "sim", k * rerankFactor, tieCols = Seq("neighbor_id"))
       .select("query_id", "neighbor_id")
@@ -162,19 +168,30 @@ object Pq {
     val residuals = withResidual(t).select(col("neighbor_id").as("id"), col("resid"))
     val cb = fitCodebooks(residuals, "id", "resid", m, ksub)
 
-    // inverted lists of compressed codes: reconstruction = centroid + residual decode
+    // inverted lists of compressed codes — the scan side stores (cell,
+    // id, m codes); nothing is ever decoded
     val compressed = withResidual(t)
-      .select(col("cell") +: col("cent") +: col("neighbor_id") +: codeCols("resid", cb): _*)
-      .withColumn("re",
-        zip_with(col("cent"), reconCol(cb), (c, r) => (c + r.cast("double")).cast("float")))
-      .select("cell", "neighbor_id", "re")
+      .select(col("cell") +: col("neighbor_id") +: codeCols("resid", cb): _*)
+      .select(col("cell"), col("neighbor_id"), codesCol(cb).as("codes"))
+      // materialised index — see Pq.search for why this barrier is
+      // load-bearing (codegen defers stream-side encode into join loops)
+      .localCheckpoint(false)
 
+    // per-probe precomputation (queries × nprobe rows, the tiny side):
+    // the residual-codebook LUT once per query, q·centroid once per probe;
+    // the per-pair ADC is then m lookups against the driver-precomputed
+    // cross-term and norm tables (see PqAdcImpl.cosineIvf)
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
-    val probes = q.withColumn("cell", explode(Centroids.nearest(col("qe"), coarse, nprobe)))
+      .withColumn("lutq", graft.functions.PqAdc.lut(col("qe"), cb))
+    val probes = q
+      .withColumn("cell", explode(Centroids.nearest(col("qe"), coarse, nprobe)))
+      .withColumn("qcdot",
+        graft.functions.PqAdc.centroidDot(col("qe"), col("cell"), coarse))
 
     val approx = probes.join(compressed, "cell")
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("sim", graft.functions.CosineSimilarity(col("qe"), col("re")))
+      .withColumn("sim", graft.functions.PqAdc.cosineIvf(
+        col("lutq"), col("codes"), col("cell"), col("qcdot"), coarse, cb))
     val candidates = graft.plans.TopK.perKey(
       approx, Seq("query_id"), "sim", k * rerankFactor, tieCols = Seq("neighbor_id"))
       .select("query_id", "neighbor_id")
