@@ -309,6 +309,17 @@ object Link {
       threshold: Double): DataFrame = {
     validateComparison(blocking)
     comparisons.foreach(_.levels.foreach(validateComparison))
+    val cand = left.alias("l").join(right.alias("r"), expr(blocking))
+    scoreLevels(cand, leftId, rightId, comparisons, threshold)
+  }
+
+  /** Gamma + summed-weight columns for a candidate frame that carries `l`
+    * and `r` aliases — the scoring tail shared by [[fellegiSunterLevels]]
+    * and [[fellegiSunterLevelsMulti]].
+    */
+  private def scoreLevels(
+      cand: DataFrame, leftId: String, rightId: String,
+      comparisons: Seq[LevelComparison], threshold: Double): DataFrame = {
     val gammaCols = comparisons.zipWithIndex.map { case (c, i) =>
       c.gammaOf.as(s"gamma$i")
     }
@@ -317,13 +328,42 @@ object Link {
       (0 to L).map(g => when(col(s"gamma$i") === g, lit(c.weights(g)))
         .otherwise(lit(0.0))).reduce(_ + _)
     }.reduce(_ + _)
-    left.alias("l")
-      .join(right.alias("r"), expr(blocking))
+    cand
       .select(
         (Seq(col(s"l.$leftId").cast("long").as("left_id"),
              col(s"r.$rightId").cast("long").as("right_id")) ++ gammaCols): _*)
       .withColumn("match_weight", weight)
       .filter(col("match_weight") >= threshold)
+  }
+
+  /** [[fellegiSunterLevels]] with a LIST of blocking rules — splink's
+    * `blocking_rules_to_generate_predictions`: the candidate set is the
+    * deduplicated union of every rule's equi-join, so records missed by
+    * one blocking key (a typo'd postcode) are still reached through
+    * another (same name bucket). Each rule plans as its own equi-join;
+    * the distinct is one shuffle on the pair id; attributes re-join once
+    * for scoring. Nothing quadratic, and each rule's join is independently
+    * AQE-planned (broadcast/skew per rule).
+    */
+  def fellegiSunterLevelsMulti(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blockingRules: Seq[String],
+      comparisons: Seq[LevelComparison],
+      threshold: Double): DataFrame = {
+    require(blockingRules.nonEmpty, "need at least one blocking rule")
+    blockingRules.foreach(validateComparison)
+    comparisons.foreach(_.levels.foreach(validateComparison))
+    val cand = blockingRules
+      .map(rule => pairs(left, right, leftId, rightId, rule))
+      .reduce(_ union _)
+      .distinct()
+    val attributed = cand
+      .join(left.alias("l"),
+        col(s"l.$leftId").cast("long") === col("left_id"))
+      .join(right.alias("r"),
+        col(s"r.$rightId").cast("long") === col("right_id"))
+    scoreLevels(attributed, leftId, rightId, comparisons, threshold)
   }
 
   /** EM-trained Fellegi–Sunter over ordinal gammas: m and u become

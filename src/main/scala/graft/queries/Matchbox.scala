@@ -420,6 +420,81 @@ object Matchbox {
       |WHERE match_weight >= 1.0
       |ORDER BY left_id, right_id""".stripMargin
 
+  /** Multiple blocking rules for candidate generation — splink's
+    * `blocking_rules_to_generate_predictions` list: pairs missed by the
+    * key-bucket rule (planted duplicates whose custkeys straddle a bucket
+    * boundary) are still reached through the (nation, segment) rule; the
+    * candidate set is the deduplicated union and every rule plans as its
+    * own equi-join. Scoring is the same fuzzy multi-level comparison as
+    * mb_link_fuzzy.
+    */
+  private def linkBlockingRules(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    Link.fellegiSunterLevelsMulti(
+      fuzzyLeft(s, dir), fuzzyRight(s, dir),
+      "c_custkey", "c_custkey",
+      blockingRules = Seq(
+        "l.blk = r.blk",
+        "l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment"),
+      comparisons = Seq(
+        Link.LevelComparison(
+          Seq("l.sname = r.sname",
+            "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
+            "jaro_winkler_similarity(l.sname, r.sname) >= 0.88"),
+          Seq(-3.0, 1.5, 4.0, 6.0)),
+        Link.LevelComparison(
+          Seq("l.c_mktsegment = r.c_mktsegment"),
+          Seq(-0.5, 1.2))),
+      threshold = 1.0)
+      .withColumnRenamed("gamma0", "gamma_name")
+      .withColumnRenamed("gamma1", "gamma_seg")
+      .orderBy("left_id", "right_id")
+  }
+
+  private val linkBlockingRulesSql =
+    """WITH le AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS sname,
+      |    c_custkey // 20 AS blk
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |ri AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    CASE CAST(c_custkey % 10 AS INT)
+      |      WHEN 5 THEN substr(base, 1, 8)
+      |      WHEN 7 THEN substr(base, 1, 6)
+      |      WHEN 9 THEN reverse(base)
+      |      ELSE base END AS sname,
+      |    (c_custkey - 1) // 20 AS blk
+      |  FROM (SELECT *, substr(md5(CAST(c_custkey - 1 AS VARCHAR)), 1, 9) AS base
+      |        FROM customer WHERE c_custkey % 2 = 1)),
+      |cand AS (
+      |  SELECT l.c_custkey AS left_id, r.c_custkey AS right_id
+      |  FROM le l JOIN ri r ON l.blk = r.blk
+      |  UNION
+      |  SELECT l.c_custkey, r.c_custkey
+      |  FROM le l JOIN ri r
+      |    ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment),
+      |g AS (
+      |  SELECT c.left_id, c.right_id,
+      |    CASE WHEN l.sname = r.sname THEN 3
+      |         WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.95 THEN 2
+      |         WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.88 THEN 1
+      |         ELSE 0 END AS gamma_name,
+      |    CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS gamma_seg
+      |  FROM cand c
+      |  JOIN le l ON l.c_custkey = c.left_id
+      |  JOIN ri r ON r.c_custkey = c.right_id)
+      |SELECT * FROM (
+      |  SELECT CAST(left_id AS BIGINT) AS left_id, CAST(right_id AS BIGINT) AS right_id,
+      |    gamma_name, gamma_seg,
+      |    (CASE gamma_name WHEN 3 THEN CAST(6.0 AS DOUBLE) WHEN 2 THEN CAST(4.0 AS DOUBLE)
+      |       WHEN 1 THEN CAST(1.5 AS DOUBLE) ELSE CAST(-3.0 AS DOUBLE) END
+      |     + CASE gamma_seg WHEN 1 THEN CAST(1.2 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END
+      |    ) AS match_weight
+      |  FROM g)
+      |WHERE match_weight >= 1.0
+      |ORDER BY left_id, right_id""".stripMargin
+
   /** Driver-gated EM over ordinal gammas (the trained twin of
     * mb_link_fuzzy — iterative, so no SQL oracle): the whole pipeline runs
     * twice from scratch and must produce bit-identical per-level (m, u)
@@ -1179,6 +1254,7 @@ object Matchbox {
     QueryDef("mb_link_em", linkEm, None),
     QueryDef("mb_link_em_gate", linkEmGate, Some(linkEmGateSql)),
     QueryDef("mb_link_fuzzy", linkFuzzy, Some(linkFuzzySql)),
+    QueryDef("mb_link_blocking_rules", linkBlockingRules, Some(linkBlockingRulesSql)),
     QueryDef("mb_link_fuzzy_em_gate", linkFuzzyEmGate, Some(linkFuzzyEmGateSql)),
     QueryDef("mb_link_tf", linkTf, Some(linkTfSql)),
     QueryDef("mb_match_incremental", matchIncremental, Some(matchIncrementalSql)),

@@ -100,6 +100,27 @@ class FuzzyLinkSpec extends SparkSpec {
     assert(m(2) / u(2) > m(0) / u(0))
   }
 
+  test("fellegiSunterLevelsMulti: candidates are the dedup'd union of all blocking rules") {
+    val left = Seq((1L, "anna", 10, "A"), (2L, "bob", 20, "B")).toDF("id", "name", "blk", "seg")
+    val right = Seq(
+      (10L, "anna", 10, "Z"), // reached via blk rule only
+      (20L, "bob", 99, "B"),  // reached via seg rule only
+      (30L, "anna", 10, "A")  // reached via BOTH rules -> must appear once
+    ).toDF("id", "name", "blk", "seg")
+    val out = Link.fellegiSunterLevelsMulti(
+      left, right, "id", "id",
+      blockingRules = Seq("l.blk = r.blk", "l.seg = r.seg"),
+      comparisons = Seq(Link.LevelComparison(Seq("l.name = r.name"), Seq(-1.0, 2.0))),
+      threshold = -10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length == out.distinct.length, "duplicate candidate pair emitted")
+    val asMap = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(asMap((1L, 10L)) == 2.0) // blk-only candidate, name agrees
+    assert(asMap((2L, 20L)) == 2.0) // seg-only candidate, name agrees
+    assert(asMap((1L, 30L)) == 2.0) // both rules, emitted once
+    assert(!asMap.contains(2L -> 10L)) // no rule reaches it
+  }
+
   test("fellegiSunterTf: common values score lower than rare on agreement") {
     val corpus = (Seq.fill(9)("COMMON") ++ Seq("RARE"))
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "seg")
