@@ -448,6 +448,80 @@ object Link {
     (scored, comparisons.indices.map(i => (m(i).toSeq, u(i).toSeq)))
   }
 
+  /** Multi-level fuzzy comparison WITH term-frequency adjustment on its
+    * exact-match level — the full splink shape (`jaro_winkler_at_thresholds`
+    * + `term_frequency_adjustments` on one comparison): agreeing exactly on
+    * a COMMON value is weaker evidence than on a rare one, while the fuzzy
+    * levels keep their fixed ratios (a fuzzy match doesn't pin down WHICH
+    * value was shared, so no value-specific u exists for it). Scoring is a
+    * likelihood-RATIO product (log-free — see [[fellegiSunterTf]]):
+    * exact level → tfM / tf(value); other levels → caller-supplied literal
+    * ratios indexed by gamma.
+    *
+    * Scale shape: one blocked equi-join for candidates + one equi-join
+    * against the corpus value-frequency table on the left value. The gamma
+    * CASE (including the native `jaro_winkler_similarity`) evaluates in the
+    * join's codegen'd post-projection.
+    *
+    * @param tfComparison  levels for the TF-adjusted comparison, strongest
+    *                      (exact equality on the TF column) first
+    * @param tfLeftValue   `l.`-qualified TF column (the agreed value when
+    *                      the exact level fires)
+    * @param tfM           P(exact agree | match)
+    * @param tfLevelRatios ratio literal per gamma 0..L-1 (miss..strongest
+    *                      fuzzy); gamma L (exact) uses tfM / tf(value)
+    * @param others        fixed multi-level comparisons: per comparison,
+    *                      (levels, ratio literal per gamma 0..L)
+    */
+  def fellegiSunterLevelsTf(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blocking: String,
+      tfComparison: Seq[String], tfLeftValue: String,
+      tfM: Double, tfLevelRatios: Seq[Double],
+      corpus: DataFrame, corpusCol: String,
+      others: Seq[(Seq[String], Seq[Double])],
+      threshold: Double): DataFrame = {
+    require(tfLevelRatios.size == tfComparison.size,
+      s"need ${tfComparison.size} non-exact ratios (gamma 0..${tfComparison.size - 1})")
+    others.foreach { case (levels, ratios) =>
+      require(ratios.size == levels.size + 1,
+        s"need ${levels.size + 1} ratios for ${levels.size} levels")
+    }
+    validateComparison(blocking)
+    tfComparison.foreach(validateComparison)
+    others.foreach(_._1.foreach(validateComparison))
+    val total = corpus.count()
+    val freq = corpus.groupBy(col(corpusCol).as("tf_value"))
+      .agg(count(lit(1)).as("tf_cnt"))
+    val L = tfComparison.size
+    val tfGamma = LevelComparison(tfComparison, Seq.fill(L + 1)(0.0)).gammaOf
+    val tfRatio = {
+      val exact = lit(tfM) / (col("tf_cnt").cast("double") / lit(total.toDouble))
+      (0 until L).foldLeft(when(col("gamma_tf") === L, exact)) {
+        case (acc, g) => acc.when(col("gamma_tf") === g, lit(tfLevelRatios(g)))
+      }.otherwise(lit(1.0))
+    }
+    val otherGammas = others.zipWithIndex.map { case ((levels, _), i) =>
+      LevelComparison(levels, Seq.fill(levels.size + 1)(0.0)).gammaOf.as(s"gamma$i")
+    }
+    val ratio = others.zipWithIndex.map { case ((levels, ratios), i) =>
+      (0 to levels.size).map { g =>
+        when(col(s"gamma$i") === g, lit(ratios(g))).otherwise(lit(1.0))
+      }.reduce(_ * _)
+    }.foldLeft(tfRatio)(_ * _)
+    left.alias("l")
+      .join(right.alias("r"), expr(blocking))
+      .join(freq, expr(s"$tfLeftValue") === col("tf_value"), "left")
+      .select(
+        (Seq(col(s"l.$leftId").cast("long").as("left_id"),
+             col(s"r.$rightId").cast("long").as("right_id"),
+             tfGamma.as("gamma_tf")) ++ otherGammas :+ col("tf_cnt")): _*)
+      .withColumn("match_ratio", ratio)
+      .filter(col("match_ratio") >= threshold)
+      .drop("tf_cnt")
+  }
+
   /** Fellegi–Sunter with a term-frequency-adjusted comparison (the splink
     * `term_frequency_adjustments` setting — reference splinklinker.py:56-175
     * SplinkSettings pass-through): agreeing on a COMMON value (segment

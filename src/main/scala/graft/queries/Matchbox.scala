@@ -573,6 +573,73 @@ object Matchbox {
       |WHERE match_ratio >= 2.0
       |ORDER BY left_id, right_id""".stripMargin
 
+  /** The full splink comparison shape in one linker: fuzzy multi-level
+    * name comparison (fixed likelihood ratios per level) COMBINED with a
+    * term-frequency-adjusted segment comparison (exact agreement on a
+    * common segment is weak evidence, on a rare one strong). Ratio-product
+    * scoring, log-free — bit-exact across engines.
+    */
+  private def linkFuzzyTf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    Link.fellegiSunterLevelsTf(
+      fuzzyLeft(s, dir), fuzzyRight(s, dir),
+      "c_custkey", "c_custkey",
+      blocking = "l.blk = r.blk",
+      tfComparison = Seq("l.c_mktsegment = r.c_mktsegment"),
+      tfLeftValue = "l.c_mktsegment",
+      tfM = 0.9, tfLevelRatios = Seq(0.125),
+      corpus = Tables(s, dir, "customer"), corpusCol = "c_mktsegment",
+      others = Seq((
+        Seq("l.sname = r.sname",
+          "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
+          "jaro_winkler_similarity(l.sname, r.sname) >= 0.88"),
+        Seq(0.05, 2.0, 12.0, 40.0))),
+      threshold = 1.0)
+      .withColumnRenamed("gamma0", "gamma_name")
+      .orderBy("left_id", "right_id")
+  }
+
+  private val linkFuzzyTfSql =
+    """WITH le AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS sname,
+      |    c_custkey // 20 AS blk
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |ri AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE CAST(c_custkey % 10 AS INT)
+      |      WHEN 5 THEN substr(base, 1, 8)
+      |      WHEN 7 THEN substr(base, 1, 6)
+      |      WHEN 9 THEN reverse(base)
+      |      ELSE base END AS sname,
+      |    (c_custkey - 1) // 20 AS blk
+      |  FROM (SELECT *, substr(md5(CAST(c_custkey - 1 AS VARCHAR)), 1, 9) AS base
+      |        FROM customer WHERE c_custkey % 2 = 1)),
+      |tf AS (SELECT c_mktsegment AS v, count(*) AS cnt FROM customer GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM customer),
+      |g AS (
+      |  SELECT l.c_custkey AS left_id, r.c_custkey AS right_id,
+      |    CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS gamma_tf,
+      |    CASE WHEN l.sname = r.sname THEN 3
+      |         WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.95 THEN 2
+      |         WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.88 THEN 1
+      |         ELSE 0 END AS gamma_name,
+      |    tf.cnt AS tf_cnt, tot.n AS tot_n
+      |  FROM le l JOIN ri r ON l.blk = r.blk
+      |  JOIN tf ON tf.v = l.c_mktsegment CROSS JOIN tot)
+      |SELECT * FROM (
+      |  SELECT CAST(left_id AS BIGINT) AS left_id, CAST(right_id AS BIGINT) AS right_id,
+      |    gamma_tf, gamma_name,
+      |    (CASE WHEN gamma_tf = 1
+      |          THEN CAST(0.9 AS DOUBLE) / (CAST(tf_cnt AS DOUBLE) / CAST(tot_n AS DOUBLE))
+      |          ELSE CAST(0.125 AS DOUBLE) END
+      |     * CASE gamma_name WHEN 3 THEN CAST(40.0 AS DOUBLE) WHEN 2 THEN CAST(12.0 AS DOUBLE)
+      |         WHEN 1 THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.05 AS DOUBLE) END
+      |    ) AS match_ratio
+      |  FROM g)
+      |WHERE match_ratio >= 1.0
+      |ORDER BY left_id, right_id""".stripMargin
+
   /** Incremental match as a batch (the server's real-time
     * "match new records against existing clusters" promise — reference
     * README + client/_handler/main.py — run as its batch twin): the
@@ -1257,6 +1324,7 @@ object Matchbox {
     QueryDef("mb_link_blocking_rules", linkBlockingRules, Some(linkBlockingRulesSql)),
     QueryDef("mb_link_fuzzy_em_gate", linkFuzzyEmGate, Some(linkFuzzyEmGateSql)),
     QueryDef("mb_link_tf", linkTf, Some(linkTfSql)),
+    QueryDef("mb_link_fuzzy_tf", linkFuzzyTf, Some(linkFuzzyTfSql)),
     QueryDef("mb_match_incremental", matchIncremental, Some(matchIncrementalSql)),
     QueryDef("mb_components_incremental", componentsIncremental,
       Some(componentsIncrementalSql)),

@@ -121,6 +121,36 @@ class FuzzyLinkSpec extends SparkSpec {
     assert(!asMap.contains(2L -> 10L)) // no rule reaches it
   }
 
+  test("fellegiSunterLevelsTf: exact level is TF-adjusted, fuzzy levels keep fixed ratios") {
+    GraftExtensions.register(spark)
+    val corpus = (Seq.fill(8)("COMMON") ++ Seq.fill(2)("RARE"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "seg")
+    val left = Seq(
+      (1L, "COMMON", "martha"), (2L, "RARE", "martha"), (3L, "COMMON", "martha"))
+      .toDF("id", "seg", "name").withColumn("blk", lit(1))
+    val right = Seq(
+      (11L, "COMMON", "martha"),  // exact seg (tf 0.8) + exact name
+      (12L, "RARE", "martha"),    // exact seg (tf 0.2) + exact name
+      (13L, "OTHER", "marhta"))   // seg miss + fuzzy name (jw 0.961)
+      .toDF("id", "seg", "name").withColumn("blk", lit(1))
+    val out = Link.fellegiSunterLevelsTf(
+      left, right, "id", "id", "l.blk = r.blk",
+      tfComparison = Seq("l.seg = r.seg"), tfLeftValue = "l.seg",
+      tfM = 0.8, tfLevelRatios = Seq(0.25),
+      corpus = corpus, corpusCol = "seg",
+      others = Seq((
+        Seq("l.name = r.name", "jaro_winkler_similarity(l.name, r.name) >= 0.9"),
+        Seq(0.1, 3.0, 10.0))),
+      threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // (1,11): seg exact on COMMON tf=0.8 -> 0.8/0.8=1.0; name exact -> *10
+    assert(math.abs(out((1L, 11L)) - 10.0) < 1e-12)
+    // (2,12): seg exact on RARE tf=0.2 -> 0.8/0.2=4.0; name exact -> *10
+    assert(math.abs(out((2L, 12L)) - 40.0) < 1e-12)
+    // (1,13): seg miss -> 0.25; name jw(martha,marhta)=0.961 >= 0.9 -> *3
+    assert(math.abs(out((1L, 13L)) - 0.75) < 1e-12)
+  }
+
   test("fellegiSunterTf: common values score lower than rare on agreement") {
     val corpus = (Seq.fill(9)("COMMON") ++ Seq("RARE"))
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "seg")
