@@ -88,7 +88,7 @@ object AsOf {
       keys.map(col) ++ Seq(
         col(leftTime).as("_t"), lit(1).as("_side"),
         lit(null).cast("long").as("_tie"),
-        struct(left.columns.map(col): _*).as("_l")): _*)
+        struct(left.columns.toIndexedSeq.map(col): _*).as("_l")): _*)
     // right rows with a null time can never be "the most recent state"
     val rPrep = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(

@@ -53,7 +53,7 @@ object Combine {
     val aggs = df.columns.filterNot(_ == id).map { c =>
       sort_array(collect_set(col(c))).as(c)
     }
-    df.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    df.groupBy(col(id)).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
   /** Cleaning dict: each alias maps to a SQL expression over the input

@@ -34,7 +34,7 @@ object Skew {
         s"'$joinType' would duplicate unmatched build rows across salts")
     // Deterministic salt: stable under retries (a rand() salt is not).
     val salted = skewed.withColumn("_salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int"))
     val exploded = build.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(exploded, Seq(key, "_salt"), joinType).drop("_salt")

@@ -208,7 +208,7 @@ object Streams {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(s =>
-              SessionOut(userId, new Timestamp(s.startMs), s.n)).toIterator
+              SessionOut(userId, new Timestamp(s.startMs), s.n)).iterator
             state.remove()
             out
           } else {
