@@ -53,6 +53,33 @@ object Streams {
       .dropDuplicates("left_id", "right_id")
       .withColumn("score", lit(1.0))
 
+  /** Incremental FUZZY match: each new record in the stream scores against
+    * the static reference with multi-level fuzzy comparisons (the streaming
+    * twin of `Link.fellegiSunterLevels` — splink's comparison levels over
+    * the real-time "match new records" path). The blocking condition keys a
+    * stream-static equi-join, the level conditions (including the native
+    * `jaro_winkler_similarity`) evaluate in the join's post-projection, and
+    * the per-record best match reduces with a stateless groupBy-max —
+    * nothing stateful grows with the stream.
+    *
+    * @return (left_id = stream record, best_weight, n_matches) per stream
+    *         record with at least one candidate at or above `threshold`
+    */
+  def incrementalFuzzyMatch(
+      stream: DataFrame, reference: DataFrame,
+      streamId: String, refId: String,
+      blocking: String,
+      comparisons: Seq[graft.operators.Link.LevelComparison],
+      threshold: Double): DataFrame = {
+    val scored = graft.operators.Link.fellegiSunterLevels(
+      stream, reference, streamId, refId, blocking, comparisons, threshold)
+    scored
+      .groupBy("left_id")
+      .agg(
+        max(col("match_weight")).as("best_weight"),
+        count(lit(1)).as("n_matches"))
+  }
+
   /** Incremental near-duplicate detection: a stream of new documents is
     * checked against a static, pre-indexed corpus via MinHash band buckets
     * — the streaming twin of `MinHashLSH.candidatePairs`.

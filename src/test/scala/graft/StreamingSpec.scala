@@ -8,6 +8,7 @@ import java.sql.Timestamp
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class SEv(user_id: Long, ts: Timestamp, value: Double)
 case class Rec(id: Long, nationkey: Int)
+case class NamedRec(id: Long, blk: Long, name: String)
 case class Doc(id: Long, text: String)
 case class Vec(vec_id: Long, embedding: Seq[Float])
 
@@ -57,6 +58,37 @@ class StreamingSpec extends SparkSpec {
       .select(col("c_custkey").cast("long").as("left_id"), col("s_suppkey").cast("long").as("right_id"))
     assert(streamed.count() > 0)
     assert(streamed.except(batchPairs).isEmpty && batchPairs.except(streamed).isEmpty)
+  }
+
+  test("incremental fuzzy match scores streamed records like the batch linker") {
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftExtensions.register(spark)
+    import graft.operators.Link
+    val reference = Seq(
+      (100L, 1L, "martha"), (101L, 1L, "jonathan"), (102L, 2L, "martha"))
+      .toDF("id", "blk", "name")
+    val levels = Seq(Link.LevelComparison(
+      Seq("l.name = r.name", "jaro_winkler_similarity(l.name, r.name) >= 0.9"),
+      Seq(-1.0, 2.0, 5.0)))
+    val newRecords = Seq(
+      NamedRec(1L, 1L, "martha"),   // exact vs 100 (+5), miss vs 101 (-1)
+      NamedRec(2L, 1L, "marhta"),   // fuzzy 0.961 vs 100 (+2), miss vs 101
+      NamedRec(3L, 2L, "zzzzzz"),   // miss vs 102 only -> below threshold
+      NamedRec(4L, 9L, "martha"))   // no blocking partner at all
+
+    val input = MemoryStream[NamedRec]
+    input.addData(newRecords)
+    val q = Streams.incrementalFuzzyMatch(
+      input.toDF(), reference, "id", "id", "l.blk = r.blk", levels, threshold = 1.0)
+      .writeStream.format("memory").queryName("fuzzy_matches")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("fuzzy_matches")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got(1L) == (5.0, 1L)) // exact match kept, miss filtered by threshold
+    assert(got(2L) == (2.0, 1L)) // fuzzy level
+    assert(!got.contains(3L) && !got.contains(4L))
   }
 
   test("incremental streaming dedup finds near-dups of the static corpus only") {
