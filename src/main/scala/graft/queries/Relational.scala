@@ -378,7 +378,7 @@ object Relational {
   private def qLateralTopn(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
     Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
-    s.sql(s"""SELECT n.n_name, c.c_custkey, c.bal / 100.0 AS best_bal
+    s.sql(s"""SELECT n.n_name, c.c_custkey, CAST(c.bal AS DOUBLE) / 100.0 AS best_bal
       |FROM nation_v n,
       |LATERAL (SELECT c_custkey,
       |           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal
@@ -388,7 +388,7 @@ object Relational {
   }
 
   private val qLateralTopnSql =
-    """SELECT n.n_name, c.c_custkey, c.bal / 100.0 AS best_bal
+    """SELECT n.n_name, c.c_custkey, CAST(c.bal AS DOUBLE) / 100.0 AS best_bal
       |FROM nation n,
       |LATERAL (SELECT c_custkey,
       |           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal
