@@ -399,6 +399,35 @@ object Link {
       .map(row => (gCols.map(row.getAs[Int]).toIndexedSeq, row.getAs[Long]("count")))
       .sortBy(_._1.mkString(","))
 
+    val (lambda, m, u) = emFitLevels(patterns, nLevels, iterations, lambdaInit)
+
+    val probability = {
+      val ratio = comparisons.indices.map { i =>
+        (0 until nLevels(i)).map { g =>
+          when(col(s"g$i") === g, lit(m(i)(g) / u(i)(g))).otherwise(lit(1.0))
+        }.reduce(_ * _)
+      }.reduce(_ * _)
+      val lr = lit(lambda / (1 - lambda)) * ratio
+      lr / (lr + 1)
+    }
+    val scored = cand
+      .withColumn("score", probability)
+      .filter(col("score") >= threshold)
+      .select("left_id", "right_id", "score")
+    (scored, comparisons.indices.map(i => (m(i).toSeq, u(i).toSeq)))
+  }
+
+  /** The ordinal-gamma EM loop shared by [[fellegiSunterEmLevels]] and
+    * [[fellegiSunterEmLevelsTf]]: driver-side over the (sorted, tiny)
+    * pattern contingency table only. Returns (λ, m, u) with m/u indexed
+    * (comparison)(gamma level). Accumulation order is fixed by the sorted
+    * patterns, so results are bit-identical run to run.
+    */
+  private def emFitLevels(
+      patterns: Seq[(IndexedSeq[Int], Long)],
+      nLevels: Seq[Int],
+      iterations: Int,
+      lambdaInit: Double): (Double, Array[Array[Double]], Array[Array[Double]]) = {
     var lambda = lambdaInit
     // init: agreement probability mass rises with level under match, falls
     // under non-match — any monotone init in (0,1) works; EM refines it
@@ -424,27 +453,90 @@ object Link {
         }
       }
       lambda = math.min(math.max(wSum / nSum, 1e-9), 1 - 1e-9)
-      comparisons.indices.foreach { i =>
+      nLevels.indices.foreach { i =>
         (0 until nLevels(i)).foreach { g =>
           m(i)(g) = math.min(math.max(mNum(i)(g) / wSum, 1e-6), 1 - 1e-6)
           u(i)(g) = math.min(math.max(uNum(i)(g) / (nSum - wSum), 1e-6), 1 - 1e-6)
         }
       }
     }
+    (lambda, m, u)
+  }
 
-    val probability = {
-      val ratio = comparisons.indices.map { i =>
-        (0 until nLevels(i)).map { g =>
-          when(col(s"g$i") === g, lit(m(i)(g) / u(i)(g))).otherwise(lit(1.0))
-        }.reduce(_ * _)
-      }.reduce(_ * _)
-      val lr = lit(lambda / (1 - lambda)) * ratio
-      lr / (lr + 1)
+  /** EM-trained ordinal Fellegi–Sunter WITH term-frequency adjustment
+    * applied at prediction — the composed splink recipe (comparison levels
+    * + `term_frequency_adjustments` + EM training in one settings object;
+    * reference splinklinker.py:56-175): EM learns per-(comparison, level)
+    * m/u vectors on the pattern contingency table exactly as in
+    * [[fellegiSunterEmLevels]]; at scoring the TF comparison's EXACT level
+    * swaps its trained *average* u for the value-specific corpus frequency
+    * tf(v) — exact agreement on a rare value is stronger evidence than the
+    * average exact agreement, on a common value weaker. Non-exact levels
+    * keep their trained m/u (a fuzzy agreement doesn't pin down WHICH value
+    * was shared, so no value-specific u exists for it).
+    *
+    * Scale shape: one blocked equi-join for candidates + one equi-join
+    * against the corpus value-frequency table; only the ≤ Π(Lᵢ+1)-row
+    * pattern table reaches the driver. Returns (scored pairs carrying the
+    * gammas and tf_cnt — so callers can gate the monotone rarer-value ⇒
+    * higher-score contract — and the per-comparison (m, u) level vectors).
+    * A left value absent from the corpus gets the documented floor
+    * tf_cnt = 1 (an unseen value is at most as common as one occurrence),
+    * not a silent drop.
+    */
+  def fellegiSunterEmLevelsTf(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blocking: String,
+      tfComparison: Seq[String], tfLeftValue: String,
+      corpus: DataFrame, corpusCol: String,
+      others: Seq[Seq[String]],
+      iterations: Int = 20,
+      lambdaInit: Double = 0.1,
+      threshold: Double = 0.5): (DataFrame, Seq[(Seq[Double], Seq[Double])]) = {
+    validateComparison(blocking)
+    tfComparison.foreach(validateComparison)
+    others.foreach(_.foreach(validateComparison))
+    val comparisons = tfComparison +: others // index 0 = the TF comparison
+    val nLevels = comparisons.map(_.size + 1)
+    val gammas = comparisons.zipWithIndex.map { case (levels, i) =>
+      LevelComparison(levels, Seq.fill(levels.size + 1)(0.0)).gammaOf.as(s"g$i")
     }
+    val total = corpus.count()
+    val freq = corpus.groupBy(col(corpusCol).as("tf_value"))
+      .agg(count(lit(1)).as("tf_cnt"))
+    val cand = left.alias("l").join(right.alias("r"), expr(blocking))
+      .join(freq, expr(tfLeftValue) === col("tf_value"), "left")
+      .select(
+        (Seq(col(s"l.$leftId").cast("long").as("left_id"),
+             col(s"r.$rightId").cast("long").as("right_id"),
+             coalesce(col("tf_cnt"), lit(1L)).as("tf_cnt")) ++ gammas): _*)
+
+    val gCols = comparisons.indices.map(i => s"g$i")
+    // sorted for deterministic float accumulation (see fellegiSunterEm)
+    val patterns = cand.groupBy(gCols.map(col): _*).count()
+      .collect()
+      .map(row => (gCols.map(row.getAs[Int]).toIndexedSeq, row.getAs[Long]("count")))
+      .sortBy(_._1.mkString(","))
+    val (lambda, m, u) = emFitLevels(patterns, nLevels, iterations, lambdaInit)
+
+    val L = tfComparison.size
+    val tfRatio = {
+      val exact = lit(m(0)(L)) / (col("tf_cnt").cast("double") / lit(total.toDouble))
+      (0 until L).foldLeft(when(col("g0") === L, exact)) {
+        case (acc, g) => acc.when(col("g0") === g, lit(m(0)(g) / u(0)(g)))
+      }.otherwise(lit(1.0))
+    }
+    val ratio = others.indices.map { j =>
+      val i = j + 1
+      (0 until nLevels(i)).map { g =>
+        when(col(s"g$i") === g, lit(m(i)(g) / u(i)(g))).otherwise(lit(1.0))
+      }.reduce(_ * _)
+    }.foldLeft(tfRatio)(_ * _)
+    val lr = lit(lambda / (1 - lambda)) * ratio
     val scored = cand
-      .withColumn("score", probability)
+      .withColumn("score", lr / (lr + lit(1.0)))
       .filter(col("score") >= threshold)
-      .select("left_id", "right_id", "score")
     (scored, comparisons.indices.map(i => (m(i).toSeq, u(i).toSeq)))
   }
 
@@ -497,6 +589,10 @@ object Link {
     val L = tfComparison.size
     val tfGamma = LevelComparison(tfComparison, Seq.fill(L + 1)(0.0)).gammaOf
     val tfRatio = {
+      // tf_cnt is coalesced to 1 below: a left value absent from the corpus
+      // is at most as common as one occurrence, not a silent drop (the
+      // left join would otherwise NULL the ratio and the threshold filter
+      // would discard the pair)
       val exact = lit(tfM) / (col("tf_cnt").cast("double") / lit(total.toDouble))
       (0 until L).foldLeft(when(col("gamma_tf") === L, exact)) {
         case (acc, g) => acc.when(col("gamma_tf") === g, lit(tfLevelRatios(g)))
@@ -516,7 +612,8 @@ object Link {
       .select(
         (Seq(col(s"l.$leftId").cast("long").as("left_id"),
              col(s"r.$rightId").cast("long").as("right_id"),
-             tfGamma.as("gamma_tf")) ++ otherGammas :+ col("tf_cnt")): _*)
+             tfGamma.as("gamma_tf")) ++ otherGammas :+
+             coalesce(col("tf_cnt"), lit(1L)).as("tf_cnt")): _*)
       .withColumn("match_ratio", ratio)
       .filter(col("match_ratio") >= threshold)
       .drop("tf_cnt")
@@ -562,8 +659,12 @@ object Link {
     val total = corpus.count()
     val freq = corpus.groupBy(col(corpusCol).as("tf_value"))
       .agg(count(lit(1)).as("tf_cnt"))
+    // coalesce: a left value absent from the corpus gets the floor
+    // tf_cnt = 1 (at most as common as one occurrence) instead of a NULL
+    // ratio that the threshold filter would silently drop
     val tfRatio = when(expr(tfAgree),
-        lit(tfM) / (col("tf_cnt").cast("double") / lit(total.toDouble)))
+        lit(tfM) / (coalesce(col("tf_cnt"), lit(1L)).cast("double") /
+          lit(total.toDouble)))
       .otherwise(lit(tfDisagreeRatio))
     val ratio = others.foldLeft(tfRatio) { case (acc, (cond, a, d)) =>
       acc * when(expr(cond), lit(a)).otherwise(lit(d))
@@ -664,15 +765,48 @@ object Link {
       s"uInit has ${u.size} entries for ${comparisons.size} comparisons"))
     validateComparison(blocking)
     comparisons.foreach(validateComparison)
+    val cand = emCandidates(left, right, leftId, rightId, blocking, comparisons)
+    fellegiSunterEmOnCandidates(cand, comparisons.size, iterations,
+      lambdaInit, threshold, uInit, trainU)
+  }
+
+  /** Candidate frame for [[fellegiSunterEm]]: the blocked equi-join with
+    * binary gamma columns g0..g(k-1). Exposed so callers that score the
+    * SAME candidates repeatedly (e.g. a run-twice determinism gate) can
+    * localCheckpoint this frame once instead of re-running the join.
+    */
+  def emCandidates(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blocking: String,
+      comparisons: Seq[String]): DataFrame = {
+    validateComparison(blocking)
+    comparisons.foreach(validateComparison)
     val gammas = comparisons.zipWithIndex.map { case (cond, i) =>
       when(expr(cond), 1).otherwise(0).as(s"g$i")
     }
-    val cand = left.alias("l").join(right.alias("r"), expr(blocking))
+    left.alias("l").join(right.alias("r"), expr(blocking))
       .select(
         (Seq(col(s"l.$leftId").cast("long").as("left_id"),
              col(s"r.$rightId").cast("long").as("right_id")) ++ gammas): _*)
+  }
 
-    val gCols = comparisons.indices.map(i => s"g$i")
+  /** The training + scoring tail of [[fellegiSunterEm]] over a prebuilt
+    * [[emCandidates]] frame: pattern contingency aggregation (the only
+    * thing that reaches the driver), EM fit, and the distributed score
+    * projection.
+    */
+  def fellegiSunterEmOnCandidates(
+      cand: DataFrame, nComparisons: Int,
+      iterations: Int = 20,
+      lambdaInit: Double = 0.1,
+      threshold: Double = 0.5,
+      uInit: Option[Seq[Double]] = None,
+      trainU: Boolean = true): (DataFrame, Seq[(Double, Double)]) = {
+    uInit.foreach(u => require(u.size == nComparisons,
+      s"uInit has ${u.size} entries for $nComparisons comparisons"))
+    val comparisons = 0 until nComparisons
+    val gCols = comparisons.map(i => s"g$i")
     // Pattern contingency table: tiny (<= 2^k rows), collected to the driver.
     // Sorted by gamma vector: collect() order follows partition order, and
     // floating-point accumulation below is order-sensitive — an unsorted

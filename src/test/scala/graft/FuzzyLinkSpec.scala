@@ -171,4 +171,65 @@ class FuzzyLinkSpec extends SparkSpec {
     // disagreement uses the fixed ratio: 0.125 * 2.0
     assert(math.abs(out((1L, 12L)) - 0.25) < 1e-12)
   }
+
+  test("fellegiSunterTf: a left value absent from the corpus floors at tf_cnt = 1") {
+    val corpus = Seq((0L, "SEEN")).toDF("id", "seg")
+    val left = Seq((1L, "UNSEEN", 5.0)).toDF("id", "seg", "bal")
+    val right = Seq((11L, "UNSEEN", 5.0)).toDF("id", "seg", "bal")
+    val out = Link.fellegiSunterTf(
+      left.withColumn("blk", lit(1)), right.withColumn("blk", lit(1)),
+      "id", "id", "l.blk = r.blk",
+      tfAgree = "l.seg = r.seg", tfLeftValue = "l.seg",
+      tfM = 0.9, tfDisagreeRatio = 0.125,
+      corpus = corpus, corpusCol = "seg",
+      others = Seq.empty,
+      threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // corpus has 1 row; UNSEEN floors at tf_cnt 1 -> ratio 0.9 / (1/1) = 0.9,
+    // not a NULL ratio silently dropped by the threshold filter
+    assert(out.contains((1L, 11L)))
+    assert(math.abs(out((1L, 11L)) - 0.9) < 1e-12)
+  }
+
+  test("fellegiSunterEmLevelsTf: deterministic, trained levels discriminative, TF applied at the exact level") {
+    GraftExtensions.register(spark)
+    // segments with very different corpus frequency; planted exact name
+    // duplicates so EM has signal to learn from
+    val corpus = (Seq.fill(16)("COMMON") ++ Seq.fill(4)("RARE"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "seg")
+    val left = (0L until 40L).map { i =>
+      (i, s"name$i", if (i % 5 == 0) "RARE" else "COMMON", i / 10)
+    }.toDF("id", "name", "seg", "blk")
+    val right = (0L until 40L).map { i =>
+      val nm = if (i % 4 == 0) s"name$i" else if (i % 4 == 1) s"nam$i" else s"other$i"
+      (i + 100L, nm, if (i % 5 == 0) "RARE" else "COMMON", i / 10)
+    }.toDF("id", "name", "seg", "blk")
+    def run() = Link.fellegiSunterEmLevelsTf(
+      left, right, "id", "id", "l.blk = r.blk",
+      tfComparison = Seq("l.seg = r.seg"), tfLeftValue = "l.seg",
+      corpus = corpus, corpusCol = "seg",
+      others = Seq(Seq(
+        "l.name = r.name",
+        "jaro_winkler_similarity(l.name, r.name) >= 0.85")),
+      iterations = 15, threshold = 0.0)
+    val (s1, p1) = run()
+    val rows1 = s1.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (s2, p2) = run()
+    assert(p1 == p2)
+    assert(rows1 == s2.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // name comparison (index 1): exact level more discriminative than miss
+    val (mName, uName) = p1(1)
+    assert(mName.last / uName.last > mName.head / uName.head)
+    // TF at prediction: same name gamma + exact segment agree -> RARE pair
+    // outscores COMMON pair (value-specific u replaces the trained average)
+    val byKey = rows1.map { r =>
+      // columns: left_id, right_id, tf_cnt, g0, g1, score
+      ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getInt(3), r.getInt(4), r.getDouble(5)))
+    }.toMap
+    val exactPairs = byKey.values.filter(v => v._2 == 1 && v._3 == 2)
+    val rareScores = exactPairs.filter(_._1 == 4L).map(_._4)
+    val commonScores = exactPairs.filter(_._1 == 16L).map(_._4)
+    assert(rareScores.nonEmpty && commonScores.nonEmpty)
+    assert(rareScores.min > commonScores.max)
+  }
 }
