@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side mechanics are real — schema, partition-parallel batch
   * processing via mapPartitions over an iterator (the JVM analogue of a
-  * vectorized decode UDF), metadata struct columns. The actual media decode
-  * is STUBBED with a deterministic fake (no image/audio codecs in this
-  * environment): features derive from the raw bytes, so the pipeline is
-  * testable end-to-end and the decode stub is swappable for a real codec.
+  * vectorized decode UDF), metadata struct columns. The IMAGE path is a
+  * real codec ([[synthesizePng]] / [[resizeImages]]: `javax.imageio`
+  * decode → bilinear scale → PNG encode, pure JVM). Audio/video decode is
+  * STUBBED with deterministic fakes (no such codecs ship with the JDK):
+  * features derive from the raw bytes, so the pipeline is testable
+  * end-to-end and each stub is swappable for a real codec behind the same
+  * partition-batched API.
   */
 object Media {
 
@@ -80,6 +83,99 @@ object Media {
             i += 1
           }
           (id, out, targetW.toLong, targetH.toLong)
+        }
+      }
+      .toDF("media_id", "payload", "width", "height")
+  }
+
+  /** REAL image synthesis: one deterministic RGB PNG per row, pixels
+    * derived from a text column's bytes, encoded per-partition with
+    * `javax.imageio` (pure JVM — PNG/JPEG/BMP/GIF readers and writers ship
+    * with the JDK; Java's PNG writer emits no timestamp chunk, so the
+    * bytes are a pure function of the pixels). The production analogue is
+    * reading image bytes off object storage; this generator exists so the
+    * real decode→resize→encode path below is exercisable end-to-end on
+    * the tabular test data.
+    */
+  def synthesizePng(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, h: Int = 16): DataFrame = {
+    require(w > 0 && h > 0 && w.toLong * h <= (1 << 22),
+      s"source $w x $h unreasonably large")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+        it.map { case (id, text) =>
+          val bytes = if (text == null) Array[Byte](0) else {
+            val b = text.getBytes("UTF-8"); if (b.isEmpty) Array[Byte](0) else b
+          }
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = y * w + x
+              val r = bytes(i % bytes.length) & 0xff
+              val g = bytes((i * 7 + 3) % bytes.length) & 0xff
+              val b = bytes((i * 13 + 5) % bytes.length) & 0xff
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** REAL image resize: `javax.imageio` decode → bilinear `Graphics2D`
+    * scale → PNG re-encode, the same partition-batched binary→binary API
+    * as [[resizeStub]] (which remains for opaque non-image payloads).
+    * Codec setup (headless mode, no disk cache) happens once per
+    * partition; each row decodes, scales and re-encodes independently —
+    * the shape of a thumbnail batch job over object-storage bytes.
+    * Undecodable payloads yield a NULL payload with width/height −1
+    * (flagged, never silently dropped — the caller decides whether bad
+    * media is an error or a filter).
+    */
+  def resizeImages(
+      payloads: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0 &&
+      targetW.toLong * targetH <= Int.MaxValue,
+      s"target $targetW x $targetH overflows")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) (id, null: Array[Byte], -1L, -1L)
+          else {
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            (id, bos.toByteArray, targetW.toLong, targetH.toLong)
+          }
         }
       }
       .toDF("media_id", "payload", "width", "height")

@@ -841,6 +841,48 @@ object Pipeline {
       |  md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Driver-gated REAL image codec round-trip (no SQL oracle — DuckDB has
+    * no image functions): synthesize a deterministic 16×16 PNG per
+    * document (`javax.imageio` encode on executors), thumbnail it to 8×8
+    * through the real decode → bilinear scale → re-encode path
+    * ([[Media.resizeImages]]), then re-decode every output and assert one
+    * output per input, all valid 8×8 PNGs (magic bytes + ImageIO
+    * round-trip), zero decode failures, and a bit-identical payload hash
+    * across two runs (Java's PNG writer emits no timestamp chunk). Capped
+    * at 256 documents — the gate proves the codec, not throughput.
+    */
+  private def multimodalResizeGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").orderBy("doc_id").limit(256)
+    def run() = Media.resizeImages(
+      Media.synthesizePng(docs, "doc_id", "text", 16, 16), 8, 8)
+    def payloadHash(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(payload))")).head().getLong(0)
+    val out = run().localCheckpoint(false)
+    val stats = out
+      .select(col("media_id"), col("payload"), col("width"), col("height"))
+      .as[(Long, Array[Byte], Long, Long)]
+      .map { case (_, bytes, w, h) =>
+        val okMagic = bytes != null && bytes.length > 8 &&
+          (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+          bytes(2) == 'N' && bytes(3) == 'G'
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        val okDecode = img != null && img.getWidth == 8 && img.getHeight == 8
+        if (okMagic && okDecode && w == 8L && h == 8L) 1L else 0L
+      }
+      .toDF("ok")
+      .agg(sum("ok").as("n_ok"), count(lit(1)).as("n")).head()
+    val ok = stats.getLong(0) == stats.getLong(1) &&
+      stats.getLong(1) == docs.count() && stats.getLong(1) > 0 &&
+      payloadHash(out) == payloadHash(run())
+    Seq(ok).toDF("resize_ok")
+  }
+
+  private val multimodalResizeGateSql =
+    "SELECT CAST(1 AS BOOLEAN) AS resize_ok"
+
   /** Corpus-adaptive boilerplate stripping — the cross-document removal
     * step (C4-style: segments that recur across most documents are
     * template noise, not content). Tokens present in >80% of documents
@@ -1856,5 +1898,7 @@ object Pipeline {
     QueryDef("dx_corpus_stats", corpusStats, Some(corpusStatsSql)),
     QueryDef("dx_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
     QueryDef("dx_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
-    QueryDef("dx_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)))
+    QueryDef("dx_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
+    QueryDef("dx_multimodal_resize_gate", multimodalResizeGate,
+      Some(multimodalResizeGateSql)))
 }

@@ -163,6 +163,38 @@ class PipelineSpec extends SparkSpec {
     assert(frames.filter(col("frame_idx") % 2 =!= 0).isEmpty)
   }
 
+  test("real image codec: synthesized PNGs decode, resize bilinearly, re-encode deterministically") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    val docs = Tables(spark, sfDir, "documents").orderBy("doc_id").limit(30)
+    val pngs = Media.synthesizePng(docs, "doc_id", "text", 16, 16)
+    // the synthesized payloads are REAL PNGs: decodable at the right size
+    val srcRows = pngs.collect()
+    assert(srcRows.length == 30)
+    srcRows.foreach { r =>
+      val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+    }
+    // resize through the real codec path
+    val thumbs = Media.resizeImages(pngs, 8, 8)
+    val rows = thumbs.collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 8 && r.getLong(3) == 8)
+      val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+    }
+    // determinism: PNG bytes are a pure function of the pixels
+    val again = Media.resizeImages(pngs, 8, 8)
+    assert(thumbs.except(again).isEmpty && again.except(thumbs).isEmpty)
+    // undecodable payloads are flagged, not dropped
+    import spark.implicits._
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val flagged = Media.resizeImages(junk, 8, 8).collect()
+    assert(flagged.length == 1 && flagged(0).isNullAt(1) &&
+      flagged(0).getLong(2) == -1L)
+  }
+
   test("chunking covers every token: windows overlap by stride and end at n") {
     val df = Registry.byName("dx_chunk").fn(spark, sfDir).cache()
     // recompute expected chunk hashes directly from the text in Scala —
