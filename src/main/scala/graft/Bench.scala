@@ -53,14 +53,9 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = if (cpu0 < 0) -1.0 else (processCpuNanos() - cpu0) / 1e9
       val gc = (gcMillis() - gc0) / 1e3
-      // Drop this query's leftover localCheckpoint/cache blocks (outside the
-      // timed section): ~30 queries' worth of retained blocks otherwise
-      // squeeze the block manager and evict LATER queries' checkpoints
-      // mid-job — the r7 dx_embed_kmeans 4x "regression" was exactly this
-      // cross-query interference (1.4s standalone vs 6.0s in-run).
-      try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      catch { case _: Throwable => () }
+      // Drop this query's leftover localCheckpoint/cache blocks (outside
+      // the timed section, WARN-silenced — see BlockCleanup).
+      BlockCleanup.dropRetainedBlocks(spark)
       (name, wall, cpu, gc, ok)
     }
     def round(v: Double, dp: Int): String = {

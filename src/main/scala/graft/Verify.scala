@@ -27,10 +27,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop leftover localCheckpoint/cache blocks so ~130 queries' worth
-      // don't squeeze the block manager (same interference the bench fixed)
-      try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      catch { case _: Throwable => () }
+      // don't squeeze the block manager (same interference the bench
+      // fixed; WARN-silenced — see BlockCleanup)
+      BlockCleanup.dropRetainedBlocks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
