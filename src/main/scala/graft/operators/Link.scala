@@ -314,12 +314,15 @@ object Link {
   }
 
   /** Gamma + summed-weight columns for a candidate frame that carries `l`
-    * and `r` aliases — the scoring tail shared by [[fellegiSunterLevels]]
-    * and [[fellegiSunterLevelsMulti]].
+    * and `r` aliases — the scoring tail shared by [[fellegiSunterLevels]],
+    * [[fellegiSunterLevelsMulti]] and the streaming twin. `carry` threads
+    * extra columns (source expr → output name) through the projection,
+    * e.g. the stream's event-time column for a watermarked aggregation.
     */
-  private def scoreLevels(
+  private[graft] def scoreLevels(
       cand: DataFrame, leftId: String, rightId: String,
-      comparisons: Seq[LevelComparison], threshold: Double): DataFrame = {
+      comparisons: Seq[LevelComparison], threshold: Double,
+      carry: Seq[(String, String)] = Nil): DataFrame = {
     val gammaCols = comparisons.zipWithIndex.map { case (c, i) =>
       c.gammaOf.as(s"gamma$i")
     }
@@ -331,7 +334,9 @@ object Link {
     cand
       .select(
         (Seq(col(s"l.$leftId").cast("long").as("left_id"),
-             col(s"r.$rightId").cast("long").as("right_id")) ++ gammaCols): _*)
+             col(s"r.$rightId").cast("long").as("right_id")) ++
+          carry.map { case (src, dst) => col(src).as(dst) } ++
+          gammaCols): _*)
       .withColumn("match_weight", weight)
       .filter(col("match_weight") >= threshold)
   }

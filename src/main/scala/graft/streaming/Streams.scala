@@ -57,10 +57,16 @@ object Streams {
     * the static reference with multi-level fuzzy comparisons (the streaming
     * twin of `Link.fellegiSunterLevels` — splink's comparison levels over
     * the real-time "match new records" path). The blocking condition keys a
-    * stream-static equi-join, the level conditions (including the native
-    * `jaro_winkler_similarity`) evaluate in the join's post-projection, and
-    * the per-record best match reduces with a stateless groupBy-max —
-    * nothing stateful grows with the stream.
+    * stream-static equi-join (stateless), and the level conditions
+    * (including the native `jaro_winkler_similarity`) evaluate in the
+    * join's post-projection.
+    *
+    * The trailing per-record groupBy-max IS a stateful streaming
+    * aggregation: its state grows with the number of distinct stream ids
+    * and it needs update/complete output mode. That is fine for bounded
+    * backfills or small id spaces; for unbounded streams use
+    * [[incrementalFuzzyMatchWindowed]], whose watermark lets Spark drop
+    * each window's state once it closes.
     *
     * @return (left_id = stream record, best_weight, n_matches) per stream
     *         record with at least one candidate at or above `threshold`
@@ -78,6 +84,38 @@ object Streams {
       .agg(
         max(col("match_weight")).as("best_weight"),
         count(lit(1)).as("n_matches"))
+  }
+
+  /** [[incrementalFuzzyMatch]] with BOUNDED state: the stream carries an
+    * event-time column, the aggregation groups by (event-time window,
+    * record id), and the watermark lets Spark evict a window's state once
+    * the watermark passes its end — state is O(ids per open window), not
+    * O(all ids ever seen), and the query runs in append mode (each
+    * record's final best-match emits exactly once, when its window
+    * closes). A stream record lands in one micro-batch, so windowing by
+    * arrival time never splits a record's candidate set.
+    *
+    * @return (window_start, left_id, best_weight, n_matches) per stream
+    *         record with at least one candidate at or above `threshold`
+    */
+  def incrementalFuzzyMatchWindowed(
+      stream: DataFrame, reference: DataFrame,
+      streamId: String, refId: String,
+      timeCol: String, watermarkDelay: String, windowDuration: String,
+      blocking: String,
+      comparisons: Seq[graft.operators.Link.LevelComparison],
+      threshold: Double): DataFrame = {
+    val cand = stream.withWatermark(timeCol, watermarkDelay).alias("l")
+      .join(reference.alias("r"), expr(blocking))
+    graft.operators.Link.scoreLevels(
+        cand, streamId, refId, comparisons, threshold,
+        carry = Seq(s"l.$timeCol" -> "evt"))
+      .groupBy(window(col("evt"), windowDuration), col("left_id"))
+      .agg(
+        max(col("match_weight")).as("best_weight"),
+        count(lit(1)).as("n_matches"))
+      .select(col("window.start").as("window_start"), col("left_id"),
+        col("best_weight"), col("n_matches"))
   }
 
   /** Incremental near-duplicate detection: a stream of new documents is

@@ -62,6 +62,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("addEdges multi-batch chains: deltas that progressively merge components, rep-of-rep") {
+    // four 2-node components; each delta merges previously SEPARATE
+    // components, so the persisted reps must chase across batches
+    val base = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+    var persisted = Components.connected(base.toDF("src", "dst"))
+    var cumulative = base
+    val deltas = Seq(
+      Seq((2L, 3L)),  // {1,2}+{3,4} -> comp 1
+      Seq((6L, 7L)),  // {5,6}+{7,8} -> comp 5
+      Seq((4L, 8L)),  // comp 1 + comp 5 -> comp 1 (rep of a merged rep)
+      Seq((0L, 5L)))  // NEW node 0 becomes the min of the whole component
+    deltas.zipWithIndex.foreach { case (delta, i) =>
+      persisted = Components.addEdges(persisted, delta.toDF("src", "dst"))
+        .localCheckpoint(false)
+      cumulative = cumulative ++ delta
+      val got = persisted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = referenceComponents(cumulative)
+      assert(got == expected, s"after delta $i: $got != $expected")
+    }
+    // the final resolution is one component rooted at the late-arriving 0
+    val comps = persisted.select("component").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(comps == Set(0L))
+  }
+
+  test("addEdges chained over random deltas equals full recompute at every step") {
+    val rng = new Random(23)
+    for (trial <- 1 to 3) {
+      val n = 10 + rng.nextInt(40)
+      val mOld = 1 + rng.nextInt(n)
+      val oldEdges = Seq.fill(mOld)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (oldEdges.nonEmpty) {
+        var persisted = Components.connected(oldEdges.toDF("src", "dst"))
+        var cumulative = oldEdges
+        for (step <- 1 to 4) {
+          // each delta may bridge existing components and introduce new ids
+          val delta = Seq.fill(1 + rng.nextInt(n / 2))(
+            (rng.nextInt(n + 8 * step).toLong, rng.nextInt(n + 8 * step).toLong))
+            .filter { case (a, b) => a != b }
+          if (delta.nonEmpty) {
+            persisted = Components.addEdges(persisted, delta.toDF("src", "dst"))
+              .localCheckpoint(false)
+            cumulative = cumulative ++ delta
+            val got = persisted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            val expected = referenceComponents(cumulative)
+            assert(got == expected, s"trial $trial step $step: $got != $expected")
+          }
+        }
+      }
+    }
+  }
+
   test("triangle block join equals the naive cartesian on random vectors for any B") {
     val rng = new Random(11)
     for (trial <- 1 to 3) {

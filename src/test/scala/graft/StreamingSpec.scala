@@ -9,6 +9,7 @@ case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class SEv(user_id: Long, ts: Timestamp, value: Double)
 case class Rec(id: Long, nationkey: Int)
 case class NamedRec(id: Long, blk: Long, name: String)
+case class TimedRec(id: Long, blk: Long, name: String, ts: Timestamp)
 case class Doc(id: Long, text: String)
 case class Vec(vec_id: Long, embedding: Seq[Float])
 
@@ -89,6 +90,45 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L) == (5.0, 1L)) // exact match kept, miss filtered by threshold
     assert(got(2L) == (2.0, 1L)) // fuzzy level
     assert(!got.contains(3L) && !got.contains(4L))
+  }
+
+  test("windowed incremental fuzzy match emits finalised windows in append mode") {
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftExtensions.register(spark)
+    import graft.operators.Link
+    val reference = Seq(
+      (100L, 1L, "martha"), (101L, 1L, "jonathan"), (102L, 2L, "martha"))
+      .toDF("id", "blk", "name")
+    val levels = Seq(Link.LevelComparison(
+      Seq("l.name = r.name", "jaro_winkler_similarity(l.name, r.name) >= 0.9"),
+      Seq(-1.0, 2.0, 5.0)))
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:10")
+    val late = Timestamp.valueOf("2026-01-01 01:00:00") // advances watermark past t0's window
+    val input = MemoryStream[TimedRec]
+    // watermarked aggregation: state for t0's window is evicted (and its
+    // rows emitted, append mode) once the watermark passes the window end
+    val q = Streams.incrementalFuzzyMatchWindowed(
+      input.toDF(), reference, "id", "id",
+      timeCol = "ts", watermarkDelay = "10 seconds", windowDuration = "1 minute",
+      blocking = "l.blk = r.blk", comparisons = levels, threshold = 1.0)
+      .writeStream.format("memory").queryName("fuzzy_windowed")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        TimedRec(1L, 1L, "martha", t0),
+        TimedRec(2L, 1L, "marhta", t0),
+        TimedRec(3L, 2L, "zzzzzz", t0)))
+      q.processAllAvailable()
+      input.addData(Seq(TimedRec(9L, 1L, "martha", late)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fuzzy_windowed")
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getLong(3))).toMap
+    // t0's window finalised: same scores as the unwindowed twin
+    assert(got(1L) == (5.0, 1L))
+    assert(got(2L) == (2.0, 1L))
+    assert(!got.contains(3L)) // below threshold
+    assert(!got.contains(9L)) // its window is still open past the watermark
   }
 
   test("incremental streaming dedup finds near-dups of the static corpus only") {
