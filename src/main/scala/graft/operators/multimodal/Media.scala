@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * processing via mapPartitions over an iterator (the JVM analogue of a
   * vectorized decode UDF), metadata struct columns. The IMAGE path is a
   * real codec ([[synthesizePng]] / [[resizeImages]]: `javax.imageio`
-  * decode → bilinear scale → PNG encode, pure JVM). Audio/video decode is
-  * STUBBED with deterministic fakes (no such codecs ship with the JDK):
-  * features derive from the raw bytes, so the pipeline is testable
-  * end-to-end and each stub is swappable for a real codec behind the same
-  * partition-batched API.
+  * decode → bilinear scale → PNG encode, pure JVM), and so is the AUDIO
+  * path ([[synthesizeWav]] / [[audioFeatures]] / [[resampleAudio]]:
+  * `javax.sound.sampled` WAV container + explicit PCM16 DSP). Video
+  * decode is STUBBED with deterministic fakes (no video codec ships with
+  * the JDK): features derive from the raw bytes, so the pipeline is
+  * testable end-to-end and the stub is swappable for a real codec behind
+  * the same partition-batched API.
   */
 object Media {
 
@@ -181,6 +183,176 @@ object Media {
       .toDF("media_id", "payload", "width", "height")
   }
 
+  /** REAL audio synthesis: one deterministic PCM16 mono WAV per row —
+    * a sine tone whose frequency and amplitude envelope derive from a text
+    * column's bytes — encoded with `javax.sound.sampled` (the JDK's real
+    * WAV writer; header + PCM payload, no timestamps, so bytes are a pure
+    * function of the samples). `StrictMath.sin` keeps the samples
+    * bit-identical across platforms. Exists so the real decode → resample
+    * → re-encode path below is exercisable end-to-end on tabular data.
+    */
+  def synthesizeWav(
+      df: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 8000, durationMs: Int = 50): DataFrame = {
+    require(sampleRate > 0 && durationMs > 0 &&
+      sampleRate.toLong * durationMs / 1000 <= (1 << 22),
+      s"$durationMs ms at $sampleRate Hz unreasonably long")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = if (text == null || text.isEmpty) Array[Byte](1)
+                      else text.getBytes("UTF-8")
+          var h = 0L
+          bytes.foreach(b => h = h * 31 + (b & 0xff))
+          val freq = 200.0 + math.floorMod(h, 600L).toDouble
+          val n = sampleRate * durationMs / 1000
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val env = 0.25 + 0.75 * ((bytes(i % bytes.length) & 0xff) / 255.0)
+            val s = (StrictMath.sin(2.0 * math.Pi * freq * i / sampleRate) *
+              env * 30000.0).toInt
+            pcm(2 * i) = (s & 0xff).toByte          // little-endian PCM16
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** REAL audio decode + feature extraction: `javax.sound.sampled` parses
+    * the WAV container (format, rate, channels), the PCM16 samples are
+    * read out, and per-clip features computed — sample count, duration,
+    * RMS and peak amplitude (the audio analogue of [[extractFeatures]],
+    * with a real codec). Undecodable payloads are flagged with −1 counts,
+    * never silently dropped.
+    */
+  def audioFeatures(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodePcm16(bytes) match {
+            case None => AudioFeatures(id, -1L, -1L, -1L, -1.0, -1.0)
+            case Some((rate, samples)) =>
+              var peak = 0.0; var sumSq = 0.0
+              samples.foreach { s =>
+                val a = math.abs(s / 32768.0)
+                if (a > peak) peak = a
+                sumSq += (s / 32768.0) * (s / 32768.0)
+              }
+              val n = samples.length
+              AudioFeatures(id, rate.toLong, n.toLong,
+                n.toLong * 1000 / rate,
+                if (n == 0) 0.0 else math.sqrt(sumSq / n), peak)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL audio resample: decode the WAV, linearly interpolate the PCM16
+    * samples to `targetRate` (the JDK's converters don't rate-convert, so
+    * the DSP kernel is explicit — and deterministic), re-encode WAV. Same
+    * partition-batched binary→binary API as [[resizeImages]]; undecodable
+    * payloads are flagged with a NULL payload and rate −1.
+    */
+  def resampleAudio(payloads: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate > 0, s"bad target rate $targetRate")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodePcm16(bytes) match {
+            case None => (id, null: Array[Byte], -1L, -1L)
+            case Some((rate, samples)) =>
+              val outN = math.max(
+                (samples.length.toLong * targetRate / rate).toInt, 1)
+              val out = new Array[Short](outN)
+              var i = 0
+              while (i < outN) {
+                val pos = i.toDouble * rate / targetRate
+                val i0 = math.min(pos.toInt, samples.length - 1)
+                val i1 = math.min(i0 + 1, samples.length - 1)
+                val frac = pos - i0
+                out(i) = ((1 - frac) * samples(i0) + frac * samples(i1)).toShort
+                i += 1
+              }
+              val pcm = new Array[Byte](outN * 2)
+              i = 0
+              while (i < outN) {
+                pcm(2 * i) = (out(i) & 0xff).toByte
+                pcm(2 * i + 1) = ((out(i) >> 8) & 0xff).toByte
+                i += 1
+              }
+              val fmt = new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                targetRate.toFloat, 16, 1, 2, targetRate.toFloat, false)
+              val ais = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, outN.toLong)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(
+                ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+              (id, bos.toByteArray, targetRate.toLong, outN.toLong)
+          }
+        }
+      }
+      .toDF("media_id", "payload", "sample_rate", "n_samples")
+  }
+
+  /** WAV container → (sampleRate, PCM16 mono samples); None if the bytes
+    * don't decode as 16-bit PCM. Multi-channel input is averaged to mono.
+    */
+  private def decodePcm16(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        None
+      else {
+        val raw = ais.readAllBytes()
+        val ch = fmt.getChannels
+        val le = !fmt.isBigEndian
+        val nFrames = raw.length / (2 * ch)
+        val out = new Array[Short](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0
+          var c = 0
+          while (c < ch) {
+            val o = (f * ch + c) * 2
+            val s =
+              if (le) ((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort
+              else ((raw(o + 1) & 0xff) | (raw(o) << 8)).toShort
+            acc += s
+            c += 1
+          }
+          out(f) = (acc / ch).toShort
+          f += 1
+        }
+        Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch { case _: Exception => None }
+
   /** STUB frame sampling: one media row explodes to one row per sampled
     * "frame" (fixed-size byte window, every `everyN`-th) — the shape of a
     * video frame-extraction job: per-partition batch iteration, one→many
@@ -210,5 +382,9 @@ object Media {
 final case class MediaFeatures(
     media_id: Long, n_bytes: Long, checksum: Long,
     fake_width: Long, fake_height: Long)
+
+final case class AudioFeatures(
+    media_id: Long, sample_rate: Long, n_samples: Long,
+    duration_ms: Long, rms: Double, peak: Double)
 
 final case class MediaFrame(media_id: Long, frame_idx: Long, frame: Array[Byte])

@@ -883,6 +883,53 @@ object Pipeline {
   private val multimodalResizeGateSql =
     "SELECT CAST(1 AS BOOLEAN) AS resize_ok"
 
+  /** Driver-gated REAL audio codec round-trip (no SQL oracle — DuckDB has
+    * no audio functions): synthesize a deterministic 50 ms PCM16 WAV per
+    * document (`javax.sound.sampled` encode on executors), decode features
+    * through the real container parser ([[Media.audioFeatures]]), resample
+    * 8 kHz → 4 kHz through the explicit linear-interpolation DSP kernel
+    * ([[Media.resampleAudio]]), re-decode, and assert: one clip per input;
+    * every source clip is 400 samples / 50 ms at 8 kHz with sane
+    * amplitudes (0 < rms ≤ peak ≤ 1); every resampled clip is 200 samples
+    * at 4 kHz; RMS drift under resampling ≤ 5% (a tone's energy survives
+    * 2:1 decimation); and a bit-identical payload hash across two runs.
+    * Capped at 256 documents — the gate proves the codec, not throughput.
+    */
+  private def multimodalAudioGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").orderBy("doc_id").limit(256)
+    def wavs() = Media.synthesizeWav(docs, "doc_id", "text", 8000, 50)
+    val w = wavs().localCheckpoint(false)
+    val n = docs.count()
+    val src = Media.audioFeatures(w)
+    val srcOk = src.agg(
+      sum(when(col("sample_rate") === 8000L && col("n_samples") === 400L &&
+        col("duration_ms") === 50L && col("rms") > 0.0 &&
+        col("rms") <= col("peak") && col("peak") <= 1.0, 1L)
+        .otherwise(0L)).as("ok"),
+      count(lit(1)).as("cnt")).head()
+    val res = Media.resampleAudio(w, 4000).localCheckpoint(false)
+    val resFeat = Media.audioFeatures(res)
+    val resOk = resFeat.agg(
+      sum(when(col("sample_rate") === 4000L && col("n_samples") === 200L, 1L)
+        .otherwise(0L)).as("ok"),
+      count(lit(1)).as("cnt")).head()
+    // energy preserved through 2:1 decimation of a band-limited tone
+    val drift = src.select(col("media_id"), col("rms").as("rms0"))
+      .join(resFeat.select(col("media_id"), col("rms").as("rms1")), "media_id")
+      .agg(max(abs(col("rms1") - col("rms0")) / col("rms0"))).head().getDouble(0)
+    def payloadHash(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(payload))")).head().getLong(0)
+    val ok = srcOk.getLong(0) == n && srcOk.getLong(1) == n && n > 0 &&
+      resOk.getLong(0) == n && resOk.getLong(1) == n &&
+      drift <= 0.05 &&
+      payloadHash(w) == payloadHash(wavs())
+    Seq(ok).toDF("audio_ok")
+  }
+
+  private val multimodalAudioGateSql =
+    "SELECT CAST(1 AS BOOLEAN) AS audio_ok"
+
   /** Corpus-adaptive boilerplate stripping — the cross-document removal
     * step (C4-style: segments that recur across most documents are
     * template noise, not content). Tokens present in >80% of documents
@@ -1900,5 +1947,7 @@ object Pipeline {
     QueryDef("dx_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     QueryDef("dx_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     QueryDef("dx_multimodal_resize_gate", multimodalResizeGate,
-      Some(multimodalResizeGateSql)))
+      Some(multimodalResizeGateSql)),
+    QueryDef("dx_multimodal_audio_gate", multimodalAudioGate,
+      Some(multimodalAudioGateSql)))
 }

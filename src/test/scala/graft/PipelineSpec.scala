@@ -195,6 +195,49 @@ class PipelineSpec extends SparkSpec {
       flagged(0).getLong(2) == -1L)
   }
 
+  test("real audio codec: WAV round-trip, features, linear resample") {
+    import javax.sound.sampled.AudioSystem
+    import java.io.ByteArrayInputStream
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents").orderBy("doc_id").limit(20)
+    val wavs = Media.synthesizeWav(docs, "doc_id", "text", 8000, 50)
+    val rows = wavs.collect()
+    assert(rows.length == 20)
+    // the payloads are REAL WAV containers: the JDK parser reads them back
+    rows.foreach { r =>
+      val ais = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+        fmt.getSampleSizeInBits == 16)
+      assert(ais.getFrameLength == 400L) // 50 ms at 8 kHz
+    }
+    // features from the real decode
+    val feats = Media.audioFeatures(wavs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats.size == 20)
+    feats.values.foreach { f =>
+      assert(f.getLong(1) == 8000L && f.getLong(2) == 400L && f.getLong(3) == 50L)
+      assert(f.getDouble(4) > 0.0 && f.getDouble(4) <= f.getDouble(5) &&
+        f.getDouble(5) <= 1.0)
+    }
+    // resample 2:1 halves the samples and keeps tone energy within 5%
+    val res = Media.resampleAudio(wavs, 4000)
+    val resFeats = Media.audioFeatures(res).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    resFeats.foreach { case (id, f) =>
+      assert(f.getLong(1) == 4000L && f.getLong(2) == 200L)
+      val rms0 = feats(id).getDouble(4)
+      assert(math.abs(f.getDouble(4) - rms0) / rms0 <= 0.05,
+        s"clip $id rms drifted ${feats(id).getDouble(4)} -> ${f.getDouble(4)}")
+    }
+    // determinism + flagged junk
+    assert(wavs.except(Media.synthesizeWav(docs, "doc_id", "text", 8000, 50)).isEmpty)
+    val junkAudio = Seq((7L, Array[Byte](9, 9, 9))).toDF("media_id", "payload")
+    val bad = Media.audioFeatures(junkAudio).collect()
+    assert(bad.length == 1 && bad(0).getLong(1) == -1L)
+  }
+
   test("chunking covers every token: windows overlap by stride and end at n") {
     val df = Registry.byName("dx_chunk").fn(spark, sfDir).cache()
     // recompute expected chunk hashes directly from the text in Scala —
