@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * real codec ([[synthesizePng]] / [[resizeImages]]: `javax.imageio`
   * decode → bilinear scale → PNG encode, pure JVM), and so is the AUDIO
   * path ([[synthesizeWav]] / [[audioFeatures]] / [[resampleAudio]]:
-  * `javax.sound.sampled` WAV container + explicit PCM16 DSP). Video
-  * decode is STUBBED with deterministic fakes (no video codec ships with
-  * the JDK): features derive from the raw bytes, so the pipeline is
-  * testable end-to-end and the stub is swappable for a real codec behind
-  * the same partition-batched API.
+  * `javax.sound.sampled` WAV container + explicit PCM16 DSP). The
+  * multi-frame ("video") path is real for animated GIF
+  * ([[synthesizeGif]] / [[sampleFramesReal]]: the JDK's sequence writer
+  * and `ImageReader` frame extraction); true video codecs (H.264 etc.)
+  * don't ship with the JDK, so opaque payloads keep the deterministic
+  * byte-window stubs ([[resizeStub]] / [[sampleFrames]]), swappable for
+  * an external codec behind the same partition-batched API.
   */
 object Media {
 
@@ -350,6 +352,137 @@ object Media {
           f += 1
         }
         Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL multi-frame synthesis: one deterministic animated GIF per row —
+    * `nFrames` grayscale frames whose pixels derive from a text column's
+    * bytes and the frame index — encoded with the JDK's GIF sequence
+    * writer (`ImageIO` + per-frame GraphicControlExtension metadata). The
+    * JDK has no video codec; an animated GIF is the pure-JVM stand-in
+    * with the same shape: a single binary payload containing an ordered
+    * frame sequence.
+    */
+  def synthesizeGif(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, h: Int = 16, nFrames: Int = 6): DataFrame = {
+    require(w > 0 && h > 0 && nFrames > 0 && w.toLong * h * nFrames <= (1 << 22),
+      s"$nFrames frames of $w x $h unreasonably large")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val bytes = if (text == null || text.isEmpty) Array[Byte](1)
+                      else text.getBytes("UTF-8")
+          val frames = (0 until nFrames).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * (f + 1)
+                val v = bytes(i % bytes.length) & 0xff
+                img.getRaster.setSample(x, y, 0, v)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          (id, encodeAnimatedGif(frames, delayCs = 10))
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** REAL frame sampling: decode a multi-frame container (animated GIF via
+    * the JDK's `ImageReader`), keep every `everyN`-th frame, and re-encode
+    * each kept frame as a standalone PNG — the real-codec twin of
+    * [[sampleFrames]]: the same one→many partition-batched explode, with
+    * an actual decoder in the loop. Undecodable payloads yield a single
+    * flagged row (frame_idx −1, NULL frame), never a silent drop.
+    */
+  def sampleFramesReal(payloads: DataFrame, everyN: Int = 2): DataFrame = {
+    require(everyN > 0)
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          decodeFrames(bytes) match {
+            case None => Iterator.single((id, -1L, null: Array[Byte], -1L, -1L))
+            case Some(frames) =>
+              frames.iterator.zipWithIndex
+                .filter { case (_, i) => i % everyN == 0 }
+                .map { case (img, i) =>
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", bos)
+                  (id, i.toLong, bos.toByteArray,
+                    img.getWidth.toLong, img.getHeight.toLong)
+                }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame", "width", "height")
+  }
+
+  /** Frame sequence → animated GIF bytes via the JDK's sequence writer
+    * (one GraphicControlExtension per frame; no timestamps, so output is a
+    * pure function of the frames).
+    */
+  private def encodeAnimatedGif(
+      frames: Seq[java.awt.image.BufferedImage], delayCs: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val params = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(frames.head), params)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new IIOImage(f, null, meta), params))
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Multi-frame container bytes → decoded frames (None if undecodable). */
+  private def decodeFrames(
+      bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (bytes.isEmpty || !readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None else Some((0 until n).map(reader.read))
+        } finally reader.dispose()
       }
     } catch { case _: Exception => None }
 

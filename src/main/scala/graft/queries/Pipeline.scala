@@ -930,6 +930,54 @@ object Pipeline {
   private val multimodalAudioGateSql =
     "SELECT CAST(1 AS BOOLEAN) AS audio_ok"
 
+  /** Driver-gated REAL multi-frame codec round-trip (no SQL oracle): one
+    * 6-frame animated GIF per document (the JDK's GIF sequence writer —
+    * the pure-JVM stand-in for a video container), every 2nd frame
+    * extracted through the real `ImageReader` path and re-encoded PNG
+    * ([[Media.sampleFramesReal]]); assert 3 frames per clip at indices
+    * {0,2,4}, all 16×16 decodable PNGs, no flagged rows, and bit-identical
+    * frame bytes across two runs. Capped at 128 documents.
+    */
+  private def multimodalFramesGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").orderBy("doc_id").limit(128)
+    val gifs = Media.synthesizeGif(docs, "doc_id", "text", 16, 16, 6)
+      .localCheckpoint(false)
+    def frames() = Media.sampleFramesReal(gifs, everyN = 2)
+    val f = frames().localCheckpoint(false)
+    val n = docs.count()
+    val perClip = f.groupBy("media_id").agg(
+      count(lit(1)).as("n_frames"),
+      sort_array(collect_list("frame_idx")).as("idxs"),
+      sum(when(col("width") === 16L && col("height") === 16L &&
+        col("frame").isNotNull, 1L).otherwise(0L)).as("n_ok"))
+    val clipOk = perClip.agg(
+      sum(when(col("n_frames") === 3L && col("n_ok") === 3L &&
+        col("idxs") === array(lit(0L), lit(2L), lit(4L)), 1L)
+        .otherwise(0L)).as("ok"),
+      count(lit(1)).as("cnt")).head()
+    // every emitted frame is a decodable PNG at the declared size
+    val decodable = f.select(col("frame"))
+      .as[Array[Byte]]
+      .map { bytes =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img != null && img.getWidth == 16 && img.getHeight == 16) 1L else 0L
+      }
+      .toDF("ok").agg(sum("ok"), count(lit(1))).head()
+    def frameHash(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(media_id, frame_idx, frame))"))
+        .head().getLong(0)
+    val ok = clipOk.getLong(0) == n && clipOk.getLong(1) == n && n > 0 &&
+      decodable.getLong(0) == 3 * n && decodable.getLong(1) == 3 * n &&
+      frameHash(f) == frameHash(frames())
+    Seq(ok).toDF("frames_ok")
+  }
+
+  private val multimodalFramesGateSql =
+    "SELECT CAST(1 AS BOOLEAN) AS frames_ok"
+
   /** Corpus-adaptive boilerplate stripping — the cross-document removal
     * step (C4-style: segments that recur across most documents are
     * template noise, not content). Tokens present in >80% of documents
@@ -1949,5 +1997,7 @@ object Pipeline {
     QueryDef("dx_multimodal_resize_gate", multimodalResizeGate,
       Some(multimodalResizeGateSql)),
     QueryDef("dx_multimodal_audio_gate", multimodalAudioGate,
-      Some(multimodalAudioGateSql)))
+      Some(multimodalAudioGateSql)),
+    QueryDef("dx_multimodal_frames_gate", multimodalFramesGate,
+      Some(multimodalFramesGateSql)))
 }

@@ -238,6 +238,46 @@ class PipelineSpec extends SparkSpec {
     assert(bad.length == 1 && bad(0).getLong(1) == -1L)
   }
 
+  test("real multi-frame codec: animated GIF encode, frame extraction, sampling") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents").orderBy("doc_id").limit(10)
+    val gifs = Media.synthesizeGif(docs, "doc_id", "text", 16, 16, 6)
+    // payloads are REAL animated GIFs: the JDK reader sees 6 frames
+    gifs.collect().foreach { r =>
+      val iis = ImageIO.createImageInputStream(
+        new ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      val reader = ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis, false)
+      assert(reader.getNumImages(true) == 6)
+      val f0 = reader.read(0)
+      assert(f0.getWidth == 16 && f0.getHeight == 16)
+      reader.dispose()
+    }
+    // every-2nd sampling keeps frames 0,2,4 as standalone PNGs
+    val frames = Media.sampleFramesReal(gifs, everyN = 2)
+    val byClip = frames.collect().groupBy(_.getLong(0))
+    assert(byClip.size == 10)
+    byClip.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(0L, 2L, 4L))
+      rows.foreach { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
+        assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+      }
+    }
+    // frames differ across indices (the animation is not static)
+    val distinctPerClip = frames
+      .groupBy("media_id").agg(countDistinct(md5(col("frame"))).as("d"))
+      .filter(col("d") < 2)
+    assert(distinctPerClip.isEmpty, "all sampled frames identical")
+    // undecodable payload -> one flagged row
+    val junkGif = Seq((5L, Array[Byte](3, 1, 4))).toDF("media_id", "payload")
+    val flaggedF = Media.sampleFramesReal(junkGif).collect()
+    assert(flaggedF.length == 1 && flaggedF(0).getLong(1) == -1L &&
+      flaggedF(0).isNullAt(2))
+  }
+
   test("chunking covers every token: windows overlap by stride and end at n") {
     val df = Registry.byName("dx_chunk").fn(spark, sfDir).cache()
     // recompute expected chunk hashes directly from the text in Scala —
