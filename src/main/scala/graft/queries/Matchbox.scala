@@ -714,6 +714,66 @@ object Matchbox {
 
   private val linkFuzzyTfEmGateSql = "SELECT CAST(1 AS BOOLEAN) AS em_ok"
 
+  /** Seeded scenario-factory round-trip (the reference's
+    * common/factories/scenarios.py + entities.py testkit, run as a
+    * driver-gated query — no SQL oracle, the scenario is generated not
+    * read): build a known-truth linking scenario (60 entities × two
+    * sources × variation slots: identity, company suffix, 7th-char
+    * replace + postcode suffix), run the REAL pipeline — multi-rule
+    * blocked fuzzy linker over the union of sources, large-star/small-star
+    * components — and require the recovered clusters to be EXACTLY the
+    * planted truth partition (bijection check, no driver-side cluster
+    * walk), twice, with bit-identical generated sources.
+    */
+  private def scenarioGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    import graft.testkit.Scenario
+    def sources() = {
+      val ents = Scenario.entities(s, 60, seed = 42L, Seq("company", "postcode"))
+      val a = Scenario.source(ents, "crm", Seq(
+        Map.empty[String, Scenario.Variation],
+        Map("company" -> Scenario.Suffix(" ltd"))))
+      val b = Scenario.source(ents, "web", Seq(
+        Map("company" -> Scenario.Replace("^(.{6}).", "$1z"),
+            "postcode" -> Scenario.Suffix("-9"))))
+      a.unionByName(b)
+    }
+    def run(): Boolean = {
+      val all = sources()
+      val keyed = all
+        .withColumn("kid", xxhash64(col("key")))
+        .withColumn("blk", substring(col("company"), 1, 4))
+        .localCheckpoint(false)
+      val scored = Link.fellegiSunterLevelsMulti(
+        keyed, keyed, "kid", "kid",
+        blockingRules = Seq("l.postcode = r.postcode", "l.blk = r.blk"),
+        comparisons = Seq(
+          Link.LevelComparison(
+            Seq("l.company = r.company",
+              "jaro_winkler_similarity(l.company, r.company) >= 0.95",
+              "jaro_winkler_similarity(l.company, r.company) >= 0.88"),
+            Seq(-10.0, 3.0, 5.0, 7.0)),
+          Link.LevelComparison(
+            Seq("l.postcode = r.postcode"), Seq(-1.0, 1.0))),
+        threshold = 2.0)
+        .filter(col("left_id") < col("right_id"))
+      val assignment = Components.connected(
+        scored.select(col("left_id").as("src"), col("right_id").as("dst")))
+        .join(keyed.select(col("kid").as("id"), col("key")), Seq("id"))
+        .select(col("key"), col("component"))
+      Scenario.matchesTruth(assignment, all.select(col("key"), col("entity_id")))
+    }
+    val deterministic = {
+      val s1 = sources(); val s2 = sources()
+      s1.except(s2).isEmpty && s2.except(s1).isEmpty
+    }
+    val ok = deterministic && run() && run()
+    Seq(ok).toDF("scenario_ok")
+  }
+
+  private val scenarioGateSql = "SELECT CAST(1 AS BOOLEAN) AS scenario_ok"
+
   /** Incremental match as a batch (the server's real-time
     * "match new records against existing clusters" promise — reference
     * README + client/_handler/main.py — run as its batch twin): the
@@ -1401,6 +1461,7 @@ object Matchbox {
     QueryDef("mb_link_fuzzy_tf", linkFuzzyTf, Some(linkFuzzyTfSql)),
     QueryDef("mb_link_fuzzy_tf_em_gate", linkFuzzyTfEmGate,
       Some(linkFuzzyTfEmGateSql)),
+    QueryDef("mb_scenario_gate", scenarioGate, Some(scenarioGateSql)),
     QueryDef("mb_match_incremental", matchIncremental, Some(matchIncrementalSql)),
     QueryDef("mb_components_incremental", componentsIncremental,
       Some(componentsIncrementalSql)),
