@@ -1371,42 +1371,46 @@ object Pipeline {
   private val bm25Terms = Seq("hash", "join", "window")
 
   private def bm25Search(s: SparkSession, dir: String): DataFrame = {
-    // One tokenize pass total: doc length + query-term occurrences are
-    // derived in a single projection and the (tiny: 3 longs + matched
-    // terms per doc) result is materialised with localCheckpoint, so the
-    // corpus statistics branch and the tf branch don't each re-split every
-    // document (the split was the whole query's CPU cost, paid twice).
-    val termArr = bm25Terms.map(t => s"'$t'").mkString("array(", ", ", ")")
-    val docs = Tables(s, dir, "documents")
-      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
-      .select(col("doc_id"),
-        expr("CAST(size(toks) AS BIGINT)").as("dl"),
-        expr(s"filter(toks, t -> array_contains($termArr, t))").as("ftoks"))
+    // Zero-allocation tokenless scan: with the query terms known up front,
+    // per-doc tf comes from `regexp_count` with token-boundary lookarounds
+    // and dl from counting whitespace runs — no token array materialises,
+    // nothing explodes, no (doc, term) shuffle, no pivot. One projection
+    // over the corpus (localCheckpointed so the one-row stats aggregate
+    // and the scoring scan share it), one broadcast stats row, one top-k.
+    // The earlier split→filter→explode→pivot formulation spent its whole
+    // budget (20 CPU-s at sf0.1) materialising every token as an object;
+    // this plan computes identical integers, so the double expression
+    // trees — kept in the oracle's exact shape and summed in fixed term
+    // order — still match DuckDB bit-for-bit after 6dp rounding.
+    val counts = Tables(s, dir, "documents")
+      .select(
+        (col("doc_id") +:
+          (regexp_count(trim(col("text")), lit("\\s+")) + 1)
+            .cast("long").as("dl") +:
+          bm25Terms.zipWithIndex.map { case (t, i) =>
+            regexp_count(col("text"), lit("(?<=^|\\s)" + t + "(?=\\s|$)"))
+              .cast("long").as(s"tf$i")
+          }): _*)
       .localCheckpoint(false)
-    val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("ftoks")).as("term"))
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum("dl").as("sum_dl"))
-    val scored = tf
-      .join(broadcast(df), "term")
+    val statAggs = sum("dl").as("sum_dl") +:
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = counts.agg(count(lit(1)).as("n_docs"), statAggs: _*)
+    val withStats = counts
+      .filter(bm25Terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-      .withColumn("idf",
-        log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("s",
-        col("idf") * (col("tf") * 2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-    val perDoc = scored
-      .groupBy("doc_id")
-      .pivot("term", bm25Terms)
-      .agg(max("s"))
-    val total = bm25Terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
-      .reduceLeft(_ + _)
-    perDoc
+    // per-term score, same expression tree as the oracle; an absent term
+    // contributes exactly +0.0 (idf > 0, tf = 0 ⇒ s = 0), matching the
+    // oracle's coalesce(s, 0.0) in the same fixed term order
+    val total = bm25Terms.indices.map { i =>
+      val idf = log((col("n_docs").cast("double") - col(s"df$i") + 0.5) /
+        (col(s"df$i") + 0.5) + 1.0)
+      idf * (col(s"tf$i") * 2.2) /
+        (col(s"tf$i") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduceLeft(_ + _)
+    withStats
       .withColumn("score", total)
       .orderBy(desc("score"), col("doc_id"))
       .limit(10)
