@@ -1144,8 +1144,313 @@ object Relational {
       |WHERE o_totalprice > 400000 AND l_quantity >= 45
       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
 
+  // ---- round-9 TPC-H completions: the remaining plan shapes, adapted to
+  // the testdata's schema (no partsupp/shipmode/commitdate — the
+  // part-supplier relation derives from distinct lineitem pairs, and
+  // lateness from l_shipdate vs o_orderdate) -----------------------------
+
+  /** TPC-H Q9 (adapted): product-type profit by supplier nation and order
+    * year. Profit = revenue − cost, both exact integer cent-products at
+    * the 1e-4-dollar scale (cost proxy: retail price × quantity, there
+    * being no ps_supplycost), so the signed sum is bit-exact. Dimension
+    * joins broadcast; facts shuffle once.
+    */
+  private def q9(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables(s, dir, "part")
+      .filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"), Num.cents(col("p_retailprice")).as("rc"))
+    val nation = Tables(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val profit = Num.cents(col("l_extendedprice")) *
+      (lit(100) - Num.cents(col("l_discount"))) -
+      col("rc") * col("l_quantity").cast("long") * lit(100)
+    Tables(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg((Num.bigSum(profit) / 10000.0).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9Sql =
+    s"""SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+       |  sum(${Num.centsSql("l_extendedprice")} * (100 - ${Num.centsSql("l_discount")})
+       |      - ${Num.centsSql("p_retailprice")} * CAST(l_quantity AS BIGINT) * 100) / 10000.0
+       |    AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%gear%'
+       |GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC""".stripMargin
+
+  /** TPC-H Q12 (adapted): shipping-delay classes × order priority — late
+    * means shipped more than 30 days after the order date (no
+    * receipt/commit dates in this schema). One fact-fact join, counts per
+    * class; the CASE buckets evaluate map-side.
+    */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_class",
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "late").otherwise("ontime"))
+      .groupBy("delay_class")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("delay_class")
+  }
+
+  private val q12Sql =
+    """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |         THEN 'late' ELSE 'ontime' END AS delay_class,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q16 (adapted): supplier count per part attribute. The
+    * part-supplier relation derives from DISTINCT (l_partkey, l_suppkey)
+    * lineitem pairs (no partsupp table); brands under embargo are
+    * excluded and the distinct-supplier count grouped by
+    * (brand, type, size). Two shuffles: the pair distinct and the final
+    * count-distinct aggregate.
+    */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    Tables(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_brand") =!= "Brand#2" &&
+        col("p_type") =!= "ECONOMY" &&
+        col("p_size").isin(1, 5, 11, 20, 25, 30, 42, 49))
+      .join(ps, col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val q16Sql =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM part JOIN ps ON p_partkey = l_partkey
+      |WHERE p_brand NOT IN ('Brand#1', 'Brand#2') AND p_type <> 'ECONOMY'
+      |  AND p_size IN (1, 5, 11, 20, 25, 30, 42, 49)
+      |GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1, 2, 3""".stripMargin
+
+  /** TPC-H Q19 (adapted): discounted revenue under an OR of conjunctive
+    * brand/size/quantity branches — the disjunctive-predicate shape.
+    * Catalyst pushes the common `l_partkey = p_partkey` equi-join through
+    * the OR and evaluates the residual disjunction in the join's
+    * post-filter; revenue is the exact cent-product sum.
+    */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val branch = (
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(10, 25) &&
+        col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#25" && col("p_size").between(20, 40) &&
+        col("l_quantity").between(20, 35)))
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg((Num.bigSum(Num.cents(col("l_extendedprice")) *
+        (lit(100) - Num.cents(col("l_discount")))) / 10000.0).as("revenue"))
+  }
+
+  private val q19Sql =
+    s"""SELECT sum(${Num.centsSql("l_extendedprice")}
+       |    * (100 - ${Num.centsSql("l_discount")})) / 10000.0 AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 1 AND 15)
+       |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 25
+       |       AND l_quantity BETWEEN 10 AND 25)
+       |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 40
+       |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin
+
+  /** TPC-H Q21 (adapted): suppliers who were the ONLY late supplier of a
+    * multi-supplier order — late meaning shipped over 60 days after the
+    * order date. The EXISTS is a left-semi join (another supplier shipped
+    * in the order), the NOT EXISTS a left-anti join (no OTHER supplier was
+    * late); both plan as one equi-join on the order key with the supplier
+    * inequality and lateness as residual conditions — no correlated
+    * re-execution.
+    */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val l1 = li
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        col("o_orderdate").as("od"))
+    val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val l3 = li.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"),
+      col("l_shipdate").as("sd3"))
+    l1
+      .join(l2, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+        "left_semi")
+      .join(l3, col("ok") === col("ok3") && col("sk") =!= col("sk3") &&
+        col("sd3") > col("od") + expr("INTERVAL 60 DAYS"), "left_anti")
+      .join(Tables(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  private val q21Sql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  /** TPC-H Q2 (adapted): for each SMALL part under size 15, the
+    * cheapest-to-engage supplier — minimum account balance (suppkey
+    * tiebreak) among suppliers who have actually shipped it (the derived
+    * part-supplier relation). The min-per-group + join-back is ONE
+    * aggregate on a struct ordering, not a correlated re-execution; the
+    * balance rides as exact cents through the min and divides back out.
+    */
+  private def q2(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(Tables(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        struct(Num.cents(col("s_acctbal")).as("bal_c"),
+          col("s_suppkey").as("sk"), col("s_name").as("sn")).as("cand"))
+    val best = ps.groupBy("l_partkey").agg(min(col("cand")).as("best"))
+    Tables(s, dir, "part")
+      .filter(col("p_type") === "SMALL" && col("p_size") < 15)
+      .join(best, col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey"), col("p_name"),
+        col("best.sn").as("s_name"),
+        (col("best.bal_c").cast("double") / 100.0).as("s_acctbal"))
+      .orderBy("p_partkey")
+      .limit(25)
+  }
+
+  private val q2Sql =
+    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |ranked AS (
+       |  SELECT l_partkey, s_name, ${Num.centsSql("s_acctbal")} AS bal_c,
+       |    row_number() OVER (PARTITION BY l_partkey
+       |      ORDER BY ${Num.centsSql("s_acctbal")}, s_suppkey) AS rn
+       |  FROM ps JOIN supplier ON l_suppkey = s_suppkey)
+       |SELECT p_partkey, p_name, s_name,
+       |  CAST(bal_c AS DOUBLE) / 100.0 AS s_acctbal
+       |FROM part JOIN ranked ON p_partkey = l_partkey
+       |WHERE p_type = 'SMALL' AND p_size < 15 AND rn = 1
+       |ORDER BY p_partkey LIMIT 25""".stripMargin
+
+  /** TPC-H Q11 (adapted): suppliers holding an "important" share of total
+    * shipped value (retail price × quantity, exact cents) — above the
+    * MEAN supplier share, so the threshold is scale-free (a fixed
+    * fraction of the total empties as the supplier population grows with
+    * sf, and the synthetic values are near-uniform). The HAVING decision
+    * compares integers — value × n_suppliers > grand total — against a
+    * broadcast one-row global aggregate, so no doubles enter it.
+    */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val value = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part")
+          .select(col("p_partkey"), Num.cents(col("p_retailprice")).as("rc"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(Num.bigSum(col("rc") * col("l_quantity").cast("long")).as("val_c"))
+    val total = value.agg(sum(col("val_c")).as("total_c"),
+      count(lit(1)).as("n_supp"))
+    value.crossJoin(broadcast(total))
+      .filter(col("val_c") * col("n_supp") > col("total_c"))
+      .select(col("l_suppkey").as("s_suppkey"),
+        (col("val_c").cast("double") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("s_suppkey"))
+  }
+
+  private val q11Sql =
+    s"""WITH v AS (
+       |  SELECT l_suppkey AS s_suppkey,
+       |    sum(${Num.centsSql("p_retailprice")} * CAST(l_quantity AS BIGINT)) AS val_c
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1)
+       |SELECT s_suppkey, CAST(val_c AS DOUBLE) / 100.0 AS value
+       |FROM v
+       |WHERE val_c * (SELECT count(*) FROM v) > (SELECT sum(val_c) FROM v)
+       |ORDER BY value DESC, s_suppkey""".stripMargin
+
+  /** TPC-H Q20 (adapted): suppliers who dominate a part — shipped more
+    * than half of a red part's total 1997 quantity. Two aggregates over
+    * the same filtered scan (per-(part, supplier) and per-part), an
+    * integer 2q > total comparison, then a semi-join into supplier. The
+    * part filter broadcasts; quantities stay integral.
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val red = Tables(s, dir, "part")
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+    val shipped = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .localCheckpoint(false)
+    val totals = shipped.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("total_qty"))
+    val dominating = shipped.join(totals, "l_partkey")
+      .filter(col("qty") * 2 > col("total_qty"))
+      .select(col("l_suppkey")).distinct()
+    Tables(s, dir, "supplier")
+      .join(dominating, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q20Sql =
+    """WITH shipped AS (
+      |  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'red%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY 1)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM shipped JOIN tot USING (l_partkey)
+      |  WHERE qty * 2 > total_qty)
+      |ORDER BY s_suppkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
+    QueryDef("q2_min_supplier", q2, Some(q2Sql)),
+    QueryDef("q9_profit", q9, Some(q9Sql)),
+    QueryDef("q11_important_share", q11, Some(q11Sql)),
+    QueryDef("q12_priority_delay", q12, Some(q12Sql)),
+    QueryDef("q16_supplier_cnt", q16, Some(q16Sql)),
+    QueryDef("q19_disjunctive", q19, Some(q19Sql)),
+    QueryDef("q20_dominant_supplier", q20, Some(q20Sql)),
+    QueryDef("q21_waiting_supplier", q21, Some(q21Sql)),
     QueryDef("q7_volume_shipping", q7, Some(q7Sql)),
     QueryDef("q8_market_share", q8, Some(q8Sql)),
     QueryDef("q10_returned_items", q10, Some(q10Sql)),
