@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Linking methodologies: two datasets in, scored pair edges out
@@ -682,6 +682,41 @@ object Link {
         col(s"r.$rightId").cast("long").as("right_id"),
         ratio.as("match_ratio"))
       .filter(col("match_ratio") >= threshold)
+  }
+
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo 1995 —
+    * the classic alternative to key blocking, absent from splink but
+    * standard in the record-linkage literature): records sort by a fuzzy
+    * key and every pair within `window` positions becomes a candidate, so
+    * near-misses that share no exact blocking key (typos early in the
+    * key) still meet if they sort adjacently.
+    *
+    * Scale shape: the sort is per-`block` (a window partition, never a
+    * global single-reducer sort); one window pass computes all `window`
+    * leads as an array that explodes map-side — no self-join on rank. Ties
+    * break by id, so candidates are deterministic. Pairs at block
+    * boundaries are missed like in any blocked scheme; choose blocks
+    * orthogonal to the sort key (or run multiple passes, the multi-key SN
+    * standard) to cover them.
+    *
+    * @return (left_id, right_id, dist) — right follows left in sort order
+    *         at distance 1..window
+    */
+  def sortedNeighborhood(
+      df: DataFrame, idCol: String,
+      sortKey: Column, block: Column, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sn_block").orderBy(col("sn_key"), col("sn_id"))
+    df.select(col(idCol).cast("long").as("sn_id"),
+        sortKey.as("sn_key"), block.as("sn_block"))
+      .select(col("sn_id").as("left_id"),
+        array((1 to window).map(k => lead(col("sn_id"), k).over(w)): _*)
+          .as("nbrs"))
+      .select(col("left_id"), posexplode(col("nbrs")).as(Seq("pos", "right_id")))
+      .filter(col("right_id").isNotNull)
+      .select(col("left_id"), col("right_id"),
+        (col("pos") + 1).cast("int").as("dist"))
   }
 
   /** Estimate the prior probability that two random records match, from

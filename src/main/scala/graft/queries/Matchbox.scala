@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{Num, QueryDef, Tables}
 import graft.functions.Hashing
 import graft.operators.{Combine, Components, Dedupe, Link, Lookup, Scores}
 import graft.eval.PrecisionRecall
@@ -713,6 +713,50 @@ object Matchbox {
   }
 
   private val linkFuzzyTfEmGateSql = "SELECT CAST(1 AS BOOLEAN) AS em_ok"
+
+  /** Sorted-neighborhood linkage (Hernández–Stolfo): candidates are pairs
+    * within 3 positions of the per-nation name sort order — no shared
+    * blocking key needed — then Fellegi–Sunter weights score them. The
+    * window-lead candidate pass and the literal CASE weights are both
+    * exactly expressible in the oracle (row_number self-join there, one
+    * lead-array window pass here; same pairs, same weights).
+    */
+  private def linkSortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val cand = Link.sortedNeighborhood(
+      customer, "c_custkey", col("c_name"), col("c_nationkey"), window = 3)
+    val attrs = customer.select(col("c_custkey").cast("long").as("aid"),
+      col("c_mktsegment").as("seg"), Num.cents(col("c_acctbal")).as("bal"))
+    cand
+      .join(attrs.select(col("aid").as("left_id"), col("seg").as("lseg"),
+        col("bal").as("lbal")), "left_id")
+      .join(attrs.select(col("aid").as("right_id"), col("seg").as("rseg"),
+        col("bal").as("rbal")), "right_id")
+      .withColumn("match_weight",
+        when(col("lseg") === col("rseg"), lit(2.5)).otherwise(lit(-1.2)) +
+        when(abs(col("lbal") - col("rbal")) < 10000, lit(3.1))
+          .otherwise(lit(-0.8)))
+      .filter(col("match_weight") >= 1.5)
+      .select("left_id", "right_id", "dist", "match_weight")
+      .orderBy("left_id", "right_id")
+  }
+
+  private val linkSortedNeighborhoodSql =
+    s"""WITH r AS (
+       |  SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+       |    ${Num.centsSql("c_acctbal")} AS bal,
+       |    row_number() OVER (PARTITION BY c_nationkey
+       |      ORDER BY c_name, c_custkey) AS rn
+       |  FROM customer)
+       |SELECT * FROM (
+       |  SELECT CAST(l.id AS BIGINT) AS left_id, CAST(r2.id AS BIGINT) AS right_id,
+       |    CAST(r2.rn - l.rn AS INT) AS dist,
+       |    (CASE WHEN l.seg = r2.seg THEN CAST(2.5 AS DOUBLE) ELSE CAST(-1.2 AS DOUBLE) END
+       |     + CASE WHEN abs(l.bal - r2.bal) < 10000 THEN CAST(3.1 AS DOUBLE) ELSE CAST(-0.8 AS DOUBLE) END
+       |    ) AS match_weight
+       |  FROM r l JOIN r r2 ON l.blk = r2.blk AND r2.rn - l.rn BETWEEN 1 AND 3)
+       |WHERE match_weight >= 1.5
+       |ORDER BY left_id, right_id""".stripMargin
 
   /** Seeded scenario-factory round-trip (the reference's
     * common/factories/scenarios.py + entities.py testkit, run as a
@@ -1462,6 +1506,8 @@ object Matchbox {
     QueryDef("mb_link_fuzzy_tf_em_gate", linkFuzzyTfEmGate,
       Some(linkFuzzyTfEmGateSql)),
     QueryDef("mb_scenario_gate", scenarioGate, Some(scenarioGateSql)),
+    QueryDef("mb_link_sorted_neighborhood", linkSortedNeighborhood,
+      Some(linkSortedNeighborhoodSql)),
     QueryDef("mb_match_incremental", matchIncremental, Some(matchIncrementalSql)),
     QueryDef("mb_components_incremental", componentsIncremental,
       Some(componentsIncrementalSql)),

@@ -191,6 +191,27 @@ class FuzzyLinkSpec extends SparkSpec {
     assert(math.abs(out((1L, 11L)) - 0.9) < 1e-12)
   }
 
+  test("sortedNeighborhood: window candidates follow sort order within blocks") {
+    val df = Seq(
+      (1L, "anna", 1), (2L, "annb", 1), (3L, "annc", 1), (4L, "annd", 1),
+      (5L, "zeta", 1),  // sorts last in block 1
+      (6L, "anna", 2))  // other block: never pairs with block 1
+      .toDF("id", "name", "blk")
+    val got = Link.sortedNeighborhood(df, "id", col("name"), col("blk"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (1L, 2L, 1), (1L, 3L, 2),
+      (2L, 3L, 1), (2L, 4L, 2),
+      (3L, 4L, 1), (3L, 5L, 2),
+      (4L, 5L, 1)))
+    // ties on the sort key break by id deterministically
+    val ties = Seq((10L, "x", 1), (11L, "x", 1), (12L, "x", 1))
+      .toDF("id", "name", "blk")
+    val tiePairs = Link.sortedNeighborhood(ties, "id", col("name"), col("blk"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiePairs == Set((10L, 11L), (11L, 12L)))
+  }
+
   test("fellegiSunterEmLevelsTf: deterministic, trained levels discriminative, TF applied at the exact level") {
     GraftExtensions.register(spark)
     // segments with very different corpus frequency; planted exact name

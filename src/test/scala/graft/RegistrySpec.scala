@@ -61,6 +61,9 @@ class RegistrySpec extends SparkSpec {
       "dx_sample_temperature" -> scalarAggBuild,
       "dx_tfidf" -> scalarAggBuild,
       "dx_bm25_search" -> scalarAggBuild,
+      // important-share HAVING: one-row (total, n_suppliers) aggregate
+      // crossed into the per-supplier value table
+      "q11_important_share" -> scalarAggBuild,
       "dx_boilerplate" -> scalarAggBuild)
     // dx_boilerplate legitimately crosses TWO one-row aggregates into the
     // per-document pass: the corpus count (threshold) and the collected
