@@ -767,7 +767,7 @@ object Matchbox {
     * blocked fuzzy linker over the union of sources, large-star/small-star
     * components — and require the recovered clusters to be EXACTLY the
     * planted truth partition (bijection check, no driver-side cluster
-    * walk), twice, with bit-identical generated sources.
+    * walk), with bit-identical re-generation of the sources.
     */
   private def scenarioGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -808,11 +808,17 @@ object Matchbox {
         .select(col("key"), col("component"))
       Scenario.matchesTruth(assignment, all.select(col("key"), col("entity_id")))
     }
+    // generation determinism: the scenario is gate-sized (180 rows) by
+    // construction, so a sorted driver-side compare beats two except jobs.
+    // The pipeline itself runs ONCE: linker/components determinism is
+    // already driver-hash-asserted by the mb_link_* oracle rows every
+    // round; this gate's own claim is exact truth recovery.
     val deterministic = {
-      val s1 = sources(); val s2 = sources()
-      s1.except(s2).isEmpty && s2.except(s1).isEmpty
+      def rows(df: DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      rows(sources()) == rows(sources())
     }
-    val ok = deterministic && run() && run()
+    val ok = deterministic && run()
     Seq(ok).toDF("scenario_ok")
   }
 
