@@ -499,11 +499,30 @@ object Link {
       iterations: Int = 20,
       lambdaInit: Double = 0.1,
       threshold: Double = 0.5): (DataFrame, Seq[(Seq[Double], Seq[Double])]) = {
+    val (cand, total) = emLevelsTfCandidates(left, right, leftId, rightId,
+      blocking, tfComparison, tfLeftValue, corpus, corpusCol, others)
+    fellegiSunterEmLevelsTfOnCandidates(cand, total,
+      tfComparison.size, others.map(_.size), iterations, lambdaInit,
+      threshold)
+  }
+
+  /** Candidate frame for [[fellegiSunterEmLevelsTf]]: the blocked equi-join
+    * with the TF frequency attached (tf_cnt, floored at 1 for uncovered
+    * values) and ordinal gamma columns g0 (TF comparison) .. gK. Returns
+    * (candidates, corpus row count). Exposed so determinism gates can
+    * localCheckpoint the joins once and re-run only training + scoring.
+    */
+  def emLevelsTfCandidates(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blocking: String,
+      tfComparison: Seq[String], tfLeftValue: String,
+      corpus: DataFrame, corpusCol: String,
+      others: Seq[Seq[String]]): (DataFrame, Long) = {
     validateComparison(blocking)
     tfComparison.foreach(validateComparison)
     others.foreach(_.foreach(validateComparison))
     val comparisons = tfComparison +: others // index 0 = the TF comparison
-    val nLevels = comparisons.map(_.size + 1)
     val gammas = comparisons.zipWithIndex.map { case (levels, i) =>
       LevelComparison(levels, Seq.fill(levels.size + 1)(0.0)).gammaOf.as(s"g$i")
     }
@@ -516,8 +535,21 @@ object Link {
         (Seq(col(s"l.$leftId").cast("long").as("left_id"),
              col(s"r.$rightId").cast("long").as("right_id"),
              coalesce(col("tf_cnt"), lit(1L)).as("tf_cnt")) ++ gammas): _*)
+    (cand, total)
+  }
 
-    val gCols = comparisons.indices.map(i => s"g$i")
+  /** Training + scoring tail of [[fellegiSunterEmLevelsTf]] over a
+    * prebuilt [[emLevelsTfCandidates]] frame.
+    */
+  def fellegiSunterEmLevelsTfOnCandidates(
+      cand: DataFrame, total: Long,
+      tfLevels: Int, otherLevels: Seq[Int],
+      iterations: Int = 20,
+      lambdaInit: Double = 0.1,
+      threshold: Double = 0.5): (DataFrame, Seq[(Seq[Double], Seq[Double])]) = {
+    val nLevels = (tfLevels + 1) +: otherLevels.map(_ + 1)
+    val comparisons = nLevels.indices
+    val gCols = comparisons.map(i => s"g$i")
     // sorted for deterministic float accumulation (see fellegiSunterEm)
     val patterns = cand.groupBy(gCols.map(col): _*).count()
       .collect()
@@ -525,14 +557,14 @@ object Link {
       .sortBy(_._1.mkString(","))
     val (lambda, m, u) = emFitLevels(patterns, nLevels, iterations, lambdaInit)
 
-    val L = tfComparison.size
+    val L = tfLevels
     val tfRatio = {
       val exact = lit(m(0)(L)) / (col("tf_cnt").cast("double") / lit(total.toDouble))
       (0 until L).foldLeft(when(col("g0") === L, exact)) {
         case (acc, g) => acc.when(col("g0") === g, lit(m(0)(g) / u(0)(g)))
       }.otherwise(lit(1.0))
     }
-    val ratio = others.indices.map { j =>
+    val ratio = otherLevels.indices.map { j =>
       val i = j + 1
       (0 until nLevels(i)).map { g =>
         when(col(s"g$i") === g, lit(m(i)(g) / u(i)(g))).otherwise(lit(1.0))
@@ -542,7 +574,7 @@ object Link {
     val scored = cand
       .withColumn("score", lr / (lr + lit(1.0)))
       .filter(col("score") >= threshold)
-    (scored, comparisons.indices.map(i => (m(i).toSeq, u(i).toSeq)))
+    (scored, comparisons.map(i => (m(i).toSeq, u(i).toSeq)))
   }
 
   /** Multi-level fuzzy comparison WITH term-frequency adjustment on its
@@ -694,8 +726,11 @@ object Link {
     * Scale shape: the sort is per-`block` (a window partition, never a
     * global single-reducer sort); one window pass computes all `window`
     * leads as an array that explodes map-side — no self-join on rank. Ties
-    * break by id, so candidates are deterministic. Pairs at block
-    * boundaries are missed like in any blocked scheme; choose blocks
+    * break by id, so candidates are deterministic. Each block sorts within
+    * ONE task, so block cardinality must be ≫ cores and per-block row
+    * count bounded (e.g. a sort-key prefix as the block) — a handful of
+    * giant blocks is the one shape this operator cannot spread. Pairs at
+    * block boundaries are missed like in any blocked scheme; choose blocks
     * orthogonal to the sort key (or run multiple passes, the multi-key SN
     * standard) to cover them.
     *

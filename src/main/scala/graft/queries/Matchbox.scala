@@ -653,9 +653,10 @@ object Matchbox {
     * the full composed splink recipe in one model — multi-level fuzzy name
     * comparison and a TF-adjusted segment comparison, with per-level m/u
     * learned by EM and the term-frequency adjustment applied to the exact
-    * level at prediction (reference splinklinker.py:56-175). The pipeline
-    * runs twice from scratch (candidate join, TF table, pattern collection,
-    * EM fit) and must produce bit-identical per-level (m, u) vectors and
+    * level at prediction (reference splinklinker.py:56-175). The candidate
+    * join and TF table materialise once (deterministic plans — the
+    * em_gate treatment); the pattern aggregation, EM fit and scoring run
+    * twice and must produce bit-identical per-level (m, u) vectors and
     * score-set hash; the learned name comparison must be discriminative
     * (exact level's likelihood ratio above the miss level's); and the TF
     * contract must hold — among pairs agreeing exactly on the segment with
@@ -665,18 +666,23 @@ object Matchbox {
   private def linkFuzzyTfEmGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftExtensions.register(s)
+    // Candidate join + TF table are deterministic plans — materialise once
+    // (the em_gate treatment); each determinism run re-executes the
+    // distributed pattern aggregation, the EM fit and the score projection.
+    val (cand0, total) = Link.emLevelsTfCandidates(
+      fuzzyLeft(s, dir), fuzzyRight(s, dir),
+      "c_custkey", "c_custkey", "l.blk = r.blk",
+      tfComparison = Seq("l.c_mktsegment = r.c_mktsegment"),
+      tfLeftValue = "l.c_mktsegment",
+      corpus = Tables(s, dir, "customer"), corpusCol = "c_mktsegment",
+      others = Seq(
+        Seq("l.sname = r.sname",
+          "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
+          "jaro_winkler_similarity(l.sname, r.sname) >= 0.88")))
+    val cand = cand0.localCheckpoint(false)
     def run() = {
-      val (scored, params) = Link.fellegiSunterEmLevelsTf(
-        fuzzyLeft(s, dir), fuzzyRight(s, dir),
-        "c_custkey", "c_custkey", "l.blk = r.blk",
-        tfComparison = Seq("l.c_mktsegment = r.c_mktsegment"),
-        tfLeftValue = "l.c_mktsegment",
-        corpus = Tables(s, dir, "customer"), corpusCol = "c_mktsegment",
-        others = Seq(
-          Seq("l.sname = r.sname",
-            "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
-            "jaro_winkler_similarity(l.sname, r.sname) >= 0.88")),
-        threshold = 0.0)
+      val (scored, params) = Link.fellegiSunterEmLevelsTfOnCandidates(
+        cand, total, tfLevels = 1, otherLevels = Seq(3), threshold = 0.0)
       (scored.localCheckpoint(false), params)
     }
     def scoreHash(df: DataFrame): Long = df
