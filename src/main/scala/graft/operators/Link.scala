@@ -403,6 +403,7 @@ object Link {
       .collect()
       .map(row => (gCols.map(row.getAs[Int]).toIndexedSeq, row.getAs[Long]("count")))
       .sortBy(_._1.mkString(","))
+      .toSeq
 
     val (lambda, m, u) = emFitLevels(patterns, nLevels, iterations, lambdaInit)
 
@@ -555,6 +556,7 @@ object Link {
       .collect()
       .map(row => (gCols.map(row.getAs[Int]).toIndexedSeq, row.getAs[Long]("count")))
       .sortBy(_._1.mkString(","))
+      .toSeq
     val (lambda, m, u) = emFitLevels(patterns, nLevels, iterations, lambdaInit)
 
     val L = tfLevels
