@@ -386,18 +386,45 @@ object Link {
       iterations: Int = 20,
       lambdaInit: Double = 0.1,
       threshold: Double = 0.5): (DataFrame, Seq[(Seq[Double], Seq[Double])]) = {
+    val cand = emLevelsCandidates(left, right, leftId, rightId, blocking,
+      comparisons)
+    fellegiSunterEmLevelsOnCandidates(cand, comparisons.map(_.size),
+      iterations, lambdaInit, threshold)
+  }
+
+  /** Candidate frame for [[fellegiSunterEmLevels]]: the blocked equi-join
+    * with ordinal gamma columns g0..g(k-1). Exposed so determinism gates
+    * can localCheckpoint the join once and re-run only training + scoring
+    * (same treatment as [[emCandidates]]).
+    */
+  def emLevelsCandidates(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blocking: String,
+      comparisons: Seq[Seq[String]]): DataFrame = {
     validateComparison(blocking)
     comparisons.foreach(_.foreach(validateComparison))
-    val nLevels = comparisons.map(_.size + 1) // gamma ranges over 0..L
     val gammas = comparisons.zipWithIndex.map { case (levels, i) =>
       LevelComparison(levels, Seq.fill(levels.size + 1)(0.0)).gammaOf.as(s"g$i")
     }
-    val cand = left.alias("l").join(right.alias("r"), expr(blocking))
+    left.alias("l").join(right.alias("r"), expr(blocking))
       .select(
         (Seq(col(s"l.$leftId").cast("long").as("left_id"),
              col(s"r.$rightId").cast("long").as("right_id")) ++ gammas): _*)
+  }
 
-    val gCols = comparisons.indices.map(i => s"g$i")
+  /** Training + scoring tail of [[fellegiSunterEmLevels]] over a prebuilt
+    * [[emLevelsCandidates]] frame; `levelCounts(i)` = number of level
+    * conditions of comparison i (gamma ranges 0..levelCounts(i)).
+    */
+  def fellegiSunterEmLevelsOnCandidates(
+      cand: DataFrame, levelCounts: Seq[Int],
+      iterations: Int = 20,
+      lambdaInit: Double = 0.1,
+      threshold: Double = 0.5): (DataFrame, Seq[(Seq[Double], Seq[Double])]) = {
+    val nLevels = levelCounts.map(_ + 1) // gamma ranges over 0..L
+    val comparisons = levelCounts.indices
+    val gCols = comparisons.map(i => s"g$i")
     // sorted for deterministic float accumulation (see fellegiSunterEm)
     val patterns = cand.groupBy(gCols.map(col): _*).count()
       .collect()

@@ -505,11 +505,13 @@ object Matchbox {
       |ORDER BY left_id, right_id""".stripMargin
 
   /** Driver-gated EM over ordinal gammas (the trained twin of
-    * mb_link_fuzzy — iterative, so no SQL oracle): the whole pipeline runs
-    * twice from scratch and must produce bit-identical per-level (m, u)
-    * vectors and score-set hash; the learned parameters must be
-    * discriminative — the exact-match level's likelihood ratio m/u must
-    * exceed the miss level's (fuzzy agreement is evidence FOR a match).
+    * mb_link_fuzzy — iterative, so no SQL oracle): the blocked candidate
+    * join materialises once (deterministic plan — the em_gate treatment);
+    * pattern aggregation, EM fit and scoring run twice and must produce
+    * bit-identical per-level (m, u) vectors and score-set hash; the
+    * learned parameters must be discriminative — the exact-match level's
+    * likelihood ratio m/u must exceed the miss level's (fuzzy agreement
+    * is evidence FOR a match).
     */
   private def linkFuzzyEmGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -519,10 +521,16 @@ object Matchbox {
         "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
         "jaro_winkler_similarity(l.sname, r.sname) >= 0.88"),
       Seq("l.c_mktsegment = r.c_mktsegment"))
+    // blocked join + gamma CASE materialise once (deterministic plan);
+    // each run re-executes pattern aggregation, EM fit and scoring — the
+    // parts whose run-to-run stability the gate asserts
+    val cand = Link.emLevelsCandidates(
+      fuzzyLeft(s, dir), fuzzyRight(s, dir),
+      "c_custkey", "c_custkey", "l.blk = r.blk", levels)
+      .localCheckpoint(false)
     def run() = {
-      val (scored, params) = Link.fellegiSunterEmLevels(
-        fuzzyLeft(s, dir), fuzzyRight(s, dir),
-        "c_custkey", "c_custkey", "l.blk = r.blk", levels, threshold = 0.5)
+      val (scored, params) = Link.fellegiSunterEmLevelsOnCandidates(
+        cand, levels.map(_.size), threshold = 0.5)
       (scored.localCheckpoint(false), params)
     }
     def scoreHash(df: DataFrame): Long = df
