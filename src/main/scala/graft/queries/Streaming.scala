@@ -31,6 +31,90 @@ object Streaming {
        |GROUP BY event_type, day
        |ORDER BY event_type, day""".stripMargin
 
+  /** Batch twin of `Streams.incrementalFuzzyMatchWindowed` — the EXACT
+    * code path the stream runs (withWatermark is a no-op in batch, the
+    * event-time window groups identically), so the DuckDB oracle gates
+    * the windowed fuzzy-match aggregation itself, not a re-statement.
+    * Stream records are the odd customers with a synthetic event time
+    * spreading each hour window; the reference is the even customers;
+    * comparisons are the same seeded JW levels as mb_link_fuzzy.
+    */
+  private def fuzzyWindowed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Link
+    graft.functions.GraftExtensions.register(s)
+    val cust = Tables(s, dir, "customer")
+    def side(parityEven: Boolean): DataFrame = {
+      val base = cust.filter(col("c_custkey") % 2 === (if (parityEven) 0 else 1))
+      if (parityEven)
+        base.withColumn("sname",
+            expr("substr(md5(CAST(c_custkey AS STRING)), 1, 9)"))
+          .withColumn("blk", expr("c_custkey DIV 20"))
+      else
+        base.withColumn("base",
+            expr("substr(md5(CAST(c_custkey - 1 AS STRING)), 1, 9)"))
+          .withColumn("sname", expr(
+            """CASE CAST(c_custkey % 10 AS INT)
+              |  WHEN 5 THEN substr(base, 1, 8)
+              |  WHEN 7 THEN substr(base, 1, 6)
+              |  WHEN 9 THEN reverse(base)
+              |  ELSE base END""".stripMargin))
+          .withColumn("blk", expr("(c_custkey - 1) DIV 20"))
+          .withColumn("ts", expr(
+            "timestamp'2026-01-01 00:00:00' + " +
+              "make_interval(0, 0, 0, 0, 0, CAST(c_custkey % 90 AS INT), 0)"))
+    }
+    graft.streaming.Streams.incrementalFuzzyMatchWindowed(
+      side(parityEven = false), side(parityEven = true),
+      "c_custkey", "c_custkey",
+      timeCol = "ts", watermarkDelay = "10 minutes", windowDuration = "1 hour",
+      blocking = "l.blk = r.blk",
+      comparisons = Seq(
+        Link.LevelComparison(
+          Seq("l.sname = r.sname",
+            "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
+            "jaro_winkler_similarity(l.sname, r.sname) >= 0.88"),
+          Seq(-3.0, 1.5, 4.0, 6.0)),
+        Link.LevelComparison(
+          Seq("l.c_mktsegment = r.c_mktsegment"),
+          Seq(-0.5, 1.2))),
+      threshold = 1.0)
+      .orderBy("window_start", "left_id")
+  }
+
+  private val fuzzyWindowedSql =
+    """WITH le AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS sname,
+      |    c_custkey // 20 AS blk
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |ri AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE CAST(c_custkey % 10 AS INT)
+      |      WHEN 5 THEN substr(base, 1, 8)
+      |      WHEN 7 THEN substr(base, 1, 6)
+      |      WHEN 9 THEN reverse(base)
+      |      ELSE base END AS sname,
+      |    (c_custkey - 1) // 20 AS blk,
+      |    TIMESTAMP '2026-01-01 00:00:00'
+      |      + to_minutes(CAST(c_custkey % 90 AS BIGINT)) AS ts
+      |  FROM (SELECT *, substr(md5(CAST(c_custkey - 1 AS VARCHAR)), 1, 9) AS base
+      |        FROM customer WHERE c_custkey % 2 = 1)),
+      |scored AS (
+      |  SELECT date_trunc('hour', r.ts) AS window_start,
+      |    CAST(r.c_custkey AS BIGINT) AS left_id,
+      |    (CASE WHEN r.sname = l.sname THEN CAST(6.0 AS DOUBLE)
+      |          WHEN jaro_winkler_similarity(r.sname, l.sname) >= 0.95 THEN CAST(4.0 AS DOUBLE)
+      |          WHEN jaro_winkler_similarity(r.sname, l.sname) >= 0.88 THEN CAST(1.5 AS DOUBLE)
+      |          ELSE CAST(-3.0 AS DOUBLE) END
+      |     + CASE WHEN r.c_mktsegment = l.c_mktsegment THEN CAST(1.2 AS DOUBLE)
+      |            ELSE CAST(-0.5 AS DOUBLE) END) AS w
+      |  FROM ri r JOIN le l ON r.blk = l.blk)
+      |SELECT window_start, left_id,
+      |  max(w) AS best_weight, CAST(count(*) AS BIGINT) AS n_matches
+      |FROM scored WHERE w >= 1.0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("st_events_rate", eventsRate, Some(eventsRateSql)))
+    QueryDef("st_events_rate", eventsRate, Some(eventsRateSql)),
+    QueryDef("st_fuzzy_windowed", fuzzyWindowed, Some(fuzzyWindowedSql)))
 }
