@@ -1368,6 +1368,45 @@ object Matchbox {
       .withColumnRenamed("recall", "recall_score")
   }
 
+  /** B-cubed sufficient statistics for the coarse (nation) clustering
+    * scored against the fine (nation, segment) truth classes — per-group
+    * INTEGER rows (member count, Σ overlap²), exact and hash-stable; the
+    * derived B³ precision/recall doubles are asserted in EvalSpec
+    * (coarse-over-fine ⇒ recall 1, precision < 1).
+    */
+  private def evalBcubed(s: SparkSession, dir: String): DataFrame = {
+    import graft.eval.BCubed
+    val cust = Tables(s, dir, "customer").filter(col("c_custkey") < 300)
+    val assignment = cust.select(
+      col("c_custkey").cast("long").as("id"),
+      min("c_custkey").over(Window.partitionBy("c_nationkey"))
+        .cast("long").as("component"))
+    val truth = cust.select(
+      col("c_custkey").cast("long").as("id"),
+      min("c_custkey").over(Window.partitionBy("c_nationkey", "c_mktsegment"))
+        .cast("long").as("entity_id"))
+    BCubed.stats(assignment, truth).orderBy("side", "group_id")
+  }
+
+  private val evalBcubedSql =
+    """WITH cust AS (SELECT * FROM customer WHERE c_custkey < 300),
+      |a AS (SELECT c_custkey AS id,
+      |  min(c_custkey) OVER (PARTITION BY c_nationkey) AS component FROM cust),
+      |t AS (SELECT c_custkey AS id,
+      |  min(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS entity_id FROM cust),
+      |ct AS (
+      |  SELECT component, entity_id, CAST(count(*) AS BIGINT) AS c_ct
+      |  FROM a JOIN t USING (id) GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT 'cluster' AS side, CAST(component AS BIGINT) AS group_id,
+      |    CAST(sum(c_ct) AS BIGINT) AS n, CAST(sum(c_ct * c_ct) AS BIGINT) AS sq
+      |  FROM ct GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'class', CAST(entity_id AS BIGINT),
+      |    CAST(sum(c_ct) AS BIGINT), CAST(sum(c_ct * c_ct) AS BIGINT)
+      |  FROM ct GROUP BY 2)
+      |ORDER BY side, group_id""".stripMargin
+
   private val evalPrMultiSql =
     """WITH cust AS (SELECT * FROM customer WHERE c_custkey < 300),
       |m0 AS (SELECT c_custkey AS id,
@@ -1544,6 +1583,7 @@ object Matchbox {
     QueryDef("mb_lambda", lambdaEstimate, Some(lambdaEstimateSql)),
     QueryDef("mb_sampled_u", sampledU, Some(sampledUSql)),
     QueryDef("mb_eval_pr_multi", evalPrMulti, Some(evalPrMultiSql)),
+    QueryDef("mb_eval_bcubed", evalBcubed, Some(evalBcubedSql)),
     QueryDef("mb_eval_sample", evalSample, Some(evalSampleSql)),
     QueryDef("mb_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)))
 }

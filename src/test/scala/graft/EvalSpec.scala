@@ -172,4 +172,33 @@ class EvalSpec extends SparkSpec {
       assert(graft.eval.Judgements.net(judgements, expansion).count() > 0)
     } finally spark.conf.set("spark.graft.eval.maxClusterSize", "100000")
   }
+
+  test("b-cubed: perfect clustering scores 1/1; merges cut precision, splits cut recall") {
+    import graft.eval.BCubed
+    // truth: classes {1,2}, {3,4,5}, {6}
+    val truth = Seq(1L -> 10L, 2L -> 10L, 3L -> 30L, 4L -> 30L, 5L -> 30L,
+      6L -> 60L).toDF("id", "entity_id")
+    def assign(pairs: (Long, Long)*) = pairs.toSeq.toDF("id", "component")
+    val perfect = assign(1L -> 1, 2L -> 1, 3L -> 3, 4L -> 3, 5L -> 3, 6L -> 6)
+    assert(BCubed.precisionRecall(BCubed.stats(perfect, truth)) == ((1.0, 1.0)))
+    // everything merged into one cluster: recall 1, precision < 1
+    val merged = assign(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 1)
+    val (pM, rM) = BCubed.precisionRecall(BCubed.stats(merged, truth))
+    assert(rM == 1.0 && pM < 1.0)
+    // per-record precision of the all-merged clustering:
+    // (2·(2/6) + 3·(3/6) + 1·(1/6)) / 6 = 14/36
+    assert(math.abs(pM - 14.0 / 36.0) < 1e-12)
+    // all singletons: precision 1, recall < 1
+    val split = assign(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5, 6L -> 6)
+    val (pS, rS) = BCubed.precisionRecall(BCubed.stats(split, truth))
+    assert(pS == 1.0 && rS < 1.0)
+    assert(math.abs(rS - (2.0 / 2 / 2 + 2.0 / 2 / 2 + 3.0 / 3 / 3 + 3.0 / 3 / 3 +
+      3.0 / 3 / 3 + 1.0) / 6) < 1e-12)
+    // registered-query shape: coarse clustering over fine truth => recall 1
+    val coarse = assign(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 9)
+    val fineTruth = Seq(1L -> 10L, 2L -> 10L, 3L -> 30L, 4L -> 30L, 5L -> 30L,
+      6L -> 61L).toDF("id", "entity_id")
+    val (_, rC) = BCubed.precisionRecall(BCubed.stats(coarse, fineTruth))
+    assert(rC == 1.0)
+  }
 }
