@@ -1407,6 +1407,43 @@ object Matchbox {
       |  FROM ct GROUP BY 2)
       |ORDER BY side, group_id""".stripMargin
 
+  /** Adjusted-Rand-Index pair-counting sums for the same coarse-vs-fine
+    * clustering comparison as mb_eval_bcubed — one exact INTEGER row; the
+    * ARI double and its perfect/independent/degenerate properties are
+    * asserted in EvalSpec.
+    */
+  private def evalAri(s: SparkSession, dir: String): DataFrame = {
+    import graft.eval.RandIndex
+    val cust = Tables(s, dir, "customer").filter(col("c_custkey") < 300)
+    val assignment = cust.select(
+      col("c_custkey").cast("long").as("id"),
+      min("c_custkey").over(Window.partitionBy("c_nationkey"))
+        .cast("long").as("component"))
+    val truth = cust.select(
+      col("c_custkey").cast("long").as("id"),
+      min("c_custkey").over(Window.partitionBy("c_nationkey", "c_mktsegment"))
+        .cast("long").as("entity_id"))
+    RandIndex.stats(assignment, truth)
+  }
+
+  private val evalAriSql =
+    """WITH cust AS (SELECT * FROM customer WHERE c_custkey < 300),
+      |a AS (SELECT c_custkey AS id,
+      |  min(c_custkey) OVER (PARTITION BY c_nationkey) AS component FROM cust),
+      |t AS (SELECT c_custkey AS id,
+      |  min(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS entity_id FROM cust),
+      |ct AS (
+      |  SELECT component, entity_id, CAST(count(*) AS BIGINT) AS c_ct
+      |  FROM a JOIN t USING (id) GROUP BY 1, 2),
+      |cl AS (SELECT component, sum(c_ct) AS n FROM ct GROUP BY 1),
+      |tr AS (SELECT entity_id, sum(c_ct) AS n FROM ct GROUP BY 1)
+      |SELECT
+      |  CAST((SELECT sum(c_ct * (c_ct - 1) // 2) FROM ct) AS BIGINT) AS index_pairs,
+      |  CAST((SELECT sum(n * (n - 1) // 2) FROM cl) AS BIGINT) AS cluster_pairs,
+      |  CAST((SELECT sum(n * (n - 1) // 2) FROM tr) AS BIGINT) AS class_pairs,
+      |  CAST((SELECT sum(c_ct) FROM ct) * ((SELECT sum(c_ct) FROM ct) - 1) // 2
+      |    AS BIGINT) AS total_pairs""".stripMargin
+
   private val evalPrMultiSql =
     """WITH cust AS (SELECT * FROM customer WHERE c_custkey < 300),
       |m0 AS (SELECT c_custkey AS id,
@@ -1584,6 +1621,7 @@ object Matchbox {
     QueryDef("mb_sampled_u", sampledU, Some(sampledUSql)),
     QueryDef("mb_eval_pr_multi", evalPrMulti, Some(evalPrMultiSql)),
     QueryDef("mb_eval_bcubed", evalBcubed, Some(evalBcubedSql)),
+    QueryDef("mb_eval_ari", evalAri, Some(evalAriSql)),
     QueryDef("mb_eval_sample", evalSample, Some(evalSampleSql)),
     QueryDef("mb_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)))
 }

@@ -201,4 +201,30 @@ class EvalSpec extends SparkSpec {
     val (_, rC) = BCubed.precisionRecall(BCubed.stats(coarse, fineTruth))
     assert(rC == 1.0)
   }
+
+  test("adjusted rand index: identical partitions 1, independent ~0, integer sums exact") {
+    import graft.eval.RandIndex
+    val truth = Seq(1L -> 10L, 2L -> 10L, 3L -> 30L, 4L -> 30L, 5L -> 30L,
+      6L -> 60L).toDF("id", "entity_id")
+    def assign(pairs: (Long, Long)*) = pairs.toSeq.toDF("id", "component")
+    val perfect = assign(1L -> 1, 2L -> 1, 3L -> 3, 4L -> 3, 5L -> 3, 6L -> 6)
+    assert(RandIndex.adjusted(RandIndex.stats(perfect, truth)) == 1.0)
+    // all-merged: index = within-class pairs = 1 + 3 = 4; sumC = C2(6)=15,
+    // sumT = 4, total = 15 -> ARI = (4 - 4)/(9.5 - 4) = 0
+    val merged = assign(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 1)
+    val mStats = RandIndex.stats(merged, truth).head()
+    assert((mStats.getLong(0), mStats.getLong(1), mStats.getLong(2),
+      mStats.getLong(3)) == ((4L, 15L, 4L, 15L)))
+    assert(RandIndex.adjusted(RandIndex.stats(merged, truth)) == 0.0)
+    // all singletons vs all singletons: degenerate (max == expected),
+    // partitions identical -> 1 by convention
+    val single = assign(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5, 6L -> 6)
+    val singleTruth = Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L).toDF("id", "entity_id")
+    assert(RandIndex.adjusted(RandIndex.stats(single, singleTruth)) == 1.0)
+    // a wrong merge scores strictly below a perfect one
+    val wrong = assign(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 3, 5L -> 3, 6L -> 6)
+    val ari = RandIndex.adjusted(RandIndex.stats(wrong, truth))
+    assert(ari > 0.0 && ari < 1.0)
+  }
 }

@@ -64,11 +64,14 @@ class RegistrySpec extends SparkSpec {
       // important-share HAVING: one-row (total, n_suppliers) aggregate
       // crossed into the per-supplier value table
       "q11_important_share" -> scalarAggBuild,
+      // ARI: two one-row pair-count aggregates crossed into the cells row
+      "mb_eval_ari" -> scalarAggBuild,
       "dx_boilerplate" -> scalarAggBuild)
     // dx_boilerplate legitimately crosses TWO one-row aggregates into the
     // per-document pass: the corpus count (threshold) and the collected
     // common-token set — each build must still prove the scalar-agg shape
-    val maxBnljs = Map("dx_boilerplate" -> 2).withDefaultValue(1)
+    val maxBnljs = Map("dx_boilerplate" -> 2, "mb_eval_ari" -> 2)
+      .withDefaultValue(1)
 
     Registry.all.foreach { d =>
       val plan = d.fn(spark, sfDir).queryExecution.executedPlan
