@@ -1315,6 +1315,75 @@ object Matchbox {
       |  FROM part LEFT JOIN customer c ON p_partkey = c_custkey)
       |ORDER BY cluster_id, source, rec_key""".stripMargin
 
+  /** Resolver threshold sweep (the per-model score-threshold surface of
+    * resolvers/components.py `compute_clusters`, swept): the SAME scored
+    * edge set resolved at three thresholds — clusters dissolve
+    * monotonically as the threshold rises. One row per threshold with
+    * integer cluster census; the oracle recomputes each resolution with a
+    * recursive CTE.
+    */
+  private def resolverSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Resolver
+    val cust = Tables(s, dir, "customer").filter(col("c_custkey") < 300)
+    val edges = Link.fellegiSunter(
+      cust.filter(col("c_custkey") % 2 === 0),
+      cust.filter(col("c_custkey") % 2 === 1),
+      "c_custkey", "c_custkey",
+      blocking = "l.c_nationkey = r.c_nationkey",
+      comparisons = Seq(
+        ("l.c_mktsegment = r.c_mktsegment", 2.5, -1.2),
+        ("abs(l.c_acctbal - r.c_acctbal) < 100", 3.1, -0.8)),
+      threshold = -100.0)
+      .select(col("left_id"), col("right_id"),
+        col("match_weight").as("score"))
+      .localCheckpoint(false)
+    resolverSweepThresholds.map { t =>
+      val assignment = Resolver
+        .computeClusters(Map("fs" -> edges), Map("fs" -> t))
+        .localCheckpoint(false)
+      val sizes = assignment.groupBy("component").count()
+      assignment.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(sizes.agg(
+          count(lit(1)).as("n_components"), max("count").as("max_cluster")))
+        .select(lit(t).as("threshold"), col("n_nodes"),
+          col("n_components"), col("max_cluster"))
+    }.reduce(_ unionByName _).orderBy("threshold")
+  }
+
+  private val resolverSweepThresholds = Seq(1.5, 3.0, 5.0)
+
+  private val resolverSweepSql = {
+    val blocks = resolverSweepThresholds.zipWithIndex.map { case (t, i) =>
+      s"""e$i AS (SELECT left_id AS src, right_id AS dst FROM scored WHERE w >= $t),
+         |ed$i AS (SELECT src, dst FROM e$i UNION SELECT dst, src FROM e$i),
+         |n$i AS (SELECT src AS id FROM ed$i UNION SELECT dst FROM ed$i),
+         |reach$i(id, r) AS (
+         |  SELECT id, id FROM n$i
+         |  UNION
+         |  SELECT e.dst, reach$i.r FROM reach$i JOIN ed$i e ON e.src = reach$i.id),
+         |comp$i AS (SELECT id, min(r) AS component FROM reach$i GROUP BY id),
+         |sz$i AS (SELECT component, count(*) AS n FROM comp$i GROUP BY 1),
+         |row$i AS (SELECT CAST($t AS DOUBLE) AS threshold,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM comp$i) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sz$i) AS n_components,
+         |  (SELECT CAST(max(n) AS BIGINT) FROM sz$i) AS max_cluster)""".stripMargin
+    }.mkString(",\n")
+    val rows = resolverSweepThresholds.indices
+      .map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE cust AS (SELECT * FROM customer WHERE c_custkey < 300),
+       |scored AS (
+       |  SELECT l.c_custkey AS left_id, r.c_custkey AS right_id,
+       |    (CASE WHEN l.c_mktsegment = r.c_mktsegment
+       |          THEN CAST(2.5 AS DOUBLE) ELSE CAST(-1.2 AS DOUBLE) END
+       |   + CASE WHEN abs(l.c_acctbal - r.c_acctbal) < 100
+       |          THEN CAST(3.1 AS DOUBLE) ELSE CAST(-0.8 AS DOUBLE) END) AS w
+       |  FROM (SELECT * FROM cust WHERE c_custkey % 2 = 0) l
+       |  JOIN (SELECT * FROM cust WHERE c_custkey % 2 = 1) r
+       |    ON l.c_nationkey = r.c_nationkey),
+       |$blocks
+       |SELECT * FROM ($rows) ORDER BY threshold""".stripMargin
+  }
+
   // ---- eval -----------------------------------------------------------
   /** Deterministic synthetic judgements over customers < 300: within-group
     * pairs with a hash-ish verdict sign, plus sparse cross-segment
@@ -1622,6 +1691,7 @@ object Matchbox {
     QueryDef("mb_eval_pr_multi", evalPrMulti, Some(evalPrMultiSql)),
     QueryDef("mb_eval_bcubed", evalBcubed, Some(evalBcubedSql)),
     QueryDef("mb_eval_ari", evalAri, Some(evalAriSql)),
+    QueryDef("mb_resolver_sweep", resolverSweep, Some(resolverSweepSql)),
     QueryDef("mb_eval_sample", evalSample, Some(evalSampleSql)),
     QueryDef("mb_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)))
 }

@@ -66,12 +66,14 @@ class RegistrySpec extends SparkSpec {
       "q11_important_share" -> scalarAggBuild,
       // ARI: two one-row pair-count aggregates crossed into the cells row
       "mb_eval_ari" -> scalarAggBuild,
+      // sweep: one-row cluster-census aggregate per threshold (x3)
+      "mb_resolver_sweep" -> scalarAggBuild,
       "dx_boilerplate" -> scalarAggBuild)
     // dx_boilerplate legitimately crosses TWO one-row aggregates into the
     // per-document pass: the corpus count (threshold) and the collected
     // common-token set — each build must still prove the scalar-agg shape
-    val maxBnljs = Map("dx_boilerplate" -> 2, "mb_eval_ari" -> 2)
-      .withDefaultValue(1)
+    val maxBnljs = Map("dx_boilerplate" -> 2, "mb_eval_ari" -> 2,
+      "mb_resolver_sweep" -> 3).withDefaultValue(1)
 
     Registry.all.foreach { d =>
       val plan = d.fn(spark, sfDir).queryExecution.executedPlan
