@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Num, QueryDef, Tables}
-import graft.operators.RangeJoin
+import graft.operators.{GraphMetrics, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1441,7 +1441,74 @@ object Relational {
       |  WHERE qty * 2 > total_qty)
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---- graph metrics over a proximity pair graph ----------------------
+  // Edge set: customers in the same nation whose balances sit within $200
+  // of each other — the shape a blocking/linkage stage emits. Derived with
+  // the banded range join (never a per-nation quadratic self-join: at
+  // 100 TB a nation is millions of customers, but a $-band is bounded), so
+  // both sides shuffle on (nation, band) and AQE can split hot bands.
+  private val graphHalfWidthCents = 20000L
+
+  private def graphEdges(s: SparkSession, dir: String): DataFrame = {
+    // Fresh scan per side: distinct attribute ids keep the self-join's
+    // `nat` equi-key unambiguous (same-plan reuse would alias both sides
+    // to one attribute and degrade the key to a trivially-true predicate).
+    def cust = Tables(s, dir, "customer").select(
+      col("c_custkey").as("id"),
+      col("c_nationkey").as("nat"),
+      Num.cents(col("c_acctbal")).as("bal"))
+    val c = cust
+    val intervals = cust.select(
+      col("id").as("iid"), col("nat"),
+      (col("bal") - graphHalfWidthCents).as("lo"),
+      (col("bal") + graphHalfWidthCents).as("hi"))
+    // The containment predicate is symmetric, so keeping only the
+    // point-id < interval-id orientation yields each unordered pair
+    // exactly once — no distinct pass needed.
+    RangeJoin.pointInInterval(
+        c, "bal", intervals, "lo", "hi",
+        bandWidth = graphHalfWidthCents, extraEquiKeys = Seq("nat"))
+      .where(col("id") < col("iid"))
+      .select(col("id").as("a"), col("iid").as("b"))
+  }
+
+  private val graphEdgesCte =
+    """e AS (
+      |  SELECT l.c_custkey AS a, r.c_custkey AS b
+      |  FROM customer l JOIN customer r
+      |    ON l.c_nationkey = r.c_nationkey
+      |   AND l.c_custkey < r.c_custkey
+      |   AND abs(CAST(round(l.c_acctbal * 100) AS BIGINT)
+      |         - CAST(round(r.c_acctbal * 100) AS BIGINT)) <= 20000),
+      |deg AS (
+      |  SELECT n, count(*) AS d
+      |  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      |  GROUP BY n)""".stripMargin
+
+  private def qGraphTriangles(s: SparkSession, dir: String): DataFrame =
+    GraphMetrics.triangleStats(graphEdges(s, dir))
+
+  private val qGraphTrianglesSql =
+    s"""WITH $graphEdgesCte
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      |  (SELECT CAST(count(*) AS BIGINT)
+      |   FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+      |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges""".stripMargin
+
+  private def qGraphDegrees(s: SparkSession, dir: String): DataFrame =
+    GraphMetrics.degreeHistogram(graphEdges(s, dir))
+
+  private val qGraphDegreesSql =
+    s"""WITH $graphEdgesCte
+      |SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM deg GROUP BY d ORDER BY degree""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_graph_triangles", qGraphTriangles, Some(qGraphTrianglesSql)),
+    QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q2_min_supplier", q2, Some(q2Sql)),
     QueryDef("q9_profit", q9, Some(q9Sql)),
