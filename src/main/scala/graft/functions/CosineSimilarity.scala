@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for cosine similarity over `array<float>`
   * columns, with whole-stage codegen.
@@ -131,7 +132,23 @@ object GraftExtensions {
     // one string valid in both engines
     (FunctionIdentifier("jaro_winkler_similarity"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler_similarity"),
-      { exprs: Seq[Expression] => JaroWinklerSimilarity(exprs(0), exprs(1)) }))
+      { exprs: Seq[Expression] => JaroWinklerSimilarity(exprs(0), exprs(1)) }),
+    // DuckDB-compatible NFC normalization, plus the general form-selectable
+    // variant (unicode_normalize(s, 'NFKC') etc.)
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "nfc_normalize"),
+      { exprs: Seq[Expression] => UnicodeNormalize(exprs(0), "NFC") }),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      { exprs: Seq[Expression] =>
+        val form =
+          if (exprs.length < 2) "NFC"
+          else exprs(1).eval() match {
+            case s: UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"unicode_normalize form must be a string literal, got $other")
+          }
+        UnicodeNormalize(exprs(0), form) }))
 
   /** Session-local registration of every graft native function. */
   def register(spark: SparkSession): Unit =

@@ -128,6 +128,53 @@ object Pipeline {
       |    i -> md5(substr(text, i, 8)))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Unicode normalization + control-char/whitespace cleanup — the pass a
+    * corpus needs BEFORE any hash-based dedup (NFC-composed `é` and
+    * decomposed `e`+U+0301 are byte-distinct, so un-normalized text leaks
+    * duplicates past exact and MinHash dedup alike). The corpus is
+    * ASCII-only, so both engines first inject decomposed accents, a BEL
+    * control char and doubled spaces deterministically — making the NFC
+    * composition, the control strip and the whitespace collapse all
+    * observable in the digests. Spark side runs graft's native
+    * `unicode_normalize` expression (functions/Normalize.scala, ASCII
+    * fast-path, whole-stage codegen); DuckDB side its `nfc_normalize`
+    * builtin. Only engine-portable regex features (RE2 ∩ Java).
+    */
+  private def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UnicodeNormalize
+    val injected = regexp_replace(
+      regexp_replace(col("text"), "e", "e\u0301"),
+      "\\. ", ".\u0007  ")
+    val nfc = UnicodeNormalize(injected)
+    val cleaned = trim(regexp_replace(
+      regexp_replace(nfc, "[\\x00-\\x08\\x0B-\\x1F]", ""),
+      "\\s+", " "))
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      md5(cleaned).as("norm_md5"),
+      length(cleaned).cast("long").as("n_chars_norm"),
+      (length(injected) - length(nfc)).cast("long").as("n_composed"))
+      .orderBy("doc_id")
+  }
+
+  private val normalizeTextSql =
+    """WITH injected AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(text, 'e', 'e' || chr(769), 'g'),
+      |                   '\. ', '.' || chr(7) || '  ', 'g') AS t
+      |  FROM documents),
+      |norm AS (SELECT doc_id, t, nfc_normalize(t) AS n FROM injected),
+      |clean AS (
+      |  SELECT doc_id, t, n,
+      |    trim(regexp_replace(regexp_replace(n, '[\x00-\x08\x0B-\x1F]', '', 'g'),
+      |                        '\s+', ' ', 'g')) AS c
+      |  FROM norm)
+      |SELECT doc_id,
+      |  md5(c) AS norm_md5,
+      |  CAST(length(c) AS BIGINT) AS n_chars_norm,
+      |  CAST(length(t) - length(n) AS BIGINT) AS n_composed
+      |FROM clean ORDER BY doc_id""".stripMargin
+
   /** PII scrubbing — the redaction pass every shipped training corpus runs.
     * Emails are planted deterministically (doc_id % 5) so the operator has
     * true positives in both engines; output is the redaction count plus a
