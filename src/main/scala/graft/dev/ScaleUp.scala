@@ -1,0 +1,78 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only data scaler: replicate an existing sf directory `factor`× with
+  * disjoint key ranges, TPC-H style — fact/entity tables grow, the fixed
+  * dimensions (region, nation) don't, and every foreign key is offset with
+  * its parent so join selectivities and group cardinalities scale the way a
+  * real 10× corpus would. Exists to measure one decade of scaling
+  * (sf0.1 → sf1) for BASELINE.md's scale-evidence table; the driver's
+  * official data stays untouched at /root/testdata.
+  *
+  * Usage: runMain graft.dev.ScaleUp <srcSfDir> <outDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 2, "factor must be >= 2")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // next power of ten above the max key: offsets stay human-readable and
+    // derived-key arithmetic in queries (3k, 3k+1 …) cannot collide
+    def span(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key).cast("long"))).head().getLong(0)
+      var s = 10L
+      while (s <= mx) s *= 10
+      s
+    }
+
+    val custS = span(read("customer"), "c_custkey")
+    val suppS = span(read("supplier"), "s_suppkey")
+    val partS = span(read("part"), "p_partkey")
+    val ordS = span(read("orders"), "o_orderkey")
+    val evS = span(read("events"), "event_id")
+    val userS = span(read("events"), "user_id")
+    val docS = span(read("documents"), "doc_id")
+    val vecS = span(read("embeddings"), "vec_id")
+
+    /** `factor` copies with per-copy key offsets (copy 0 = original). */
+    def replicate(t: String, offsets: Map[String, Long]): Unit = {
+      val base = read(t)
+      val copies = (0 until factor).map { i =>
+        offsets.foldLeft(base) { case (df, (c, s)) =>
+          df.withColumn(c, (col(c) + lit(i * s)).cast(base.schema(c).dataType))
+        }
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t x$factor done")
+    }
+
+    def copy(t: String): Unit = {
+      read(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t copied (fixed dimension)")
+    }
+
+    copy("region"); copy("nation")
+    replicate("customer", Map("c_custkey" -> custS))
+    replicate("supplier", Map("s_suppkey" -> suppS))
+    replicate("part", Map("p_partkey" -> partS))
+    replicate("orders", Map("o_orderkey" -> ordS, "o_custkey" -> custS))
+    replicate("lineitem", Map("l_orderkey" -> ordS, "l_partkey" -> partS,
+      "l_suppkey" -> suppS))
+    replicate("events", Map("event_id" -> evS, "user_id" -> userS))
+    replicate("documents", Map("doc_id" -> docS))
+    replicate("embeddings", Map("vec_id" -> vecS))
+    spark.stop()
+  }
+}

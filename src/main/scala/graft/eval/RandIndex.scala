@@ -34,7 +34,10 @@ object RandIndex {
     val ct = j.groupBy("component", "entity_id")
       .agg(count(lit(1)).as("c_ct"))
       .localCheckpoint(false) // feeds all four aggregates
-    def c2(c: org.apache.spark.sql.Column) = c * (c - 1) / 2
+    // n(n−1) is even, so a right-shift IS the exact integer halving — all
+    // arithmetic stays LongType (Column `/` is Divide, which would route
+    // through DOUBLE and lose exactness past 2^53 pair counts).
+    def c2(c: org.apache.spark.sql.Column) = shiftright(c * (c - 1), 1)
     val cells = ct.agg(sum(c2(col("c_ct"))).as("index_pairs"),
       sum(col("c_ct")).as("n_total"))
     val byCluster = ct.groupBy("component").agg(sum("c_ct").as("n"))

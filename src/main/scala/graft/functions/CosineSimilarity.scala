@@ -150,10 +150,14 @@ object GraftExtensions {
           }
         UnicodeNormalize(exprs(0), form) }))
 
-  /** Session-local registration of every graft native function. */
+  /** Session-local registration of every graft native function. Idempotent:
+    * re-registering an existing name would WARN ("replaced a previously
+    * registered function") on every call site, polluting bench logs.
+    */
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
 }

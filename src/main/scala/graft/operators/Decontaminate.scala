@@ -52,6 +52,19 @@ object Decontaminate {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val n = if (expectedItems > 0) expectedItems else math.max(vocab.count(), 1L)
     val numBits = math.max(BloomFilter.optimalNumOfBits(n, fpp), 64L)
+    // BloomFilterAggregate silently clamps its sizing to the runtime-filter
+    // session caps; a clamped filter would realise a far worse fpp than
+    // requested, so fail loudly and tell the caller which confs to raise.
+    val conf = vocab.sparkSession.conf
+    val maxItems =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(n <= maxItems && numBits <= maxBits,
+      s"bloom sizing ($n items / $numBits bits) exceeds the session caps " +
+        s"($maxItems / $maxBits) and would be silently clamped, breaking the " +
+        "fpp=" + fpp + " contract; raise spark.sql.optimizer.runtime." +
+        "bloomFilter.maxNumItems/maxNumBits for this session")
     val fit = ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col(vocabCol))),
       Literal(n), Literal(numBits)).toAggregateExpression())

@@ -277,16 +277,31 @@ object Link {
     * (`weights(0)` = the all-levels-miss weight); supplied as precomputed
     * literal doubles so scores are literal sums — bit-exact across engines.
     */
-  final case class LevelComparison(levels: Seq[String], weights: Seq[Double]) {
+  /** Ordered fuzzy comparison levels with per-level weights. `nullLevel`
+    * is splink's null-handling contract (reference splinklinker.py
+    * comparison templates): when it holds (canonically
+    * `l.f IS NULL OR r.f IS NULL`) the comparison is UNOBSERVED —
+    * gamma = -1, weight contribution 0, and the EM path excludes the pair
+    * from that comparison's m/u estimation. Without it a NULL evaluates
+    * every level condition to false = "miss", biasing m/u downward on
+    * sparse fields.
+    */
+  final case class LevelComparison(levels: Seq[String], weights: Seq[Double],
+      nullLevel: Option[String] = None) {
     require(weights.size == levels.size + 1,
       s"need ${levels.size + 1} weights (levels + else), got ${weights.size}")
     def gammaOf: org.apache.spark.sql.Column = {
       val L = levels.size
+      val withNull = nullLevel.foldLeft(
+        org.apache.spark.sql.functions.when(lit(false), 0)) {
+        (acc, cond) => acc.when(expr(cond), -1) // null check precedes levels
+      }
       levels.zipWithIndex
-        .foldLeft(org.apache.spark.sql.functions.when(lit(false), 0)) {
+        .foldLeft(withNull) {
           case (acc, (cond, idx)) => acc.when(expr(cond), L - idx)
         }.otherwise(0)
     }
+    private[operators] def allConditions: Seq[String] = levels ++ nullLevel
   }
 
   /** Fellegi–Sunter scorer over multi-level fuzzy comparisons with fixed
@@ -308,7 +323,7 @@ object Link {
       comparisons: Seq[LevelComparison],
       threshold: Double): DataFrame = {
     validateComparison(blocking)
-    comparisons.foreach(_.levels.foreach(validateComparison))
+    comparisons.foreach(_.allConditions.foreach(validateComparison))
     val cand = left.alias("l").join(right.alias("r"), expr(blocking))
     scoreLevels(cand, leftId, rightId, comparisons, threshold)
   }
@@ -358,7 +373,7 @@ object Link {
       threshold: Double): DataFrame = {
     require(blockingRules.nonEmpty, "need at least one blocking rule")
     blockingRules.foreach(validateComparison)
-    comparisons.foreach(_.levels.foreach(validateComparison))
+    comparisons.foreach(_.allConditions.foreach(validateComparison))
     val cand = blockingRules
       .map(rule => pairs(left, right, leftId, rightId, rule))
       .reduce(_ union _)
@@ -385,9 +400,10 @@ object Link {
       comparisons: Seq[Seq[String]], // per comparison: ordered level conditions
       iterations: Int = 20,
       lambdaInit: Double = 0.1,
-      threshold: Double = 0.5): (DataFrame, Seq[(Seq[Double], Seq[Double])]) = {
+      threshold: Double = 0.5,
+      nullConditions: Seq[Option[String]] = Nil): (DataFrame, Seq[(Seq[Double], Seq[Double])]) = {
     val cand = emLevelsCandidates(left, right, leftId, rightId, blocking,
-      comparisons)
+      comparisons, nullConditions)
     fellegiSunterEmLevelsOnCandidates(cand, comparisons.map(_.size),
       iterations, lambdaInit, threshold)
   }
@@ -401,11 +417,19 @@ object Link {
       left: DataFrame, right: DataFrame,
       leftId: String, rightId: String,
       blocking: String,
-      comparisons: Seq[Seq[String]]): DataFrame = {
+      comparisons: Seq[Seq[String]],
+      nullConditions: Seq[Option[String]] = Nil): DataFrame = {
     validateComparison(blocking)
+    require(nullConditions.isEmpty || nullConditions.size == comparisons.size,
+      "nullConditions must be empty or align with comparisons")
     comparisons.foreach(_.foreach(validateComparison))
+    nullConditions.flatten.foreach(validateComparison)
+    val nulls =
+      if (nullConditions.isEmpty) Seq.fill(comparisons.size)(None: Option[String])
+      else nullConditions
     val gammas = comparisons.zipWithIndex.map { case (levels, i) =>
-      LevelComparison(levels, Seq.fill(levels.size + 1)(0.0)).gammaOf.as(s"g$i")
+      LevelComparison(levels, Seq.fill(levels.size + 1)(0.0), nulls(i))
+        .gammaOf.as(s"g$i")
     }
     left.alias("l").join(right.alias("r"), expr(blocking))
       .select(
@@ -476,20 +500,29 @@ object Link {
       var wSum = 0.0; var nSum = 0.0
       val mNum = nLevels.map(ln => new Array[Double](ln)).toArray
       val uNum = nLevels.map(ln => new Array[Double](ln)).toArray
+      // per-comparison denominators: a gamma of -1 (null level — the
+      // comparison is unobserved on that pair, splink's null handling)
+      // contributes likelihood factor 1 and is excluded from that
+      // comparison's m/u mass, so null pairs never move its estimates
+      val mDen = new Array[Double](nLevels.size)
+      val uDen = new Array[Double](nLevels.size)
       patterns.foreach { case (g, n) =>
-        val pm = g.zipWithIndex.map { case (gi, i) => m(i)(gi) }.product
-        val pu = g.zipWithIndex.map { case (gi, i) => u(i)(gi) }.product
+        val pm = g.zipWithIndex.map { case (gi, i) => if (gi < 0) 1.0 else m(i)(gi) }.product
+        val pu = g.zipWithIndex.map { case (gi, i) => if (gi < 0) 1.0 else u(i)(gi) }.product
         val w = lambda * pm / (lambda * pm + (1 - lambda) * pu)
         wSum += w * n; nSum += n
         g.zipWithIndex.foreach { case (gi, i) =>
-          mNum(i)(gi) += w * n; uNum(i)(gi) += (1 - w) * n
+          if (gi >= 0) {
+            mNum(i)(gi) += w * n; uNum(i)(gi) += (1 - w) * n
+            mDen(i) += w * n; uDen(i) += (1 - w) * n
+          }
         }
       }
       lambda = math.min(math.max(wSum / nSum, 1e-9), 1 - 1e-9)
       nLevels.indices.foreach { i =>
         (0 until nLevels(i)).foreach { g =>
-          m(i)(g) = math.min(math.max(mNum(i)(g) / wSum, 1e-6), 1 - 1e-6)
-          u(i)(g) = math.min(math.max(uNum(i)(g) / (nSum - wSum), 1e-6), 1 - 1e-6)
+          m(i)(g) = math.min(math.max(mNum(i)(g) / mDen(i), 1e-6), 1 - 1e-6)
+          u(i)(g) = math.min(math.max(uNum(i)(g) / uDen(i), 1e-6), 1 - 1e-6)
         }
       }
     }

@@ -163,9 +163,12 @@ object Media {
         System.setProperty("java.awt.headless", "true")
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
+          // NULL payloads and plugin RuntimeExceptions must flag the row,
+          // not fail the task — same contract as decodePcm16/decodeFrames.
           val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            if (bytes == null) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) (id, null: Array[Byte], -1L, -1L)
           else {
             val out = new java.awt.image.BufferedImage(

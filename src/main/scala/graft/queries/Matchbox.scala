@@ -429,6 +429,121 @@ object Matchbox {
       |WHERE match_weight >= 1.0
       |ORDER BY left_id, right_id""".stripMargin
 
+  /** Null-aware comparison levels — splink's null handling (reference
+    * splinklinker.py comparison templates): a NULL on either side of a
+    * comparison is its own gamma level (-1) with ZERO weight contribution,
+    * not a "miss" — without it sparse fields bias every linker toward
+    * disagreement. Segments are deterministically nulled on both sides
+    * (key % 10 buckets) so the null level actually fires; the name
+    * comparison is the usual fuzzy ladder.
+    */
+  private def linkFuzzyNulls(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    Link.fellegiSunterLevels(
+      nulledSeg(fuzzyLeft(s, dir), 0), nulledSeg(fuzzyRight(s, dir), 5),
+      "c_custkey", "c_custkey",
+      blocking = "l.blk = r.blk",
+      comparisons = Seq(
+        Link.LevelComparison(
+          Seq("l.sname = r.sname",
+            "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
+            "jaro_winkler_similarity(l.sname, r.sname) >= 0.88"),
+          Seq(-3.0, 1.5, 4.0, 6.0)),
+        Link.LevelComparison(
+          Seq("l.seg_n = r.seg_n"),
+          Seq(-0.5, 1.2),
+          nullLevel = Some("l.seg_n IS NULL OR r.seg_n IS NULL"))),
+      threshold = 1.0)
+      .withColumnRenamed("gamma0", "gamma_name")
+      .withColumnRenamed("gamma1", "gamma_seg")
+      .orderBy("left_id", "right_id")
+  }
+
+  /** Segment nulled when `c_custkey % 10 = mod` — the seeded-sparsity twin
+    * both engines derive identically.
+    */
+  private def nulledSeg(df: DataFrame, mod: Int): DataFrame =
+    df.withColumn("seg_n",
+      expr(s"CASE WHEN c_custkey % 10 = $mod THEN NULL ELSE c_mktsegment END"))
+
+  private val linkFuzzyNullsSql =
+    """WITH le AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END AS seg_n,
+      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS sname,
+      |    c_custkey // 20 AS blk
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |ri AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 5 THEN NULL ELSE c_mktsegment END AS seg_n,
+      |    CASE CAST(c_custkey % 10 AS INT)
+      |      WHEN 5 THEN substr(base, 1, 8)
+      |      WHEN 7 THEN substr(base, 1, 6)
+      |      WHEN 9 THEN reverse(base)
+      |      ELSE base END AS sname,
+      |    (c_custkey - 1) // 20 AS blk
+      |  FROM (SELECT *, substr(md5(CAST(c_custkey - 1 AS VARCHAR)), 1, 9) AS base
+      |        FROM customer WHERE c_custkey % 2 = 1)),
+      |g AS (
+      |  SELECT l.c_custkey AS left_id, r.c_custkey AS right_id,
+      |    CASE WHEN l.sname = r.sname THEN 3
+      |         WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.95 THEN 2
+      |         WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.88 THEN 1
+      |         ELSE 0 END AS gamma_name,
+      |    CASE WHEN l.seg_n IS NULL OR r.seg_n IS NULL THEN -1
+      |         WHEN l.seg_n = r.seg_n THEN 1 ELSE 0 END AS gamma_seg
+      |  FROM le l JOIN ri r ON l.blk = r.blk)
+      |SELECT * FROM (
+      |  SELECT CAST(left_id AS BIGINT) AS left_id, CAST(right_id AS BIGINT) AS right_id,
+      |    gamma_name, gamma_seg,
+      |    (CASE gamma_name WHEN 3 THEN CAST(6.0 AS DOUBLE) WHEN 2 THEN CAST(4.0 AS DOUBLE)
+      |       WHEN 1 THEN CAST(1.5 AS DOUBLE) ELSE CAST(-3.0 AS DOUBLE) END
+      |     + CASE gamma_seg WHEN 1 THEN CAST(1.2 AS DOUBLE)
+      |         WHEN 0 THEN CAST(-0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+      |    ) AS match_weight
+      |  FROM g)
+      |WHERE match_weight >= 1.0
+      |ORDER BY left_id, right_id""".stripMargin
+
+  /** Driver-gated EM null invariant: pairs whose comparison is NULL must
+    * not move that comparison's m/u estimates (they are excluded from its
+    * estimation mass; splink's null contract). Proven exactly: ONE EM
+    * iteration makes each pattern's E-step weight a pure function of the
+    * (fixed) init params, so the segment comparison's (m, u) trained on
+    * the null-marked candidates must be BIT-IDENTICAL to those trained on
+    * the candidates with every null pair physically removed. Also gates
+    * full-EM run-twice determinism and that the seeding actually produced
+    * null pairs.
+    */
+  private def linkFuzzyNullsGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val levels = Seq(
+      Seq("l.sname = r.sname",
+        "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
+        "jaro_winkler_similarity(l.sname, r.sname) >= 0.88"),
+      Seq("l.seg_n = r.seg_n"))
+    val cand = Link.emLevelsCandidates(
+      nulledSeg(fuzzyLeft(s, dir), 0), nulledSeg(fuzzyRight(s, dir), 5),
+      "c_custkey", "c_custkey", "l.blk = r.blk", levels,
+      nullConditions = Seq(None, Some("l.seg_n IS NULL OR r.seg_n IS NULL")))
+      .localCheckpoint(false) // feeds four EM fits + the null-pair count
+    val withoutNulls = cand.filter(col("g1") =!= -1)
+    def segParams(c: DataFrame) = Link.fellegiSunterEmLevelsOnCandidates(
+      c, levels.map(_.size), iterations = 1)._2(1)
+    val oneIterInvariant = segParams(cand) == segParams(withoutNulls)
+    def fullRun() = Link.fellegiSunterEmLevelsOnCandidates(
+      cand, levels.map(_.size))
+    val (scored1, p1) = fullRun()
+    val (scored2, p2) = fullRun()
+    val nullPairs = cand.filter(col("g1") === -1).count()
+    val ok = oneIterInvariant && p1 == p2 &&
+      scored1.count() == scored2.count() && nullPairs > 0
+    Seq(ok).toDF("nulls_ok")
+  }
+
+  private val linkFuzzyNullsGateSql = "SELECT CAST(1 AS BOOLEAN) AS nulls_ok"
+
   /** Multiple blocking rules for candidate generation — splink's
     * `blocking_rules_to_generate_predictions` list: pairs missed by the
     * key-bucket rule (planted duplicates whose custkeys straddle a bucket
@@ -1285,17 +1400,32 @@ object Matchbox {
       .unionByName(part.select(
         (col("p_partkey") * 3 + 2).cast("long").as("id"),
         lit("part").as("source"), col("p_partkey").cast("long").as("rec_key")))
-    def resolution(linkEdges: DataFrame): DataFrame =
-      Lookup.asLookup(Components.connected(linkEdges), members)
+    val edgesA = Link.deterministic(customer, supplier, "c_custkey", "s_suppkey",
+      Seq("l.c_custkey = r.s_suppkey"))
+      .select((col("left_id") * 3).as("src"), (col("right_id") * 3 + 1).as("dst"))
+    val edgesB = Link.deterministic(customer, part, "c_custkey", "p_partkey",
+      Seq("l.c_custkey = r.p_partkey"))
+      .select((col("left_id") * 3).as("src"), (col("right_id") * 3 + 2).as("dst"))
+    // Both resolutions share one member universe, so solve them in ONE
+    // components run over the disjoint tagged union (A's node k → 2k, B's →
+    // 2k+1): the per-side namespacing is strictly monotone, so each side's
+    // min-id representative maps back to exactly the representative a
+    // standalone run would pick — halving the O(log n) iterative rounds.
+    val comp = Components.connected(
+      edgesA.select((col("src") * 2).as("src"), (col("dst") * 2).as("dst"))
+        .unionByName(
+          edgesB.select((col("src") * 2 + 1).as("src"), (col("dst") * 2 + 1).as("dst"))))
+      .localCheckpoint(false) // feeds both per-side splits
+    def resolution(tag: Int): DataFrame =
+      Lookup.asLookup(
+        comp.where(col("id") % 2 === tag)
+          // 2k+tag >> 1 = k for tag ∈ {0,1}: exact LongType untagging
+          .select(shiftright(col("id"), 1).as("id"),
+            shiftright(col("component"), 1).as("component")),
+        members)
         .select(col("cluster_id"), col("id").as("leaf_id"))
-    val resA = resolution(
-      Link.deterministic(customer, supplier, "c_custkey", "s_suppkey",
-        Seq("l.c_custkey = r.s_suppkey"))
-        .select((col("left_id") * 3).as("src"), (col("right_id") * 3 + 1).as("dst")))
-    val resB = resolution(
-      Link.deterministic(customer, part, "c_custkey", "p_partkey",
-        Seq("l.c_custkey = r.p_partkey"))
-        .select((col("left_id") * 3).as("src"), (col("right_id") * 3 + 2).as("dst")))
+    val resA = resolution(0)
+    val resB = resolution(1)
     Lookup.mergeResolutions(resA, resB)
       .join(members.withColumnRenamed("id", "leaf_id"), "leaf_id")
       .select(col("cluster_id"), col("source"), col("rec_key"))
@@ -1664,6 +1794,9 @@ object Matchbox {
     QueryDef("mb_link_em", linkEm, None),
     QueryDef("mb_link_em_gate", linkEmGate, Some(linkEmGateSql)),
     QueryDef("mb_link_fuzzy", linkFuzzy, Some(linkFuzzySql)),
+    QueryDef("mb_link_fuzzy_nulls", linkFuzzyNulls, Some(linkFuzzyNullsSql)),
+    QueryDef("mb_link_fuzzy_nulls_gate", linkFuzzyNullsGate,
+      Some(linkFuzzyNullsGateSql)),
     QueryDef("mb_link_blocking_rules", linkBlockingRules, Some(linkBlockingRulesSql)),
     QueryDef("mb_link_fuzzy_em_gate", linkFuzzyEmGate, Some(linkFuzzyEmGateSql)),
     QueryDef("mb_link_tf", linkTf, Some(linkTfSql)),

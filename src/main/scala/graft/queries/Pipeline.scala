@@ -1693,6 +1693,87 @@ object Pipeline {
       |FROM t JOIN df USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style LM quality filter (Wenzek et al. 2019): score each
+    * document's per-token surprisal under a corpus-trained bigram model
+    * with stupid backoff (Brants et al. 2007 — no discounting, a fixed
+    * α = 0.4 backoff to the unigram, the web-scale recipe). Everything is
+    * integer-exact across engines: probabilities are parts-per-million by
+    * integer division, and the per-token surprisal is whole BITS via exact
+    * floor-log2 — `length(bin(x)) - 1`, the same bit-length primitive in
+    * Spark and DuckDB — so no libm log whose last ulp differs.
+    *
+    * Scale shape (the CCNet pipeline's): token stream → two count
+    * aggregates (unigram, bigram — the distributed LM "training"), then
+    * posting-list equi-joins back onto the stream (shuffle key = token,
+    * exactly the 100 TB vocabulary-join shape) and one per-doc aggregate.
+    * The only scalar (total token count N) rides a broadcast one-row
+    * aggregate. Nothing quadratic, nothing driver-side.
+    */
+  private def perplexity(s: SparkSession, dir: String): DataFrame = {
+    val stream = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks)),
+          |  i -> struct(IF(i = 1, NULL, element_at(toks, i - 1)) AS prev,
+          |              element_at(toks, i) AS tok))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+      .localCheckpoint(false) // feeds LM training AND scoring
+    val uni = stream.groupBy("tok").agg(count(lit(1)).as("c_uni"))
+      .localCheckpoint(false) // joined twice (token + context)
+    val total = uni.agg(sum("c_uni").as("n_corpus"))
+    val bi = stream.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c_bi"))
+    stream
+      .join(uni, "tok")
+      .join(uni.select(col("tok").as("prev"), col("c_uni").as("c_prev")),
+        Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(total))
+      // p in ppm ∈ [1, 1e6]; c_bi ≤ c_prev and c_uni ≤ N keep it ≤ 1e6
+      .withColumn("p_ppm", expr(
+        """CASE WHEN prev IS NULL THEN greatest(1L, (1000000 * c_uni) div n_corpus)
+          |     WHEN c_bi IS NOT NULL THEN greatest(1L, (1000000 * c_bi) div c_prev)
+          |     ELSE greatest(1L, (400000 * c_uni) div n_corpus) END""".stripMargin))
+      // surprisal in whole bits: floor_log2(1e6)=19, minus exact floor-log2
+      .withColumn("bits", expr("20L - length(bin(p_ppm))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("nll_bits"))
+      .withColumn("mean_millibits", expr("(1000 * nll_bits) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val perplexitySql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |st AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks) + 1),
+      |      i -> CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END)) AS prev,
+      |    unnest(list_transform(range(1, len(toks) + 1), i -> toks[i])) AS tok
+      |  FROM d),
+      |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_uni FROM st GROUP BY tok),
+      |tot AS (SELECT CAST(sum(c_uni) AS BIGINT) AS n_corpus FROM uni),
+      |bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS c_bi
+      |       FROM st WHERE prev IS NOT NULL GROUP BY prev, tok),
+      |scored AS (
+      |  SELECT st.doc_id,
+      |    CASE WHEN st.prev IS NULL
+      |           THEN greatest(1, (1000000 * u.c_uni) // n_corpus)
+      |         WHEN b.c_bi IS NOT NULL
+      |           THEN greatest(1, (1000000 * b.c_bi) // up.c_uni)
+      |         ELSE greatest(1, (400000 * u.c_uni) // n_corpus) END AS p_ppm
+      |  FROM st
+      |  JOIN uni u ON u.tok = st.tok
+      |  LEFT JOIN uni up ON up.tok = st.prev
+      |  LEFT JOIN bi b ON b.prev = st.prev AND b.tok = st.tok
+      |  CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(20 - length(bin(p_ppm))) AS BIGINT) AS nll_bits,
+      |  CAST((1000 * sum(20 - length(bin(p_ppm)))) // count(*) AS BIGINT)
+      |    AS mean_millibits
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Deterministic corpus sharding — the write-side layout step that turns
     * a curated corpus into N equal-ish training shards with a
     * content-derived, order-free assignment (first md5 nibble → 16
@@ -2023,6 +2104,7 @@ object Pipeline {
     QueryDef("dx_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("dx_classifier_filter", classifierFilter, Some(classifierFilterSql)),
     QueryDef("dx_token_rarity", tokenRarity, Some(tokenRaritySql)),
+    QueryDef("dx_perplexity", perplexity, Some(perplexitySql)),
     QueryDef("dx_shard", shard, Some(shardSql)),
     QueryDef("dx_percentile_gate", percentileGate, Some(percentileGateSql)),
     QueryDef("dx_percentile_group_gate", percentileGroupGate, Some(percentileGroupGateSql)),

@@ -637,7 +637,12 @@ object Relational {
     */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame = {
     val n = Tables(s, dir, "lineitem").count()
-    val acc = math.max(100000L, 2L * n)
+    // ApproximatePercentile requires accuracy ∈ (0, Int.MaxValue]; past
+    // ~1.07B rows the 2·N sizing would fail analysis (and its memory is the
+    // sketch size), so clamp — above the clamp the query is an honest
+    // sketch, no longer exact-by-sizing, which is the production contract
+    // anyway (see scaladoc).
+    val acc = math.min(math.max(100000L, 2L * n), Int.MaxValue.toLong)
     Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
     s.sql(s"""SELECT l_returnflag,
       |  approx_percentile(l_extendedprice, 0.5, $acc) AS p50,
@@ -1382,7 +1387,11 @@ object Relational {
     val total = value.agg(sum(col("val_c")).as("total_c"),
       count(lit(1)).as("n_supp"))
     value.crossJoin(broadcast(total))
-      .filter(col("val_c") * col("n_supp") > col("total_c"))
+      // DECIMAL(38,0) product: a plain BIGINT multiply could silently
+      // overflow at large sf where DuckDB's HUGEINT doesn't — 38 digits
+      // covers any realistic total (≤1e18 cents × ≤1e9 suppliers = 1e27).
+      .filter(col("val_c").cast("decimal(38,0)") * col("n_supp") >
+        col("total_c").cast("decimal(38,0)"))
       .select(col("l_suppkey").as("s_suppkey"),
         (col("val_c").cast("double") / 100.0).as("value"))
       .orderBy(col("value").desc, col("s_suppkey"))

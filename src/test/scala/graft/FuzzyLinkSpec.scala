@@ -76,6 +76,59 @@ class FuzzyLinkSpec extends SparkSpec {
     }
   }
 
+  test("nullLevel: NULL on either side is gamma -1 with zero weight, not a miss") {
+    GraftExtensions.register(spark)
+    val left = Seq((1L, "ann", Option("A")), (2L, "bob", None))
+      .toDF("id", "name", "seg").withColumn("blk", lit(1))
+    val right = Seq((10L, "ann", Option("B")), (20L, "bob", None))
+      .toDF("id", "name", "seg").withColumn("blk", lit(1))
+    val out = Link.fellegiSunterLevels(
+      left, right, "id", "id", "l.blk = r.blk",
+      Seq(
+        Link.LevelComparison(Seq("l.name = r.name"), Seq(-2.0, 4.0)),
+        Link.LevelComparison(Seq("l.seg = r.seg"), Seq(-1.0, 2.0),
+          nullLevel = Some("l.seg IS NULL OR r.seg IS NULL"))),
+      threshold = -10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3), r.getDouble(4))).toSet
+    // (1,10): names agree, segs both present but differ -> miss penalty
+    assert(out.contains((1L, 10L, 1, 0, 3.0)))
+    // (2,20): names agree, right seg NULL -> gamma -1, contribution 0.0
+    assert(out.contains((2L, 20L, 1, -1, 4.0)))
+    // (2,10): left seg NULL -> gamma -1 even though right has a value
+    assert(out.contains((2L, 10L, 0, -1, -2.0)))
+  }
+
+  test("EM null exclusion: null pairs never move the comparison's m/u (1-iter invariant)") {
+    GraftExtensions.register(spark)
+    // 6 pairs: 2 exact-agree, 2 disagree, 2 with a NULL side on seg
+    val left = (1L to 6L).map(i => (i, s"n$i",
+      if (i <= 4) Option(if (i <= 2) "X" else "A") else None))
+      .toDF("id", "name", "seg").withColumn("blk", lit(1))
+    val right = (1L to 6L).map(i => (i + 10L, s"n$i",
+      if (i <= 4) Option(if (i <= 2) "X" else "B") else None))
+      .toDF("id", "name", "seg").withColumn("blk", lit(1))
+    val levels = Seq(Seq("l.name = r.name"), Seq("l.seg = r.seg"))
+    val cand = Link.emLevelsCandidates(left, right, "id", "id", "l.blk = r.blk",
+      levels, nullConditions = Seq(None, Some("l.seg IS NULL OR r.seg IS NULL")))
+      .localCheckpoint(false)
+    assert(cand.filter(col("g1") === -1).count() > 0, "nulls must be seeded")
+    def segParams(c: org.apache.spark.sql.DataFrame) =
+      Link.fellegiSunterEmLevelsOnCandidates(c, levels.map(_.size),
+        iterations = 1, threshold = 0.0)._2(1)
+    // one E/M step: pattern weights depend only on the fixed init, so
+    // dropping the null pairs outright must leave seg's (m, u) bit-identical
+    assert(segParams(cand) == segParams(cand.filter(col("g1") =!= -1)))
+    // and a null pair's score must equal the same pair scored without the
+    // null comparison contributing (factor 1.0): determinism run-twice
+    val (s1, p1) = Link.fellegiSunterEmLevelsOnCandidates(cand, levels.map(_.size),
+      threshold = 0.0)
+    val (s2, p2) = Link.fellegiSunterEmLevelsOnCandidates(cand, levels.map(_.size),
+      threshold = 0.0)
+    assert(p1 == p2 && s1.orderBy("left_id", "right_id").collect().toSeq ==
+      s2.orderBy("left_id", "right_id").collect().toSeq)
+  }
+
   test("fellegiSunterEmLevels: deterministic, ordinal gammas learn a discriminative exact level") {
     GraftExtensions.register(spark)
     // planted duplicates agree exactly; noise pairs agree weakly or not at all

@@ -61,11 +61,16 @@ class RegistrySpec extends SparkSpec {
       "dx_sample_temperature" -> scalarAggBuild,
       "dx_tfidf" -> scalarAggBuild,
       "dx_bm25_search" -> scalarAggBuild,
+      // LM normaliser: one-row corpus token count crossed into the stream
+      "dx_perplexity" -> scalarAggBuild,
       // important-share HAVING: one-row (total, n_suppliers) aggregate
       // crossed into the per-supplier value table
       "q11_important_share" -> scalarAggBuild,
       // ARI: two one-row pair-count aggregates crossed into the cells row
       "mb_eval_ari" -> scalarAggBuild,
+      // triangle stats: edge-count + triangle-count one-row aggregates
+      // crossed into the (n_nodes, n_wedges) row
+      "q_graph_triangles" -> scalarAggBuild,
       // sweep: one-row cluster-census aggregate per threshold (x3)
       "mb_resolver_sweep" -> scalarAggBuild,
       "dx_boilerplate" -> scalarAggBuild)
@@ -73,7 +78,7 @@ class RegistrySpec extends SparkSpec {
     // per-document pass: the corpus count (threshold) and the collected
     // common-token set — each build must still prove the scalar-agg shape
     val maxBnljs = Map("dx_boilerplate" -> 2, "mb_eval_ari" -> 2,
-      "mb_resolver_sweep" -> 3).withDefaultValue(1)
+      "q_graph_triangles" -> 2, "mb_resolver_sweep" -> 3).withDefaultValue(1)
 
     Registry.all.foreach { d =>
       val plan = d.fn(spark, sfDir).queryExecution.executedPlan
