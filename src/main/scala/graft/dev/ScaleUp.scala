@@ -25,6 +25,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.ts is TIMESTAMP(NANOS): read it as a plain long (what
+    // graft.Tables does) and write it back as INT64 — Tables' `ts DIV 1000`
+    // path reads both encodings identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     // next power of ten above the max key: offsets stay human-readable and

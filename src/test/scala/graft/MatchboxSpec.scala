@@ -49,6 +49,23 @@ class MatchboxSpec extends SparkSpec {
     assert(pairs.groupBy("left_id", "right_id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("naiveStarEdges: components equal the full pair set's, with linear edges") {
+    val cust = Tables(spark, sfDir, "customer")
+    val fields = Seq("c_nationkey", "c_mktsegment")
+    val pairEdges = Dedupe.naive(cust, "c_custkey", fields)
+      .select(col("left_id").as("src"), col("right_id").as("dst"))
+    val starEdges = Dedupe.naiveStarEdges(cust, "c_custkey", fields)
+      .select(col("left_id").as("src"), col("right_id").as("dst"))
+    assert(starEdges.count() < pairEdges.count())
+    val a = Components.connected(pairEdges)
+    val b = Components.connected(starEdges)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // NULL unique fields match nothing in either form
+    val withNulls = Seq((1L, Option("x")), (2L, Option("x")),
+      (3L, None), (4L, None)).toDF("id", "v")
+    assert(Dedupe.naiveStarEdges(withNulls, "id", Seq("v")).count() == 1)
+  }
+
   test("mergeResolutions unions co-membership transitively and keeps singletons") {
     import graft.operators.Lookup
     // A: {1,2} {3} {4,5}; B: {2,3} {4} {6}
