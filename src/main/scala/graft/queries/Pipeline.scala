@@ -1709,7 +1709,13 @@ object Pipeline {
     * The only scalar (total token count N) rides a broadcast one-row
     * aggregate. Nothing quadratic, nothing driver-side.
     */
-  private def perplexity(s: SparkSession, dir: String): DataFrame = {
+  private def perplexity(s: SparkSession, dir: String): DataFrame =
+    perplexityStats(s, dir).orderBy("doc_id")
+
+  /** Per-doc (n_tokens, nll_bits, mean_millibits) under the stupid-backoff
+    * bigram LM — shared by [[perplexity]] and [[perplexityBuckets]].
+    */
+  private def perplexityStats(s: SparkSession, dir: String): DataFrame = {
     val stream = Tables(s, dir, "documents")
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .select(col("doc_id"), explode(expr(
@@ -1740,10 +1746,67 @@ object Pipeline {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("bits")).as("nll_bits"))
       .withColumn("mean_millibits", expr("(1000 * nll_bits) div n_tokens"))
-      .orderBy("doc_id")
   }
 
-  private val perplexitySql =
+  /** The CCNet selection step on top of [[perplexity]] (Wenzek et al. 2019
+    * §4.4): split the corpus into head / middle / tail by per-doc LM
+    * surprisal terciles — head (lowest perplexity) is the cleanest training
+    * slice, tail the noisiest. Thresholds come from the mergeable GK
+    * sketch sized exact at oracle scale (the qPercentiles contract: rank
+    * error < 1 ⇒ bit-identical to DuckDB's percentile_disc; at 100 TB a
+    * caller pins accuracy to a rank budget instead) and ride a broadcast
+    * one-row aggregate into a value comparison — ties land in the same
+    * bucket in both engines, no global sort or rank anywhere. Output is
+    * the per-bucket census a mixing pipeline consumes.
+    */
+  private def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val stats = perplexityStats(s, dir)
+      .localCheckpoint(false) // feeds the threshold sketch AND the tagging
+    val n = Tables(s, dir, "documents").count()
+    val acc = math.min(math.max(100000L, 2L * n), Int.MaxValue.toLong)
+    val thr = stats.agg(
+      expr(s"approx_percentile(mean_millibits, 0.34, $acc)").as("p34"),
+      expr(s"approx_percentile(mean_millibits, 0.67, $acc)").as("p67"))
+    stats.crossJoin(broadcast(thr))
+      .withColumn("bucket", expr(
+        """CASE WHEN mean_millibits <= p34 THEN 'head'
+          |     WHEN mean_millibits <= p67 THEN 'middle'
+          |     ELSE 'tail' END""".stripMargin))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        min("mean_millibits").as("min_mmb"),
+        max("mean_millibits").as("max_mmb"))
+      .orderBy("bucket")
+  }
+
+  // lazy: declared above perplexityCtes in file order
+  private lazy val perplexityBucketsSql =
+    s"""$perplexityCtes,
+       |stats AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST((1000 * sum(20 - length(bin(p_ppm)))) // count(*) AS BIGINT)
+       |      AS mean_millibits
+       |  FROM scored GROUP BY doc_id),
+       |thr AS (
+       |  SELECT percentile_disc(0.34) WITHIN GROUP (ORDER BY mean_millibits) AS p34,
+       |    percentile_disc(0.67) WITHIN GROUP (ORDER BY mean_millibits) AS p67
+       |  FROM stats)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  min(mean_millibits) AS min_mmb, max(mean_millibits) AS max_mmb
+       |FROM (
+       |  SELECT n_tokens, mean_millibits,
+       |    CASE WHEN mean_millibits <= p34 THEN 'head'
+       |         WHEN mean_millibits <= p67 THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM stats CROSS JOIN thr)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Shared WITH-clause prefix: the token stream, LM counts and per-token
+    * scored probabilities — everything through the `scored` CTE.
+    */
+  private val perplexityCtes =
     """WITH d AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
       |st AS (
@@ -1767,12 +1830,15 @@ object Pipeline {
       |  JOIN uni u ON u.tok = st.tok
       |  LEFT JOIN uni up ON up.tok = st.prev
       |  LEFT JOIN bi b ON b.prev = st.prev AND b.tok = st.tok
-      |  CROSS JOIN tot)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |  CAST(sum(20 - length(bin(p_ppm))) AS BIGINT) AS nll_bits,
-      |  CAST((1000 * sum(20 - length(bin(p_ppm)))) // count(*) AS BIGINT)
-      |    AS mean_millibits
-      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  CROSS JOIN tot)""".stripMargin
+
+  private val perplexitySql =
+    s"""$perplexityCtes
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(20 - length(bin(p_ppm))) AS BIGINT) AS nll_bits,
+       |  CAST((1000 * sum(20 - length(bin(p_ppm)))) // count(*) AS BIGINT)
+       |    AS mean_millibits
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Deterministic corpus sharding — the write-side layout step that turns
     * a curated corpus into N equal-ish training shards with a
@@ -2105,6 +2171,7 @@ object Pipeline {
     QueryDef("dx_classifier_filter", classifierFilter, Some(classifierFilterSql)),
     QueryDef("dx_token_rarity", tokenRarity, Some(tokenRaritySql)),
     QueryDef("dx_perplexity", perplexity, Some(perplexitySql)),
+    QueryDef("dx_perplexity_buckets", perplexityBuckets, Some(perplexityBucketsSql)),
     QueryDef("dx_shard", shard, Some(shardSql)),
     QueryDef("dx_percentile_gate", percentileGate, Some(percentileGateSql)),
     QueryDef("dx_percentile_group_gate", percentileGroupGate, Some(percentileGroupGateSql)),

@@ -63,6 +63,8 @@ class RegistrySpec extends SparkSpec {
       "dx_bm25_search" -> scalarAggBuild,
       // LM normaliser: one-row corpus token count crossed into the stream
       "dx_perplexity" -> scalarAggBuild,
+      // + the one-row tercile-threshold sketch crossed into the tagging
+      "dx_perplexity_buckets" -> scalarAggBuild,
       // important-share HAVING: one-row (total, n_suppliers) aggregate
       // crossed into the per-supplier value table
       "q11_important_share" -> scalarAggBuild,
@@ -78,7 +80,8 @@ class RegistrySpec extends SparkSpec {
     // per-document pass: the corpus count (threshold) and the collected
     // common-token set — each build must still prove the scalar-agg shape
     val maxBnljs = Map("dx_boilerplate" -> 2, "mb_eval_ari" -> 2,
-      "q_graph_triangles" -> 2, "mb_resolver_sweep" -> 3).withDefaultValue(1)
+      "q_graph_triangles" -> 2, "dx_perplexity_buckets" -> 2,
+      "mb_resolver_sweep" -> 3).withDefaultValue(1)
 
     Registry.all.foreach { d =>
       val plan = d.fn(spark, sfDir).queryExecution.executedPlan
