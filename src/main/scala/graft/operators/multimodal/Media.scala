@@ -16,10 +16,13 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled` WAV container + explicit PCM16 DSP). The
   * multi-frame ("video") path is real for animated GIF
   * ([[synthesizeGif]] / [[sampleFramesReal]]: the JDK's sequence writer
-  * and `ImageReader` frame extraction); true video codecs (H.264 etc.)
-  * don't ship with the JDK, so opaque payloads keep the deterministic
-  * byte-window stubs ([[resizeStub]] / [[sampleFrames]]), swappable for
-  * an external codec behind the same partition-batched API.
+  * and `ImageReader` frame extraction) AND for RIFF/AVI video
+  * ([[synthesizeAvi]] / [[aviMeta]] / [[transcodeAvi]]: a pure-Scala AVI
+  * container writer+parser with uncompressed-DIB and Motion-JPEG codecs
+  * — no external library). Inter-frame codecs (H.264 etc.) don't ship
+  * with the JDK, so opaque payloads keep the deterministic byte-window
+  * stubs ([[resizeStub]] / [[sampleFrames]]), swappable for an external
+  * codec behind the same partition-batched API.
   */
 object Media {
 
@@ -403,12 +406,14 @@ object Media {
       .toDF("media_id", "payload")
   }
 
-  /** REAL frame sampling: decode a multi-frame container (animated GIF via
-    * the JDK's `ImageReader`), keep every `everyN`-th frame, and re-encode
-    * each kept frame as a standalone PNG — the real-codec twin of
-    * [[sampleFrames]]: the same one→many partition-batched explode, with
-    * an actual decoder in the loop. Undecodable payloads yield a single
-    * flagged row (frame_idx −1, NULL frame), never a silent drop.
+  /** REAL frame sampling: decode a multi-frame container (RIFF/AVI via
+    * the pure-Scala parser below, or animated GIF via the JDK's
+    * `ImageReader` — routed on the container magic), keep every
+    * `everyN`-th frame, and re-encode each kept frame as a standalone
+    * PNG — the real-codec twin of [[sampleFrames]]: the same one→many
+    * partition-batched explode, with an actual decoder in the loop.
+    * Undecodable payloads yield a single flagged row (frame_idx −1, NULL
+    * frame), never a silent drop.
     */
   def sampleFramesReal(payloads: DataFrame, everyN: Int = 2): DataFrame = {
     require(everyN > 0)
@@ -420,7 +425,9 @@ object Media {
         System.setProperty("java.awt.headless", "true")
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes) =>
-          decodeFrames(bytes) match {
+          val decoded =
+            if (isAvi(bytes)) decodeAvi(bytes).map(_._2) else decodeFrames(bytes)
+          decoded match {
             case None => Iterator.single((id, -1L, null: Array[Byte], -1L, -1L))
             case Some(frames) =>
               frames.iterator.zipWithIndex
@@ -488,6 +495,324 @@ object Media {
         } finally reader.dispose()
       }
     } catch { case _: Exception => None }
+
+  // ---------------------------------------------------------------------
+  // RIFF/AVI video container — pure-Scala writer + parser, two codecs:
+  // uncompressed DIB (BI_RGB 24-bit, bottom-up BGR rows — lossless, so a
+  // decode→re-encode round trip is bit-identical) and MJPG (each frame an
+  // ImageIO-encoded JPEG — the classic Motion-JPEG layout). The container
+  // structure (RIFF → LIST hdrl {avih, LIST strl {strh, strf}} → LIST
+  // movi {00db/00dc chunks} → idx1) follows the public AVI spec; no
+  // external codec library is involved, so the path runs on any executor.
+  // ---------------------------------------------------------------------
+
+  /** REAL video synthesis: one deterministic AVI clip per row — `nFrames`
+    * RGB frames whose pixels derive from a text column's bytes and the
+    * frame index — written into a RIFF/AVI container on executors.
+    * `codec` is `"DIB "` (uncompressed 24-bit, lossless) or `"MJPG"`
+    * (per-frame JPEG). Headers carry no timestamps, so the payload is a
+    * pure function of (text, geometry, codec).
+    */
+  def synthesizeAvi(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, h: Int = 16, nFrames: Int = 5, fps: Int = 10,
+      codec: String = "DIB "): DataFrame = {
+    require(w > 0 && h > 0 && nFrames > 0 && fps > 0 &&
+      w.toLong * h * nFrames <= (1 << 22),
+      s"$nFrames frames of $w x $h unreasonably large")
+    require(codec == "DIB " || codec == "MJPG", s"unsupported codec $codec")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val bytes = if (text == null || text.isEmpty) Array[Byte](1)
+                      else text.getBytes("UTF-8")
+          val frames = (0 until nFrames).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * (f + 1)
+                val r = bytes(i % bytes.length) & 0xff
+                val g = bytes((i * 7 + f + 3) % bytes.length) & 0xff
+                val b = bytes((i * 13 + 5) % bytes.length) & 0xff
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          (id, encodeAvi(frames, fps, codec))
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** Header-only video metadata scan: parse each clip's RIFF structure
+    * (avih/strh/strf — no frame decode, so cost is O(header) per row) into
+    * typed columns. Unparseable payloads are flagged (−1 dims, NULL
+    * codec), never dropped.
+    */
+  def aviMeta(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          parseAvi(bytes, decode = false) match {
+            case None =>
+              (id, -1L, -1L, -1L, -1L, null: String)
+            case Some(m) =>
+              (id, m.width.toLong, m.height.toLong, m.fps.toLong,
+                m.nFramesHdr.toLong, m.codec)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "fps", "n_frames", "codec")
+  }
+
+  /** Transcode each AVI clip to `codec`, preserving geometry and frame
+    * rate — decode every frame through the real parser, re-encode through
+    * the real writer. Because DIB is lossless and the writer is
+    * deterministic, `transcodeAvi(x, "DIB ")` of a DIB-coded clip is
+    * bit-identical to the input: the exactness contract the video gate
+    * asserts. Undecodable clips yield a NULL payload (flagged).
+    */
+  def transcodeAvi(payloads: DataFrame, codec: String): DataFrame = {
+    require(codec == "DIB " || codec == "MJPG", s"unsupported codec $codec")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          decodeAvi(bytes) match {
+            case None => (id, null: Array[Byte])
+            case Some((meta, frames)) =>
+              (id, encodeAvi(frames, meta.fps, codec))
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** Frame sequence → AVI container bytes (writer half of the pair). */
+  private[multimodal] def encodeAvi(
+      frames: Seq[java.awt.image.BufferedImage], fps: Int,
+      codec: String): Array[Byte] = {
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    val isDib = codec == "DIB "
+    val ckId = if (isDib) "00db" else "00dc"
+    val frameData = frames.map { f =>
+      if (isDib) packDib(f)
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(toBgr(f), "jpeg", bos)
+        bos.toByteArray
+      }
+    }
+    val maxFrame = frameData.map(_.length).max
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = { require(s.length == 4); s.getBytes("US-ASCII") }
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if ((data.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray
+      cc(id) ++ le32(data.length.toLong) ++ data ++ pad
+    }
+    def list(typ: String, data: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le32(4L + data.length) ++ cc(typ) ++ data
+    val avih = le32(1000000L / fps) ++ le32(maxFrame.toLong * fps) ++
+      le32(0) ++ le32(0x10) /* AVIF_HASINDEX */ ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++
+      le32(maxFrame.toLong) ++ le32(w.toLong) ++ le32(h.toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc("vids") ++ cc(codec) ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) /* scale */ ++ le32(fps.toLong) /* rate */ ++
+      le32(0) ++ le32(frames.length.toLong) ++ le32(maxFrame.toLong) ++
+      le32(0xffffffffL) /* quality */ ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val biCompression = if (isDib) 0L
+      else java.lang.Integer.toUnsignedLong(
+        java.nio.ByteBuffer.wrap(cc("MJPG"))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+    val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++
+      le16(24) ++ le32(biCompression) ++ le32(maxFrame.toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val moviChunks = frameData.map(d => chunk(ckId, d))
+    val movi = list("movi", moviChunks.flatten.toArray)
+    // idx1 offsets are relative to the position of the 'movi' fourcc
+    val offsets = moviChunks.scanLeft(4L)((off, c) => off + c.length).init
+    val idx1 = chunk("idx1",
+      offsets.zip(frameData).flatMap { case (off, d) =>
+        cc(ckId) ++ le32(0x10) /* AVIIF_KEYFRAME */ ++ le32(off) ++ le32(d.length.toLong)
+      }.toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi ++ idx1
+    (cc("RIFF") ++ le32(body.length.toLong) ++ body)
+  }
+
+  private[multimodal] final case class AviMeta(
+      width: Int, height: Int, fps: Int, codec: String, nFramesHdr: Int,
+      bitCount: Int, compression: Long, frameChunks: Seq[Array[Byte]])
+
+  private def isAvi(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte &&
+      bytes(8) == 'A'.toByte && bytes(9) == 'V'.toByte &&
+      bytes(10) == 'I'.toByte && bytes(11) == ' '.toByte
+
+  /** Parser half: walk the RIFF tree, pull stream geometry from
+    * strh/strf and (when `decode`) the raw frame chunks from the movi
+    * list. Returns None on any malformed structure — flagging, not
+    * throwing, is the caller's contract.
+    */
+  private def parseAvi(bytes: Array[Byte], decode: Boolean): Option[AviMeta] =
+    if (!isAvi(bytes)) None
+    else try {
+      def u32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      def cc(off: Int): String =
+        new String(bytes, off, 4, "US-ASCII")
+      var width = -1; var height = -1; var fps = -1; var codec: String = null
+      var nFramesHdr = -1; var bitCount = -1; var compression = -1L
+      val frameChunks = Seq.newBuilder[Array[Byte]]
+      // walk(chunks) over [from, until): RIFF chunk headers are 8 bytes,
+      // payloads pad to even length; LISTs nest.
+      def walk(from: Int, until: Int): Unit = {
+        var p = from
+        while (p + 8 <= until) {
+          val id = cc(p)
+          val size = u32(p + 4)
+          val dataAt = p + 8
+          if (dataAt + size > until) throw new IllegalArgumentException("truncated chunk")
+          if (id == "LIST") {
+            val typ = cc(dataAt)
+            if (typ == "hdrl" || typ == "strl" || (typ == "movi" && decode))
+              walk(dataAt + 4, dataAt + size.toInt)
+          } else if (id == "strh") {
+            if (cc(dataAt) == "vids") {
+              codec = cc(dataAt + 4)
+              val scale = u32(dataAt + 20)
+              val rate = u32(dataAt + 24)
+              if (scale > 0) fps = (rate / scale).toInt
+              nFramesHdr = u32(dataAt + 32).toInt
+            }
+          } else if (id == "strf" && width < 0) {
+            width = u32(dataAt + 4).toInt
+            height = u32(dataAt + 8).toInt
+            bitCount = (u32(dataAt + 14) & 0xffff).toInt
+            compression = u32(dataAt + 16)
+          } else if (id == "00db" || id == "00dc") {
+            frameChunks += java.util.Arrays.copyOfRange(
+              bytes, dataAt, dataAt + size.toInt)
+          }
+          p = dataAt + size.toInt + (size.toInt & 1)
+        }
+      }
+      walk(12, bytes.length)
+      if (width <= 0 || height <= 0 || fps <= 0 || codec == null) None
+      else Some(AviMeta(width, height, fps, codec, nFramesHdr, bitCount,
+        compression, frameChunks.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** AVI bytes → (meta, decoded frames): DIB chunks unpack directly,
+    * MJPG chunks go through the JDK's JPEG reader. None if the container
+    * or any frame is undecodable.
+    */
+  private def decodeAvi(
+      bytes: Array[Byte]): Option[(AviMeta, Seq[java.awt.image.BufferedImage])] =
+    parseAvi(bytes, decode = true).flatMap { m =>
+      try {
+        if (m.frameChunks.isEmpty) None
+        else {
+          val frames = m.frameChunks.map { d =>
+            if (m.compression == 0L) unpackDib(d, m.width, m.height)
+            else {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d))
+              if (img == null) throw new IllegalArgumentException("bad jpeg frame")
+              img
+            }
+          }
+          Some((m, frames))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** 24-bit BI_RGB frame packing: bottom-up rows, BGR byte order, each row
+    * padded to a 4-byte boundary — the DIB layout the AVI spec mandates.
+    */
+  private def packDib(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val row = (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(row + x * 3) = (rgb & 0xff).toByte
+        out(row + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+        out(row + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def unpackDib(
+      data: Array[Byte], w: Int, h: Int): java.awt.image.BufferedImage = {
+    val stride = (w * 3 + 3) & ~3
+    require(data.length >= stride * h, "short DIB frame")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      val row = (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val b = data(row + x * 3) & 0xff
+        val g = data(row + x * 3 + 1) & 0xff
+        val r = data(row + x * 3 + 2) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** JPEG writers reject some source types (e.g. palettes with alpha);
+    * normalize to BGR before encoding.
+    */
+  private def toBgr(
+      img: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+    if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) img
+    else {
+      val out = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = out.createGraphics()
+      g.drawImage(img, 0, 0, null)
+      g.dispose()
+      out
+    }
 
   /** STUB frame sampling: one media row explodes to one row per sampled
     * "frame" (fixed-size byte window, every `everyN`-th) — the shape of a

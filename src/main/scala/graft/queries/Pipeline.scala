@@ -1025,6 +1025,72 @@ object Pipeline {
   private val multimodalFramesGateSql =
     "SELECT CAST(1 AS BOOLEAN) AS frames_ok"
 
+  /** Driver-gated REAL video container round-trip (no SQL oracle): one
+    * 5-frame RIFF/AVI clip per document through the pure-Scala writer
+    * ([[Media.synthesizeAvi]]), in both codecs. Asserts: header-only
+    * metadata scan ([[Media.aviMeta]]) reports the exact geometry / fps /
+    * frame count / fourcc for every clip; frame extraction through the
+    * real parser ([[Media.sampleFramesReal]], routed on the RIFF magic)
+    * yields 3 frames per clip at indices {0,2,4}, all 16×16 with non-NULL
+    * payloads; the DIB codec is LOSSLESS — decode → re-encode
+    * ([[Media.transcodeAvi]]) is bit-identical to the source payload on
+    * every clip; the Motion-JPEG variant parses to the same shape and
+    * transcodes to decodable DIB; and synthesis is bit-deterministic
+    * across two runs. Capped at 96 documents — the gate proves the codec,
+    * not throughput.
+    */
+  private def multimodalVideoGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").orderBy("doc_id").limit(96)
+    val n = docs.count()
+    def dibs() = Media.synthesizeAvi(docs, "doc_id", "text", 16, 16, 5, 10, "DIB ")
+    val dib = dibs().localCheckpoint(false)
+    def metaOk(df: DataFrame, codec: String): Boolean = {
+      val r = Media.aviMeta(df).agg(
+        sum(when(col("width") === 16L && col("height") === 16L &&
+          col("fps") === 10L && col("n_frames") === 5L &&
+          col("codec") === codec, 1L).otherwise(0L)).as("ok"),
+        count(lit(1)).as("cnt")).head()
+      r.getLong(0) == n && r.getLong(1) == n
+    }
+    def framesOk(df: DataFrame): Boolean = {
+      val r = Media.sampleFramesReal(df, everyN = 2)
+        .groupBy("media_id").agg(
+          count(lit(1)).as("n_frames"),
+          sort_array(collect_list("frame_idx")).as("idxs"),
+          sum(when(col("width") === 16L && col("height") === 16L &&
+            col("frame").isNotNull, 1L).otherwise(0L)).as("n_ok"))
+        .agg(
+          sum(when(col("n_frames") === 3L && col("n_ok") === 3L &&
+            col("idxs") === array(lit(0L), lit(2L), lit(4L)), 1L)
+            .otherwise(0L)).as("ok"),
+          count(lit(1)).as("cnt")).head()
+      r.getLong(0) == n && r.getLong(1) == n
+    }
+    def payloadHash(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(media_id, payload))")).head().getLong(0)
+    // DIB is lossless: per-clip decode → re-encode must be bit-identical
+    val losslessCnt = dib.select(col("media_id"), col("payload"))
+      .join(
+        Media.transcodeAvi(dib, "DIB ")
+          .select(col("media_id"), col("payload").as("payload2")),
+        "media_id")
+      .filter(col("payload2").isNotNull && col("payload2") === col("payload"))
+      .count()
+    val mjpg = Media.synthesizeAvi(docs, "doc_id", "text", 16, 16, 5, 10, "MJPG")
+      .localCheckpoint(false)
+    val mjpgToDib = Media.transcodeAvi(mjpg, "DIB ")
+    val ok = n > 0 && metaOk(dib, "DIB ") && framesOk(dib) &&
+      losslessCnt == n &&
+      metaOk(mjpg, "MJPG") && framesOk(mjpg) &&
+      metaOk(mjpgToDib, "DIB ") &&
+      payloadHash(dib) == payloadHash(dibs())
+    Seq(ok).toDF("video_ok")
+  }
+
+  private val multimodalVideoGateSql =
+    "SELECT CAST(1 AS BOOLEAN) AS video_ok"
+
   /** Corpus-adaptive boilerplate stripping — the cross-document removal
     * step (C4-style: segments that recur across most documents are
     * template noise, not content). Tokens present in >80% of documents
@@ -2199,5 +2265,7 @@ object Pipeline {
     QueryDef("dx_multimodal_audio_gate", multimodalAudioGate,
       Some(multimodalAudioGateSql)),
     QueryDef("dx_multimodal_frames_gate", multimodalFramesGate,
-      Some(multimodalFramesGateSql)))
+      Some(multimodalFramesGateSql)),
+    QueryDef("dx_multimodal_video_gate", multimodalVideoGate,
+      Some(multimodalVideoGateSql)))
 }
