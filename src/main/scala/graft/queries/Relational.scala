@@ -1507,6 +1507,40 @@ object Relational {
       |             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
       |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges""".stripMargin
 
+  /** Integer-exact PageRank over the proximity graph: 5 fixed-point
+    * iterations (scale 1e8, α = 85/100) entirely in BIGINT — floors are
+    * engine-identical, so the top-20 ranks compare bit-exact against the
+    * oracle's unrolled-iteration twin. Centrality over a candidate-pair
+    * graph is the standard "which records anchor the most linkage mass"
+    * signal (and, on web corpora, a quality prior for sampling).
+    */
+  private def qGraphPagerank(s: SparkSession, dir: String): DataFrame =
+    GraphMetrics.pageRank(graphEdges(s, dir), iters = 5)
+      .orderBy(col("r").desc, col("n"))
+      .limit(20)
+      .select(col("n"), col("r").as("rank_scaled"))
+
+  private val qGraphPagerankSql = {
+    // Same fixed-point recurrence, iterations unrolled as chained CTEs
+    // (p0..p5). DuckDB promotes sum(BIGINT) to HUGEINT, hence the CAST
+    // back each step; `//` floors on nonnegative exactly like Spark DIV.
+    val steps = (1 to 5).map { i =>
+      s"""p$i AS (
+         |  SELECT e2.t AS n,
+         |    CAST(15000000 + (85 * sum(p.r // dg.d)) // 100 AS BIGINT) AS r
+         |  FROM p${i - 1} p JOIN deg dg ON dg.n = p.n
+         |       JOIN e2 ON e2.s = p.n
+         |  GROUP BY e2.t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgesCte,
+      |e2 AS (SELECT a AS s, b AS t FROM e
+      |       UNION ALL SELECT b AS s, a AS t FROM e),
+      |p0 AS (SELECT n, CAST(100000000 AS BIGINT) AS r FROM deg),
+      |$steps
+      |SELECT n, r AS rank_scaled FROM p5
+      |ORDER BY r DESC, n LIMIT 20""".stripMargin
+  }
+
   private def qGraphDegrees(s: SparkSession, dir: String): DataFrame =
     GraphMetrics.degreeHistogram(graphEdges(s, dir))
 
@@ -1518,6 +1552,7 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_graph_triangles", qGraphTriangles, Some(qGraphTrianglesSql)),
     QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),
+    QueryDef("q_graph_pagerank", qGraphPagerank, Some(qGraphPagerankSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q2_min_supplier", q2, Some(q2Sql)),
     QueryDef("q9_profit", q9, Some(q9Sql)),

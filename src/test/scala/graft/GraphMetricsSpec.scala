@@ -50,6 +50,53 @@ class GraphMetricsSpec extends SparkSpec {
     assert(hist == Seq((2L, 3L)), s"all three nodes have degree 2: $hist")
   }
 
+  /** Driver-side integer PageRank mirror — the exact recurrence the
+    * distributed operator (and the unrolled DuckDB oracle) computes.
+    */
+  private def pageRankRef(
+      edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 100000000L, aN: Long = 85, aD: Long = 100): Map[Long, Long] = {
+    val adj = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val deg = adj.map { case (n, ns) => n -> ns.size.toLong }
+    val base = (aD - aN) * scale / aD
+    var r = deg.map { case (n, _) => n -> scale }
+    (1 to iters).foreach { _ =>
+      val c = r.map { case (n, v) => n -> v / deg(n) }
+      r = adj.map { case (n, ns) =>
+        n -> (base + aN * ns.map(c).sum / aD)
+      }
+    }
+    r
+  }
+
+  test("distributed integer PageRank equals the driver-side reference exactly") {
+    for ((seed, n, m) <- Seq((21, 15, 40), (22, 40, 200))) {
+      val e = GraphMetrics.canonicalEdges(randomEdges(seed, n, m), "left_id", "right_id")
+      val got = GraphMetrics.pageRank(e, iters = 4)
+        .as[(Long, Long)].collect().toMap
+      val want = pageRankRef(
+        e.as[(Long, Long)].collect().toSeq, iters = 4)
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("PageRank invariants: every rank >= base, mass bounded by n*scale, star hub dominates") {
+    val scale = 100000000L
+    val star = (1L to 8L).map(i => (0L, i)).toDF("left_id", "right_id")
+    val e = GraphMetrics.canonicalEdges(star, "left_id", "right_id")
+    val r = GraphMetrics.pageRank(e, iters = 5, scale = scale)
+      .as[(Long, Long)].collect().toMap
+    assert(r.size == 9)
+    val base = 15L * scale / 100
+    assert(r.values.forall(_ >= base))
+    // floors only ever lose rank mass, never create it
+    assert(r.values.sum <= 9L * scale)
+    // the hub holds strictly more rank than any leaf, leaves all equal
+    val leaves = (1L to 8L).map(r)
+    assert(leaves.distinct.size == 1 && r(0L) > leaves.head)
+  }
+
   test("a path graph has zero triangles but n-2 wedges") {
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("left_id", "right_id")
     val e = GraphMetrics.canonicalEdges(pairs, "left_id", "right_id")
