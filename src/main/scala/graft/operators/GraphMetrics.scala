@@ -125,22 +125,53 @@ object GraphMetrics {
     */
   def pageRank(
       edges: DataFrame, iters: Int, scale: Long = 100000000L,
-      alphaNum: Long = 85, alphaDen: Long = 100): DataFrame = {
+      alphaNum: Long = 85, alphaDen: Long = 100): DataFrame =
+    pageRankImpl(edges, None, iters, scale, alphaNum, alphaDen)
+
+  /** Personalized PageRank: the teleport term lands only on `seeds` (one
+    * id column), so rank mass diffuses OUT of the seed set — the standard
+    * seed-expansion primitive ("find records/documents most connected to
+    * a curated set"). Same integer fixed-point arithmetic as [[pageRank]],
+    * so equally bit-exact across engines; non-seed nodes start at 0 and
+    * earn rank only through in-flow.
+    */
+  def pageRankPersonalized(
+      edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 100000000L,
+      alphaNum: Long = 85, alphaDen: Long = 100): DataFrame =
+    pageRankImpl(edges, Some(seeds), iters, scale, alphaNum, alphaDen)
+
+  private def pageRankImpl(
+      edges: DataFrame, seeds: Option[DataFrame], iters: Int,
+      scale: Long, alphaNum: Long, alphaDen: Long): DataFrame = {
     require(iters >= 1 && scale > 0 && alphaDen > 0 &&
       alphaNum >= 0 && alphaNum <= alphaDen)
     val e2 = edges.select(col("a").as("s"), col("b").as("t"))
       .unionAll(edges.select(col("b").as("s"), col("a").as("t")))
       .localCheckpoint(false)
     val deg = e2.groupBy(col("s").as("n")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(false)
     val base = (alphaDen - alphaNum) * scale / alphaDen
-    var pr = deg.select(col("n"), lit(scale).as("r"))
+    // sflag ∈ {0,1}: which nodes receive the teleport term. The global
+    // variant tags every node, so the plan keeps one shape; the tag join
+    // is on the node key the aggregation already shuffles on.
+    val tagged = (seeds match {
+      case None => deg.select(col("n"), col("d"), lit(1L).as("sflag"))
+      case Some(sd) =>
+        deg.join(
+            sd.select(col(sd.columns.head).as("n")).distinct()
+              .withColumn("sflag", lit(1L)),
+            Seq("n"), "left")
+          .select(col("n"), col("d"), coalesce(col("sflag"), lit(0L)).as("sflag"))
+    }).localCheckpoint(false)
+    var pr = tagged.select(col("n"), (lit(scale) * col("sflag")).as("r"))
     (1 to iters).foreach { _ =>
-      val contrib = pr.join(deg, "n")
+      val contrib = pr.join(tagged, "n")
         .select(col("n").as("s"), expr("r DIV d").as("c"))
       pr = e2.join(contrib, "s")
         .groupBy(col("t").as("n"))
-        .agg(expr(s"$base + ($alphaNum * sum(c)) DIV $alphaDen").as("r"))
+        .agg(expr(s"($alphaNum * sum(c)) DIV $alphaDen").as("flow"))
+        .join(tagged.select(col("n"), col("sflag")), "n")
+        .select(col("n"), (col("flow") + lit(base) * col("sflag")).as("r"))
         .localCheckpoint(false)
     }
     pr

@@ -1541,6 +1541,45 @@ object Relational {
       |ORDER BY r DESC, n LIMIT 20""".stripMargin
   }
 
+  /** Personalized PageRank from a seed set (every 20th customer): rank
+    * mass teleports only to seeds and diffuses outward — the
+    * seed-expansion primitive ("which records are most connected to the
+    * curated set"). Same BIGINT fixed-point recurrence as
+    * q_graph_pagerank, bit-exact against the unrolled oracle.
+    */
+  private def qGraphPpr(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables(s, dir, "customer")
+      .where(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey").as("n"))
+    GraphMetrics.pageRankPersonalized(graphEdges(s, dir), seeds, iters = 5)
+      .orderBy(col("r").desc, col("n"))
+      .limit(20)
+      .select(col("n"), col("r").as("rank_scaled"))
+  }
+
+  private val qGraphPprSql = {
+    val steps = (1 to 5).map { i =>
+      s"""p$i AS (
+         |  SELECT e2.t AS n,
+         |    CAST((85 * sum(p.r // dg.d)) // 100
+         |         + CASE WHEN e2.t IN (SELECT n FROM sd) THEN 15000000 ELSE 0 END
+         |         AS BIGINT) AS r
+         |  FROM p${i - 1} p JOIN deg dg ON dg.n = p.n
+         |       JOIN e2 ON e2.s = p.n
+         |  GROUP BY e2.t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgesCte,
+      |e2 AS (SELECT a AS s, b AS t FROM e
+      |       UNION ALL SELECT b AS s, a AS t FROM e),
+      |sd AS (SELECT c_custkey AS n FROM customer WHERE c_custkey % 20 = 0),
+      |p0 AS (SELECT n,
+      |  CAST(CASE WHEN n IN (SELECT n FROM sd) THEN 100000000 ELSE 0 END
+      |       AS BIGINT) AS r FROM deg),
+      |$steps
+      |SELECT n, r AS rank_scaled FROM p5
+      |ORDER BY r DESC, n LIMIT 20""".stripMargin
+  }
+
   private def qGraphDegrees(s: SparkSession, dir: String): DataFrame =
     GraphMetrics.degreeHistogram(graphEdges(s, dir))
 
@@ -1553,6 +1592,7 @@ object Relational {
     QueryDef("q_graph_triangles", qGraphTriangles, Some(qGraphTrianglesSql)),
     QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),
     QueryDef("q_graph_pagerank", qGraphPagerank, Some(qGraphPagerankSql)),
+    QueryDef("q_graph_ppr", qGraphPpr, Some(qGraphPprSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q2_min_supplier", q2, Some(q2Sql)),
     QueryDef("q9_profit", q9, Some(q9Sql)),

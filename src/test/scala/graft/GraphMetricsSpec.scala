@@ -55,16 +55,18 @@ class GraphMetricsSpec extends SparkSpec {
     */
   private def pageRankRef(
       edges: Seq[(Long, Long)], iters: Int,
-      scale: Long = 100000000L, aN: Long = 85, aD: Long = 100): Map[Long, Long] = {
+      scale: Long = 100000000L, aN: Long = 85, aD: Long = 100,
+      seeds: Option[Set[Long]] = None): Map[Long, Long] = {
     val adj = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
       .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
     val deg = adj.map { case (n, ns) => n -> ns.size.toLong }
+    def sflag(n: Long): Long = if (seeds.forall(_.contains(n))) 1L else 0L
     val base = (aD - aN) * scale / aD
-    var r = deg.map { case (n, _) => n -> scale }
+    var r = deg.map { case (n, _) => n -> scale * sflag(n) }
     (1 to iters).foreach { _ =>
       val c = r.map { case (n, v) => n -> v / deg(n) }
       r = adj.map { case (n, ns) =>
-        n -> (base + aN * ns.map(c).sum / aD)
+        n -> (aN * ns.map(c).sum / aD + base * sflag(n))
       }
     }
     r
@@ -79,6 +81,25 @@ class GraphMetricsSpec extends SparkSpec {
         e.as[(Long, Long)].collect().toSeq, iters = 4)
       assert(got == want, s"seed=$seed")
     }
+  }
+
+  test("personalized PageRank equals the seeded reference; non-seeds only earn in-flow") {
+    val e = GraphMetrics.canonicalEdges(randomEdges(31, 30, 120), "left_id", "right_id")
+    val edgeSeq = e.as[(Long, Long)].collect().toSeq
+    val seedSet = edgeSeq.flatMap(p => Seq(p._1, p._2)).distinct.filter(_ % 3 == 0).toSet
+    val seeds = seedSet.toSeq.toDF("n")
+    val got = GraphMetrics.pageRankPersonalized(e, seeds, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val want = pageRankRef(edgeSeq, iters = 4, seeds = Some(seedSet))
+    assert(got == want)
+    // global variant through the same impl still matches the unseeded ref
+    val gotAll = GraphMetrics.pageRank(e, iters = 4).as[(Long, Long)].collect().toMap
+    assert(gotAll == pageRankRef(edgeSeq, iters = 4))
+    // the graph has non-seed nodes, and total rank mass never exceeds the
+    // seed-injected fixed point |S|·scale (floors only lose mass)
+    val nonSeedRanks = got.collect { case (n, r) if !seedSet.contains(n) => r }
+    assert(seedSet.nonEmpty && nonSeedRanks.nonEmpty)
+    assert(got.values.sum <= seedSet.size * 100000000L)
   }
 
   test("PageRank invariants: every rank >= base, mass bounded by n*scale, star hub dominates") {
