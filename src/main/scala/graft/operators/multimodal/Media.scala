@@ -693,8 +693,11 @@ object Media {
       var nFramesHdr = -1; var bitCount = -1; var compression = -1L
       val frameChunks = Seq.newBuilder[Array[Byte]]
       // walk(chunks) over [from, until): RIFF chunk headers are 8 bytes,
-      // payloads pad to even length; LISTs nest.
-      def walk(from: Int, until: Int): Unit = {
+      // payloads pad to even length; LISTs nest. The depth cap bounds
+      // stack use against crafted deeply-nested containers (real AVIs
+      // nest 3 deep) — a hostile payload must flag, never kill the task.
+      def walk(from: Int, until: Int, depth: Int): Unit = {
+        if (depth > 8) throw new IllegalArgumentException("LIST nesting too deep")
         var p = from
         while (p + 8 <= until) {
           val id = cc(p)
@@ -704,7 +707,7 @@ object Media {
           if (id == "LIST") {
             val typ = cc(dataAt)
             if (typ == "hdrl" || typ == "strl" || (typ == "movi" && decode))
-              walk(dataAt + 4, dataAt + size.toInt)
+              walk(dataAt + 4, dataAt + size.toInt, depth + 1)
           } else if (id == "strh") {
             if (cc(dataAt) == "vids") {
               codec = cc(dataAt + 4)
@@ -725,8 +728,11 @@ object Media {
           p = dataAt + size.toInt + (size.toInt & 1)
         }
       }
-      walk(12, bytes.length)
-      if (width <= 0 || height <= 0 || fps <= 0 || codec == null) None
+      walk(12, bytes.length, 0)
+      // dimension sanity cap (64 Mpixel ≫ any real frame) so a crafted
+      // header can't coax unpackDib/ImageIO into a multi-GB allocation
+      if (width <= 0 || height <= 0 || fps <= 0 || codec == null ||
+        width.toLong * height > (1L << 26)) None
       else Some(AviMeta(width, height, fps, codec, nFramesHdr, bitCount,
         compression, frameChunks.result()))
     } catch { case scala.util.control.NonFatal(_) => None }
