@@ -1774,6 +1774,12 @@ object Pipeline {
     * exactly the 100 TB vocabulary-join shape) and one per-doc aggregate.
     * The only scalar (total token count N) rides a broadcast one-row
     * aggregate. Nothing quadratic, nothing driver-side.
+    *
+    * Scale bound: the ppm products (`1e6 · count`) stay in BIGINT up to
+    * ~9.2e12 corpus tokens (tens of TB of text); past that BOTH engines
+    * fail loudly (ANSI Spark / DuckDB overflow) rather than silently
+    * diverging — lower the ppm scale or move the product to DECIMAL when
+    * training on a larger corpus.
     */
   private def perplexity(s: SparkSession, dir: String): DataFrame =
     perplexityStats(s, dir).orderBy("doc_id")
