@@ -177,6 +177,41 @@ object GraphMetrics {
     pr
   }
 
+  /** Synchronous label-propagation community detection (Raghavan, Albert
+    * & Kumara 2007, Phys. Rev. E 76) made fully deterministic: labels
+    * start as node ids; each iteration every node adopts the label most
+    * frequent among its neighbours, ties broken by the SMALLEST label
+    * (the paper breaks ties randomly; a total order makes the result a
+    * pure function of the graph — bit-identical across engines and
+    * partitionings, and expressible as an unrolled SQL oracle). A fixed
+    * iteration count replaces the convergence test for the same reason.
+    *
+    * Per iteration: one equi-join (directed edge list ⋈ labels on the
+    * source key) + a (node, label) count aggregation + a per-node argmin
+    * of `struct(-count, label)` — all shuffle hash operations on the node
+    * key with partial aggregation; no windows, no driver state. Each
+    * round is lazily checkpointed to keep lineage flat, as in
+    * [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e2 = edges.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(edges.select(col("b").as("s"), col("a").as("t")))
+      .localCheckpoint(false)
+    var lab = e2.select(col("s").as("n")).distinct()
+      .withColumn("lab", col("n"))
+    (1 to iters).foreach { _ =>
+      lab = e2.join(lab.withColumnRenamed("n", "s"), "s")
+        .groupBy(col("t").as("n"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("n")
+        .agg(min(struct((-col("cnt")).as("negc"), col("lab").as("lab"))).as("w"))
+        .select(col("n"), col("w.lab").as("lab"))
+        .localCheckpoint(false)
+    }
+    lab
+  }
+
   /** Reference-quality O(n³) triangle count for specs. */
   private[graft] def triangleStatsNaive(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("a").as("x"), col("b").as("y"))

@@ -299,6 +299,72 @@ object Pipeline {
        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
        |FROM docs2 GROUP BY 1 ORDER BY content_hash""".stripMargin
 
+  /** CCNet-style paragraph-level deduplication (Wenzek et al. 2019 §3.1:
+    * "we deduplicate at the paragraph level, keeping the first occurrence"
+    * — reference has no sub-document dedup; this is the LLM-pipeline step
+    * between exact doc dedup and minhash). Paragraph = a disjoint
+    * `paraW`-token segment (the corpus has no newlines, so segmentation is
+    * positional — same trick as dx_chunk). An occurrence survives iff no
+    * earlier occurrence of the same content hash exists in corpus order
+    * (doc_id, para_no); each doc is then reassembled from its surviving
+    * paragraphs.
+    *
+    * Scale shape: explode → one groupBy on the paragraph hash electing the
+    * corpus-order winner as `min(struct(doc_id, para_no))` (a partial-agg
+    * shuffle on the hash — never a window over the whole corpus, whose
+    * per-hash sort DuckDB's row_number formulation implies) → equi-join
+    * back on the hash → per-doc reassembly groupBy. Two shuffles total,
+    * both on keys with bounded group sizes (a hash's group = its duplicate
+    * count); at 100 TB the paragraph text would ride as xxhash64 ids with
+    * the reassembly joining text back only for survivors.
+    */
+  private val paraW = 16
+  private def dedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    val paras = withDupes(s, dir, exact = false)
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n", expr("CAST(size(toks) AS BIGINT)"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0L, (n - 1) DIV $paraW)")).as("para_no"),
+        col("toks"))
+      .withColumn("para",
+        expr(s"concat_ws(' ', slice(toks, CAST(para_no * $paraW + 1 AS INT), $paraW))"))
+      .select(col("doc_id"), col("para_no"), col("para"), md5(col("para")).as("h"))
+    val winners = paras.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("para_no"))).as("w"))
+    paras.join(winners, "h")
+      .withColumn("is_keep",
+        col("doc_id") === col("w.doc_id") && col("para_no") === col("w.para_no"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("is_keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          """transform(
+            |  sort_array(collect_list(IF(is_keep, struct(para_no, para), NULL))),
+            |  x -> x.para)""".stripMargin))).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupParagraphSql =
+    s"""WITH docs2 AS (${dupesSql(exact = false)}),
+       |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM docs2),
+       |e AS (SELECT doc_id, toks,
+       |        unnest(range(0, (len(toks) - 1) // $paraW + 1)) AS para_no
+       |      FROM t),
+       |p AS (SELECT doc_id, para_no,
+       |        array_to_string(list_slice(toks, para_no * $paraW + 1,
+       |          para_no * $paraW + $paraW), ' ') AS para
+       |      FROM e),
+       |k AS (SELECT doc_id, para_no, para,
+       |        row_number() OVER (PARTITION BY md5(para)
+       |                           ORDER BY doc_id, para_no) AS rn
+       |      FROM p)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+       |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(para, ' ' ORDER BY para_no)
+       |        FILTER (WHERE rn = 1), '')) AS kept_hash
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Driver-gated MinHash estimator accuracy — evidence for the sketch
     * itself, complementing the banding-recall gate: over the planted
     * near-dup pairs the signature-agreement estimate of Jaccard must track
@@ -398,6 +464,103 @@ object Pipeline {
        |FROM s l JOIN s r
        |  ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
        |WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.3
+       |ORDER BY left_id, right_id""".stripMargin
+
+  /** Exact set-similarity self-join via PREFIX FILTERING (Chaudhuri,
+    * Ganti & Kaushik ICDE 2006; Bayardo, Ma & Srikant WWW 2007 "Scaling
+    * Up All Pairs Similarity Search"; the candidate-generation core of
+    * PPJoin) — the third candidate-generation strategy next to
+    * dx_dedup_ngram's full inverted index and dx_dedup_minhash's LSH, and
+    * unlike both it needs NO blocking key and stays EXACT: every pair
+    * with shingle-set Jaccard ≥ t is found, none are missed.
+    *
+    * The filter: order each doc's shingles by ascending global document
+    * frequency (rarest first; ties by shingle — any consistent total
+    * order works), and index only the first `|s| − ceil(t·|s|) + 1`
+    * shingles. Two sets with J ≥ t also satisfy the length condition
+    * `t·|A| ≤ |B|`, and given that, their prefixes provably share a
+    * token — so candidates = prefix-posting co-occurrence, a strict
+    * subset of the full-index candidates (the common-shingle mass sits in
+    * the FREQUENT tail, which is exactly what the prefix excludes).
+    * Survivors are verified exactly on the full sorted sets. At 100 TB
+    * this is the difference between Σdf² over all postings and Σdf² over
+    * rare-prefix postings, typically orders of magnitude, while LSH
+    * (probabilistic) stays the fallback when even prefixes are hot.
+    *
+    * Threshold arithmetic is integer-exact: t = 6/10, `ceil(t·s) =
+    * (6s+9) DIV 10`, verification `10·o ≥ 6·(|A|+|B|−o)` — no doubles in
+    * any pruning or acceptance decision, so engines agree bit-for-bit.
+    * The oracle regenerates the same pair set from a FULL inverted index
+    * (different candidate algorithm, same exact semantics).
+    */
+  private def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    jaccardPrefixPairs(withDupes(s, dir, exact = false))
+
+  /** The operator core, on any `(doc_id, …, text)` frame — split out so the
+    * property spec can drive it against a naive all-pairs reference.
+    */
+  private[graft] def jaccardPrefixPairs(input: DataFrame): DataFrame = {
+    val docs = input
+      .select(col("doc_id"),
+        array_distinct(graft.functions.Sketches.shingleHashes(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .localCheckpoint(false)
+    val post = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfreq = post.groupBy("g").agg(count(lit(1)).as("df"))
+    val ordered = post.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, g))), x -> x.g)").as("osh"))
+      .withColumn("sz", size(col("osh")).cast("long"))
+      .withColumn("plen", expr("CAST(sz - ((6 * sz + 9) DIV 10) + 1 AS INT)"))
+      .localCheckpoint(false)
+    // Prefix postings → postings-group pair expansion (same idiom as
+    // dx_dedup_ngram, but over the rare prefix only) + length-ratio filter.
+    val cand = ordered
+      .select(col("doc_id"), col("sz"), explode(expr("slice(osh, 1, plen)")).as("g"))
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    named_struct('left_id', x.doc_id, 'szl', x.sz,
+          |                 'right_id', y.doc_id, 'szr', y.sz))))""".stripMargin)).as("p"))
+      .select("p.left_id", "p.szl", "p.right_id", "p.szr")
+      .filter(expr("10 * least(szl, szr) >= 6 * greatest(szl, szr)"))
+      .distinct()
+    // Exact verification on the full sorted sets, candidate volume only.
+    cand
+      .join(ordered.select(col("doc_id").as("left_id"), col("osh").as("osh_l")), "left_id")
+      .join(ordered.select(col("doc_id").as("right_id"), col("osh").as("osh_r")), "right_id")
+      .withColumn("o", expr("CAST(size(array_intersect(osh_l, osh_r)) AS BIGINT)"))
+      .filter(expr("10 * o >= 6 * (szl + szr - o)"))
+      .select(col("left_id"), col("right_id"),
+        expr("CAST(o AS DOUBLE) / (szl + szr - o)").as("jaccard"))
+      .orderBy("left_id", "right_id")
+  }
+
+  /** Oracle twin: the same exact pair set from a FULL inverted index —
+    * candidate generation differs (no prefix pruning), acceptance test is
+    * the identical integer predicate, so any unsoundness in the prefix
+    * filter (a missed pair) or the verification (a wrong count) breaks
+    * the hash match.
+    */
+  private val dedupJaccardPrefixSql =
+    s"""WITH docs2 AS (${dupesSql(exact = false)}),
+       |s AS (SELECT doc_id, $shingleDuck AS sh FROM docs2),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM s),
+       |w AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+       |common AS (
+       |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       |    CAST(count(*) AS BIGINT) AS o
+       |  FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT left_id, right_id,
+       |  CAST(o AS DOUBLE) / (l.sz + r.sz - o) AS jaccard
+       |FROM common
+       |JOIN sz l ON l.doc_id = left_id
+       |JOIN sz r ON r.doc_id = right_id
+       |WHERE 10 * o >= 6 * (l.sz + r.sz - o)
        |ORDER BY left_id, right_id""".stripMargin
 
   /** Driver-gated MinHash recall floor over the *planted* duplicates: the
@@ -674,6 +837,35 @@ object Pipeline {
       |  FROM documents)
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
 
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, JACM 54(6) 2007): each item gets priority
+    * `u_i / w_i` with `u_i` uniform, and the k smallest priorities form a
+    * weight-proportional sample with unbiased subset-sum estimators. Here
+    * `u_i` is a deterministic LCG hash of the id (glibc constants, mod
+    * 2^31 — identical BIGINT arithmetic in both engines) and the division
+    * is an integer floor, so the sample is a pure function of the data:
+    * bit-exact across engines, partitionings and reruns. Weight = n_chars
+    * (longer documents proportionally likelier — the curation default of
+    * size-weighted selection).
+    *
+    * Scale shape: one narrow projection + a global bounded top-k
+    * (`TakeOrdered`: per-partition k-heaps merged on the driver — only
+    * partitions·k rows ever leave the executors; never a full sort).
+    */
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("w"))
+      .withColumn("priority",
+        expr("((doc_id * 1103515245 + 12345) % 2147483648) DIV greatest(w, 1)"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(64)
+
+  private val sampleWeightedSql =
+    """SELECT doc_id, n_chars AS w,
+      |  ((doc_id * 1103515245 + 12345) % 2147483648) // greatest(n_chars, 1) AS priority
+      |FROM documents
+      |ORDER BY priority, doc_id LIMIT 64""".stripMargin
+
   // ---- similarity search ---------------------------------------------
   private def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
@@ -711,6 +903,15 @@ object Pipeline {
   private def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     graft.operators.ann.Pq.searchIvf(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
+  private def knnSq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Sq.search(
       emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
       .withColumn("sim_r", round(col("sim"), 6))
       .drop("sim")
@@ -2210,6 +2411,7 @@ object Pipeline {
     QueryDef("dx_expectations_ri", expectationsRi, Some(expectationsRiSql)),
     QueryDef("dx_zorder_key", zorderKey, Some(zorderKeySql)),
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dx_dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QueryDef("dx_chunk", chunk, Some(chunkSql)),
     QueryDef("dx_sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
@@ -2222,8 +2424,10 @@ object Pipeline {
     QueryDef("dx_dedup_simhash", dedupSimhash, None),
     QueryDef("dx_dedup_simhash_gate", dedupSimhashGate, Some(dedupSimhashGateSql)),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("dx_dedup_jaccard_prefix", dedupJaccardPrefix, Some(dedupJaccardPrefixSql)),
     QueryDef("dx_dedup_resolve", dedupResolve, Some(dedupResolveSql)),
     QueryDef("dx_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QueryDef("dx_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     QueryDef("dx_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("dx_dedup_embed_lsh", dedupEmbedLsh, None),
     QueryDef("dx_dedup_embed_lsh_gate", dedupEmbedLshGate, Some(dedupEmbedLshGateSql)),
@@ -2234,6 +2438,8 @@ object Pipeline {
     QueryDef("dx_knn_ivf_recall", knnRecallGate(knnIvf, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_knn_pq", knnPq, None),
     QueryDef("dx_knn_pq_recall", knnRecallGate(knnPq, 0.6), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_sq", knnSq, None),
+    QueryDef("dx_knn_sq_recall", knnRecallGate(knnSq, 0.9), Some(knnRecallGateSql)),
     QueryDef("dx_knn_ivfpq", knnIvfPq, None),
     QueryDef("dx_knn_ivfpq_recall", knnRecallGate(knnIvfPq, 0.5), Some(knnRecallGateSql)),
     QueryDef("dx_lang_id", langId, Some(langIdSql)),

@@ -1580,6 +1580,42 @@ object Relational {
       |ORDER BY r DESC, n LIMIT 20""".stripMargin
   }
 
+  /** Deterministic label-propagation communities over the proximity
+    * graph: 4 synchronous min-tie-break iterations (see
+    * [[GraphMetrics.labelPropagation]]), reported as the 20 largest
+    * communities — the "how does the candidate graph decompose" view one
+    * step finer than connected components (LPA splits a component along
+    * sparse cuts; components never do). Pure integer labels/counts, so
+    * bit-exact against the unrolled-iteration oracle.
+    */
+  private def qGraphCommunities(s: SparkSession, dir: String): DataFrame =
+    GraphMetrics.labelPropagation(graphEdges(s, dir), iters = 4)
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+
+  private val qGraphCommunitiesSql = {
+    val steps = (1 to 4).map { i =>
+      s"""l$i AS (
+         |  SELECT n, lab FROM (
+         |    SELECT e2.t AS n, l.lab, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY e2.t
+         |                         ORDER BY count(*) DESC, l.lab) AS rn
+         |    FROM l${i - 1} l JOIN e2 ON e2.s = l.n
+         |    GROUP BY e2.t, l.lab)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgesCte,
+      |e2 AS (SELECT a AS s, b AS t FROM e
+      |       UNION ALL SELECT b AS s, a AS t FROM e),
+      |l0 AS (SELECT DISTINCT s AS n, s AS lab FROM e2),
+      |$steps
+      |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+      |FROM l4 GROUP BY lab
+      |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+  }
+
   private def qGraphDegrees(s: SparkSession, dir: String): DataFrame =
     GraphMetrics.degreeHistogram(graphEdges(s, dir))
 
@@ -1593,6 +1629,7 @@ object Relational {
     QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),
     QueryDef("q_graph_pagerank", qGraphPagerank, Some(qGraphPagerankSql)),
     QueryDef("q_graph_ppr", qGraphPpr, Some(qGraphPprSql)),
+    QueryDef("q_graph_communities", qGraphCommunities, Some(qGraphCommunitiesSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q2_min_supplier", q2, Some(q2Sql)),
     QueryDef("q9_profit", q9, Some(q9Sql)),

@@ -303,4 +303,65 @@ class PropertySpec extends SparkSpec {
         s"trial $trial: native session_window diverges from strict-gap islands")
     }
   }
+
+  test("label propagation matches a driver-side reference on random graphs") {
+    val rng = new Random(91)
+    for (trial <- 1 to 6) {
+      val n = 5 + rng.nextInt(40)
+      val m = 1 + rng.nextInt(3 * n)
+      val iters = 1 + rng.nextInt(4)
+      val edges = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        // reference: synchronous updates, most-frequent neighbour label,
+        // ties to the smallest label
+        val adj = (edges ++ edges.map(_.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var lab: Map[Long, Long] = adj.keys.map(k => k -> k).toMap
+        for (_ <- 1 to iters) {
+          lab = adj.map { case (node, nbrs) =>
+            val best = nbrs.groupBy(lab).view.mapValues(_.size)
+              .toSeq.minBy { case (l, c) => (-c, l) }._1
+            node -> best
+          }
+        }
+        val got = graft.operators.GraphMetrics
+          .labelPropagation(edges.toDF("a", "b"), iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == lab, s"trial $trial iters $iters: $got != $lab")
+      }
+    }
+  }
+
+  test("prefix-filtered jaccard join equals the naive all-pairs join on random sets") {
+    val rng = new Random(17)
+    for (trial <- 1 to 5) {
+      val n = 10 + rng.nextInt(30)
+      val vocab = 8 + rng.nextInt(20)
+      // random token-bag documents; a few near-identical pairs planted
+      val base = Seq.tabulate(n)(i =>
+        (i.toLong, Seq.fill(4 + rng.nextInt(20))(s"w${rng.nextInt(vocab)}").mkString(" ")))
+      val planted = base.filter(_._1 % 4 == 0)
+        .map { case (id, t) => (id + 1000L, t + " w0") }
+      val docs = (base ++ planted).toDF("doc_id", "text")
+        .select(col("doc_id"), lit("en").as("lang"), col("text"))
+      // naive truth: all pairs over distinct 3-shingle-hash sets, 10o >= 6u
+      val sets = docs.select(col("doc_id"),
+          array_distinct(graft.functions.Sketches.shingleHashes(col("text"), 3)).as("sh"))
+      val l = sets.select(col("doc_id").as("lid"), col("sh").as("lsh"))
+      val r = sets.select(col("doc_id").as("rid"), col("sh").as("rsh"))
+      val naive = l.crossJoin(r).where(col("lid") < col("rid"))
+        .withColumn("o", expr("CAST(size(array_intersect(lsh, rsh)) AS BIGINT)"))
+        .withColumn("u", expr("CAST(size(lsh) + size(rsh) AS BIGINT) - o"))
+        .filter(expr("10 * o >= 6 * u"))
+        .select(col("lid"), col("rid"))
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      val got = graft.queries.Pipeline.jaccardPrefixPairs(docs)
+        .select(col("left_id"), col("right_id"))
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      assert(got == naive, s"trial $trial: $got != $naive")
+    }
+  }
 }

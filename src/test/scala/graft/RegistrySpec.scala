@@ -55,6 +55,7 @@ class RegistrySpec extends SparkSpec {
       "dx_knn_brute" -> boundedScanBuild,
       "dx_knn_ivf" -> boundedScanBuild,
       "dx_knn_pq" -> boundedScanBuild,
+      "dx_knn_sq" -> boundedScanBuild,
       "q22_idle_customers" -> scalarAggBuild,
       // Σw quota denominator: one-row sum crossed into the per-language
       // weight table (replaced the single-partition sum(w) OVER () window)
