@@ -212,6 +212,38 @@ object GraphMetrics {
     lab
   }
 
+  /** Fixed-round k-core peeling (Seidman 1983 "Network structure and
+    * minimum degree"; the distributed formulation is Montresor et al.
+    * 2013's message-passing peeling): repeatedly drop nodes whose degree
+    * in the SURVIVING subgraph is < k. The true k-core is the fixpoint;
+    * a FIXED round count replaces the data-dependent convergence test so
+    * the result is expressible as an unrolled SQL oracle — after R
+    * rounds the survivor set is the standard "peeling depth R"
+    * approximation from above (⊇ k-core, equal once peeling stabilises,
+    * which on real graphs happens in a handful of rounds). k-core is the
+    * classic graph-quality filter: spam/bot candidate pairs live in
+    * low-core fringe, dense duplicate groups in high cores.
+    *
+    * Per round: one degree aggregation + two semi-joins (edges to
+    * surviving endpoints) — all equi-operations on node keys, lazily
+    * checkpointed per round like [[pageRank]].
+    *
+    * @return surviving edges after `rounds` peels at threshold `k`.
+    */
+  def kCoreEdges(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = edges.localCheckpoint(false)
+    (1 to rounds).foreach { _ =>
+      val keep = degrees(e).filter(col("deg") >= k).select(col("n"))
+      e = e
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(false)
+    }
+    e
+  }
+
   /** Reference-quality O(n³) triangle count for specs. */
   private[graft] def triangleStatsNaive(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("a").as("x"), col("b").as("y"))

@@ -1888,6 +1888,51 @@ object Pipeline {
       |FROM r JOIN a ON r.lang = a.lang WHERE r.rn <= a.quota
       |ORDER BY r.lang, r.rn""".stripMargin
 
+  /** Per-source mixture weights for training-corpus composition — the
+    * static data-mixing step (the hand-tuned ancestor of DoReMi, Xie et
+    * al. 2023: choose domain weights, then sample each domain at
+    * weight/share). Target here is the UNIFORM mix across sources; the
+    * emitted `weight_ppm` is the upsampling factor `target_share /
+    * actual_token_share` in parts-per-million, computed entirely in
+    * BIGINT floor arithmetic (`1e6·total DIV (n_sources·tok_s)`) so both
+    * engines agree bit-for-bit. A sampler multiplies each source's
+    * selection rate by `weight_ppm/1e6` to hit the target mix.
+    *
+    * Scale shape: one token-count aggregation per source (partial aggs —
+    * the corpus never shuffles raw text), a one-row scalar aggregate
+    * (total + source count) crossed back into the tiny per-source table
+    * (the justified scalar-agg BNLJ shape), and a sort of `n_sources`
+    * rows.
+    */
+  private def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables(s, dir, "documents")
+      .select(col("source"),
+        expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+    val totals = perSource.agg(
+      sum("tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("1000000 * tokens DIV total_tokens"))
+      .withColumn("weight_ppm",
+        expr("1000000 * total_tokens DIV (n_sources * tokens)"))
+      .select("source", "n_docs", "tokens", "share_ppm", "weight_ppm")
+      .orderBy("source")
+  }
+
+  private val mixtureWeightsSql =
+    """WITH s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+      |        CAST(count(*) AS BIGINT) AS n_sources FROM s)
+      |SELECT source, n_docs, tokens,
+      |  1000000 * tokens // total_tokens AS share_ppm,
+      |  1000000 * total_tokens // (n_sources * tokens) AS weight_ppm
+      |FROM s, t ORDER BY source""".stripMargin
+
   /** Fixed-weight linear quality classifier — the shape of the fastText /
     * logistic-regression corpus filters every shipped training set runs
     * (quality features → w·f ≥ margin keep decision). Weights are pinned
@@ -2428,6 +2473,7 @@ object Pipeline {
     QueryDef("dx_dedup_resolve", dedupResolve, Some(dedupResolveSql)),
     QueryDef("dx_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("dx_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
+    QueryDef("dx_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
     QueryDef("dx_dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("dx_dedup_embed_lsh", dedupEmbedLsh, None),
     QueryDef("dx_dedup_embed_lsh_gate", dedupEmbedLshGate, Some(dedupEmbedLshGateSql)),

@@ -1616,6 +1616,39 @@ object Relational {
       |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
   }
 
+  /** 3-core of the proximity graph after 4 peeling rounds
+    * ([[GraphMetrics.kCoreEdges]]), summarised as the surviving
+    * subgraph's degree histogram — the standard "dense core vs fringe"
+    * health view of a candidate-pair graph. Integer-exact, so bit-equal
+    * to the unrolled peeling oracle.
+    */
+  private def qGraphKcore(s: SparkSession, dir: String): DataFrame =
+    GraphMetrics.degreeHistogram(
+      GraphMetrics.kCoreEdges(graphEdges(s, dir), k = 3, rounds = 4))
+
+  private val qGraphKcoreSql = {
+    val steps = (1 to 4).map { i =>
+      s"""k$i AS (
+         |  SELECT n FROM (
+         |    SELECT n, count(*) AS d
+         |    FROM (SELECT a AS n FROM e${i - 1} UNION ALL SELECT b AS n FROM e${i - 1})
+         |    GROUP BY n)
+         |  WHERE d >= 3),
+         |e$i AS (
+         |  SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgesCte,
+      |e0 AS (SELECT a, b FROM e),
+      |$steps
+      |SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM (
+      |  SELECT n, count(*) AS d
+      |  FROM (SELECT a AS n FROM e4 UNION ALL SELECT b AS n FROM e4)
+      |  GROUP BY n)
+      |GROUP BY d ORDER BY degree""".stripMargin
+  }
+
   private def qGraphDegrees(s: SparkSession, dir: String): DataFrame =
     GraphMetrics.degreeHistogram(graphEdges(s, dir))
 
@@ -1630,6 +1663,7 @@ object Relational {
     QueryDef("q_graph_pagerank", qGraphPagerank, Some(qGraphPagerankSql)),
     QueryDef("q_graph_ppr", qGraphPpr, Some(qGraphPprSql)),
     QueryDef("q_graph_communities", qGraphCommunities, Some(qGraphCommunitiesSql)),
+    QueryDef("q_graph_kcore", qGraphKcore, Some(qGraphKcoreSql)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinSql)),
     QueryDef("q2_min_supplier", q2, Some(q2Sql)),
     QueryDef("q9_profit", q9, Some(q9Sql)),

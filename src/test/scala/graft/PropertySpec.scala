@@ -335,6 +335,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fixed-round k-core peeling matches a driver-side reference") {
+    val rng = new Random(23)
+    for (trial <- 1 to 6) {
+      val n = 6 + rng.nextInt(40)
+      val m = 1 + rng.nextInt(4 * n)
+      val k = 2L + rng.nextInt(3)
+      val rounds = 1 + rng.nextInt(4)
+      val edges = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        var es = edges.toSet
+        for (_ <- 1 to rounds) {
+          val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          es = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+        }
+        val got = graft.operators.GraphMetrics
+          .kCoreEdges(edges.toDF("a", "b"), k, rounds)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == es, s"trial $trial k=$k rounds=$rounds: $got != $es")
+      }
+    }
+  }
+
   test("prefix-filtered jaccard join equals the naive all-pairs join on random sets") {
     val rng = new Random(17)
     for (trial <- 1 to 5) {

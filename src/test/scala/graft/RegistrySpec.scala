@@ -60,6 +60,9 @@ class RegistrySpec extends SparkSpec {
       // Σw quota denominator: one-row sum crossed into the per-language
       // weight table (replaced the single-partition sum(w) OVER () window)
       "dx_sample_temperature" -> scalarAggBuild,
+      // mixing: one-row (total tokens, source count) crossed into the
+      // per-source weight table
+      "dx_mixture_weights" -> scalarAggBuild,
       "dx_tfidf" -> scalarAggBuild,
       "dx_bm25_search" -> scalarAggBuild,
       // LM normaliser: one-row corpus token count crossed into the stream
