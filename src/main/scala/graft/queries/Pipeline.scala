@@ -855,6 +855,9 @@ object Pipeline {
   private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("n_chars").as("w"))
+      // id·multiplier stays in-range for ids < 2^63/1103515245 ≈ 8.4e9;
+      // beyond that, pre-reduce the id (`doc_id % 2^31`) on BOTH sides —
+      // silent Spark wraparound vs a DuckDB overflow error would diverge.
       .withColumn("priority",
         expr("((doc_id * 1103515245 + 12345) % 2147483648) DIV greatest(w, 1)"))
       .orderBy(col("priority"), col("doc_id"))
@@ -1913,10 +1916,15 @@ object Pipeline {
     val totals = perSource.agg(
       sum("tokens").as("total_tokens"),
       count(lit(1)).as("n_sources"))
+    // ppm numerators in DECIMAL(38,0): `1e6·total_tokens` overflows a long
+    // once the corpus passes ~9.2e12 tokens (≈ 35 TB of text) — the
+    // 128-bit product with an integral DIV floors identically to DuckDB's
+    // HUGEINT `//` at any corpus size (the q11 discipline).
     perSource.crossJoin(broadcast(totals))
-      .withColumn("share_ppm", expr("1000000 * tokens DIV total_tokens"))
-      .withColumn("weight_ppm",
-        expr("1000000 * total_tokens DIV (n_sources * tokens)"))
+      .withColumn("share_ppm", expr(
+        "CAST((CAST(tokens AS DECIMAL(38,0)) * 1000000) DIV total_tokens AS BIGINT)"))
+      .withColumn("weight_ppm", expr(
+        "CAST((CAST(total_tokens AS DECIMAL(38,0)) * 1000000) DIV (n_sources * tokens) AS BIGINT)"))
       .select("source", "n_docs", "tokens", "share_ppm", "weight_ppm")
       .orderBy("source")
   }
@@ -1929,8 +1937,8 @@ object Pipeline {
       |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
       |        CAST(count(*) AS BIGINT) AS n_sources FROM s)
       |SELECT source, n_docs, tokens,
-      |  1000000 * tokens // total_tokens AS share_ppm,
-      |  1000000 * total_tokens // (n_sources * tokens) AS weight_ppm
+      |  CAST(CAST(tokens AS HUGEINT) * 1000000 // total_tokens AS BIGINT) AS share_ppm,
+      |  CAST(CAST(total_tokens AS HUGEINT) * 1000000 // (n_sources * tokens) AS BIGINT) AS weight_ppm
       |FROM s, t ORDER BY source""".stripMargin
 
   /** Fixed-weight linear quality classifier — the shape of the fastText /

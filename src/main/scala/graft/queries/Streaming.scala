@@ -114,7 +114,36 @@ object Streaming {
       |FROM scored WHERE w >= 1.0
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Batch twin of `Streams.intervalJoin` — the stream-stream interval
+    * join, run through the EXACT streaming code path (`withWatermark` is
+    * a no-op in batch; the equi-key + time-range join condition is the
+    * same plan either way, and its output is a SET, so batch execution is
+    * deterministic and oracle-hashable). Events split by id parity stand
+    * in for the two live feeds; pairs within ±120 s on the same user are
+    * counted per user.
+    */
+  private def intervalJoinTwin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    graft.streaming.Streams.intervalJoin(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        key = "user_id", intervalSeconds = 120)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  private val intervalJoinTwinSql =
+    """WITH l AS (SELECT user_id AS k, ts AS lts FROM events WHERE event_id % 2 = 0),
+      |r AS (SELECT user_id AS rk, ts AS rts FROM events WHERE event_id % 2 = 1)
+      |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM l JOIN r ON k = rk
+      |  AND rts >= lts - INTERVAL 120 SECOND
+      |  AND rts <= lts + INTERVAL 120 SECOND
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st_events_rate", eventsRate, Some(eventsRateSql)),
-    QueryDef("st_fuzzy_windowed", fuzzyWindowed, Some(fuzzyWindowedSql)))
+    QueryDef("st_fuzzy_windowed", fuzzyWindowed, Some(fuzzyWindowedSql)),
+    QueryDef("st_interval_join", intervalJoinTwin, Some(intervalJoinTwinSql)))
 }
