@@ -1,5 +1,6 @@
 package graft.operators.ann
 
+import graft.functions.Centroids
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -102,6 +103,64 @@ object Sq {
       .crossJoin(broadcast(qd))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("asim", expr(Knn.cosineExpr.format("qd", "td", "qd", "td")))
+    val candidates = graft.plans.TopK.perKey(
+      approx, Seq("query_id"), "asim", k * rerankFactor, tieCols = Seq("neighbor_id"))
+      .select("query_id", "neighbor_id")
+
+    val rescored = candidates
+      .join(t, "neighbor_id")
+      .join(broadcast(q.withColumnRenamed("query_id", "qid")),
+        col("qid") === col("query_id"))
+      .withColumn("sim", graft.functions.CosineSimilarity(col("qe"), col("te")))
+    Knn.topKPerQuery(rescored, k)
+  }
+
+  /** IVF-SQ: the FAISS `IndexIVFScalarQuantizer` composition — the coarse
+    * quantizer bounds each query's scan to `nprobe` cells (per-query cost
+    * ~N·nprobe/nlist rows) and the cells store byte-coded RESIDUALS
+    * (t − centroid(cell); residuals concentrate near zero, so the 256
+    * buckets per dimension spend their resolution where the data is —
+    * the same argument as [[Pq.searchIvf]]'s residual codebooks, without
+    * PQ's subspace training). The scan reconstructs `centroid + dequant
+    * (codes)` on the fly and scores the RAW query against it (asymmetric
+    * comparison — the query is never quantized here, halving the noise),
+    * over-fetches, then exact-reranks against the true vectors.
+    */
+  def searchIvf(
+      queries: DataFrame, targets: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 6, rerankFactor: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerankFactor >= 1)
+    val coarse = Ivf.fitCentroids(targets, idCol, vecCol, nlist)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+
+    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
+    def withResidual(df: DataFrame): DataFrame = df
+      .withColumn("cell", element_at(Centroids.nearest(col("te"), coarse, 1), 1))
+      .withColumn("cent", element_at(coarseLit, col("cell") + 1))
+      .withColumn("resid",
+        zip_with(col("te"), col("cent"), (x, c) => (x.cast("double") - c).cast("float")))
+    val (lo, span) = fitBounds(
+      withResidual(t).select(col("neighbor_id").as("id"), col("resid")), "resid")
+
+    // inverted lists of byte codes — the persisted index (the barrier is
+    // load-bearing: see Pq.search on codegen deferral into join loops)
+    val compressed = withResidual(t)
+      .select(col("cell"), col("neighbor_id"),
+        quantize(col("resid"), lo, span).as("tc"))
+      .localCheckpoint(false)
+
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
+    val probes = q.withColumn("cell",
+      explode(Centroids.nearest(col("qe"), coarse, nprobe)))
+
+    val approx = probes.join(compressed, "cell")
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("td",
+        zip_with(dequantize(col("tc"), lo, span),
+          element_at(coarseLit, col("cell") + 1), (r, c) => r + c))
+      .withColumn("asim", expr(Knn.cosineExpr.format("qe", "td", "qe", "td")))
     val candidates = graft.plans.TopK.perKey(
       approx, Seq("query_id"), "asim", k * rerankFactor, tieCols = Seq("neighbor_id"))
       .select("query_id", "neighbor_id")

@@ -921,6 +921,15 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  private def knnIvfSq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Sq.searchIvf(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
   private def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     graft.operators.ann.Ivf.search(
@@ -2494,6 +2503,8 @@ object Pipeline {
     QueryDef("dx_knn_pq_recall", knnRecallGate(knnPq, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_knn_sq", knnSq, None),
     QueryDef("dx_knn_sq_recall", knnRecallGate(knnSq, 0.9), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_ivfsq", knnIvfSq, None),
+    QueryDef("dx_knn_ivfsq_recall", knnRecallGate(knnIvfSq, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_knn_ivfpq", knnIvfPq, None),
     QueryDef("dx_knn_ivfpq_recall", knnRecallGate(knnIvfPq, 0.5), Some(knnRecallGateSql)),
     QueryDef("dx_lang_id", langId, Some(langIdSql)),
