@@ -53,6 +53,10 @@ def main():
         print(f"OK   {name} ({len(s)} rows)")
         n_ok += 1
     print(f"\n{n_ok}/{len(oracle)} queries match")
+    # Exit non-zero on any mismatch so dev/roundclose.sh's `|| fail` can
+    # actually refuse a red round (it previously always saw rc 0).
+    if n_ok < len(oracle):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

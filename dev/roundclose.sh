@@ -22,6 +22,10 @@ echo "== roundclose: graft.Verify @ $SF =="
 rm -rf "$OUT"
 sbt -batch "runMain graft.Verify $SF $OUT" > /tmp/roundclose_verify.log 2>&1 \
   || { tail -40 /tmp/roundclose_verify.log; fail "graft.Verify failed"; }
+# Verify records per-query failures in errors.json (exit stays 0 for the
+# driver's sake) — an empty object is the only green state.
+[ "$(cat "$OUT/errors.json" 2>/dev/null)" = "{}" ] \
+  || { cat "$OUT/errors.json" 2>/dev/null; fail "graft.Verify recorded query errors"; }
 
 echo "== roundclose: dev/check.py (DuckDB oracle) =="
 python3 dev/check.py "$SF" "$OUT" > /tmp/roundclose_check.log 2>&1 \

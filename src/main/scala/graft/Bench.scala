@@ -102,5 +102,13 @@ object Bench {
       s"""{"metric":"total","value":${round(total, 2)},"unit":"sec","queries":{},"total_cpu":${round(totalCpu, 1)},"cores":$cpus,"failed":$failed,"sf":"$sfDir"}""")
     println(out)
     spark.stop()
+    // Exit non-zero when any query failed so shell-level gates
+    // (dev/roundclose.sh) can refuse a red round — rc:0 with a non-empty
+    // `failed` array is what let round 10 ship broken. The JSON line above
+    // is already printed, so the driver still gets its metrics either way.
+    if (results.exists(!_._5)) {
+      System.err.println(s"BENCH: ${results.count(!_._5)} queries failed: $failed")
+      sys.exit(1)
+    }
   }
 }

@@ -14,17 +14,32 @@ final case class QueryDef(
 
 /** Parquet table loader for the driver-generated TPC-H-ish test data.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects; we read it as long nanos and rebuild a microsecond
-  * timestamp (`DIV 1000` — integer division; a double roundtrip would lose
-  * precision above 2^53 ns).
+  * `events.ts` has shipped under two physical encodings across driver data
+  * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader only
+  * accepts as long nanos via `nanosAsLong`) and parquet TIMESTAMP(MICROS)
+  * (which Spark reads natively as TIMESTAMP_NTZ). Rather than assume either,
+  * we sniff the loaded schema and normalise both to session-TZ TIMESTAMP:
+  *   - LongType       → nanos; rebuild with `timestamp_micros(ts DIV 1000)`
+  *                      (integer division — a double roundtrip would lose
+  *                      precision above 2^53 ns)
+  *   - TIMESTAMP_NTZ  → cast to TIMESTAMP (session TZ is pinned to UTC in
+  *                      every entrypoint, so wall-clock values are unchanged)
+  *   - TIMESTAMP      → pass through
+  * This keeps downstream window/sessionize/as-of semantics identical no
+  * matter which generation of test data is on disk.
   */
 object Tables {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

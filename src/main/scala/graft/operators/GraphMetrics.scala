@@ -233,15 +233,65 @@ object GraphMetrics {
   def kCoreEdges(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
     var e = edges.localCheckpoint(false)
-    (1 to rounds).foreach { _ =>
+    // Fixed-point early exit: if a round removes no edge, every surviving
+    // node already has deg >= k, so all remaining rounds are no-ops — stop
+    // issuing cluster jobs. On dense graphs (where no node ever peels) this
+    // turns O(rounds) full-graph passes into one, which is what blew up
+    // 10×-data wall time before. Cost: one count() per executed round, on a
+    // frame the checkpoint materialises anyway.
+    var prev = e.count()
+    var round = 0
+    var fixed = false
+    while (round < rounds && !fixed) {
       val keep = degrees(e).filter(col("deg") >= k).select(col("n"))
       e = e
         .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint(false)
+      val cnt = e.count()
+      fixed = cnt == prev || cnt == 0L
+      prev = cnt
+      round += 1
     }
     e
+  }
+
+  /** Per-round peeling summary of [[kCoreEdges]]: `(round, n_nodes, n_edges)`
+    * after each of `rounds` peels at threshold `k` — always exactly `rounds`
+    * rows, so the health view stays non-empty even when the core collapses.
+    * Early-exits at the fixed point like [[kCoreEdges]] and replays the
+    * settled row for the remaining rounds driver-side (bit-identical to the
+    * unrolled oracle, which computes the no-op rounds explicitly).
+    */
+  def kCorePeelStats(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges.localCheckpoint(false)
+    var prev = e.count()
+    var lastNodes = 0L
+    var lastEdges = 0L
+    var fixed = false
+    val rows = (1 to rounds).map { r =>
+      if (!fixed) {
+        val keep = degrees(e).filter(col("deg") >= k).select(col("n"))
+        e = e
+          .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+          .select("a", "b")
+          .localCheckpoint(false)
+        lastEdges = e.count()
+        lastNodes =
+          if (lastEdges == 0L) 0L
+          else e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+            .distinct().count()
+        fixed = lastEdges == prev || lastEdges == 0L
+        prev = lastEdges
+      }
+      (r, lastNodes, lastEdges)
+    }
+    rows.toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
 
   /** Reference-quality O(n³) triangle count for specs. */

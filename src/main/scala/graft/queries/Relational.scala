@@ -1616,15 +1616,16 @@ object Relational {
       |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
   }
 
-  /** 3-core of the proximity graph after 4 peeling rounds
-    * ([[GraphMetrics.kCoreEdges]]), summarised as the surviving
-    * subgraph's degree histogram — the standard "dense core vs fringe"
-    * health view of a candidate-pair graph. Integer-exact, so bit-equal
-    * to the unrolled peeling oracle.
+  /** 3-core peeling of the proximity graph over 4 rounds
+    * ([[GraphMetrics.kCorePeelStats]]): one `(round, n_nodes, n_edges)`
+    * row per peel — the "dense core vs fringe" health view of a
+    * candidate-pair graph, robust to the core collapsing to empty (the
+    * summary stays 4 rows). Integer-exact, so bit-equal to the unrolled
+    * peeling oracle; the Spark side early-exits once a round peels
+    * nothing and replays the settled row.
     */
   private def qGraphKcore(s: SparkSession, dir: String): DataFrame =
-    GraphMetrics.degreeHistogram(
-      GraphMetrics.kCoreEdges(graphEdges(s, dir), k = 3, rounds = 4))
+    GraphMetrics.kCorePeelStats(graphEdges(s, dir), k = 3, rounds = 4)
 
   private val qGraphKcoreSql = {
     val steps = (1 to 4).map { i =>
@@ -1638,15 +1639,18 @@ object Relational {
          |  SELECT a, b FROM e${i - 1}
          |  WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))""".stripMargin
     }.mkString(",\n")
+    val statRows = (1 to 4).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS round,
+         |  (SELECT count(*) FROM (
+         |     SELECT DISTINCT n
+         |     FROM (SELECT a AS n FROM e$i UNION ALL SELECT b AS n FROM e$i))) AS n_nodes,
+         |  (SELECT count(*) FROM e$i) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
     s"""WITH $graphEdgesCte,
       |e0 AS (SELECT a, b FROM e),
       |$steps
-      |SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
-      |FROM (
-      |  SELECT n, count(*) AS d
-      |  FROM (SELECT a AS n FROM e4 UNION ALL SELECT b AS n FROM e4)
-      |  GROUP BY n)
-      |GROUP BY d ORDER BY degree""".stripMargin
+      |$statRows
+      |ORDER BY round""".stripMargin
   }
 
   private def qGraphDegrees(s: SparkSession, dir: String): DataFrame =

@@ -218,4 +218,46 @@ class FunctionsSpec extends SparkSpec {
       assert(back.count() == src.count())
     } finally spark.sql("DROP TABLE IF EXISTS nation_bucketed")
   }
+
+  test("Tables normalises every historical events.ts encoding to one timestamp") {
+    // Driver data has shipped events.ts as parquet TIMESTAMP(NANOS)
+    // (read as long under nanosAsLong), TIMESTAMP(MICROS) NTZ, and could
+    // plausibly ship instant micros. Twice now a silent encoding change
+    // broke live queries (r1 codegen, r10 timestamps) — pin the contract:
+    // all three load to identical session-TZ TIMESTAMP values.
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, LongType}
+    val base = java.nio.file.Files.createTempDirectory("events_drift").toString
+    val micros = Seq(1704067200000000L, 1704070800123456L, 1704074400999999L)
+    val src = micros.toDF("us").select(
+      timestamp_micros(col("us")).as("tsv"), col("us").as("payload"))
+
+    // variant 1: instant TIMESTAMP(MICROS, adjusted=true)
+    src.select(col("tsv").as("ts"), col("payload"))
+      .write.mode("overwrite").parquet(s"$base/instant/events.parquet")
+    // variant 2: TIMESTAMP_NTZ → parquet TIMESTAMP(MICROS, adjusted=false)
+    src.select(col("tsv").cast(TimestampNTZType).as("ts"), col("payload"))
+      .write.mode("overwrite").parquet(s"$base/ntz/events.parquet")
+    // variant 3: INT64 nanos (how Spark surfaces TIMESTAMP(NANOS) under
+    // spark.sql.legacy.parquet.nanosAsLong — a plain long column is
+    // byte-identical to that read path)
+    src.select((col("payload") * 1000L).as("ts"), col("payload"))
+      .write.mode("overwrite").parquet(s"$base/nanos/events.parquet")
+
+    val loaded = Seq("instant", "ntz", "nanos").map { v =>
+      val df = Tables(spark, s"$base/$v", "events")
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$v: expected TimestampType, got ${df.schema("ts").dataType}")
+      v -> df.select("ts", "payload").orderBy("payload")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+    }.toMap
+    assert(loaded("instant") == loaded("ntz"),
+      s"instant vs ntz: ${loaded("instant")} != ${loaded("ntz")}")
+    assert(loaded("instant") == loaded("nanos"),
+      s"instant vs nanos: ${loaded("instant")} != ${loaded("nanos")}")
+    // raw reads really did differ before normalisation
+    assert(spark.read.parquet(s"$base/ntz/events.parquet")
+      .schema("ts").dataType == TimestampNTZType)
+    assert(spark.read.parquet(s"$base/nanos/events.parquet")
+      .schema("ts").dataType == LongType)
+  }
 }
