@@ -448,13 +448,7 @@ object Link {
       threshold: Double = 0.5): (DataFrame, Seq[(Seq[Double], Seq[Double])]) = {
     val nLevels = levelCounts.map(_ + 1) // gamma ranges over 0..L
     val comparisons = levelCounts.indices
-    val gCols = comparisons.map(i => s"g$i")
-    // sorted for deterministic float accumulation (see fellegiSunterEm)
-    val patterns = cand.groupBy(gCols.map(col): _*).count()
-      .collect()
-      .map(row => (gCols.map(row.getAs[Int]).toIndexedSeq, row.getAs[Long]("count")))
-      .sortBy(_._1.mkString(","))
-      .toSeq
+    val patterns = patternCounts(cand, levelCounts.size)
 
     val (lambda, m, u) = emFitLevels(patterns, nLevels, iterations, lambdaInit)
 
@@ -474,13 +468,44 @@ object Link {
     (scored, comparisons.indices.map(i => (m(i).toSeq, u(i).toSeq)))
   }
 
+  /** The distributed half of ordinal-gamma EM training: the (g0..gN) →
+    * count contingency table, collected and sorted so downstream float
+    * accumulation is bit-deterministic. Everything the EM gates check
+    * (fits, null invariants, scored counts) is a pure function of this
+    * table, so gates should collect it once and derive, not re-run
+    * distributed passes per check.
+    */
+  private[graft] def patternCounts(
+      cand: DataFrame, nComparisons: Int): Seq[(IndexedSeq[Int], Long)] = {
+    val gCols = (0 until nComparisons).map(i => s"g$i")
+    cand.groupBy(gCols.map(col): _*).count()
+      .collect()
+      .map(row => (gCols.map(row.getAs[Int]).toIndexedSeq, row.getAs[Long]("count")))
+      .sortBy(_._1.mkString(","))
+      .toSeq
+  }
+
+  /** Driver-side Fellegi–Sunter posterior for one gamma pattern under
+    * trained (λ, m, u) — the same formula the distributed scoring column
+    * compiles to (null gamma −1 ⇒ likelihood factor 1).
+    */
+  private[graft] def levelPatternScore(
+      g: IndexedSeq[Int], lambda: Double,
+      m: Array[Array[Double]], u: Array[Array[Double]]): Double = {
+    val ratio = g.zipWithIndex.map { case (gi, i) =>
+      if (gi < 0) 1.0 else m(i)(gi) / u(i)(gi)
+    }.product
+    val lr = lambda / (1 - lambda) * ratio
+    lr / (lr + 1)
+  }
+
   /** The ordinal-gamma EM loop shared by [[fellegiSunterEmLevels]] and
     * [[fellegiSunterEmLevelsTf]]: driver-side over the (sorted, tiny)
     * pattern contingency table only. Returns (λ, m, u) with m/u indexed
     * (comparison)(gamma level). Accumulation order is fixed by the sorted
     * patterns, so results are bit-identical run to run.
     */
-  private def emFitLevels(
+  private[graft] def emFitLevels(
       patterns: Seq[(IndexedSeq[Int], Long)],
       nLevels: Seq[Int],
       iterations: Int,

@@ -527,18 +527,34 @@ object Matchbox {
       nulledSeg(fuzzyLeft(s, dir), 0), nulledSeg(fuzzyRight(s, dir), 5),
       "c_custkey", "c_custkey", "l.blk = r.blk", levels,
       nullConditions = Seq(None, Some("l.seg_n IS NULL OR r.seg_n IS NULL")))
-      .localCheckpoint(false) // feeds four EM fits + the null-pair count
-    val withoutNulls = cand.filter(col("g1") =!= -1)
-    def segParams(c: DataFrame) = Link.fellegiSunterEmLevelsOnCandidates(
-      c, levels.map(_.size), iterations = 1)._2(1)
-    val oneIterInvariant = segParams(cand) == segParams(withoutNulls)
-    def fullRun() = Link.fellegiSunterEmLevelsOnCandidates(
-      cand, levels.map(_.size))
-    val (scored1, p1) = fullRun()
-    val (scored2, p2) = fullRun()
-    val nullPairs = cand.filter(col("g1") === -1).count()
-    val ok = oneIterInvariant && p1 == p2 &&
-      scored1.count() == scored2.count() && nullPairs > 0
+      .localCheckpoint(false)
+    // Everything this gate asserts is a pure function of the gamma-pattern
+    // contingency table, so collect it twice (the determinism contract
+    // needs two independent distributed aggregations) and derive all four
+    // EM fits, the scored counts and the null-pair count driver-side —
+    // two cluster jobs instead of seven serial ones.
+    val nLevels = levels.map(_.size + 1)
+    val pat1 = Link.patternCounts(cand, levels.size)
+    val pat2 = Link.patternCounts(cand, levels.size)
+    def segParams(pat: Seq[(IndexedSeq[Int], Long)]) = {
+      val (_, m, u) = Link.emFitLevels(pat, nLevels, iterations = 1, lambdaInit = 0.1)
+      (m(1).toSeq, u(1).toSeq)
+    }
+    // null invariant: dropping the g1 = -1 pattern rows IS the
+    // "null pairs physically removed" candidate set
+    val oneIterInvariant =
+      segParams(pat1) == segParams(pat1.filter(_._1(1) >= 0))
+    def fullFit(pat: Seq[(IndexedSeq[Int], Long)]) = {
+      val (l, m, u) = Link.emFitLevels(pat, nLevels, iterations = 20, lambdaInit = 0.1)
+      val scoredCount = pat.collect {
+        case (g, n) if Link.levelPatternScore(g, l, m, u) >= 0.5 => n
+      }.sum
+      (levels.indices.map(i => (m(i).toSeq, u(i).toSeq)), scoredCount)
+    }
+    val (p1, n1) = fullFit(pat1)
+    val (p2, n2) = fullFit(pat2)
+    val nullPairs = pat1.collect { case (g, n) if g(1) == -1 => n }.sum
+    val ok = oneIterInvariant && p1 == p2 && n1 == n2 && nullPairs > 0L
     Seq(ok).toDF("nulls_ok")
   }
 
@@ -803,17 +819,19 @@ object Matchbox {
           "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
           "jaro_winkler_similarity(l.sname, r.sname) >= 0.88")))
     val cand = cand0.localCheckpoint(false)
-    def run() = {
-      val (scored, params) = Link.fellegiSunterEmLevelsTfOnCandidates(
-        cand, total, tfLevels = 1, otherLevels = Seq(3), threshold = 0.0)
-      (scored.localCheckpoint(false), params)
-    }
+    def run() = Link.fellegiSunterEmLevelsTfOnCandidates(
+      cand, total, tfLevels = 1, otherLevels = Seq(3), threshold = 0.0)
+    // Keep the driver-job chain short (it is the whole latency of this
+    // gate): run 1 is checkpointed because three checks read it; run 2
+    // exists only for the determinism hash, so it stays a single
+    // un-checkpointed action.
+    val (s1, p1) = run()
+    val scored1 = s1.localCheckpoint(false)
+    val (scored2, p2) = run()
     def scoreHash(df: DataFrame): Long = df
       .agg(expr(
         "bit_xor(xxhash64(left_id, right_id, CAST(round(score, 9) AS STRING)))"))
       .head().getLong(0)
-    val (scored1, p1) = run()
-    val (scored2, p2) = run()
     val (mName, uName) = p1(1)
     // TF contract: score is a function of (gammas, tf_cnt) only, so within
     // each (name gamma, tf_cnt) cell min == max, and across tf_cnt at fixed
@@ -832,12 +850,15 @@ object Matchbox {
           w.size < 2 || (w(0)._2 < w(1)._2 && w(1)._4 < w(0)._3)
         }
     }
-    val stats = scored1.agg(min("score"), max("score"), count(lit(1))).head()
-    val ok = p1 == p2 && scoreHash(scored1) == scoreHash(scored2) &&
+    // One pass for determinism hash + range/count stats of run 1.
+    val h1row = scored1.agg(
+      expr("bit_xor(xxhash64(left_id, right_id, CAST(round(score, 9) AS STRING)))"),
+      min("score"), max("score"), count(lit(1))).head()
+    val ok = p1 == p2 && h1row.getLong(0) == scoreHash(scored2) &&
       mName.last / uName.last > mName.head / uName.head &&
       tfMonotone &&
-      stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0 &&
-      stats.getLong(2) > 0
+      h1row.getDouble(1) >= 0.0 && h1row.getDouble(2) <= 1.0 &&
+      h1row.getLong(3) > 0
     Seq(ok).toDF("em_ok")
   }
 
