@@ -25,9 +25,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts is TIMESTAMP(NANOS): read it as a plain long (what
-    // graft.Tables does) and write it back as INT64 — Tables' `ts DIV 1000`
-    // path reads both encodings identically
+    // events.ts has shipped as TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    // across driver data generations; nanosAsLong makes the nanos
+    // generation readable (as INT64) and is harmless for micros. Either
+    // way the replica round-trips an encoding graft.Tables normalises.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
