@@ -142,8 +142,98 @@ object Streaming {
       |  AND rts <= lts + INTERVAL 120 SECOND
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Driver-gated stream-static MinHash dedup
+    * ([[graft.streaming.Streams.incrementalDedup]], batch-executed — every
+    * join in it is stream-static, so the plan is identical either way):
+    * the stream is the planted perturbed copies (doc_id + 1,000,000 of
+    * every doc_id % 7 = 0, the dx_dedup_minhash corpus), the reference is
+    * the original documents. Contracts: (a) FORMULATION EQUIVALENCE — the
+    * streaming band-bucket⋈verify pipeline must emit exactly the
+    * cross-side subset of the batch `MinHashLSH.candidatePairs` run on
+    * the union corpus with the same parameters, jaccard values included
+    * (both verify over the same shingle-hash sets); (b) planted-pair
+    * recall ≥ 0.95 (the minhash-gate floor — a mutated short doc may
+    * legitimately fall below the jaccard threshold). Oracle pins the
+    * planted count from the data plus both flags.
+    */
+  private def dedupIncrementalGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.dedup.MinHashLSH
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val stream = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("concat(substring(text, 1, length(text) - 10), ' spark dup tail')")
+          .as("text"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamPairs = graft.streaming.Streams
+      .incrementalDedup(stream, docs, "doc_id", "text")
+      .select(col("stream_id"), col("ref_id"), round(col("jaccard"), 9))
+      .collect().map(key).toSet
+    val batchCross = MinHashLSH.candidatePairs(docs.unionByName(stream), "doc_id", "text")
+      .filter(col("right_id") >= 1000000L && col("left_id") < 1000000L)
+      .select(col("right_id"), col("left_id"), round(col("jaccard"), 9))
+      .collect().map(key).toSet
+    val planted = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("ref_id"), (col("doc_id") + 1000000).as("stream_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val hits = planted.count(p => streamPairs.exists(q => (q._1, q._2) == p))
+    Seq((planted.size.toLong,
+        streamPairs == batchCross,
+        hits.toDouble / planted.size >= 0.95))
+      .toDF("n_planted", "batch_equal_ok", "recall_ok")
+  }
+
+  private val dedupIncrementalGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+      |  CAST(1 AS BOOLEAN) AS batch_equal_ok, CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** Driver-gated stream-static embedding dedup
+    * ([[graft.streaming.Streams.incrementalEmbedDedup]], batch-executed):
+    * the stream is exact copies of every vec_id % 7 = 0 embedding
+    * (+1,000,000 ids — the dx_dedup_embed_lsh_gate plant), the reference
+    * is the original embeddings. Contracts: (a) FORMULATION EQUIVALENCE
+    * with the cross-side subset of the batch
+    * `EmbedDedup.lshPairs` on the union (same seeded hyperplanes, same
+    * cosine verify — sims must match to 9dp); (b) exact-copy recall 1.0
+    * (identical vectors share every band signature, so LSH cannot miss
+    * them). Oracle pins the planted count plus both flags.
+    */
+  private def embedIncrementalGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.dedup.EmbedDedup
+    val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+    val stream = planted.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamPairs = graft.streaming.Streams
+      .incrementalEmbedDedup(stream, emb, "vec_id", "embedding",
+        threshold = 0.3, bands = 8, planesPerBand = 8)
+      .select(col("stream_id"), col("ref_id"), round(col("sim"), 9))
+      .collect().map(key).toSet
+    val batchCross = EmbedDedup.lshPairs(emb.unionByName(stream), "vec_id", "embedding",
+        threshold = 0.3, bands = 8, planesPerBand = 8)
+      .filter(col("right_id") >= 1000000L && col("left_id") < 1000000L)
+      .select(col("right_id"), col("left_id"), round(col("sim"), 9))
+      .collect().map(key).toSet
+    val truth = planted.select(col("vec_id")).collect()
+      .map(r => (r.getLong(0) + 1000000L, r.getLong(0))).toSet
+    val allPlantedBack = truth.forall(p => streamPairs.exists(q => (q._1, q._2) == p))
+    Seq((truth.size.toLong, streamPairs == batchCross, allPlantedBack))
+      .toDF("n_planted", "batch_equal_ok", "recall_ok")
+  }
+
+  private val embedIncrementalGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+      |  CAST(1 AS BOOLEAN) AS batch_equal_ok, CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st_events_rate", eventsRate, Some(eventsRateSql)),
     QueryDef("st_fuzzy_windowed", fuzzyWindowed, Some(fuzzyWindowedSql)),
-    QueryDef("st_interval_join", intervalJoinTwin, Some(intervalJoinTwinSql)))
+    QueryDef("st_interval_join", intervalJoinTwin, Some(intervalJoinTwinSql)),
+    QueryDef("st_dedup_incremental_gate", dedupIncrementalGate,
+      Some(dedupIncrementalGateSql)),
+    QueryDef("st_embed_incremental_gate", embedIncrementalGate,
+      Some(embedIncrementalGateSql)))
 }
