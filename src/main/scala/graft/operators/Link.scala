@@ -886,7 +886,13 @@ object Link {
     val perSide = math.max(2, math.sqrt(maxPairs.toDouble).toLong.toInt)
     def sample(df: DataFrame, id: String) =
       df.orderBy(xxhash64(col(id)), col(id)).limit(perSide)
-    val pairs = sample(left, leftId).alias("l")
+    // A global sort-limit leaves ONE partition, which would run the whole
+    // ~maxPairs-row nested-loop probe in a single task; spread the probe
+    // side back across the cluster first (the agreement indicators are 0/1
+    // doubles, so the partial averages re-combine exactly regardless of
+    // partitioning — the estimate is bit-identical).
+    val parallelism = left.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = sample(left, leftId).repartition(parallelism).alias("l")
       .crossJoin(broadcast(sample(right, rightId).alias("r")))
     val rates = pairs.agg(
       avg(when(expr(comparisons.head), 1.0).otherwise(0.0)).as("u0"),
