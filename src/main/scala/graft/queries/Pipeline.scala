@@ -514,19 +514,35 @@ object Pipeline {
       .withColumn("plen", expr("CAST(sz - ((6 * sz + 9) DIV 10) + 1 AS INT)"))
       .localCheckpoint(false)
     // Prefix postings → postings-group pair expansion (same idiom as
-    // dx_dedup_ngram, but over the rare prefix only) + length-ratio filter.
+    // dx_dedup_ngram, but over the rare prefix only) + length-ratio filter
+    // + PPJoin's POSITIONAL filter: at a shared prefix token sitting at
+    // (1-based) positions i in A and j in B, the overlap from that token
+    // on is at most 1 + min(|A|−i, |B|−j); and since both arrays follow
+    // the same global order, the pair's EARLIEST shared token has no
+    // common token before it, so that occurrence's bound caps the TOTAL
+    // overlap. Filtering occurrences before the distinct keeps a pair iff
+    // its earliest generated occurrence passes (earlier positions ⇒ larger
+    // bound), which is exactly the sound PPJoin test — a true pair's
+    // earliest shared token is in both prefixes (prefix theorem) and its
+    // bound ≥ the true overlap ≥ the required minimum. Required overlap
+    // for J ≥ 6/10 is o ≥ 6(|A|+|B|)/16, integer-exact as a DIV ceil.
     val cand = ordered
-      .select(col("doc_id"), col("sz"), explode(expr("slice(osh, 1, plen)")).as("g"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(osh, 1, plen)")).as(Seq("pos0", "g")))
+      .select(col("doc_id"), col("sz"), (col("pos0") + 1).cast("long").as("pos"), col("g"))
       .groupBy("g")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz"), col("pos")))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    named_struct('left_id', x.doc_id, 'szl', x.sz,
-          |                 'right_id', y.doc_id, 'szr', y.sz))))""".stripMargin)).as("p"))
-      .select("p.left_id", "p.szl", "p.right_id", "p.szr")
+          |    named_struct('left_id', x.doc_id, 'szl', x.sz, 'posl', x.pos,
+          |                 'right_id', y.doc_id, 'szr', y.sz, 'posr', y.pos))))""".stripMargin)).as("p"))
+      .select("p.left_id", "p.szl", "p.posl", "p.right_id", "p.szr", "p.posr")
       .filter(expr("10 * least(szl, szr) >= 6 * greatest(szl, szr)"))
+      .filter(expr(
+        "1 + least(szl - posl, szr - posr) >= (6 * (szl + szr) + 15) DIV 16"))
+      .select("left_id", "szl", "right_id", "szr")
       .distinct()
     // Exact verification on the full sorted sets, candidate volume only.
     cand
