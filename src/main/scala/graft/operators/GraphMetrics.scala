@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Distributed graph metrics over pair-edge lists (the shape every graft
   * linker/deduper emits: `left_id, right_id` match pairs).
@@ -80,12 +81,65 @@ object GraphMetrics {
       .select(col("o.u").as("u"), col("o.v").as("v"), col("o.rkv").as("rkv"))
       .localCheckpoint(false)
 
+    // Semi-join reduction for the closure probe: the wedge stream is the
+    // quadratic object here (Σ out-deg² rows — 1000× the edge count on a
+    // dense graph), and every wedge would otherwise shuffle into the
+    // closing-edge equi-join only for the overwhelming majority to miss.
+    // Fit a Bloom filter over the oriented edge keys (Spark's native
+    // BloomFilterAggregate — the same kernel Catalyst injects for runtime
+    // join filters) and probe each wedge IN-STAGE, before the exchange:
+    // only probable triangles (true ones + fpp misses) ever shuffle. False
+    // positives are killed by the exact equi-join that follows, so the
+    // count stays exact. The session runtime-filter caps are raised around
+    // the fit (and restored) — this filter is deliberately edge-count
+    // sized, not subject to the injected-filter heuristics.
+    // Below ~1M edges (spark.graft.graph.bloomProbeMinEdges — specs lower
+    // it to force the probe path) the wedge exchange is small enough that
+    // the fit pass costs more than it saves — probe only at scale. (On one
+    // box the enumeration is CPU-bound either way; on a real cluster the
+    // eliminated exchange is the network win.)
+    val spark = edges.sparkSession
+    val minEdges = spark.conf
+      .get("spark.graft.graph.bloomProbeMinEdges", "1000000").toLong
+    val nEdgesV = e.count()
+    val bloomBytes: Array[Byte] = if (nEdgesV < math.max(minEdges, 1L)) null else {
+      val fpp = 0.01
+      val numBits = math.max(
+        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nEdgesV, fpp), 64L)
+      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val oldItems = spark.conf.get(itemsKey, "4000000")
+      val oldBits = spark.conf.get(bitsKey, "67108864")
+      spark.conf.set(itemsKey, math.max(oldItems.toLong, nEdgesV).toString)
+      spark.conf.set(bitsKey, math.max(oldBits.toLong, numBits).toString)
+      try {
+        val fit = ColumnBridge.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            ColumnBridge.expression(xxhash64(col("u"), col("v"))),
+            org.apache.spark.sql.catalyst.expressions.Literal(nEdgesV),
+            org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+            .toAggregateExpression())
+        oriented.agg(fit.as("bf")).head().getAs[Array[Byte]](0)
+      } finally {
+        spark.conf.set(itemsKey, oldItems)
+        spark.conf.set(bitsKey, oldBits)
+      }
+    }
+    def mightClose(x: Column, y: Column): Column =
+      if (bloomBytes == null) lit(true) // small graph: no probe, no filter
+      else ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            bloomBytes, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(xxhash64(x, y))))
+
     // Wedges at each orientation source: ordered pairs of out-neighbours.
     // Max out-degree is O(√m) under degree orientation, so the self-join
     // fan-out is bounded even on hub nodes.
     val e1 = oriented.select(col("u"), col("v").as("x"), col("rkv").as("rkx"))
     val e2 = oriented.select(col("u"), col("v").as("y"), col("rkv").as("rky"))
     val wedges = e1.join(e2, Seq("u")).where(col("rkx") < col("rky"))
+      .where(mightClose(col("x"), col("y")))
       .select(col("x").as("u"), col("y").as("v"))
 
     // A wedge (u; x, y) closes iff edge x→y exists — and x→y is exactly how

@@ -27,6 +27,23 @@ class GraphMetricsSpec extends SparkSpec {
     }
   }
 
+  test("bloom wedge probe path counts identically to the unprobed path") {
+    // The probe only engages above bloomProbeMinEdges; force it on and
+    // assert exact agreement — false positives must die in the closing
+    // equi-join, false negatives are impossible by Bloom's contract.
+    spark.conf.set("spark.graft.graph.bloomProbeMinEdges", "1")
+    try {
+      for ((seed, n, m) <- Seq((21, 30, 200), (22, 12, 120))) {
+        val e = GraphMetrics.canonicalEdges(randomEdges(seed, n, m), "left_id", "right_id")
+        val probed = GraphMetrics.triangleStats(e).collect()(0)
+        spark.conf.set("spark.graft.graph.bloomProbeMinEdges", "1000000000")
+        val plain = GraphMetrics.triangleStats(e).collect()(0)
+        spark.conf.set("spark.graft.graph.bloomProbeMinEdges", "1")
+        assert(probed == plain, s"seed=$seed: probed=$probed plain=$plain")
+      }
+    } finally spark.conf.unset("spark.graft.graph.bloomProbeMinEdges")
+  }
+
   test("a k-clique has C(k,3) triangles and C(k,2) edges; ties in degree are fine") {
     val k = 7
     val pairs = (for (i <- 0 until k; j <- 0 until k if i != j)
