@@ -219,6 +219,56 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS nation_bucketed")
   }
 
+  test("driver table schemas match the contract every query is written against") {
+    // r1 (codegen) and r10 (events timestamps) both broke on silent
+    // driver-data changes; this pins the whole surface so a regeneration
+    // fails HERE with a readable diff, not deep inside 30 query plans.
+    // Timestamp columns accept any timestamp flavour (NTZ vs instant is an
+    // encoding choice the loaders normalise); everything else is exact.
+    import org.apache.spark.sql.types._
+    val expected: Map[String, Seq[(String, DataType)]] = Map(
+      "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType, containsNull = true),
+        "label" -> IntegerType))
+    def isTimestamp(dt: DataType) =
+      dt == TimestampType || dt == TimestampNTZType
+    expected.foreach { case (table, cols) =>
+      val got = Tables(spark, sfDir, table).schema
+        .map(f => f.name -> f.dataType)
+      assert(got.map(_._1) == cols.map(_._1),
+        s"$table columns drifted: got ${got.map(_._1)}, expected ${cols.map(_._1)}")
+      got.zip(cols).foreach { case ((name, g), (_, e)) =>
+        val ok = g == e || (isTimestamp(g) && isTimestamp(e))
+        assert(ok, s"$table.$name type drifted: got $g, expected $e")
+      }
+    }
+  }
+
   test("Tables normalises every historical events.ts encoding to one timestamp") {
     // Driver data has shipped events.ts as parquet TIMESTAMP(NANOS)
     // (read as long under nanosAsLong), TIMESTAMP(MICROS) NTZ, and could
