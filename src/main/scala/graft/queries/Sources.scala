@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.{Num, QueryDef, Tables}
+import graft.sources.Warehouse
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trip gates (SURVEY.md §2, "Sources" — the matchbox
+  * `Location` surface: relational warehouses over JDBC plus csv/json file
+  * drops). Each gate writes driver data out through the source layer,
+  * reads it back the way an ingest job would (partitioned JDBC ranges,
+  * explicit file schemas), and aggregates — the oracle computes the same
+  * aggregate straight from the parquet, so any row lost, duplicated or
+  * type-mangled in the round trip breaks the hash match.
+  */
+object Sources {
+
+  /** Embedded-Derby JDBC round trip: write nation out as a warehouse
+    * table, read it back as 4 range-bounded parallel queries with a
+    * pushed-down filter (the reference's RelationalDBLocation ingest
+    * shape), and aggregate per region. Derby runs in-process — no
+    * network — so the gate exercises exactly the Spark JDBC source code
+    * paths (partitioned scan, filter pushdown, type mapping).
+    */
+  private def jdbcGate(s: SparkSession, dir: String): DataFrame = {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val nation = Tables(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+    Warehouse.writeJdbc(nation, url, "nation_jdbc",
+      mode = SaveMode.Overwrite, connectionProperties = props)
+    Warehouse.readJdbc(s, url, "nation_jdbc",
+        partitionColumn = Some("n_nationkey"),
+        lowerBound = 0L, upperBound = 25L, numPartitions = 4,
+        connectionProperties = props)
+      .filter(col("n_regionkey") < 3)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_name"))
+      .orderBy("n_regionkey")
+  }
+
+  private val jdbcGateSql =
+    """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+      |  count(*) AS n_nations, min(n_name) AS first_name
+      |FROM nation WHERE n_regionkey < 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CSV round trip: customers out as headered CSV, back in with the
+    * explicit schema (never inference — a production ingest pins types),
+    * then the money aggregate per segment. Doubles survive the text round
+    * trip exactly (Spark writes shortest-roundtrip representations), and
+    * the scaled-integer sum makes the aggregate bit-identical anyway.
+    */
+  private def csvGate(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val customer = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    customer.write.mode("overwrite").option("header", "true").csv(s"$out/customer_csv")
+    Warehouse.read(s, "csv", s"$out/customer_csv",
+        schema = Some(customer.schema))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        Num.moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val csvGateSql =
+    s"""SELECT c_mktsegment, count(*) AS n_customers,
+       |  ${Num.moneySumSql("c_acctbal")} AS sum_bal
+       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** JSON round trip: suppliers out as JSON lines, back in with the
+    * explicit schema, per-nation census. */
+  private def jsonGate(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val supplier = Tables(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey").cast("int").as("s_nationkey"), col("s_acctbal"))
+    supplier.write.mode("overwrite").json(s"$out/supplier_json")
+    Warehouse.read(s, "json", s"$out/supplier_json",
+        schema = Some(supplier.schema))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), min("s_name").as("first_name"))
+      .orderBy("s_nationkey")
+  }
+
+  private val jsonGateSql =
+    """SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+      |  count(*) AS n_suppliers, min(s_name) AS first_name
+      |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("src_jdbc_gate", jdbcGate, Some(jdbcGateSql)),
+    QueryDef("src_csv_gate", csvGate, Some(csvGateSql)),
+    QueryDef("src_json_gate", jsonGate, Some(jsonGateSql)))
+}
