@@ -404,7 +404,7 @@ object Pipeline {
       maxHamming = 3)
       .orderBy("left_id", "right_id")
 
-  private val shingleDuck =
+  private[queries] val shingleDuck =
     """list_distinct(list_transform(
       |  range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) + 1),
       |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
@@ -1438,7 +1438,7 @@ object Pipeline {
     * bytes instead of a string); kept as the string here so the DuckDB twin
     * is exact.
     */
-  private def shingledDocs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def shingledDocs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
       .select(col("doc_id"), explode(expr(

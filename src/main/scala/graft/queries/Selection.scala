@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for training-corpus curation (SURVEY.md §2,
+  * "Training-data pipeline extensions", r11 additions): importance-resampling
+  * selection (DSIR), distributed BPE tokenizer-merge training, and the
+  * per-benchmark contamination report.
+  *
+  * All three follow the repo's exactness discipline: every decision value is
+  * exact integer arithmetic (ppm probabilities, floor-log2 bits via
+  * `length(bin(x))`, floor division), so the DuckDB oracle matches bit-for-bit.
+  */
+object Selection {
+
+  /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score each raw document by how target-like its
+    * hashed-feature distribution is, then keep the top slice.
+    *
+    * Shape (the paper's recipe, integer-exact):
+    *   - features: tokens hashed into 256 buckets (first md5 byte — the
+    *     hashed n-gram generative model of DSIR §3.2);
+    *   - fit: bucket unigram distributions for the target slice
+    *     (`doc_id % 37 = 0`, the in-domain exemplar set) and the raw rest —
+    *     ONE partial-agg shuffle over ≤256 groups, conditional counts for
+    *     both sides in the same pass;
+    *   - log importance weight per bucket: floor-log2(p_target_ppm) −
+    *     floor-log2(p_raw_ppm) via `length(bin(x))` (no libm, cross-engine
+    *     exact; +1-clamped ppm is add-one smoothing);
+    *   - per-doc score: sum of bucket weights over token occurrences —
+    *     the 256-row weight table broadcasts, so scoring is a map-side
+    *     join + one per-doc aggregate;
+    *   - selection: top-100 by (score DESC, doc_id) as a bounded top-k
+    *     (`TakeOrdered`), never a global sort.
+    *
+    * At 100 TB: the fit is a 256-group aggregate (constant-size state), the
+    * weight table is bytes to broadcast, and scoring touches each token once
+    * with zero extra shuffles beyond the per-doc combine.
+    */
+  private def dsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+      .withColumn("bucket", expr("CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS BIGINT)"))
+      .localCheckpoint(false) // feeds the fit AND the scoring pass
+    val bucketCounts = toks
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("doc_id") % 37 === 0, 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("doc_id") % 37 =!= 0, 1L).otherwise(0L)).as("c_r"))
+    val totals = bucketCounts.agg(
+      sum("c_t").as("n_t"), sum("c_r").as("n_r"))
+    val weights = bucketCounts.crossJoin(broadcast(totals))
+      .withColumn("w_bits", expr(
+        """CAST(length(bin(greatest(1L, (1000000 * c_t) div n_t))) AS BIGINT)
+          | - CAST(length(bin(greatest(1L, (1000000 * c_r) div n_r))) AS BIGINT)""".stripMargin))
+      .select("bucket", "w_bits")
+    val scored = toks.filter(col("doc_id") % 37 =!= 0)
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("w_bits").as("score"))
+    scored
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "n_toks", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(100)
+  }
+
+  private val dsirSql =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |bt AS (
+      |  SELECT doc_id,
+      |    CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS BIGINT)
+      |      AS bucket
+      |  FROM tk),
+      |bc AS (
+      |  SELECT bucket,
+      |    CAST(count(*) FILTER (doc_id % 37 = 0) AS BIGINT) AS c_t,
+      |    CAST(count(*) FILTER (doc_id % 37 <> 0) AS BIGINT) AS c_r
+      |  FROM bt GROUP BY bucket),
+      |tot AS (
+      |  SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r
+      |  FROM bc),
+      |w AS (
+      |  SELECT bucket,
+      |    CAST(length(bin(greatest(1, (1000000 * c_t) // n_t))) AS BIGINT)
+      |    - CAST(length(bin(greatest(1, (1000000 * c_r) // n_r))) AS BIGINT)
+      |      AS w_bits
+      |  FROM bc CROSS JOIN tot),
+      |sc AS (
+      |  SELECT bt.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |    CAST(sum(w_bits) AS BIGINT) AS score
+      |  FROM bt JOIN w USING (bucket)
+      |  WHERE doc_id % 37 <> 0
+      |  GROUP BY bt.doc_id)
+      |SELECT d.doc_id, d.lang, n_toks, score
+      |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+      |ORDER BY score DESC, d.doc_id LIMIT 100""".stripMargin
+
+  /** Distributed BPE tokenizer-merge training (Sennrich et al. 2016,
+    * arXiv:1508.07909) — the way real trainers run it (HuggingFace
+    * tokenizers, SentencePiece BPE): the corpus collapses to a word-frequency
+    * table first (the ONLY corpus-scale aggregate, one shuffle), and every
+    * merge iteration operates on the distinct-word VOCABULARY — bounded and
+    * tiny relative to 100 TB of text.
+    *
+    * Each word is kept as a delimiter-padded symbol string
+    * (`" c1  c2  ...  </w> "`, double space between symbols, single space at
+    * the borders) so a merge is ONE codegen'd literal `replace`:
+    * `" a  b "` → `" ab "` — string replace's leftmost, non-overlapping,
+    * no-rescan semantics are exactly BPE's merge-application semantics
+    * (in `a a a a` the rule `a+a` yields `aa aa`, never `aaa a`). Pair
+    * counting per iteration is a split + posexplode + 1 aggregate over the
+    * vocabulary; the argmax pair (count DESC, then lexicographic) is a
+    * driver-side head() of a bounded limit-1 sort.
+    *
+    * Output: the learned merge table (iter, lhs, rhs, merged, pair_count) —
+    * the oracle replays the identical algorithm as unrolled SQL CTEs.
+    */
+  private val bpeMerges = 8
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = Tables(s, dir, "documents")
+      .select(explode(expr("split(trim(text), '\\\\s+')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", expr(
+        """concat(' ', concat_ws('  ',
+          |  concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+          |         array('</w>'))), ' ')""".stripMargin))
+      .select("sym", "cnt")
+      .localCheckpoint(false) // the corpus never rescans across iterations
+    var words = wf
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (it <- 1 to bpeMerges) {
+      val top = words
+        .select(expr("split(trim(sym), '  ')").as("syms"), col("cnt"))
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  j -> struct(element_at(syms, j) AS a,
+            |              element_at(syms, CAST(j + 1 AS INT)) AS b))""".stripMargin))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("pcnt"))
+        .orderBy(desc("pcnt"), asc("a"), asc("b"))
+        .limit(1).head()
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((it.toLong, a, b, a + b, c))
+      words = words.withColumn("sym",
+        call_function("replace", col("sym"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }
+    merges.result().toDF("iter", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("iter")
+  }
+
+  private val bpeTrainSql: String = {
+    val head =
+      """WITH tokw AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tokw GROUP BY w),
+        |w0 AS (
+        |  SELECT ' ' || array_to_string(
+        |      list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))
+        |        || ['</w>'], '  ') || ' ' AS sym, cnt
+        |  FROM wf)""".stripMargin
+    val iters = (1 to bpeMerges).map { it =>
+      val prev = s"w${it - 1}"
+      s""",
+         |p$it AS (
+         |  SELECT a, b, pcnt FROM (
+         |    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+         |      SELECT unnest(list_transform(range(1, len(syms)), j -> syms[j])) AS a,
+         |             unnest(list_transform(range(1, len(syms)), j -> syms[j + 1])) AS b,
+         |             cnt
+         |      FROM (SELECT string_split(trim(sym), '  ') AS syms, cnt FROM $prev))
+         |    GROUP BY a, b)
+         |  ORDER BY pcnt DESC, a, b LIMIT 1),
+         |w$it AS (
+         |  SELECT replace(sym, ' ' || a || '  ' || b || ' ',
+         |                 ' ' || a || b || ' ') AS sym, cnt
+         |  FROM $prev CROSS JOIN p$it)""".stripMargin
+    }.mkString
+    val rows = (1 to bpeMerges).map { it =>
+      s"SELECT CAST($it AS BIGINT) AS iter, a AS lhs, b AS rhs, a || b AS merged, pcnt AS pair_count FROM p$it"
+    }.mkString("\n  UNION ALL\n  ")
+    s"$head$iters\nSELECT * FROM (\n  $rows\n) ORDER BY iter"
+  }
+
+  /** Per-benchmark contamination report — the eval-side mirror of
+    * `dx_decontaminate`: for every eval document (the `doc_id % 50 = 0`
+    * slice), the fraction of its distinct 3-gram shingles that appear
+    * anywhere in the training split. This is the number actually published
+    * in model cards ("n-gram overlap of benchmark X with pretraining data"),
+    * where `dx_decontaminate` is the filter applied to the corpus.
+    *
+    * Plan: one shingle explode feeds both sides; the training vocabulary is
+    * a distinct projection; the report is a posting-list LEFT equi-join on
+    * the shingle plus one per-doc aggregate — eval-slice-sized output, no
+    * doc×doc anything.
+    */
+  private def contaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val sh = Pipeline.shingledDocs(s, dir).localCheckpoint(false)
+    val trainVocab = sh.filter(col("doc_id") % 50 =!= 0)
+      .select("sh").distinct().withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") % 50 === 0)
+      .join(trainVocab, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .withColumn("hit_permille", expr("(1000 * n_hit) div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  private val contaminationReportSql =
+    s"""WITH s AS (
+       |  SELECT doc_id, unnest(${Pipeline.shingleDuck}) AS sh FROM documents),
+       |tv AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 <> 0)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(tv.sh) AS BIGINT) AS n_hit,
+       |  CAST((1000 * count(tv.sh)) // count(*) AS BIGINT) AS hit_permille
+       |FROM s LEFT JOIN tv ON s.sh = tv.sh
+       |WHERE s.doc_id % 50 = 0
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dx_dsir", dsir, Some(dsirSql)),
+    QueryDef("dx_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("dx_contamination_report", contaminationReport,
+      Some(contaminationReportSql)))
+}

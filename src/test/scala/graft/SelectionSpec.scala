@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Specs for the data-selection operators (queries/Selection.scala):
+  * each distributed result is checked against an independent driver-side
+  * reference recomputation from the same parquet — not against the
+  * operator's own plan.
+  */
+class SelectionSpec extends SparkSpec {
+
+  private def docs(): Seq[(Long, String, String)] = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text", "lang")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+  }
+
+  private def toks(text: String): Seq[String] =
+    text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  test("dx_bpe_train matches a driver-side reference BPE over the same corpus") {
+    // reference: word-freq table, then greedy leftmost merges with
+    // (count DESC, pair ASC) argmax — implemented from scratch, no shared
+    // code with the operator (which uses the padded-string replace trick).
+    val wf = scala.collection.mutable.Map[String, Long]()
+    docs().foreach { case (_, text, _) =>
+      toks(text).foreach(w => wf(w) = wf.getOrElse(w, 0L) + 1L) }
+    var words: Map[Vector[String], Long] =
+      wf.toMap.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }
+    def mergeWord(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = (1 to 8).map { it =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (s, c) =>
+        s.sliding(2).foreach {
+          case Vector(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+          case _            => ()
+        }
+      }
+      val ((a, b), c) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      words = words.toSeq
+        .map { case (s, cc) => mergeWord(s, a, b) -> cc }
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      Row(it.toLong, a, b, a + b, c)
+    }
+    val got = Registry.byName("dx_bpe_train").fn(spark, sfDir).collect().toSeq
+    assert(got === expected)
+  }
+
+  test("dx_dsir scores equal a driver-side recomputation; top-k order total") {
+    val all = docs()
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      (md(0) & 0xff).toLong // == first two hex chars of md5 as an int
+    }
+    val (target, raw) = all.partition(_._1 % 37 == 0)
+    def counts(ds: Seq[(Long, String, String)]): Map[Long, Long] =
+      ds.flatMap(d => toks(d._2)).groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
+    val ct = counts(target); val cr = counts(raw)
+    val nT = ct.values.sum; val nR = cr.values.sum
+    def bits(ppm: Long): Long = java.lang.Long.toBinaryString(ppm).length.toLong
+    val w: Map[Long, Long] = (ct.keySet ++ cr.keySet).map { b =>
+      b -> (bits(math.max(1L, 1000000L * ct.getOrElse(b, 0L) / nT)) -
+        bits(math.max(1L, 1000000L * cr.getOrElse(b, 0L) / nR)))
+    }.toMap
+    val expected = raw.map { case (id, text, lang) =>
+      val ts = toks(text)
+      Row(id, lang, ts.size.toLong, ts.map(t => w(bucket(t))).sum)
+    }.sortBy(r => (-r.getLong(3), r.getLong(0))).take(100)
+    val got = Registry.byName("dx_dsir").fn(spark, sfDir).collect().toSeq
+    assert(got === expected)
+  }
+
+  test("dx_contamination_report matches a driver-side shingle recomputation") {
+    val all = docs()
+    def shingles(text: String): Set[String] = {
+      val ts = toks(text)
+      if (ts.size < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val trainVocab = all.filter(_._1 % 50 != 0).flatMap(d => shingles(d._2)).toSet
+    val expected = all.filter(_._1 % 50 == 0).flatMap { case (id, text, _) =>
+      val sh = shingles(text)
+      // docs under 3 tokens emit a single null shingle in the operator's
+      // array formulation; none exist in the driver data (pinned here).
+      assert(sh.nonEmpty)
+      val hit = sh.count(trainVocab.contains).toLong
+      Some(Row(id, sh.size.toLong, hit, 1000L * hit / sh.size))
+    }.sortBy(_.getLong(0))
+    val got = Registry.byName("dx_contamination_report").fn(spark, sfDir).collect().toSeq
+    assert(got === expected)
+  }
+}
