@@ -124,8 +124,12 @@ object Selection {
     */
   private val bpeMerges = 8
 
-  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Runs the merge-learning loop; returns the merge table rows and the
+    * final vocabulary frame (`w`, post-merge `sym`, `cnt`) for the encode
+    * side.
+    */
+  private def bpeLearn(s: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val wf = Tables(s, dir, "documents")
       .select(explode(expr("split(trim(text), '\\\\s+')")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -133,7 +137,7 @@ object Selection {
         """concat(' ', concat_ws('  ',
           |  concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),
           |         array('</w>'))), ' ')""".stripMargin))
-      .select("sym", "cnt")
+      .select("w", "sym", "cnt")
       .localCheckpoint(false) // the corpus never rescans across iterations
     var words = wf
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
@@ -154,17 +158,27 @@ object Selection {
       words = words.withColumn("sym",
         call_function("replace", col("sym"), lit(s" $a  $b "), lit(s" $a$b ")))
     }
-    merges.result().toDF("iter", "lhs", "rhs", "merged", "pair_count")
+    (merges.result(), words)
+  }
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeLearn(s, dir)._1
+      .toDF("iter", "lhs", "rhs", "merged", "pair_count")
       .orderBy("iter")
   }
 
-  private val bpeTrainSql: String = {
+  /** Shared unrolled-CTE prefix replaying the merge loop: `wf` (word freq),
+    * `w0..wN` (padded symbol strings after each merge), `p1..pN` (the
+    * argmax pair per iteration).
+    */
+  private def bpeCtes: String = {
     val head =
       """WITH tokw AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
         |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tokw GROUP BY w),
         |w0 AS (
-        |  SELECT ' ' || array_to_string(
+        |  SELECT w, ' ' || array_to_string(
         |      list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))
         |        || ['</w>'], '  ') || ' ' AS sym, cnt
         |  FROM wf)""".stripMargin
@@ -181,15 +195,67 @@ object Selection {
          |    GROUP BY a, b)
          |  ORDER BY pcnt DESC, a, b LIMIT 1),
          |w$it AS (
-         |  SELECT replace(sym, ' ' || a || '  ' || b || ' ',
-         |                 ' ' || a || b || ' ') AS sym, cnt
+         |  SELECT w, replace(sym, ' ' || a || '  ' || b || ' ',
+         |                    ' ' || a || b || ' ') AS sym, cnt
          |  FROM $prev CROSS JOIN p$it)""".stripMargin
     }.mkString
+    head + iters
+  }
+
+  private val bpeTrainSql: String = {
     val rows = (1 to bpeMerges).map { it =>
       s"SELECT CAST($it AS BIGINT) AS iter, a AS lhs, b AS rhs, a || b AS merged, pcnt AS pair_count FROM p$it"
     }.mkString("\n  UNION ALL\n  ")
-    s"$head$iters\nSELECT * FROM (\n  $rows\n) ORDER BY iter"
+    s"$bpeCtes\nSELECT * FROM (\n  $rows\n) ORDER BY iter"
   }
+
+  /** The encode side of the tokenizer loop: apply the learned merges to the
+    * corpus and report per-document BPE token counts plus the compression
+    * against the unmerged character-symbol baseline.
+    *
+    * The merges were learned ON the vocabulary, so encoding is a
+    * vocabulary-sized lookup: final symbol count per distinct word joins
+    * back to the corpus token stream (plain equi-join on the word — AQE
+    * broadcasts it when the vocabulary is small) and one per-doc aggregate.
+    * No per-document merge replay anywhere — the corpus is touched exactly
+    * once after training.
+    */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeLearn(s, dir)._2
+      .select(col("w"),
+        expr("CAST(size(split(trim(sym), '  ')) AS BIGINT)").as("n_sym"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("split(trim(text), '\\\\s+')")).as("w"))
+      .join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_sym").as("n_bpe_tokens"),
+        (sum(length(col("w"))).cast("long") + count(lit(1))).as("n_base_symbols"))
+      .withColumn("compression_permille",
+        expr("(1000 * n_bpe_tokens) div n_base_symbols"))
+      .orderBy("doc_id")
+  }
+
+  // NB: the tail is stripMargin'd ALONE — running stripMargin over the
+  // embedded (already-stripped) bpeCtes would eat the first `|` of any
+  // `||` that starts a continuation line there.
+  private val bpeEncodeSql: String =
+    bpeCtes +
+      s""",
+         |vocab AS (
+         |  SELECT w, CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_sym
+         |  FROM w$bpeMerges),
+         |enc AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(length(w)) + count(*) AS BIGINT) AS n_base_symbols,
+         |  CAST((1000 * sum(n_sym)) // (sum(length(w)) + count(*)) AS BIGINT)
+         |    AS compression_permille
+         |FROM enc JOIN vocab USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Per-benchmark contamination report — the eval-side mirror of
     * `dx_decontaminate`: for every eval document (the `doc_id % 50 = 0`
@@ -231,6 +297,7 @@ object Selection {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dsir", dsir, Some(dsirSql)),
     QueryDef("dx_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("dx_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("dx_contamination_report", contaminationReport,
       Some(contaminationReportSql)))
 }

@@ -54,6 +54,52 @@ class SelectionSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("dx_bpe_encode token counts equal a reference encode with the learned merges") {
+    // reference: learn merges exactly as the train spec does, then encode
+    // each document word-by-word with greedy leftmost merge application.
+    val wf = scala.collection.mutable.Map[String, Long]()
+    docs().foreach { case (_, text, _) =>
+      toks(text).foreach(w => wf(w) = wf.getOrElse(w, 0L) + 1L) }
+    var words: Map[Vector[String], Long] =
+      wf.toMap.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }
+    def mergeWord(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    val learned = (1 to 8).map { _ =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (s, c) =>
+        s.sliding(2).foreach {
+          case Vector(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+          case _            => ()
+        }
+      }
+      val ((a, b), _) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      words = words.toSeq
+        .map { case (s, cc) => mergeWord(s, a, b) -> cc }
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      (a, b)
+    }
+    def encode(w: String): Int = {
+      var s = w.map(_.toString).toVector :+ "</w>"
+      learned.foreach { case (a, b) => s = mergeWord(s, a, b) }
+      s.length
+    }
+    val expected = docs().map { case (id, text, _) =>
+      val ts = toks(text)
+      val bpe = ts.map(encode(_).toLong).sum
+      val base = ts.map(_.length.toLong + 1L).sum
+      Row(id, ts.size.toLong, bpe, base, 1000L * bpe / base)
+    }.sortBy(_.getLong(0))
+    val got = Registry.byName("dx_bpe_encode").fn(spark, sfDir).collect().toSeq
+    assert(got === expected)
+  }
+
   test("dx_dsir scores equal a driver-side recomputation; top-k order total") {
     val all = docs()
     def bucket(tok: String): Long = {
