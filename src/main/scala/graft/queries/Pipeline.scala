@@ -674,6 +674,54 @@ object Pipeline {
       |  CAST(1 AS BOOLEAN) AS approx_ok
       |FROM documents""".stripMargin
 
+  /** Driver-gated two-level sketch aggregation — the 100 TB count-distinct
+    * maintenance pattern: build a Datasketches HLL sketch PER SHARD (the
+    * few-KB objects a warehouse persists next to each partition), then
+    * `hll_union_agg` them at read time. A new shard arriving means
+    * sketching ONLY that shard and re-unioning K tiny buffers — the
+    * incremental data-card refresh no exact count can give.
+    *
+    * The contract the library actually provides is ERROR-BOUNDED
+    * estimates, not byte determinism: the one-pass HIP estimator does not
+    * survive unions, and in the coupon→dense promotion region the unioned
+    * estimate depends on how the sketches were grouped (measured here:
+    * 16-way vs 4-way vs one-shot unions differ by <1% on this corpus) —
+    * so any gate asserting bit-equality across merge structures would be
+    * asserting something HLL does not promise. Gated instead: the union
+    * estimate under BOTH shardings, and the single-pass estimate, each
+    * land within 5% (the lgK=12 ±3σ bound is 4.9%) of the exact distinct
+    * count, and the two sharded unions agree with each other to within
+    * 5% — shard layout cannot push the answer outside the error budget.
+    * Sketch internals aren't oracle-comparable; the oracle pins the exact
+    * count from the data plus the flags.
+    */
+  private def hllMergeGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").localCheckpoint(false) // 4 aggs
+    def unionEst(shardExpr: String): Long = docs
+      .withColumn("shard", expr(shardExpr))
+      .groupBy("shard").agg(expr("hll_sketch_agg(text, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))"))
+      .head().getLong(0)
+    val est16 = unionEst("CAST(doc_id % 16 AS INT)")
+    val est4 = unionEst("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS INT) % 4")
+    val single = docs
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(text, 12))"))
+      .head().getLong(0)
+    val exact = docs.agg(countDistinct(col("text"))).head().getLong(0)
+    def close(v: Long): Boolean = math.abs(v - exact).toDouble / exact <= 0.05
+    val spreadOk = math.abs(est16 - est4).toDouble / exact <= 0.05
+    Seq((exact, close(est16) && close(est4), spreadOk, close(single)))
+      .toDF("n_exact", "merge_ok", "spread_ok", "single_ok")
+  }
+
+  private val hllMergeGateSql =
+    """SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+      |  CAST(1 AS BOOLEAN) AS merge_ok,
+      |  CAST(1 AS BOOLEAN) AS spread_ok,
+      |  CAST(1 AS BOOLEAN) AS single_ok
+      |FROM documents""".stripMargin
+
   /** URL canonicalisation + dedup — the standard web-corpus prefilter:
     * normalise scheme/host case, strip `www.`, drop fragments and
     * `utm_*`/`fbclid` tracking params, trim trailing slashes, then group.
@@ -2495,6 +2543,7 @@ object Pipeline {
     QueryDef("dx_sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("dx_dedup_url", dedupUrl, Some(dedupUrlSql)),
     QueryDef("dx_cardinality_gate", cardinalityGate, Some(cardinalityGateSql)),
+    QueryDef("dx_hll_merge_gate", hllMergeGate, Some(hllMergeGateSql)),
     QueryDef("dx_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("dx_dedup_minhash", dedupMinhash, None),
     QueryDef("dx_dedup_minhash_gate", dedupMinhashGate, Some(dedupMinhashGateSql)),
