@@ -67,6 +67,9 @@ class RegistrySpec extends SparkSpec {
       "dx_bm25_search" -> scalarAggBuild,
       // LM normaliser: one-row corpus token count crossed into the stream
       "dx_perplexity" -> scalarAggBuild,
+      // DSIR: one-row (target total, raw total) aggregate crossed into the
+      // 256-row bucket count table
+      "dx_dsir" -> scalarAggBuild,
       // + the one-row tercile-threshold sketch crossed into the tagging
       "dx_perplexity_buckets" -> scalarAggBuild,
       // important-share HAVING: one-row (total, n_suppliers) aggregate
