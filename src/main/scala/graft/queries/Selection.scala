@@ -133,6 +133,18 @@ object Selection {
     val wf = Tables(s, dir, "documents")
       .select(explode(expr("split(trim(text), '\\\\s+')")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+    bpeLearnFrom(wf, bpeMerges)
+  }
+
+  /** The merge loop over an arbitrary (w, cnt) word-frequency frame —
+    * exposed for the property spec, which drives it with adversarial
+    * vocabularies (multi-char symbols whose concatenations collide as
+    * substrings) to pin the padded-string replace formulation against a
+    * driver-side reference BPE.
+    */
+  private[graft] def bpeLearnFrom(wf0: DataFrame, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val wf = wf0
       .withColumn("sym", expr(
         """concat(' ', concat_ws('  ',
           |  concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),
@@ -141,13 +153,18 @@ object Selection {
       .localCheckpoint(false) // the corpus never rescans across iterations
     var words = wf
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (it <- 1 to bpeMerges) {
+    for (it <- 1 to nMerges) {
       val top = words
         .select(expr("split(trim(sym), '  ')").as("syms"), col("cnt"))
+        // A fully-merged word is ONE symbol and contributes no pairs —
+        // and Spark's sequence(1, 0) is DESCENDING [1, 0], not empty, so
+        // the size guard is load-bearing (element_at(syms, 2) on a
+        // 1-element array aborts under ANSI).
         .select(explode(expr(
-          """transform(sequence(1, size(syms) - 1),
+          """CASE WHEN size(syms) < 2 THEN array()
+            |ELSE transform(sequence(1, size(syms) - 1),
             |  j -> struct(element_at(syms, j) AS a,
-            |              element_at(syms, CAST(j + 1 AS INT)) AS b))""".stripMargin))
+            |              element_at(syms, CAST(j + 1 AS INT)) AS b)) END""".stripMargin))
           .as("p"), col("cnt"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("cnt").as("pcnt"))

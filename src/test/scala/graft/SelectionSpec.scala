@@ -54,6 +54,63 @@ class SelectionSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("BPE padded-string replace formulation matches reference BPE on adversarial vocabularies") {
+    // The operator merges via literal replace over " s1  s2  ...  </w> "
+    // strings. The dangerous case is multi-char symbols whose
+    // concatenations collide as substrings (after merge (a,b)->"ab", the
+    // symbol pair ("a","ab") contains the byte string "a ab" which
+    // overlaps "a a"'s pattern unless the delimiters carry the token
+    // boundaries). Random two-letter-alphabet vocabularies force exactly
+    // these collisions within a few merges.
+    import spark.implicits._
+    def mergeWord(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (1 to 40).map { _ =>
+        (1 to (1 + rnd.nextInt(7))).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
+      }.distinct
+      val wf = vocab.map(w => (w, 1L + rnd.nextInt(50))).toDF("w", "cnt")
+      val (merges, finalWords) = graft.queries.Selection.bpeLearnFrom(wf, 6)
+
+      var ref: Map[Vector[String], Long] = wf.collect()
+        .map(r => (r.getString(0).map(_.toString).toVector :+ "</w>") -> r.getLong(1))
+        .toMap
+      val refMerges = (1 to 6).map { it =>
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        ref.foreach { case (s, c) =>
+          s.sliding(2).foreach {
+            case Vector(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+            case _            => ()
+          }
+        }
+        val ((a, b), c) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        ref = ref.toSeq.map { case (s, cc) => mergeWord(s, a, b) -> cc }
+          .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+        (it.toLong, a, b, a + b, c)
+      }
+      assert(merges === refMerges, s"merge table diverged for seed $seed")
+
+      // final symbol sequences must agree word-by-word, not just the table
+      val got = finalWords.select("w", "sym").collect()
+        .map(r => r.getString(0) -> r.getString(1).trim.split("  ").toVector).toMap
+      val want = wf.collect().map { r =>
+        val w = r.getString(0)
+        var s = w.map(_.toString).toVector :+ "</w>"
+        refMerges.foreach { case (_, a, b, _, _) => s = mergeWord(s, a, b) }
+        w -> s
+      }.toMap
+      assert(got === want, s"final symbol sequences diverged for seed $seed")
+    }
+  }
+
   test("dx_bpe_encode token counts equal a reference encode with the learned merges") {
     // reference: learn merges exactly as the train spec does, then encode
     // each document word-by-word with greedy leftmost merge application.
