@@ -592,6 +592,53 @@ object Relational {
       |FROM z GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Time-weighted average per user — the step-function mean the
+    * event-analytics family was missing (sessionize/as-of/funnel/
+    * retention/transitions/sequences cover ordering and cohorts; this
+    * covers duration-weighted value): each reading holds until the next
+    * one, so the mean weights each value by its holding interval in
+    * epoch-µs. One key shuffle + per-key sort (the lead window), then a
+    * plain aggregate. Exact integers end-to-end: cents × µs products
+    * accumulate in decimal(38,0) (a year-long interval × a 6-digit cents
+    * value overflows a long at corpus scale; the oracle's HUGEINT is the
+    * same 128-bit accumulator), and the final floor division matches
+    * DuckDB's `//` because values (and hence the numerator) are
+    * non-negative in this schema.
+    */
+  private def qEventsTwavg(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        Num.cents(col("value")).as("v"))
+      .withColumn("dt", lead("us", 1).over(order) - col("us"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum("dt").as("w_us"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("dt"))
+          .as("wv"))
+      .filter(col("w_us") > 0)
+      .select(col("user_id"), col("n_intervals"), col("w_us"),
+        expr("CAST(wv div w_us AS BIGINT)").as("twavg_cents"))
+      .orderBy("user_id")
+  }
+
+  private val qEventsTwavgSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    ${Num.centsSql("value")} AS v
+       |  FROM events),
+       |d AS (
+       |  SELECT user_id, v,
+       |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+       |  FROM e)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       |  CAST(sum(dt) AS BIGINT) AS w_us,
+       |  CAST(sum(CAST(v AS HUGEINT) * dt) // sum(dt) AS BIGINT) AS twavg_cents
+       |FROM d WHERE dt IS NOT NULL
+       |GROUP BY user_id HAVING sum(dt) > 0 ORDER BY user_id""".stripMargin
+
   /** Sliding-window running revenue: per customer, the sum of order totals
     * over a trailing 30-day RANGE frame — the moving-aggregate class
     * (RANGE, not ROWS: frame membership depends on the *value* distance,
@@ -1712,5 +1759,6 @@ object Relational {
     QueryDef("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),
     QueryDef("q_events_retention", qEventsRetention, Some(qEventsRetentionSql)),
     QueryDef("q_events_sequences", qEventSequences, Some(qEventSequencesSql)),
+    QueryDef("q_events_twavg", qEventsTwavg, Some(qEventsTwavgSql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)))
 }
