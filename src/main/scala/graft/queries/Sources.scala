@@ -92,8 +92,37 @@ object Sources {
       |  count(*) AS n_suppliers, min(s_name) AS first_name
       |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ORC round trip: parts out as ORC (the other columnar warehouse
+    * format Spark ships a vectorized reader for), back in with the
+    * explicit schema, per-brand census. Unlike the text formats, ORC
+    * preserves types natively — the gate catches writer/reader option
+    * drift (compression, dictionary encoding) rather than type mangling.
+    */
+  private def orcGate(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val part = Tables(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"), col("p_retailprice"))
+    part.write.mode("overwrite").orc(s"$out/part_orc")
+    Warehouse.read(s, "orc", s"$out/part_orc", schema = Some(part.schema))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_size").cast("long")).as("sum_size"),
+        Num.moneySum(col("p_retailprice")).as("sum_price"),
+        min("p_name").as("first_name"))
+      .orderBy("p_brand")
+  }
+
+  private val orcGateSql =
+    s"""SELECT p_brand, count(*) AS n_parts,
+       |  CAST(sum(p_size) AS BIGINT) AS sum_size,
+       |  ${Num.moneySumSql("p_retailprice")} AS sum_price,
+       |  min(p_name) AS first_name
+       |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("src_jdbc_gate", jdbcGate, Some(jdbcGateSql)),
     QueryDef("src_csv_gate", csvGate, Some(csvGateSql)),
-    QueryDef("src_json_gate", jsonGate, Some(jsonGateSql)))
+    QueryDef("src_json_gate", jsonGate, Some(jsonGateSql)),
+    QueryDef("src_orc_gate", orcGate, Some(orcGateSql)))
 }

@@ -82,6 +82,8 @@ class RegistrySpec extends SparkSpec {
       "q_graph_triangles" -> scalarAggBuild,
       // sweep: one-row cluster-census aggregate per threshold (x3)
       "mb_resolver_sweep" -> scalarAggBuild,
+      // CMS: one-row corpus-total aggregate crossed into the estimate table
+      "dx_cms_gate" -> scalarAggBuild,
       "dx_boilerplate" -> scalarAggBuild)
     // dx_boilerplate legitimately crosses TWO one-row aggregates into the
     // per-document pass: the corpus count (threshold) and the collected
