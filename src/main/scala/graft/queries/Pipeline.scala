@@ -394,6 +394,43 @@ object Pipeline {
     """SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(1 AS BOOLEAN) AS est_ok
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** Driver-gated b-bit minwise hashing (Li & König, CACM 2010, b=1) —
+    * the storage-optimal MinHash variant: keep only the LOWEST BIT of
+    * each of the 128 minhashes, shrinking a 1 KB signature to 16 bytes
+    * (the 64× compression that makes billion-doc signature tables fit in
+    * memory at corpus scale). One bit agrees half the time by chance, so
+    * raw agreement A ≈ J + (1−J)/2 and the paper's corrected estimator
+    * Ĵ = 2A − 1 (clamped at 0) unbiases it at the cost of ~2× the
+    * variance of full minhash (σ ≈ 2·√(A(1−A)/128) ≈ 0.08 on the planted
+    * pairs). Gate: over the same planted near-dup pairs as the full-width
+    * estimator gate, the corrected 1-bit estimate must track the exact
+    * shingle-set Jaccard within MAE 0.15 — the accuracy contract that
+    * justifies shipping 16-byte signatures.
+    */
+  private def minhashBbitGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = MinHashLSH.setsOf(withDupes(s, dir, exact = false), "doc_id", "text", 3)
+      .withColumn("sig", graft.functions.Sketches.minhashSignature(col("hs"), 128))
+      // the b=1 signature: only the low bit of each minhash survives
+      .withColumn("bits", expr("transform(sig, x -> CAST(x % 2 AS INT))"))
+      .localCheckpoint(false)
+    val pairs = sets.select(col("id").as("lid"), col("hs").as("lhs"), col("bits").as("lb"))
+      .join(sets.select(col("id").as("rid"), col("hs").as("rhs"), col("bits").as("rb")),
+        col("lid") + 1000000L === col("rid"))
+      .withColumn("true_j",
+        expr("CAST(size(array_intersect(lhs, rhs)) AS DOUBLE) / size(array_union(lhs, rhs))"))
+      .withColumn("agree",
+        expr("CAST(size(filter(zip_with(lb, rb, (a, b) -> a = b), x -> x)) AS DOUBLE) / 128"))
+      .withColumn("est_j", expr("greatest(0D, 2 * agree - 1)"))
+    val row = pairs.agg(
+      count(lit(1)).as("n"), avg(abs(col("est_j") - col("true_j"))).as("mae")).head()
+    Seq((row.getLong(0), row.getDouble(1) <= 0.15)).toDF("n_pairs", "est_ok")
+  }
+
+  private val minhashBbitGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(1 AS BOOLEAN) AS est_ok
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.candidatePairs(withDupes(s, dir, exact = false), "doc_id", "text",
       threshold = 0.5)
@@ -2626,6 +2663,7 @@ object Pipeline {
     QueryDef("dx_dedup_minhash", dedupMinhash, None),
     QueryDef("dx_dedup_minhash_gate", dedupMinhashGate, Some(dedupMinhashGateSql)),
     QueryDef("dx_minhash_est_gate", minhashEstGate, Some(minhashEstGateSql)),
+    QueryDef("dx_minhash_bbit_gate", minhashBbitGate, Some(minhashBbitGateSql)),
     QueryDef("dx_dedup_simhash", dedupSimhash, None),
     QueryDef("dx_dedup_simhash_gate", dedupSimhashGate, Some(dedupSimhashGateSql)),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),

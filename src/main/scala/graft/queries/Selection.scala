@@ -311,8 +311,62 @@ object Selection {
        |WHERE s.doc_id % 50 = 0
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  /** Deterministic stratified train/validation/test split — the assignment
+    * step every training pipeline runs before anything touches a model.
+    * The split key is a pure content-free hash of the stable id (4 md5
+    * nibbles mod 1000 → 800/100/100 permille bands), which buys the two
+    * properties a corpus split must have at scale: (a) STABILITY — a doc's
+    * split never changes when the corpus grows, so incremental ingest
+    * can't leak validation docs into train; (b) no coordination — the
+    * assignment is a per-row expression (zero shuffles; at 100 TB the
+    * same expression feeds `partitionBy` on the physical write). The
+    * census reports per-(split, language) counts plus each language's
+    * observed permille share, making the stratification balance — the
+    * thing hash splitting is trusted to deliver — the checked output.
+    * Everything is integer, so the oracle matches bit-for-bit.
+    */
+  private def splitStratified(s: SparkSession, dir: String): DataFrame = {
+    val census = Tables(s, dir, "documents")
+      .withColumn("p", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 1000"))
+      .withColumn("split",
+        when(col("p") < 800, "train")
+          .when(col("p") < 900, "validation")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    val byLang = census.groupBy("lang").agg(sum("n_docs").as("lang_total"))
+    census.join(broadcast(byLang), "lang")
+      .select(col("split"), col("lang"), col("n_docs"), col("sum_chars"),
+        expr("CAST((1000 * n_docs) DIV lang_total AS BIGINT)").as("share_permille"))
+      .orderBy("split", "lang")
+  }
+
+  private val splitStratifiedSql =
+    """WITH a AS (
+      |  SELECT lang, n_chars,
+      |    (((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) % 1000
+      |      AS p
+      |  FROM documents),
+      |c AS (
+      |  SELECT CASE WHEN p < 800 THEN 'train'
+      |              WHEN p < 900 THEN 'validation'
+      |              ELSE 'test' END AS split,
+      |    lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM a GROUP BY 1, 2),
+      |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total
+      |      FROM c GROUP BY lang)
+      |SELECT split, c.lang, n_docs, sum_chars,
+      |  CAST((1000 * n_docs) // lang_total AS BIGINT) AS share_permille
+      |FROM c JOIN t ON c.lang = t.lang
+      |ORDER BY split, c.lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dsir", dsir, Some(dsirSql)),
+    QueryDef("dx_split_stratified", splitStratified, Some(splitStratifiedSql)),
     QueryDef("dx_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("dx_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("dx_contamination_report", contaminationReport,
