@@ -1610,6 +1610,76 @@ object Pipeline {
           |             try_element_at(toks, CAST(i + 2 AS INT)))))""".stripMargin))
         .as("sh"))
 
+  /** Corpus-order n-gram novelty — "how much of this document is text the
+    * corpus hasn't seen yet" (the document-level signal behind the
+    * train-on-novel-text orderings studied alongside dedup in Lee et al.
+    * 2021): a doc's distinct 3-gram shingles are NOVEL if no
+    * earlier-ordered doc (lower doc_id — substitute ingest timestamp in
+    * production) contains them. One aggregate pins each shingle's first
+    * owner (min doc_id over the posting list), one equi-join back
+    * attributes novelty — never doc×doc, work is Σ postings. Low-novelty
+    * docs are near-dup/boilerplate suspects even when no single pair
+    * crosses a dedup threshold.
+    */
+  private def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val shingled = shingledDocs(s, dir)
+    val firstOwner = shingled.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    shingled.join(firstOwner, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("CAST((1000 * n_novel) DIV n_shingles AS BIGINT)").as("novelty_permille"))
+      .orderBy("doc_id")
+  }
+
+  private val ngramNoveltySql =
+    s"""WITH s AS (
+       |  SELECT doc_id, unnest($shingleDuck) AS sh FROM documents),
+       |f AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(*) FILTER (f.first_doc = s.doc_id) AS BIGINT) AS n_novel,
+       |  CAST((1000 * count(*) FILTER (f.first_doc = s.doc_id)) // count(*)
+       |    AS BIGINT) AS novelty_permille
+       |FROM s JOIN f USING (sh)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** k-anonymity census (Sweeney 2002) — the release gate for training
+    * data carrying person-linked attributes: generalise the
+    * quasi-identifiers (here nation × market segment × account-balance
+    * band, the standard generalisation step), size every equivalence
+    * class, and report the class-size histogram plus how many records sit
+    * in classes below k=5 — the set that must be suppressed or
+    * generalised further before the corpus ships. One groupBy over the
+    * generalised keys + one re-aggregate over class sizes; all integer.
+    */
+  private def kanonymity(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr(s"${graft.Num.centsSql("c_acctbal")} DIV 100000").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_classes"),
+        (count(lit(1)) * col("k")).as("n_records"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).as("n_suppress"))
+      .select(col("k"), col("n_classes"), col("n_records"),
+        (col("n_suppress") > 0).as("below_k5"))
+      .orderBy("k")
+
+  private val kanonymitySql =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    ${graft.Num.centsSql("c_acctbal")} // 100000 AS bal_band
+       |  FROM customer),
+       |cls AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS k
+       |  FROM g GROUP BY 1, 2, 3)
+       |SELECT k, count(*) AS n_classes,
+       |  CAST(count(*) * k AS BIGINT) AS n_records,
+       |  sum(CASE WHEN k < 5 THEN k ELSE 0 END) > 0 AS below_k5
+       |FROM cls GROUP BY k ORDER BY k""".stripMargin
+
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val shingled = shingledDocs(s, dir)
     val evalVocab = shingled.filter(col("doc_id") % 50 === 0)
@@ -2700,6 +2770,8 @@ object Pipeline {
     QueryDef("dx_percentile_gate", percentileGate, Some(percentileGateSql)),
     QueryDef("dx_percentile_group_gate", percentileGroupGate, Some(percentileGroupGateSql)),
     QueryDef("dx_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("dx_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
+    QueryDef("dx_kanonymity", kanonymity, Some(kanonymitySql)),
     QueryDef("dx_decontaminate_bloom_gate", decontaminateBloomGate,
       Some(decontaminateBloomGateSql)),
     QueryDef("dx_heavy_hitters", heavyHitters, Some(heavyHittersSql)),

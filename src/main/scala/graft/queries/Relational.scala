@@ -753,6 +753,63 @@ object Relational {
       |FROM k JOIN nation ON nk = n_nationkey
       |ORDER BY n_name""".stripMargin
 
+  /** Hierarchy traversal by POINTER DOUBLING — the recursive-CTE query
+    * class (org charts, BOM explosion, category trees), done the way it
+    * survives 100 TB: a sequential walk is O(depth) dependent joins, but
+    * doubling composes ancestor pointers with themselves
+    * (f_{r+1}(x) = f_r(f_r(x)), distances add), reaching any depth ≤ 2^r
+    * in r self-joins — 7 shuffle rounds cover depth 128 where a CTE walk
+    * would take 128. The hierarchy is synthesized deterministically over
+    * customers (nodes ≤ 10 are roots; node k's parent is
+    * 1 + h(k) mod (k−1), a random-ish id strictly below k, giving
+    * E[depth] ≈ ln n ≈ 10 — 7 rounds have ~10× headroom). Output is the
+    * per-depth census with each depth's node-id extremes; the oracle
+    * walks the same parent function with a real recursive CTE, so any
+    * doubling mistake (distance bookkeeping, root self-loops) breaks the
+    * bit-exact integer compare.
+    */
+  private def qHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val parentOf =
+      "1 + CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 4), 16, 10) AS BIGINT) % (c_custkey - 1)"
+    var state = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("node"),
+        when(col("c_custkey") <= 10, col("c_custkey"))
+          .otherwise(expr(parentOf)).as("anc"),
+        when(col("c_custkey") <= 10, 0L).otherwise(1L).as("d"))
+      .localCheckpoint(false)
+    for (_ <- 1 to 7) {
+      val jump = state.select(col("node").as("j_node"),
+        col("anc").as("j_anc"), col("d").as("j_d"))
+      state = state.join(jump, state("anc") === jump("j_node"))
+        .select(col("node"), col("j_anc").as("anc"), (col("d") + col("j_d")).as("d"))
+        .localCheckpoint(false)
+    }
+    state.groupBy(col("d").as("depth"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"),
+        countDistinct("anc").as("n_roots"))
+      .orderBy("depth")
+  }
+
+  private val qHierarchySql =
+    """WITH RECURSIVE walk(node, cur, d) AS (
+      |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+      |  UNION ALL
+      |  SELECT w.node,
+      |    1 + (((strpos('0123456789abcdef', substr(md5(CAST(w.cur AS VARCHAR)), 1, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(w.cur AS VARCHAR)), 2, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(w.cur AS VARCHAR)), 3, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5(CAST(w.cur AS VARCHAR)), 4, 1)) - 1)
+      |      % (w.cur - 1)) AS cur,
+      |    w.d + 1
+      |  FROM walk w WHERE w.cur > 10),
+      |fin AS (
+      |  SELECT node, cur AS root, d AS depth FROM walk WHERE cur <= 10)
+      |SELECT depth, count(*) AS n_nodes,
+      |  min(node) AS min_node, max(node) AS max_node,
+      |  CAST(count(DISTINCT root) AS BIGINT) AS n_roots
+      |FROM fin GROUP BY depth ORDER BY depth""".stripMargin
+
   /** Sliding-window running revenue: per customer, the sum of order totals
     * over a trailing 30-day RANGE frame — the moving-aggregate class
     * (RANGE, not ROWS: frame membership depends on the *value* distance,
@@ -1875,6 +1932,7 @@ object Relational {
     QueryDef("q_events_sequences", qEventSequences, Some(qEventSequencesSql)),
     QueryDef("q_events_twavg", qEventsTwavg, Some(qEventsTwavgSql)),
     QueryDef("q_gaps_islands", qGapsIslands, Some(qGapsIslandsSql)),
+    QueryDef("q_hierarchy", qHierarchy, Some(qHierarchySql)),
     QueryDef("q_concurrency", qConcurrency, Some(qConcurrencySql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)))
 }
