@@ -2554,6 +2554,106 @@ object Pipeline {
       .orderBy("lang", "rn")
   }
 
+  /** Per-stage attrition waterfall of the curation pipeline — the
+    * data-card/observability census every production corpus build ships
+    * next to its output (which stage dropped what, so a collapsed corpus
+    * is diagnosable without re-running anything): raw → exact-dedup →
+    * quality filter → per-language cap, each row reporting in/out/dropped
+    * and the drop rate in exact permille. Stage predicates are the very
+    * expressions `dx_corpus_e2e` runs. The cap stage needs NO ranking
+    * pass for a census — survivors per language are `min(30, n_pass)`,
+    * so the whole report is two aggregates and a handful of scalars
+    * (counts collect driver-side; at 100 TB these are the same
+    * partial-agg scans, and nothing materialises per row).
+    */
+  private def funnelReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val en = langProfiles.toMap.apply("en")
+    val scrubbed = withDupes(s, dir, exact = true)
+      .withColumn("seeded",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact: user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(col("seeded"), emailRe, "<EMAIL>").as("text"))
+      .localCheckpoint(false) // three aggregates off one frame
+    val nRaw = scrubbed.count()
+    val keep = scrubbed.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val passPerLang = scrubbed.join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("n_nonspace", expr("CAST(length(regexp_replace(text, '\\\\s', '')) AS BIGINT)"))
+      .withColumn("f_stop", expr(s"(1000 * ${sparkLangScore(en)}) div n_tokens"))
+      .withColumn("f_len", expr("least(1000L, 10 * n_tokens)"))
+      .withColumn("f_mtl", expr("(10 * n_nonspace) div n_tokens"))
+      .withColumn("score", expr("greatest(0L, 40 * f_stop + 60 * f_len - 8 * abs(f_mtl - 55)) div 100"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(when(col("score") >= 500, 1L).otherwise(0L)).as("n_pass"))
+      .agg(sum("n_kept").as("n_dedup"), sum("n_pass").as("n_quality"),
+        sum(least(lit(30L), col("n_pass"))).as("n_final"))
+      .head()
+    val (nDedup, nQuality, nFinal) =
+      (passPerLang.getLong(0), passPerLang.getLong(1), passPerLang.getLong(2))
+    Seq(
+      ("1_dedup_exact", nRaw, nDedup),
+      ("2_quality_filter", nDedup, nQuality),
+      ("3_lang_cap", nQuality, nFinal))
+      .toDF("stage", "n_in", "n_out")
+      .select(col("stage"), col("n_in"), col("n_out"),
+        (col("n_in") - col("n_out")).as("dropped"),
+        expr("CAST((1000 * (n_in - n_out)) DIV n_in AS BIGINT)").as("drop_permille"))
+      .orderBy("stage")
+  }
+
+  private val funnelReportSql = {
+    val en = langProfiles.toMap.apply("en")
+    s"""WITH docs2 AS (${dupesSql(exact = true)}),
+       |seeded AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      ELSE text END AS t
+       |  FROM docs2),
+       |scrubbed AS (
+       |  SELECT doc_id, lang, regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS text
+       |  FROM seeded),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM scrubbed GROUP BY md5(text)),
+       |feat AS (
+       |  SELECT s.doc_id, s.lang, string_split_regex(trim(s.text), '\\s+') AS toks,
+       |    CAST(length(regexp_replace(s.text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace
+       |  FROM scrubbed s JOIN keep USING (doc_id)),
+       |f AS (SELECT doc_id, lang,
+       |    CAST((1000 * ${duckLangScore(en)}) // len(toks) AS BIGINT) AS f_stop,
+       |    CAST(least(1000, 10 * len(toks)) AS BIGINT) AS f_len,
+       |    CAST((10 * n_nonspace) // len(toks) AS BIGINT) AS f_mtl
+       |  FROM feat),
+       |q AS (SELECT doc_id, lang,
+       |    CAST(greatest(0, 40 * f_stop + 60 * f_len - 8 * abs(f_mtl - 55)) // 100 AS BIGINT) AS score
+       |  FROM f),
+       |pl AS (
+       |  SELECT lang, count(*) AS n_kept,
+       |    count(*) FILTER (score >= 500) AS n_pass
+       |  FROM q GROUP BY lang),
+       |tot AS (
+       |  SELECT (SELECT count(*) FROM scrubbed) AS n_raw,
+       |    CAST(sum(n_kept) AS BIGINT) AS n_dedup,
+       |    CAST(sum(n_pass) AS BIGINT) AS n_quality,
+       |    CAST(sum(least(30, n_pass)) AS BIGINT) AS n_final
+       |  FROM pl),
+       |w AS (
+       |  SELECT '1_dedup_exact' AS stage, n_raw AS n_in, n_dedup AS n_out FROM tot
+       |  UNION ALL
+       |  SELECT '2_quality_filter', n_dedup, n_quality FROM tot
+       |  UNION ALL
+       |  SELECT '3_lang_cap', n_quality, n_final FROM tot)
+       |SELECT stage, n_in, n_out, n_in - n_out AS dropped,
+       |  CAST((1000 * (n_in - n_out)) // n_in AS BIGINT) AS drop_permille
+       |FROM w ORDER BY stage""".stripMargin
+  }
+
   private val corpusE2eSql = {
     val en = langProfiles.toMap.apply("en")
     s"""WITH docs2 AS (${dupesSql(exact = true)}),
@@ -2771,6 +2871,7 @@ object Pipeline {
     QueryDef("dx_percentile_group_gate", percentileGroupGate, Some(percentileGroupGateSql)),
     QueryDef("dx_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("dx_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
+    QueryDef("dx_funnel_report", funnelReport, Some(funnelReportSql)),
     QueryDef("dx_kanonymity", kanonymity, Some(kanonymitySql)),
     QueryDef("dx_decontaminate_bloom_gate", decontaminateBloomGate,
       Some(decontaminateBloomGateSql)),

@@ -945,6 +945,98 @@ object Relational {
       |  CASE WHEN gap_us <= 7200000000 THEN CAST(gap_us AS BIGINT) END AS gap_us
       |FROM j ORDER BY event_id""".stripMargin
 
+  /** Nearest-event as-of join — the bidirectional completion of the as-of
+    * family (backward = state lookup, forward = next outcome, nearest =
+    * closest reading in either direction, the sensor-fusion/alignment
+    * semantics): each view event pairs with the user's temporally CLOSEST
+    * purchase. Composed from the two directional [[graft.operators.AsOf]]
+    * passes (each the one-key-shuffle union + running first/last plan —
+    * no range explosion), then a per-row pick: smaller absolute gap wins,
+    * exact ties go backward (the earlier purchase). The oracle composes
+    * DuckDB's native ASOF both ways with the same tie rule, so the pick
+    * logic itself is cross-engine checked.
+    */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+    val back = graft.operators.AsOf.joinBackward(views, purchases, Seq("user_id"),
+      "ts", "pts", rightPrefix = "b_", rightTiebreak = Some("pid"))
+    val both = graft.operators.AsOf.joinForward(back, purchases, Seq("user_id"),
+      "ts", "pts", rightPrefix = "f_", rightTiebreak = Some("pid"))
+    both
+      .withColumn("gb", unix_micros(col("ts")) - unix_micros(col("b_pts")))
+      .withColumn("gf", unix_micros(col("f_pts")) - unix_micros(col("ts")))
+      .withColumn("pick_b",
+        col("gb").isNotNull && (col("gf").isNull || col("gb") <= col("gf")))
+      .select(col("event_id"), col("user_id"),
+        when(col("pick_b"), col("b_pid")).otherwise(col("f_pid")).as("purchase_id"),
+        when(col("pick_b"), col("gb")).otherwise(col("gf")).as("gap_us"),
+        when(col("pick_b"), lit("prev"))
+          .when(col("f_pid").isNotNull, lit("next")).as("dir"))
+      .orderBy("event_id")
+  }
+
+  private val qAsofNearestSql =
+    """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS pid, CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT v.event_id, v.user_id, v.ts, p.pid AS b_pid,
+      |    epoch_us(v.ts) - epoch_us(p.pts) AS gb
+      |  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.pts),
+      |f AS (SELECT v.event_id, p.pid AS f_pid,
+      |    epoch_us(p.pts) - epoch_us(v.ts) AS gf
+      |  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.pts)
+      |SELECT b.event_id, b.user_id,
+      |  CASE WHEN gb IS NOT NULL AND (gf IS NULL OR gb <= gf)
+      |       THEN b_pid ELSE f_pid END AS purchase_id,
+      |  CAST(CASE WHEN gb IS NOT NULL AND (gf IS NULL OR gb <= gf)
+      |       THEN gb ELSE gf END AS BIGINT) AS gap_us,
+      |  CASE WHEN gb IS NOT NULL AND (gf IS NULL OR gb <= gf) THEN 'prev'
+      |       WHEN f_pid IS NOT NULL THEN 'next' END AS dir
+      |FROM b JOIN f USING (event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** Common-neighbor link prediction over the linkage proximity graph
+    * (Liben-Nowell & Kleinberg 2003's strongest simple baseline) — the
+    * "which record pairs did blocking MISS" signal: two records sharing
+    * many graph neighbors but no direct edge are prime candidates for a
+    * follow-up comparison round. Candidates come from the wedge join
+    * (Σd² work, the same bound as the triangle count — never node×node),
+    * existing edges are anti-joined out, and the top-20 is a bounded
+    * TakeOrdered, not a global sort. All integer, deterministic tiebreak.
+    */
+  private def qGraphLinkpred(s: SparkSession, dir: String): DataFrame = {
+    val e = graphEdges(s, dir).localCheckpoint(false)
+    val e2 = e.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+    val wedges = e2.select(col("s"), col("t").as("u"))
+      .join(e2.select(col("s").as("u2"), col("t").as("v")), col("u") === col("u2"))
+      .filter(col("s") < col("v"))
+      .groupBy(col("s").as("a"), col("v").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    wedges.join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  // lazy: graphEdgesCte is declared later in the file
+  private lazy val qGraphLinkpredSql =
+    s"""WITH $graphEdgesCte,
+      |e2 AS (SELECT a AS s, b AS t FROM e
+      |       UNION ALL SELECT b AS s, a AS t FROM e),
+      |w AS (
+      |  SELECT x.s AS a, y.t AS b, count(*) AS common_neighbors
+      |  FROM e2 x JOIN e2 y ON x.t = y.s
+      |  WHERE x.s < y.t
+      |  GROUP BY x.s, y.t)
+      |SELECT a, b, common_neighbors
+      |FROM w ANTI JOIN e USING (a, b)
+      |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin
+
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .groupBy(
@@ -1927,6 +2019,8 @@ object Relational {
     QueryDef("q_events_window_agg", qEventsWindow, Some(qEventsWindowSql)),
     QueryDef("q_events_asof", qEventsAsof, Some(qEventsAsofSql)),
     QueryDef("q_events_asof_fwd", qEventsAsofFwd, Some(qEventsAsofFwdSql)),
+    QueryDef("q_asof_nearest", qAsofNearest, Some(qAsofNearestSql)),
+    QueryDef("q_graph_linkpred", qGraphLinkpred, Some(qGraphLinkpredSql)),
     QueryDef("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),
     QueryDef("q_events_retention", qEventsRetention, Some(qEventsRetentionSql)),
     QueryDef("q_events_sequences", qEventSequences, Some(qEventSequencesSql)),
