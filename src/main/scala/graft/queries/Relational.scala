@@ -1005,9 +1005,13 @@ object Relational {
     * "which record pairs did blocking MISS" signal: two records sharing
     * many graph neighbors but no direct edge are prime candidates for a
     * follow-up comparison round. Candidates come from the wedge join
-    * (Σd² work, the same bound as the triangle count — never node×node),
-    * existing edges are anti-joined out, and the top-20 is a bounded
-    * TakeOrdered, not a global sort. All integer, deterministic tiebreak.
+    * (Σd² work, the same bound as the triangle count — never node×node);
+    * each scored pair carries an `is_edge` marker instead of anti-joining
+    * existing edges away (predictions sort first; a dense small graph
+    * where every open wedge closes then still yields the triangle-closure
+    * census rather than an empty answer — the q_graph_kcore robustness
+    * convention), and the top-20 is a bounded TakeOrdered, not a global
+    * sort. All integer, deterministic tiebreak.
     */
   private def qGraphLinkpred(s: SparkSession, dir: String): DataFrame = {
     val e = graphEdges(s, dir).localCheckpoint(false)
@@ -1018,8 +1022,10 @@ object Relational {
       .filter(col("s") < col("v"))
       .groupBy(col("s").as("a"), col("v").as("b"))
       .agg(count(lit(1)).as("common_neighbors"))
-    wedges.join(e, Seq("a", "b"), "left_anti")
-      .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+    wedges.join(e.withColumn("m", lit(1)), Seq("a", "b"), "left")
+      .withColumn("is_edge", col("m").isNotNull)
+      .select("a", "b", "common_neighbors", "is_edge")
+      .orderBy(col("is_edge"), col("common_neighbors").desc, col("a"), col("b"))
       .limit(20)
   }
 
@@ -1033,9 +1039,9 @@ object Relational {
       |  FROM e2 x JOIN e2 y ON x.t = y.s
       |  WHERE x.s < y.t
       |  GROUP BY x.s, y.t)
-      |SELECT a, b, common_neighbors
-      |FROM w ANTI JOIN e USING (a, b)
-      |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin
+      |SELECT w.a, w.b, w.common_neighbors, e.a IS NOT NULL AS is_edge
+      |FROM w LEFT JOIN e ON w.a = e.a AND w.b = e.b
+      |ORDER BY is_edge, common_neighbors DESC, w.a, w.b LIMIT 20""".stripMargin
 
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")

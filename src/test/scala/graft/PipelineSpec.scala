@@ -548,4 +548,55 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[Boolean]("rank_ok"))
     assert(row.getAs[Long]("n_rows") == Tables(spark, sfDir, "events").count())
   }
+
+  test("CMS sketch holds its one-sided error contract at the spec sf too") {
+    val row = Registry.byName("dx_cms_gate").fn(spark, sfDir).head()
+    assert(row.getAs[Boolean]("no_undercount"))
+    assert(row.getAs[Boolean]("bound_ok"))
+    assert(row.getAs[Long]("v") > 0 && row.getAs[Long]("n") >= row.getAs[Long]("v"))
+  }
+
+  test("ngram novelty: corpus-first doc is fully novel, counts stay consistent") {
+    val df = Registry.byName("dx_ngram_novelty").fn(spark, sfDir).localCheckpoint(false)
+    val firstDoc = df.agg(min("doc_id")).head.getLong(0)
+    assert(df.filter(col("doc_id") === firstDoc)
+      .head.getAs[Long]("novelty_permille") == 1000L)
+    assert(df.filter(col("n_novel") > col("n_shingles")).count() == 0)
+    // every shingle has exactly one novel owner: novel counts sum to the
+    // corpus-wide distinct shingle count
+    val distinctShingles = df.agg(sum("n_novel")).head.getLong(0)
+    assert(distinctShingles > 0 && distinctShingles <=
+      df.agg(sum("n_shingles")).head.getLong(0))
+  }
+
+  test("k-anonymity census accounts for every record exactly once") {
+    val df = Registry.byName("dx_kanonymity").fn(spark, sfDir)
+    val total = df.agg(sum("n_records")).head.getLong(0)
+    assert(total == Tables(spark, sfDir, "customer").count())
+  }
+
+  test("stratified split covers every document exactly once") {
+    val df = Registry.byName("dx_split_stratified").fn(spark, sfDir)
+    val total = df.agg(sum("n_docs")).head.getLong(0)
+    assert(total == Tables(spark, sfDir, "documents").count())
+    // permille shares of one language sum to ~1000 (floor rounding loses <3)
+    val perLang = df.groupBy("lang").agg(sum("share_permille").as("s")).collect()
+    assert(perLang.forall { r =>
+      val s = r.getAs[Long]("s"); s >= 997 && s <= 1000
+    })
+  }
+
+  test("funnel report is a consistent waterfall") {
+    val rows = Registry.byName("dx_funnel_report").fn(spark, sfDir)
+      .orderBy("stage").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in"))
+      assert(r.getAs[Long]("dropped") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_out"))
+    }
+    // stages chain: each stage's input is the previous stage's output
+    assert(rows(1).getAs[Long]("n_in") == rows(0).getAs[Long]("n_out"))
+    assert(rows(2).getAs[Long]("n_in") == rows(1).getAs[Long]("n_out"))
+  }
 }

@@ -120,6 +120,80 @@ class RelationalSpec extends SparkSpec {
     assert(pivoted.exceptAll(manual).isEmpty && manual.exceptAll(pivoted).isEmpty)
   }
 
+  test("q_hierarchy pointer-doubling census equals a driver-side recursive walk") {
+    val got = Registry.byName("q_hierarchy").fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("depth") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("min_node"),
+          r.getAs[Long]("max_node"), r.getAs[Long]("n_roots"))).toMap
+    // independent reference: literally walk the parent chain per node
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def parent(k: Long): Long = {
+      val hex = md.synchronized {
+        md.reset(); md.digest(k.toString.getBytes("UTF-8"))
+          .take(2).map(b => f"$b%02x").mkString
+      }
+      1 + java.lang.Long.parseLong(hex, 16) % (k - 1)
+    }
+    val keys = Tables(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val walked = keys.map { k =>
+      var cur = k; var d = 0L
+      while (cur > 10) { cur = parent(cur); d += 1 }
+      (k, cur, d)
+    }
+    val expected = walked.groupBy(_._3).map { case (d, xs) =>
+      d -> (xs.length.toLong, xs.map(_._1).min, xs.map(_._1).max,
+        xs.map(_._2).distinct.length.toLong)
+    }
+    assert(got == expected, s"hierarchy census differs: $got vs $expected")
+  }
+
+  test("q_gaps_islands streaks partition each user's distinct active days") {
+    val df = Registry.byName("q_gaps_islands").fn(spark, sfDir)
+    val totalDays = df.agg(sum("active_days")).head.getLong(0)
+    val expected = Tables(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000"))
+      .distinct().count()
+    assert(totalDays == expected)
+    assert(df.filter(col("longest_streak") > col("active_days")).count() == 0)
+    assert(df.filter(col("n_streaks") > col("active_days")).count() == 0)
+  }
+
+  test("q_concurrency peak matches a naive per-day open-interval count") {
+    val got = Registry.byName("q_concurrency").fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("n_name") ->
+        (r.getAs[Long]("peak_open"), r.getAs[Long]("peak_day"))).toMap
+    val rows = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("sd"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).map { case (nation, xs) =>
+      val days = xs.flatMap(x => Seq(x._2, x._2 + 30)).distinct.sorted
+      val best = days.map(d =>
+        (xs.count(x => x._2 <= d && d < x._2 + 30).toLong, d)).maxBy(t => (t._1, -t._2))
+      nation -> best
+    }
+    assert(got == expected, s"concurrency differs: $got vs $expected")
+  }
+
+  test("q_asof_nearest picks the smaller absolute gap with backward ties") {
+    val df = Registry.byName("q_asof_nearest").fn(spark, sfDir)
+    assert(df.filter(col("gap_us") < 0).count() == 0)
+    // every matched view's gap is minimal vs a naive all-pairs scan
+    val ev = Tables(spark, sfDir, "events")
+    val naive = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("pts")),
+        col("user_id") === col("pu"), "left")
+      .groupBy("event_id")
+      .agg(min(abs(unix_micros(col("pts")) - unix_micros(col("ts")))).as("min_gap"))
+    val joined = df.join(naive, "event_id")
+    assert(joined.filter(col("gap_us") =!= col("min_gap")).count() == 0)
+    assert(joined.filter(col("gap_us").isNull =!= col("min_gap").isNull).count() == 0)
+  }
+
   test("q_window_sliding trailing sum matches a naive range self-join") {
     val df = Registry.byName("q_window_sliding").fn(spark, sfDir)
     val orders = Tables(spark, sfDir, "orders").select(
