@@ -1005,22 +1005,34 @@ object Relational {
     * "which record pairs did blocking MISS" signal: two records sharing
     * many graph neighbors but no direct edge are prime candidates for a
     * follow-up comparison round. Candidates come from the wedge join
-    * (Σd² work, the same bound as the triangle count — never node×node);
-    * each scored pair carries an `is_edge` marker instead of anti-joining
-    * existing edges away (predictions sort first; a dense small graph
-    * where every open wedge closes then still yields the triangle-closure
-    * census rather than an empty answer — the q_graph_kcore robustness
-    * convention), and the top-20 is a bounded TakeOrdered, not a global
-    * sort. All integer, deterministic tiebreak.
+    * — with the wedge fan-out BOUNDED: each center node contributes
+    * pairs only from its 32 smallest-id neighbors (the deterministic
+    * hot-key cap, same convention as MinHashLSH's `maxBucket`), kept by
+    * the bounded-heap [[graft.plans.TopK]] operator, never a per-node
+    * sort. Uncapped, the sf1 replica's densified graph generates
+    * Σd² ≈ 7.9e9 wedge rows and OOMs the aggregation; capped it is
+    * Σ min(d,32)² ≈ 1.5e8 — this is what makes common-neighbor scoring
+    * survivable on a hub-heavy 100 TB graph, at the documented cost that
+    * counts THROUGH hub centers are computed over a deterministic
+    * neighbor sample (counts are exact whenever every common neighbor
+    * has degree ≤ 32, which holds at every driver sf). Each scored pair
+    * carries an `is_edge` marker instead of anti-joining existing edges
+    * away (predictions sort first; a dense small graph where every open
+    * wedge closes then still yields the triangle-closure census rather
+    * than an empty answer — the q_graph_kcore robustness convention),
+    * and the top-20 is a bounded TakeOrdered, not a global sort. All
+    * integer, deterministic tiebreak.
     */
   private def qGraphLinkpred(s: SparkSession, dir: String): DataFrame = {
     val e = graphEdges(s, dir).localCheckpoint(false)
     val e2 = e.select(col("a").as("s"), col("b").as("t"))
       .unionAll(e.select(col("b").as("s"), col("a").as("t")))
-    val wedges = e2.select(col("s"), col("t").as("u"))
-      .join(e2.select(col("s").as("u2"), col("t").as("v")), col("u") === col("u2"))
-      .filter(col("s") < col("v"))
-      .groupBy(col("s").as("a"), col("v").as("b"))
+    val adj = graft.plans.TopK.perKey(e2, Seq("s"), "t", k = 32,
+      descending = false, rankName = "rn").drop("rn")
+    val wedges = adj.select(col("s").as("c"), col("t").as("a"))
+      .join(adj.select(col("s").as("c2"), col("t").as("b")), col("c") === col("c2"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("common_neighbors"))
     wedges.join(e.withColumn("m", lit(1)), Seq("a", "b"), "left")
       .withColumn("is_edge", col("m").isNotNull)
@@ -1034,11 +1046,16 @@ object Relational {
     s"""WITH $graphEdgesCte,
       |e2 AS (SELECT a AS s, b AS t FROM e
       |       UNION ALL SELECT b AS s, a AS t FROM e),
+      |adj AS (
+      |  SELECT s, t FROM (
+      |    SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY t) AS rn
+      |    FROM e2)
+      |  WHERE rn <= 32),
       |w AS (
-      |  SELECT x.s AS a, y.t AS b, count(*) AS common_neighbors
-      |  FROM e2 x JOIN e2 y ON x.t = y.s
-      |  WHERE x.s < y.t
-      |  GROUP BY x.s, y.t)
+      |  SELECT x.t AS a, y.t AS b, count(*) AS common_neighbors
+      |  FROM adj x JOIN adj y ON x.s = y.s
+      |  WHERE x.t < y.t
+      |  GROUP BY x.t, y.t)
       |SELECT w.a, w.b, w.common_neighbors, e.a IS NOT NULL AS is_edge
       |FROM w LEFT JOIN e ON w.a = e.a AND w.b = e.b
       |ORDER BY is_edge, common_neighbors DESC, w.a, w.b LIMIT 20""".stripMargin
