@@ -1047,6 +1047,56 @@ object Pipeline {
       |FROM documents
       |ORDER BY priority, doc_id LIMIT 64""".stripMargin
 
+  /** Embedding-table quality census — the Expectations pass for the
+    * vector side of the corpus (an ANN index built over NaN, zero, or
+    * wrong-dimension vectors fails silently at query time, so this gate
+    * runs BEFORE any index build): per-vector dimension, NaN presence,
+    * zero-norm detection, and the ‖v‖² distribution in integer bands.
+    * Norm² is the same left-fold sum both engines reduce in array order
+    * (the repo's exact-IEEE cosine trick), so banding its rounded
+    * milli-value is cross-engine exact. One codegen'd scan + one
+    * groupBy over |dims|×|bands| cells.
+    */
+  private def embeddingQc(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(size(embedding) AS BIGINT)").as("dim"),
+        expr("exists(embedding, x -> isnan(x))").as("has_nan"),
+        expr("""aggregate(embedding, 0D,
+               | (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin)
+          .as("norm2"))
+      .select(col("vec_id"), col("dim"), col("has_nan"),
+        (col("norm2") === 0.0).as("is_zero"),
+        // NaN vectors land in a sentinel band (ANSI cast of NaN throws)
+        when(col("has_nan"), lit(-1L))
+          .otherwise(expr("CAST(round(norm2 * 1000) AS BIGINT) DIV 1000"))
+          .as("norm_band"))
+      .groupBy("dim", "norm_band")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero"),
+        min("vec_id").as("min_id"), max("vec_id").as("max_id"))
+      .orderBy("dim", "norm_band")
+
+  private val embeddingQcSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |    len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b) AS norm2
+      |  FROM embeddings)
+      |SELECT dim,
+      |  CASE WHEN has_nan THEN CAST(-1 AS BIGINT)
+      |       ELSE CAST(round(norm2 * 1000) AS BIGINT) // 1000 END AS norm_band,
+      |  count(*) AS n_vecs,
+      |  CAST(count(*) FILTER (has_nan) AS BIGINT) AS n_nan,
+      |  CAST(count(*) FILTER (norm2 = 0) AS BIGINT) AS n_zero,
+      |  min(vec_id) AS min_id, max(vec_id) AS max_id
+      |FROM v GROUP BY dim, norm_band
+      |ORDER BY dim, norm_band""".stripMargin
+
   // ---- similarity search ---------------------------------------------
   private def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
@@ -2872,6 +2922,7 @@ object Pipeline {
     QueryDef("dx_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("dx_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("dx_funnel_report", funnelReport, Some(funnelReportSql)),
+    QueryDef("dx_embedding_qc", embeddingQc, Some(embeddingQcSql)),
     QueryDef("dx_kanonymity", kanonymity, Some(kanonymitySql)),
     QueryDef("dx_decontaminate_bloom_gate", decontaminateBloomGate,
       Some(decontaminateBloomGateSql)),

@@ -1060,6 +1060,78 @@ object Relational {
       |FROM w LEFT JOIN e ON w.a = e.a AND w.b = e.b
       |ORDER BY is_edge, common_neighbors DESC, w.a, w.b LIMIT 20""".stripMargin
 
+  /** RFM customer segmentation — the classic behavioral cube (recency =
+    * last purchase day, frequency = purchase count, monetary = cents
+    * spent), each dimension scored 1-4 by its own quartiles. The
+    * quartile thresholds ride the exactness-sized `approx_percentile`
+    * sketch (accuracy ≥ 2n ⇒ the sketch returns exact data elements, the
+    * q_percentiles contract) on a broadcast one-row aggregate — no
+    * global sort, no rank pass; scoring is then a per-row comparison and
+    * the segment census one small groupBy. Recency scores the user's
+    * raw last-active day (later = higher), which needs no "today" anchor.
+    * All integer, so the percentile_disc oracle matches bit-exact.
+    */
+  private def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        max(expr("unix_micros(ts) DIV 86400000000")).as("last_day"),
+        count(lit(1)).as("freq"),
+        Num.bigSum(Num.cents(col("value"))).cast("long").as("cents"))
+      .localCheckpoint(false) // feeds the threshold fit AND the scoring
+    val n = users.count()
+    val acc = math.min(math.max(100000L, 2L * n), Int.MaxValue.toLong)
+    def qs(c: String) = Seq(0.25, 0.5, 0.75).map(p =>
+      expr(s"approx_percentile($c, $p, $acc)").as(s"${c.head}q${(p * 4).toInt}"))
+    val t = users.agg(qs("last_day").head,
+      (qs("last_day").tail ++ qs("freq") ++ qs("cents")): _*)
+    def score(v: String, p: String) =
+      expr(s"CAST(1 + CAST($v > ${p}q1 AS INT) + CAST($v > ${p}q2 AS INT) + CAST($v > ${p}q3 AS INT) AS BIGINT)")
+    users.crossJoin(broadcast(t))
+      .select(col("user_id"),
+        score("last_day", "l").as("r_score"),
+        score("freq", "f").as("f_score"),
+        score("cents", "c").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  private val qRfmSegmentsSql =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day,
+       |    count(*) AS freq,
+       |    CAST(sum(${Num.centsSql("value")}) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY user_id),
+       |t AS (
+       |  SELECT
+       |    percentile_disc(0.25) WITHIN GROUP (ORDER BY last_day) AS lq1,
+       |    percentile_disc(0.50) WITHIN GROUP (ORDER BY last_day) AS lq2,
+       |    percentile_disc(0.75) WITHIN GROUP (ORDER BY last_day) AS lq3,
+       |    percentile_disc(0.25) WITHIN GROUP (ORDER BY freq) AS fq1,
+       |    percentile_disc(0.50) WITHIN GROUP (ORDER BY freq) AS fq2,
+       |    percentile_disc(0.75) WITHIN GROUP (ORDER BY freq) AS fq3,
+       |    percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS cq1,
+       |    percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS cq2,
+       |    percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS cq3
+       |  FROM u),
+       |sc AS (
+       |  SELECT user_id,
+       |    CAST(1 + (last_day > lq1)::INT + (last_day > lq2)::INT
+       |       + (last_day > lq3)::INT AS BIGINT) AS r_score,
+       |    CAST(1 + (freq > fq1)::INT + (freq > fq2)::INT
+       |       + (freq > fq3)::INT AS BIGINT) AS f_score,
+       |    CAST(1 + (cents > cq1)::INT + (cents > cq2)::INT
+       |       + (cents > cq3)::INT AS BIGINT) AS m_score
+       |  FROM u CROSS JOIN t)
+       |SELECT r_score, f_score, m_score, count(*) AS n_users,
+       |  min(user_id) AS min_user, max(user_id) AS max_user
+       |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .groupBy(
@@ -2044,6 +2116,7 @@ object Relational {
     QueryDef("q_events_asof_fwd", qEventsAsofFwd, Some(qEventsAsofFwdSql)),
     QueryDef("q_asof_nearest", qAsofNearest, Some(qAsofNearestSql)),
     QueryDef("q_graph_linkpred", qGraphLinkpred, Some(qGraphLinkpredSql)),
+    QueryDef("q_rfm_segments", qRfmSegments, Some(qRfmSegmentsSql)),
     QueryDef("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),
     QueryDef("q_events_retention", qEventsRetention, Some(qEventsRetentionSql)),
     QueryDef("q_events_sequences", qEventSequences, Some(qEventSequencesSql)),

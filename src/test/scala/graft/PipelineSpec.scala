@@ -586,6 +586,27 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("embedding QC flags planted NaN, zero, and wrong-dimension vectors") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_eqc").toString
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0),        // unit
+      (2L, Array(0.0f, 0.0f), 0),        // zero vector
+      (3L, Array(Float.NaN, 1.0f), 0),   // NaN
+      (4L, Array(3.0f, 4.0f), 0),        // norm2 = 25 band
+      (5L, Array(1.0f, 1.0f, 1.0f), 0))  // wrong dimension
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val rows = Registry.byName("dx_embedding_qc").fn(spark, out).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("norm_band")) ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_nan"), r.getAs[Long]("n_zero"))).toMap
+    assert(rows((2L, 1L)) == ((1L, 0L, 0L)))   // unit vector
+    assert(rows((2L, 0L)) == ((1L, 0L, 1L)))   // zero vector flagged
+    assert(rows((2L, -1L)) == ((1L, 1L, 0L)))  // NaN sentinel band
+    assert(rows((2L, 25L)) == ((1L, 0L, 0L)))  // 3-4-5 norm
+    assert(rows((3L, 3L)) == ((1L, 0L, 0L)))   // odd dimension isolated
+  }
+
   test("funnel report is a consistent waterfall") {
     val rows = Registry.byName("dx_funnel_report").fn(spark, sfDir)
       .orderBy("stage").collect()

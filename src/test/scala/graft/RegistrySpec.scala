@@ -84,6 +84,8 @@ class RegistrySpec extends SparkSpec {
       "mb_resolver_sweep" -> scalarAggBuild,
       // CMS: one-row corpus-total aggregate crossed into the estimate table
       "dx_cms_gate" -> scalarAggBuild,
+      // RFM: one-row 9-quartile sketch aggregate crossed into the users
+      "q_rfm_segments" -> scalarAggBuild,
       "dx_boilerplate" -> scalarAggBuild)
     // dx_boilerplate legitimately crosses TWO one-row aggregates into the
     // per-document pass: the corpus count (threshold) and the collected
