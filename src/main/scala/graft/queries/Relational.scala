@@ -1060,6 +1060,84 @@ object Relational {
       |FROM w LEFT JOIN e ON w.a = e.a AND w.b = e.b
       |ORDER BY is_edge, common_neighbors DESC, w.a, w.b LIMIT 20""".stripMargin
 
+  /** CUSUM changepoint detection (Page 1954) over daily event volumes —
+    * the "did demand shift" detector, and the representative of the
+    * recurrence class WINDOW FUNCTIONS CANNOT EXPRESS: the one-sided
+    * CUSUM statistic s_t = max(0, s_{t−1} + (n_t − k)) depends on the
+    * clamped prefix, not on any frame aggregate. The scale-correct shape:
+    * events collapse to per-(type, day) counts first (partial-agg
+    * shuffle), each type's day series becomes ONE ordered array, and the
+    * recurrence runs as an in-row `aggregate` fold carrying
+    * (s, best, best_day) struct state — per-group memory is the series
+    * length (≤ |days|), never the event count, and the fold is exact
+    * integer so the oracle's list_reduce twin (same-typed zero sentinel
+    * prepended — DuckDB's fold has no init parameter) matches bit-exact.
+    * Drift reference k is each type's floor-mean daily count; best_day
+    * records the FIRST day attaining the final maximum (strict-greater
+    * update).
+    */
+  private def qChangepoint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("arr"))
+      .withColumn("n_days", expr("CAST(size(arr) AS BIGINT)"))
+      .withColumn("k", expr("aggregate(arr, 0L, (a, e) -> a + e.n) DIV n_days"))
+      .withColumn("st", expr(
+        """aggregate(arr,
+          |  named_struct('s', 0L, 'best', 0L, 'bday', -1L),
+          |  (acc, e) -> named_struct(
+          |    's', greatest(0L, acc.s + e.n - k),
+          |    'best', greatest(acc.best, greatest(0L, acc.s + e.n - k)),
+          |    'bday', CASE WHEN greatest(0L, acc.s + e.n - k) > acc.best
+          |                 THEN e.day ELSE acc.bday END))""".stripMargin))
+      .select(col("event_type"), col("n_days"), col("k"),
+        col("st.best").as("max_cusum"), col("st.bday").as("shift_day"))
+      .orderBy("event_type")
+
+  private val qChangepointSql =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type,
+      |    list(struct_pack(day := day, n := CAST(n AS BIGINT)) ORDER BY day) AS arr
+      |  FROM d GROUP BY event_type),
+      |p AS (
+      |  SELECT event_type, CAST(len(arr) AS BIGINT) AS n_days,
+      |    list_reduce(list_transform(arr, e -> CAST(e.n AS BIGINT)),
+      |      (a, b) -> a + b) // len(arr) AS k,
+      |    arr
+      |  FROM g),
+      |f AS (
+      |  -- field order matters: DuckDB 1.0 evaluates struct_pack fields
+      |  -- SEQUENTIALLY, mutating acc in place (a later field referencing
+      |  -- acc.s would see the updated value). With (bday, best, s) each
+      |  -- expression reads only fields not yet written this step, so the
+      |  -- fold is correct under sequential AND simultaneous semantics.
+      |  SELECT event_type, n_days, k,
+      |    list_reduce(
+      |      list_prepend(
+      |        struct_pack(bday := CAST(-1 AS BIGINT), best := CAST(0 AS BIGINT),
+      |                    s := CAST(0 AS BIGINT)),
+      |        list_transform(arr, e ->
+      |          struct_pack(bday := CAST(e.day AS BIGINT), best := CAST(0 AS BIGINT),
+      |                      s := CAST(e.n AS BIGINT)))),
+      |      (acc, e) -> struct_pack(
+      |        bday := CASE WHEN greatest(0, acc.s + e.s - k) > acc.best
+      |                     THEN e.bday ELSE acc.bday END,
+      |        best := greatest(acc.best, greatest(0, acc.s + e.s - k)),
+      |        s := greatest(0, acc.s + e.s - k))) AS st
+      |  FROM p)
+      |SELECT event_type, n_days, CAST(k AS BIGINT) AS k,
+      |  CAST(st.best AS BIGINT) AS max_cusum,
+      |  CAST(st.bday AS BIGINT) AS shift_day
+      |FROM f ORDER BY event_type""".stripMargin
+
   /** RFM customer segmentation — the classic behavioral cube (recency =
     * last purchase day, frequency = purchase count, monetary = cents
     * spent), each dimension scored 1-4 by its own quartiles. The
@@ -2117,6 +2195,7 @@ object Relational {
     QueryDef("q_asof_nearest", qAsofNearest, Some(qAsofNearestSql)),
     QueryDef("q_graph_linkpred", qGraphLinkpred, Some(qGraphLinkpredSql)),
     QueryDef("q_rfm_segments", qRfmSegments, Some(qRfmSegmentsSql)),
+    QueryDef("q_changepoint", qChangepoint, Some(qChangepointSql)),
     QueryDef("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),
     QueryDef("q_events_retention", qEventsRetention, Some(qEventsRetentionSql)),
     QueryDef("q_events_sequences", qEventSequences, Some(qEventSequencesSql)),
