@@ -362,6 +362,95 @@ object Matchbox {
           |  ELSE base END""".stripMargin))
       .withColumn("blk", expr("(c_custkey - 1) DIV 20"))
 
+  /** Blocking-scheme quality census — the evaluation loop that precedes
+    * every linkage run (splink's blocking-rule analysis surface: before
+    * trusting a blocking rule you measure what it COSTS and what it
+    * MISSES): for each candidate-generation scheme over the seeded fuzzy
+    * corpus, the candidate count, how many of the planted truth pairs it
+    * covers (pair completeness), and the reduction ratio vs the full
+    * |L|×|R| cross product — the two numbers that trade off against each
+    * other in blocking design, in exact permille. The custkey-band rule
+    * is complete by construction; the segment rule demonstrates a cheap
+    * rule that silently drops ~4/5 of the truth; the union shows the
+    * standard multi-rule recovery.
+    *
+    * The scale-critical move: candidate counts are NEVER materialized as
+    * pairs. |candidates| for an equi-rule is Σ over key values of
+    * |L_k|·|R_k| — arithmetic over grouped COUNTS — and the union count
+    * comes from inclusion–exclusion with the both-rules intersection
+    * (grouped by the compound key). A bad rule's 11M-pair candidate set
+    * costs this census two tiny aggregates instead of an 11M-row join
+    * (the DuckDB oracle deliberately keeps the naive materializing
+    * formulation, so the arithmetic is cross-checked against real joins).
+    * Truth coverage reads off the truth pairs' own attributes.
+    */
+  private def blockingQuality(s: SparkSession, dir: String): DataFrame = {
+    val le = fuzzyLeft(s, dir).select(col("c_custkey").as("lid"),
+      col("c_mktsegment").as("lseg"), col("blk").as("lblk"))
+    val ri = fuzzyRight(s, dir).select(col("c_custkey").as("rid"),
+      col("c_mktsegment").as("rseg"), col("blk").as("rblk"))
+    def pairCount(lKeys: Seq[String], rKeys: Seq[String], name: String) =
+      le.groupBy(lKeys.map(col): _*).agg(count(lit(1)).as("nl"))
+        .join(ri.groupBy(rKeys.map(col): _*).agg(count(lit(1)).as("nr")),
+          lKeys.zip(rKeys).map { case (l, r) => col(l) === col(r) }
+            .reduce(_ && _))
+        .agg(coalesce(sum(col("nl") * col("nr")), lit(0L)).as(name))
+    val truthAttrs = le.join(ri, col("lid") === col("rid") - 1)
+      .select((col("lblk") === col("rblk")).as("m1"),
+        (col("lseg") === col("rseg")).as("m2"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("m1"), 1L).otherwise(0L)).as("cov1"),
+        sum(when(col("m2"), 1L).otherwise(0L)).as("cov2"),
+        sum(when(col("m1") || col("m2"), 1L).otherwise(0L)).as("cov3"))
+    val row = pairCount(Seq("lblk"), Seq("rblk"), "c1")
+      .crossJoin(broadcast(pairCount(Seq("lseg"), Seq("rseg"), "c2")))
+      .crossJoin(broadcast(pairCount(Seq("lblk", "lseg"), Seq("rblk", "rseg"), "c12")))
+      .crossJoin(broadcast(le.agg(count(lit(1)).as("n_l"))))
+      .crossJoin(broadcast(ri.agg(count(lit(1)).as("n_r"))))
+      .crossJoin(broadcast(truthAttrs))
+    row.select(
+        expr("stack(3, '1_block20', c1, cov1, '2_segment', c2, cov2, " +
+          "'3_union', c1 + c2 - c12, cov3) AS (scheme, n_cand, n_covered)"),
+        col("n_truth"), col("n_l"), col("n_r"))
+      .select(col("scheme"), col("n_cand"), col("n_truth"), col("n_covered"),
+        expr("CAST((1000 * n_covered) DIV n_truth AS BIGINT)").as("completeness_permille"),
+        expr("CAST(1000 - (1000 * n_cand) DIV (n_l * n_r) AS BIGINT)").as("reduction_permille"))
+      .orderBy("scheme")
+  }
+
+  private val blockingQualitySql =
+    """WITH le AS (
+      |  SELECT c_custkey AS lid, c_mktsegment AS lseg, c_custkey // 20 AS lblk
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |ri AS (
+      |  SELECT c_custkey AS rid, c_mktsegment AS rseg,
+      |    (c_custkey - 1) // 20 AS rblk
+      |  FROM customer WHERE c_custkey % 2 = 1),
+      |truth AS (
+      |  SELECT lid AS tl, rid AS tr FROM le JOIN ri ON lid = rid - 1),
+      |c1 AS (SELECT '1_block20' AS scheme, lid, rid
+      |       FROM le JOIN ri ON lblk = rblk),
+      |c2 AS (SELECT '2_segment' AS scheme, lid, rid
+      |       FROM le JOIN ri ON lseg = rseg),
+      |c3 AS (SELECT '3_union' AS scheme, lid, rid FROM (
+      |  SELECT DISTINCT lid, rid FROM (
+      |    SELECT lid, rid FROM c1 UNION ALL SELECT lid, rid FROM c2))),
+      |tot AS (
+      |  SELECT (SELECT count(*) FROM le) AS n_l,
+      |    (SELECT count(*) FROM ri) AS n_r,
+      |    (SELECT count(*) FROM truth) AS n_truth),
+      |cc AS (
+      |  SELECT scheme, count(*) AS n_cand,
+      |    CAST(count(t.tl) AS BIGINT) AS n_covered
+      |  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+      |        UNION ALL SELECT * FROM c3) c
+      |  LEFT JOIN truth t ON c.lid = t.tl AND c.rid = t.tr
+      |  GROUP BY scheme)
+      |SELECT scheme, n_cand, CAST(n_truth AS BIGINT) AS n_truth, n_covered,
+      |  CAST((1000 * n_covered) // n_truth AS BIGINT) AS completeness_permille,
+      |  CAST(1000 - (1000 * n_cand) // (n_l * n_r) AS BIGINT) AS reduction_permille
+      |FROM cc CROSS JOIN tot ORDER BY scheme""".stripMargin
+
   /** Multi-level fuzzy Fellegi–Sunter (splink's
     * `cl.jaro_winkler_at_thresholds` surface — reference
     * splinklinker.py:112): the name comparison has four ordinal levels
@@ -1819,6 +1908,7 @@ object Matchbox {
     QueryDef("mb_link_em", linkEm, None),
     QueryDef("mb_link_em_gate", linkEmGate, Some(linkEmGateSql)),
     QueryDef("mb_link_fuzzy", linkFuzzy, Some(linkFuzzySql)),
+    QueryDef("mb_blocking_quality", blockingQuality, Some(blockingQualitySql)),
     QueryDef("mb_link_fuzzy_nulls", linkFuzzyNulls, Some(linkFuzzyNullsSql)),
     QueryDef("mb_link_fuzzy_nulls_gate", linkFuzzyNullsGate,
       Some(linkFuzzyNullsGateSql)),

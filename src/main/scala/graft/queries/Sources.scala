@@ -120,9 +120,43 @@ object Sources {
        |  min(p_name) AS first_name
        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Partitioned-layout round trip: documents written `partitionBy(lang)`
+    * (the physical layout every language-sliced corpus ships with), read
+    * back with a language predicate. The gate REQUIRES partition pruning
+    * loudly — the scan's partition filters must carry the lang predicate,
+    * i.e. only the `lang=en` directory is read; a layout or reader
+    * regression that silently scans every partition fails the gate rather
+    * than just running slower. The aggregate is oracle-matched against
+    * the flat parquet, proving the partition columns round-trip values
+    * exactly (they travel as directory names, not data pages).
+    */
+  private def partitionGate(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$out/docs_part")
+    val back = s.read.parquet(s"$out/docs_part").filter(col("lang") === "en")
+    val scan = back.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    require(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"lang predicate did not reach the partition filters:\n$scan")
+    back.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc"))
+      .orderBy("source")
+  }
+
+  private val partitionGateSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_doc
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("src_jdbc_gate", jdbcGate, Some(jdbcGateSql)),
     QueryDef("src_csv_gate", csvGate, Some(csvGateSql)),
     QueryDef("src_json_gate", jsonGate, Some(jsonGateSql)),
-    QueryDef("src_orc_gate", orcGate, Some(orcGateSql)))
+    QueryDef("src_orc_gate", orcGate, Some(orcGateSql)),
+    QueryDef("src_partition_gate", partitionGate, Some(partitionGateSql)))
 }

@@ -86,13 +86,16 @@ class RegistrySpec extends SparkSpec {
       "dx_cms_gate" -> scalarAggBuild,
       // RFM: one-row 9-quartile sketch aggregate crossed into the users
       "q_rfm_segments" -> scalarAggBuild,
+      // blocking quality: |L|, |R|, |truth| one-row counts crossed into
+      // the 3-row scheme census
+      "mb_blocking_quality" -> scalarAggBuild,
       "dx_boilerplate" -> scalarAggBuild)
     // dx_boilerplate legitimately crosses TWO one-row aggregates into the
     // per-document pass: the corpus count (threshold) and the collected
     // common-token set — each build must still prove the scalar-agg shape
     val maxBnljs = Map("dx_boilerplate" -> 2, "mb_eval_ari" -> 2,
       "q_graph_triangles" -> 2, "dx_perplexity_buckets" -> 2,
-      "mb_resolver_sweep" -> 3).withDefaultValue(1)
+      "mb_resolver_sweep" -> 3, "mb_blocking_quality" -> 5).withDefaultValue(1)
 
     Registry.all.foreach { d =>
       val plan = d.fn(spark, sfDir).queryExecution.executedPlan
