@@ -451,6 +451,71 @@ object Matchbox {
       |  CAST(1000 - (1000 * n_cand) // (n_l * n_r) AS BIGINT) AS reduction_permille
       |FROM cc CROSS JOIN tot ORDER BY scheme""".stripMargin
 
+  /** Edit-distance comparison ladder (splink's `levenshtein_at_thresholds`
+    * surface — the other standard string comparison next to
+    * jaro-winkler, preferred when typos are insert/delete-shaped):
+    * ordinal levels exact / lev ≤ 1 / lev ≤ 3 / miss over the same
+    * seeded perturbations (drop-1 ⇒ lev 1, drop-3 ⇒ lev 3, reversed ⇒
+    * miss), so each planted class lands in a distinct level. Both
+    * engines ship a native `levenshtein`, so the condition strings run
+    * verbatim in each — same contract as the jaro_winkler ladder.
+    */
+  private def linkLevenshtein(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    Link.fellegiSunterLevels(
+      fuzzyLeft(s, dir), fuzzyRight(s, dir),
+      "c_custkey", "c_custkey",
+      blocking = "l.blk = r.blk",
+      comparisons = Seq(
+        Link.LevelComparison(
+          Seq("l.sname = r.sname",
+            "levenshtein(l.sname, r.sname) <= 1",
+            "levenshtein(l.sname, r.sname) <= 3"),
+          Seq(-3.0, 1.5, 4.0, 6.0)),
+        Link.LevelComparison(
+          Seq("l.c_mktsegment = r.c_mktsegment"),
+          Seq(-0.5, 1.2))),
+      threshold = 1.0)
+      .withColumnRenamed("gamma0", "gamma_name")
+      .withColumnRenamed("gamma1", "gamma_seg")
+      .orderBy("left_id", "right_id")
+  }
+
+  private val linkLevenshteinSql =
+    """WITH le AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS sname,
+      |    c_custkey // 20 AS blk
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |ri AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE CAST(c_custkey % 10 AS INT)
+      |      WHEN 5 THEN substr(base, 1, 8)
+      |      WHEN 7 THEN substr(base, 1, 6)
+      |      WHEN 9 THEN reverse(base)
+      |      ELSE base END AS sname,
+      |    (c_custkey - 1) // 20 AS blk
+      |  FROM (SELECT *, substr(md5(CAST(c_custkey - 1 AS VARCHAR)), 1, 9) AS base
+      |        FROM customer WHERE c_custkey % 2 = 1)),
+      |g AS (
+      |  SELECT l.c_custkey AS left_id, r.c_custkey AS right_id,
+      |    CASE WHEN l.sname = r.sname THEN 3
+      |         WHEN levenshtein(l.sname, r.sname) <= 1 THEN 2
+      |         WHEN levenshtein(l.sname, r.sname) <= 3 THEN 1
+      |         ELSE 0 END AS gamma_name,
+      |    CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS gamma_seg
+      |  FROM le l JOIN ri r ON l.blk = r.blk)
+      |SELECT * FROM (
+      |  SELECT CAST(left_id AS BIGINT) AS left_id, CAST(right_id AS BIGINT) AS right_id,
+      |    gamma_name, gamma_seg,
+      |    (CASE gamma_name WHEN 3 THEN CAST(6.0 AS DOUBLE) WHEN 2 THEN CAST(4.0 AS DOUBLE)
+      |       WHEN 1 THEN CAST(1.5 AS DOUBLE) ELSE CAST(-3.0 AS DOUBLE) END
+      |     + CASE gamma_seg WHEN 1 THEN CAST(1.2 AS DOUBLE)
+      |       ELSE CAST(-0.5 AS DOUBLE) END) AS match_weight
+      |  FROM g)
+      |WHERE match_weight >= 1.0
+      |ORDER BY left_id, right_id""".stripMargin
+
   /** Multi-level fuzzy Fellegi–Sunter (splink's
     * `cl.jaro_winkler_at_thresholds` surface — reference
     * splinklinker.py:112): the name comparison has four ordinal levels
@@ -1908,6 +1973,7 @@ object Matchbox {
     QueryDef("mb_link_em", linkEm, None),
     QueryDef("mb_link_em_gate", linkEmGate, Some(linkEmGateSql)),
     QueryDef("mb_link_fuzzy", linkFuzzy, Some(linkFuzzySql)),
+    QueryDef("mb_link_levenshtein", linkLevenshtein, Some(linkLevenshteinSql)),
     QueryDef("mb_blocking_quality", blockingQuality, Some(blockingQualitySql)),
     QueryDef("mb_link_fuzzy_nulls", linkFuzzyNulls, Some(linkFuzzyNullsSql)),
     QueryDef("mb_link_fuzzy_nulls_gate", linkFuzzyNullsGate,
