@@ -431,6 +431,78 @@ object Pipeline {
     """SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(1 AS BOOLEAN) AS est_ok
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** Winnowing candidate pairs (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    * — the MOSS fingerprinting algorithm): per document, hash every
+    * 8-char k-gram, slide a w=4 window over the hash sequence and keep
+    * each window's MINIMUM — the selected fingerprints are a guaranteed-
+    * coverage, position-robust ~1/w sample of the k-grams (any shared
+    * run of ≥ k+w−1 chars yields a shared fingerprint: the winnowing
+    * guarantee, which MinHash does not give). Pairs then come from the
+    * standard posting-list equi-join on fingerprints, with MOSS's two
+    * own defenses applied: fingerprints appearing in more than 64
+    * documents are DROPPED before the join (MOSS ignores over-common
+    * fingerprints — boilerplate carries no pair signal; this also bounds
+    * the join to Σ min(df,64)², the hot-key discipline every posting
+    * join in this repo follows — without it the flat-vocabulary
+    * synthetic corpus makes winnowed fingerprints corpus-common and the
+    * raw pair set goes quadratic: 14M pairs at sf0.1), and pairs are
+    * reported only at ≥ 50% CONTAINMENT of the smaller doc's retained
+    * fingerprint set (MOSS's similarity threshold — a shared-count floor
+    * alone floods on common text). The planted mutated copies are
+    * exactly what survives.
+    */
+  private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = withDupes(s, dir, exact = false)
+      .withColumn("hs", expr(
+        """transform(sequence(1, greatest(length(text) - 7, 1)),
+          | i -> md5(substring(text, i, 8)))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)),
+          | j -> array_min(slice(hs, j, 4))))""".stripMargin)).as("fp"))
+      .localCheckpoint(false) // extraction feeds df-filter, sizes AND both join sides
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select("fp")
+    val kept = fps.join(rare, "fp")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    kept.join(sizes, "doc_id")
+      .select(col("doc_id").as("left_id"), col("n_fp").as("nl"), col("fp"))
+      .join(kept.join(sizes, "doc_id")
+        .select(col("doc_id").as("right_id"), col("n_fp").as("nr"), col("fp")), "fp")
+      .filter(col("left_id") < col("right_id"))
+      .groupBy("left_id", "right_id", "nl", "nr")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") * 2 >= least(col("nl"), col("nr")))
+      .select("left_id", "right_id", "n_shared", "nl", "nr")
+      .orderBy("left_id", "right_id")
+  }
+
+  private val winnowPairsSql = {
+    s"""WITH docs2 AS (${dupesSql(exact = false)}),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+       |      i -> md5(substr(text, i, 8))) AS hs
+       |  FROM docs2),
+       |f AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(
+       |      range(1, greatest(len(hs) - 3, 1) + 1),
+       |      j -> list_min(hs[j:j+3])))) AS fp
+       |  FROM h),
+       |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 64),
+       |k AS (SELECT doc_id, f.fp FROM f JOIN rare USING (fp)),
+       |sz AS (SELECT doc_id, count(*) AS n_fp FROM k GROUP BY doc_id)
+       |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       |  count(*) AS n_shared,
+       |  CAST(sa.n_fp AS BIGINT) AS nl, CAST(sb.n_fp AS BIGINT) AS nr
+       |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  JOIN sz sa ON sa.doc_id = a.doc_id
+       |  JOIN sz sb ON sb.doc_id = b.doc_id
+       |GROUP BY 1, 2, sa.n_fp, sb.n_fp
+       |HAVING count(*) * 2 >= least(sa.n_fp, sb.n_fp)
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.candidatePairs(withDupes(s, dir, exact = false), "doc_id", "text",
       threshold = 0.5)
@@ -2884,6 +2956,7 @@ object Pipeline {
     QueryDef("dx_dedup_minhash_gate", dedupMinhashGate, Some(dedupMinhashGateSql)),
     QueryDef("dx_minhash_est_gate", minhashEstGate, Some(minhashEstGateSql)),
     QueryDef("dx_minhash_bbit_gate", minhashBbitGate, Some(minhashBbitGateSql)),
+    QueryDef("dx_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
     QueryDef("dx_dedup_simhash", dedupSimhash, None),
     QueryDef("dx_dedup_simhash_gate", dedupSimhashGate, Some(dedupSimhashGateSql)),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),

@@ -228,8 +228,49 @@ object Streaming {
       |  CAST(1 AS BOOLEAN) AS batch_equal_ok, CAST(1 AS BOOLEAN) AS recall_ok
       |FROM embeddings WHERE vec_id % 7 = 0""".stripMargin
 
+  /** Batch execution of [[graft.streaming.Streams.sessionWindows]] — the
+    * EXACT code path the native session_window streaming operator runs
+    * (withWatermark is a no-op in batch; the session-merge aggregation
+    * plans identically), oracle-gated against the lag/cumsum island
+    * rebuild. `q_session_window` pins the same semantics on a
+    * hand-written plan; this gate pins the OPERATOR FUNCTION itself, so
+    * a regression inside Streams.sessionWindows (gap arithmetic, state
+    * column naming, money scaling) cannot hide behind the batch twin.
+    */
+  private def sessionGate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.sessionWindows(
+        Tables(s, dir, "events"), gap = "30 minutes", watermark = "1 hour")
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
+  private val sessionGateSql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    ${Num.centsSql("value")} AS cents
+       |  FROM events),
+       |x AS (
+       |  SELECT user_id, us, cents,
+       |    lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+       |y AS (
+       |  SELECT user_id, us, cents,
+       |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+       |  FROM x),
+       |z AS (
+       |  SELECT user_id, us, cents,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM y)
+       |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+       |  count(*) AS n_events, sum(cents)/100.0 AS sum_value
+       |FROM z GROUP BY user_id, sid
+       |ORDER BY user_id, start_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st_events_rate", eventsRate, Some(eventsRateSql)),
+    QueryDef("st_session_gate", sessionGate, Some(sessionGateSql)),
     QueryDef("st_fuzzy_windowed", fuzzyWindowed, Some(fuzzyWindowedSql)),
     QueryDef("st_interval_join", intervalJoinTwin, Some(intervalJoinTwinSql)),
     QueryDef("st_dedup_incremental_gate", dedupIncrementalGate,
