@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   *   B³P = (1/N) Σ_c (Σ_t c_ct²)/n_c,  B³R = (1/N) Σ_t (Σ_c c_ct²)/n_t.
   * [[stats]] emits the per-group INTEGER sufficient statistics (n, Σc²)
   * — exact, order-insensitive, oracle-hashable — and [[precisionRecall]]
-  * folds them into the two doubles with a fixed summation order.
+  * folds them into the two doubles with an exact integer+decimal
+  * distributed reduction (two rows ever reach the driver).
   *
   * Scale shape: one equi-join on the record id, one groupBy on the
   * contingency cell, one groupBy per side — all partial-aggregated; no
@@ -56,18 +57,35 @@ object BCubed {
       .select(col("side"), col("group_id"), col("n"), col("sq"))
   }
 
-  /** (B³ precision, B³ recall) from [[stats]] output. Deterministic: the
-    * per-group ratios are summed in (side, group_id) order on the driver —
-    * group counts are bounded by cluster/class cardinality, which is tiny
-    * relative to records (collect a distinct-group frame, not records).
+  /** (B³ precision, B³ recall) from [[stats]] output — a fully
+    * distributed reduction: the driver sees exactly TWO rows (one per
+    * side) no matter how many clusters/classes exist, so a pathological
+    * all-singletons clustering of a 100 TB corpus costs the driver
+    * nothing.
+    *
+    * Determinism without driver ordering: Σ sq/n is split per group into
+    * `sq DIV n` (exact BIGINT, order-insensitive sum) plus the proper
+    * fraction `(sq mod n)/n` evaluated as a scale-21 DECIMAL quotient —
+    * rounded per ELEMENT (not per partial sum), so the decimal sum is
+    * independent of partition order; total error ≤ G·5e-22 for G groups.
+    * A perfect clustering has sq = n² in every group, zero remainders,
+    * and scores exactly 1.0.
     */
   def precisionRecall(stats: DataFrame): (Double, Double) = {
-    val rows = stats.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(t => (t._1, t._2))
-    val total = rows.filter(_._1 == "cluster").map(_._3).sum.toDouble
-    def avg(side: String): Double =
-      rows.filter(_._1 == side).map(t => t._4.toDouble / t._3).sum / total
+    val rows = stats.groupBy("side").agg(
+        sum("n").as("nrec"),
+        sum(expr("sq DIV n")).as("whole"),
+        sum(expr("CAST(sq % n AS DECIMAL(20,0)) / CAST(n AS DECIMAL(20,0))"))
+          .as("frac"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3))))
+      .toMap
+    val total = rows("cluster")._1.toDouble
+    def avg(side: String): Double = {
+      val (_, whole, frac) = rows(side)
+      (whole.toDouble + (if (frac == null) 0.0 else frac.doubleValue)) / total
+    }
     (avg("cluster"), avg("class"))
   }
 }

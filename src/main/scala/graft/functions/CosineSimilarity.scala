@@ -133,6 +133,12 @@ object GraftExtensions {
     (FunctionIdentifier("jaro_winkler_similarity"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler_similarity"),
       { exprs: Seq[Expression] => JaroWinklerSimilarity(exprs(0), exprs(1)) }),
+    (FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+      { exprs: Seq[Expression] => DamerauLevenshtein(exprs(0), exprs(1)) }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      { exprs: Seq[Expression] => SortedIntersectCount(exprs(0), exprs(1)) }),
     // DuckDB-compatible NFC normalization, plus the general form-selectable
     // variant (unicode_normalize(s, 'NFKC') etc.)
     (FunctionIdentifier("nfc_normalize"),

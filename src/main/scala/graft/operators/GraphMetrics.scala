@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Distributed graph metrics over pair-edge lists (the shape every graft
   * linker/deduper emits: `left_id, right_id` match pairs).
@@ -18,12 +17,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
   * WWW 2011): orient each undirected edge from the lower-(degree, id) node
   * to the higher one. Every triangle then has exactly one vertex with two
-  * outgoing edges, so counting (wedge ⋈ closing edge) counts each triangle
-  * once — and the maximum out-degree is O(√m), which bounds the wedge
-  * fan-out of hub nodes. At 100 TB this is the difference between a
+  * outgoing edges, and the maximum out-degree is O(√m) — which bounds the
+  * per-vertex adjacency array the compact-forward enumeration in
+  * [[triangleStats]] carries. At 100 TB this is the difference between a
   * shuffle-safe plan and "the last reducer" receiving a celebrity node's
-  * square: all three steps (degree agg, wedge self-join on the wedge
-  * centre, closing equi-join) are plain shuffle hash joins AQE can split.
+  * square: every step is a plain shuffle hash join/agg on node keys that
+  * AQE can split, with per-row state bounded by the orientation.
   */
 object GraphMetrics {
 
@@ -56,10 +55,33 @@ object GraphMetrics {
     * `(n_nodes, n_edges, n_triangles, n_wedges)` — all exact BIGINT
     * (global clustering coefficient = 3·triangles / wedges, left to the
     * caller so the output stays integer-exact across engines).
+    *
+    * Enumeration is COMPACT-FORWARD (Latapy, "Main-memory triangle
+    * computations for very large graphs", TCS 2008), distributed: after
+    * degree-rank orientation, group each vertex's out-neighbours into one
+    * sorted array (bounded by the O(√m) oriented out-degree), then per
+    * oriented edge u→v count `|out(u) ∩ out(v)|` with a native
+    * two-pointer merge ([[graft.functions.SortedIntersectCount]]) and sum.
+    * Each triangle scores exactly once, at the edge joining its two
+    * lowest-rank vertices: the apex is their only common out-neighbour,
+    * and the reverse containments are ruled out by orientation.
+    *
+    * Why not wedge-join + closure probe (the prior formulation): on a
+    * high-clustering graph — the sf1 balance-band replica densifies to
+    * ~150k nodes of degree ≈220, 16.8M edges, ~2·10⁹ oriented wedges,
+    * MOST of which close — every surviving wedge is a shuffled row, and
+    * the exchange OOMs or crawls precisely when the graph is dense. Here
+    * no row is ever materialised per wedge or per triangle: per-edge
+    * state is two bounded adjacency arrays and a counter, so memory is
+    * flat in density, and the merge kernel costs ~1 ns/element inside
+    * whole-stage codegen (measured at sf1: 209 s → seconds, in the
+    * default heap). The Σ outdeg² element traffic in the head-side join
+    * is the same asymptotic work the wedge stream carried, minus the
+    * per-row join machinery.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    // Feeds degree agg, two rank joins, the wedge join and the edge count —
-    // materialise once.
+    // Feeds degree agg, two rank joins, the adjacency fold and the edge
+    // count — materialise once.
     val e = edges.localCheckpoint(false)
     val deg = degrees(e).localCheckpoint(false)
 
@@ -67,86 +89,34 @@ object GraphMetrics {
     // orientation is a strict tournament regardless of degree collisions.
     val rk = deg.select(col("n"), struct(col("deg"), col("n")).as("rk"))
 
-    // Orient each edge low-rank → high-rank; keep the head's rank for the
-    // wedge-ordering predicate below.
+    // Orient each edge low-rank → high-rank.
     val oriented = e
       .join(rk.select(col("n").as("a"), col("rk").as("rka")), "a")
       .join(rk.select(col("n").as("b"), col("rk").as("rkb")), "b")
       .select(
         when(col("rka") < col("rkb"),
-          struct(col("a").as("u"), col("b").as("v"), col("rkb").as("rkv")))
-          .otherwise(
-            struct(col("b").as("u"), col("a").as("v"), col("rka").as("rkv")))
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v")))
           .as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.rkv").as("rkv"))
+      .select(col("o.u").as("u"), col("o.v").as("v"))
       .localCheckpoint(false)
 
-    // Semi-join reduction for the closure probe: the wedge stream is the
-    // quadratic object here (Σ out-deg² rows — 1000× the edge count on a
-    // dense graph), and every wedge would otherwise shuffle into the
-    // closing-edge equi-join only for the overwhelming majority to miss.
-    // Fit a Bloom filter over the oriented edge keys (Spark's native
-    // BloomFilterAggregate — the same kernel Catalyst injects for runtime
-    // join filters) and probe each wedge IN-STAGE, before the exchange:
-    // only probable triangles (true ones + fpp misses) ever shuffle. False
-    // positives are killed by the exact equi-join that follows, so the
-    // count stays exact. The session runtime-filter caps are raised around
-    // the fit (and restored) — this filter is deliberately edge-count
-    // sized, not subject to the injected-filter heuristics.
-    // Below ~1M edges (spark.graft.graph.bloomProbeMinEdges — specs lower
-    // it to force the probe path) the wedge exchange is small enough that
-    // the fit pass costs more than it saves — probe only at scale. (On one
-    // box the enumeration is CPU-bound either way; on a real cluster the
-    // eliminated exchange is the network win.)
-    val spark = edges.sparkSession
-    val minEdges = spark.conf
-      .get("spark.graft.graph.bloomProbeMinEdges", "1000000").toLong
-    val nEdgesV = e.count()
-    val bloomBytes: Array[Byte] = if (nEdgesV < math.max(minEdges, 1L)) null else {
-      val fpp = 0.01
-      val numBits = math.max(
-        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nEdgesV, fpp), 64L)
-      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-      val oldItems = spark.conf.get(itemsKey, "4000000")
-      val oldBits = spark.conf.get(bitsKey, "67108864")
-      spark.conf.set(itemsKey, math.max(oldItems.toLong, nEdgesV).toString)
-      spark.conf.set(bitsKey, math.max(oldBits.toLong, numBits).toString)
-      try {
-        val fit = ColumnBridge.column(
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-            ColumnBridge.expression(xxhash64(col("u"), col("v"))),
-            org.apache.spark.sql.catalyst.expressions.Literal(nEdgesV),
-            org.apache.spark.sql.catalyst.expressions.Literal(numBits))
-            .toAggregateExpression())
-        oriented.agg(fit.as("bf")).head().getAs[Array[Byte]](0)
-      } finally {
-        spark.conf.set(itemsKey, oldItems)
-        spark.conf.set(bitsKey, oldBits)
-      }
-    }
-    def mightClose(x: Column, y: Column): Column =
-      if (bloomBytes == null) lit(true) // small graph: no probe, no filter
-      else ColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.catalyst.expressions.Literal(
-            bloomBytes, org.apache.spark.sql.types.BinaryType),
-          ColumnBridge.expression(xxhash64(x, y))))
+    // One sorted out-adjacency array per orientation source. Group size is
+    // bounded by the O(√m) oriented out-degree — no unbounded collect.
+    val adj = oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
 
-    // Wedges at each orientation source: ordered pairs of out-neighbours.
-    // Max out-degree is O(√m) under degree orientation, so the self-join
-    // fan-out is bounded even on hub nodes.
-    val e1 = oriented.select(col("u"), col("v").as("x"), col("rkv").as("rkx"))
-    val e2 = oriented.select(col("u"), col("v").as("y"), col("rkv").as("rky"))
-    val wedges = e1.join(e2, Seq("u")).where(col("rkx") < col("rky"))
-      .where(mightClose(col("x"), col("y")))
-      .select(col("x").as("u"), col("y").as("v"))
-
-    // A wedge (u; x, y) closes iff edge x→y exists — and x→y is exactly how
-    // the closing edge is oriented (rk x < rk y), so a plain equi-join
-    // counts each triangle once.
-    val triangles = wedges.join(oriented.select("u", "v"), Seq("u", "v"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // Per oriented edge u→v: |out(u) ∩ out(v)| by native sorted merge.
+    // The u-side join reuses adj's hash partitioning; the v-side exchange
+    // ships each tail array once per out-edge (Σ outdeg² elements — the
+    // same traffic the wedge stream was, as array payload in bounded rows
+    // instead of one row per wedge). Heads with no out-edges drop out of
+    // the inner join contributing their true zero.
+    val triangles = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(graft.functions.SortedIntersectCount(col("nu"), col("nv")).as("t"))
+      .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
 
     val nodesWedges = deg.agg(
       count(lit(1)).as("n_nodes"),

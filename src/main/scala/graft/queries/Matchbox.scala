@@ -516,6 +516,105 @@ object Matchbox {
       |WHERE match_weight >= 1.0
       |ORDER BY left_id, right_id""".stripMargin
 
+  /** Damerau–Levenshtein + date-difference comparison ladder (splink's
+    * `cl.damerau_levenshtein_at_thresholds` and `cll.datediff_level`
+    * surfaces): the native [[graft.functions.DamerauLevenshtein]] charges
+    * an adjacent transposition ONE edit — the planted `%10 = 3` class
+    * swaps the first two name bytes, so it lands in the DL ≤ 1 level
+    * where plain levenshtein would score 2 (the class that separates the
+    * two ladders). The date comparison runs on precomputed epoch-day
+    * columns (`datediff` from a fixed epoch per side), which makes
+    * splink's datediff_level a plain `abs(l.ed - r.ed) <= k` condition
+    * string, valid verbatim in both engines — per-side date classes plant
+    * ±2 days (close), +20 (mid), +45 (miss).
+    */
+  private def linkDamerau(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    val left = fuzzyLeft(s, dir)
+      .withColumn("ed",
+        datediff(date_add(to_date(lit("1997-01-01")), (col("c_custkey") % 360).cast("int")),
+          to_date(lit("1970-01-01"))))
+    val right = oddCustomers(s, dir)
+      .withColumn("base", expr("substr(md5(CAST(c_custkey - 1 AS STRING)), 1, 9)"))
+      .withColumn("sname", expr(
+        """CASE CAST(c_custkey % 10 AS INT)
+          |  WHEN 3 THEN concat(substr(base, 2, 1), substr(base, 1, 1), substr(base, 3, 7))
+          |  WHEN 5 THEN substr(base, 1, 8)
+          |  WHEN 7 THEN substr(base, 1, 6)
+          |  WHEN 9 THEN reverse(base)
+          |  ELSE base END""".stripMargin))
+      .withColumn("blk", expr("(c_custkey - 1) DIV 20"))
+      .withColumn("ed",
+        datediff(date_add(to_date(lit("1997-01-01")),
+            (((col("c_custkey") - 1) % 360) +
+              when(col("c_custkey") % 10 === 1, 45)
+                .when(col("c_custkey") % 10 === 3, 20)
+                .otherwise(2)).cast("int")),
+          to_date(lit("1970-01-01"))))
+    Link.fellegiSunterLevels(
+      left, right,
+      "c_custkey", "c_custkey",
+      blocking = "l.blk = r.blk",
+      comparisons = Seq(
+        Link.LevelComparison(
+          Seq("l.sname = r.sname",
+            "damerau_levenshtein(l.sname, r.sname) <= 1",
+            "damerau_levenshtein(l.sname, r.sname) <= 3"),
+          Seq(-3.0, 1.5, 4.0, 6.0)),
+        Link.LevelComparison(
+          Seq("abs(l.ed - r.ed) <= 7",
+            "abs(l.ed - r.ed) <= 30"),
+          Seq(-1.0, 0.8, 2.0))),
+      threshold = 1.0)
+      .withColumnRenamed("gamma0", "gamma_name")
+      .withColumnRenamed("gamma1", "gamma_date")
+      .orderBy("left_id", "right_id")
+  }
+
+  private val linkDamerauSql =
+    """WITH le AS (
+      |  SELECT c_custkey,
+      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS sname,
+      |    c_custkey // 20 AS blk,
+      |    datediff('day', DATE '1970-01-01',
+      |      DATE '1997-01-01' + to_days(CAST(c_custkey % 360 AS INT))) AS ed
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |ri AS (
+      |  SELECT c_custkey,
+      |    CASE CAST(c_custkey % 10 AS INT)
+      |      WHEN 3 THEN concat(substr(base, 2, 1), substr(base, 1, 1), substr(base, 3, 7))
+      |      WHEN 5 THEN substr(base, 1, 8)
+      |      WHEN 7 THEN substr(base, 1, 6)
+      |      WHEN 9 THEN reverse(base)
+      |      ELSE base END AS sname,
+      |    (c_custkey - 1) // 20 AS blk,
+      |    datediff('day', DATE '1970-01-01',
+      |      DATE '1997-01-01' + to_days(CAST((c_custkey - 1) % 360
+      |        + CASE CAST(c_custkey % 10 AS INT)
+      |            WHEN 1 THEN 45 WHEN 3 THEN 20 ELSE 2 END AS INT))) AS ed
+      |  FROM (SELECT *, substr(md5(CAST(c_custkey - 1 AS VARCHAR)), 1, 9) AS base
+      |        FROM customer WHERE c_custkey % 2 = 1)),
+      |g AS (
+      |  SELECT l.c_custkey AS left_id, r.c_custkey AS right_id,
+      |    CASE WHEN l.sname = r.sname THEN 3
+      |         WHEN damerau_levenshtein(l.sname, r.sname) <= 1 THEN 2
+      |         WHEN damerau_levenshtein(l.sname, r.sname) <= 3 THEN 1
+      |         ELSE 0 END AS gamma_name,
+      |    CASE WHEN abs(l.ed - r.ed) <= 7 THEN 2
+      |         WHEN abs(l.ed - r.ed) <= 30 THEN 1
+      |         ELSE 0 END AS gamma_date
+      |  FROM le l JOIN ri r ON l.blk = r.blk)
+      |SELECT * FROM (
+      |  SELECT CAST(left_id AS BIGINT) AS left_id, CAST(right_id AS BIGINT) AS right_id,
+      |    gamma_name, gamma_date,
+      |    (CASE gamma_name WHEN 3 THEN CAST(6.0 AS DOUBLE) WHEN 2 THEN CAST(4.0 AS DOUBLE)
+      |       WHEN 1 THEN CAST(1.5 AS DOUBLE) ELSE CAST(-3.0 AS DOUBLE) END
+      |     + CASE gamma_date WHEN 2 THEN CAST(2.0 AS DOUBLE) WHEN 1 THEN CAST(0.8 AS DOUBLE)
+      |       ELSE CAST(-1.0 AS DOUBLE) END) AS match_weight
+      |  FROM g)
+      |WHERE match_weight >= 1.0
+      |ORDER BY left_id, right_id""".stripMargin
+
   /** Multi-level fuzzy Fellegi–Sunter (splink's
     * `cl.jaro_winkler_at_thresholds` surface — reference
     * splinklinker.py:112): the name comparison has four ordinal levels
@@ -1974,6 +2073,7 @@ object Matchbox {
     QueryDef("mb_link_em_gate", linkEmGate, Some(linkEmGateSql)),
     QueryDef("mb_link_fuzzy", linkFuzzy, Some(linkFuzzySql)),
     QueryDef("mb_link_levenshtein", linkLevenshtein, Some(linkLevenshteinSql)),
+    QueryDef("mb_link_damerau", linkDamerau, Some(linkDamerauSql)),
     QueryDef("mb_blocking_quality", blockingQuality, Some(blockingQualitySql)),
     QueryDef("mb_link_fuzzy_nulls", linkFuzzyNulls, Some(linkFuzzyNullsSql)),
     QueryDef("mb_link_fuzzy_nulls_gate", linkFuzzyNullsGate,

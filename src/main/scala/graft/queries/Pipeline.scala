@@ -411,8 +411,11 @@ object Pipeline {
     import s.implicits._
     val sets = MinHashLSH.setsOf(withDupes(s, dir, exact = false), "doc_id", "text", 3)
       .withColumn("sig", graft.functions.Sketches.minhashSignature(col("hs"), 128))
-      // the b=1 signature: only the low bit of each minhash survives
-      .withColumn("bits", expr("transform(sig, x -> CAST(x % 2 AS INT))"))
+      // the b=1 signature: only the low bit of each minhash survives.
+      // pmod, not %: Spark's signed remainder maps negative odd XXH64
+      // values to -1, which would 3-value the "bit" and bias Ĵ = 2A−1
+      // low by ~0.25·(1−J).
+      .withColumn("bits", expr("transform(sig, x -> CAST(pmod(x, 2) AS INT))"))
       .localCheckpoint(false)
     val pairs = sets.select(col("id").as("lid"), col("hs").as("lhs"), col("bits").as("lb"))
       .join(sets.select(col("id").as("rid"), col("hs").as("rhs"), col("bits").as("rb")),

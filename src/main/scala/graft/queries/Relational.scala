@@ -665,10 +665,13 @@ object Relational {
       .agg(
         sum("len").as("active_days"),
         count(lit(1)).as("n_streaks"),
-        max(col("len") * lit(100000000L) + (lit(100000000L) - col("sd"))).as("key"))
+        // 10⁸−1−sd (not 10⁸−sd): keeps the low digits in [0, 10⁸) even at
+        // sd = 0, so the key never carries into the length field. Domain
+        // bound: 0 ≤ sd < 10⁸ (epoch days — holds until year 275760).
+        max(col("len") * lit(100000000L) + (lit(99999999L) - col("sd"))).as("key"))
       .select(col("user_id"), col("active_days"), col("n_streaks"),
         expr("key DIV 100000000").as("longest_streak"),
-        (lit(100000000L) - expr("key % 100000000")).as("longest_start_day"))
+        (lit(99999999L) - expr("key % 100000000")).as("longest_start_day"))
       .orderBy("user_id")
   }
 
@@ -686,9 +689,9 @@ object Relational {
       |  FROM x GROUP BY user_id, grp)
       |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
       |  count(*) AS n_streaks,
-      |  CAST(max(len * 100000000 + (100000000 - sd)) // 100000000 AS BIGINT)
+      |  CAST(max(len * 100000000 + (99999999 - sd)) // 100000000 AS BIGINT)
       |    AS longest_streak,
-      |  CAST(100000000 - max(len * 100000000 + (100000000 - sd)) % 100000000
+      |  CAST(99999999 - max(len * 100000000 + (99999999 - sd)) % 100000000
       |    AS BIGINT) AS longest_start_day
       |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -720,11 +723,12 @@ object Relational {
     deltas
       .withColumn("conc", sum("net").over(run))
       .groupBy("nk")
-      .agg(max(col("conc") * lit(100000000L) + (lit(100000000L) - col("day"))).as("key"))
+      // same 10⁸−1−day argmax encoding as the streak query (day = 0 safe)
+      .agg(max(col("conc") * lit(100000000L) + (lit(99999999L) - col("day"))).as("key"))
       .join(broadcast(nation), col("nk") === col("n_nationkey"))
       .select(col("n_name"),
         expr("key DIV 100000000").as("peak_open"),
-        (lit(100000000L) - expr("key % 100000000")).as("peak_day"))
+        (lit(99999999L) - expr("key % 100000000")).as("peak_day"))
       .orderBy("n_name")
   }
 
@@ -745,11 +749,11 @@ object Relational {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
       |  FROM del),
       |k AS (
-      |  SELECT nk, max(conc * 100000000 + (100000000 - day)) AS key
+      |  SELECT nk, max(conc * 100000000 + (99999999 - day)) AS key
       |  FROM r GROUP BY nk)
       |SELECT n_name,
       |  CAST(key // 100000000 AS BIGINT) AS peak_open,
-      |  CAST(100000000 - key % 100000000 AS BIGINT) AS peak_day
+      |  CAST(99999999 - key % 100000000 AS BIGINT) AS peak_day
       |FROM k JOIN nation ON nk = n_nationkey
       |ORDER BY n_name""".stripMargin
 
@@ -1941,7 +1945,7 @@ object Relational {
   // both sides shuffle on (nation, band) and AQE can split hot bands.
   private val graphHalfWidthCents = 20000L
 
-  private def graphEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def graphEdges(s: SparkSession, dir: String): DataFrame = {
     // Fresh scan per side: distinct attribute ids keep the self-join's
     // `nat` equi-key unambiguous (same-plan reuse would alias both sides
     // to one attribute and degrade the key to a trivially-true predicate).

@@ -164,22 +164,30 @@ object Streaming {
       .select((col("doc_id") + 1000000).as("doc_id"),
         expr("concat(substring(text, 1, length(text) - 10), ' spark dup tail')")
           .as("text"))
-    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // Distributed multiset equality: exceptAll in both directions stays
+    // executor-side (the sf1 pair sets made the old collect().toSet
+    // compare a 66 s driver gate); checkpointed because each side feeds
+    // two set differences (and the stream side the recall probe).
     val streamPairs = graft.streaming.Streams
       .incrementalDedup(stream, docs, "doc_id", "text")
-      .select(col("stream_id"), col("ref_id"), round(col("jaccard"), 9))
-      .collect().map(key).toSet
+      .select(col("stream_id"), col("ref_id"), round(col("jaccard"), 9).as("j"))
+      .localCheckpoint(false)
     val batchCross = MinHashLSH.candidatePairs(docs.unionByName(stream), "doc_id", "text")
       .filter(col("right_id") >= 1000000L && col("left_id") < 1000000L)
-      .select(col("right_id"), col("left_id"), round(col("jaccard"), 9))
-      .collect().map(key).toSet
+      .select(col("right_id").as("stream_id"), col("left_id").as("ref_id"),
+        round(col("jaccard"), 9).as("j"))
+      .localCheckpoint(false)
+    val batchEqual = streamPairs.exceptAll(batchCross).count() == 0 &&
+      batchCross.exceptAll(streamPairs).count() == 0
     val planted = docs.filter(col("doc_id") % 7 === 0)
-      .select(col("doc_id").as("ref_id"), (col("doc_id") + 1000000).as("stream_id"))
-      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
-    val hits = planted.count(p => streamPairs.exists(q => (q._1, q._2) == p))
-    Seq((planted.size.toLong,
-        streamPairs == batchCross,
-        hits.toDouble / planted.size >= 0.95))
+      .select((col("doc_id") + 1000000).as("stream_id"), col("doc_id").as("ref_id"))
+      .localCheckpoint(false)
+    val nPlanted = planted.count()
+    val hits = planted
+      .join(streamPairs.select("stream_id", "ref_id"),
+        Seq("stream_id", "ref_id"), "left_semi")
+      .count()
+    Seq((nPlanted, batchEqual, hits.toDouble / nPlanted >= 0.95))
       .toDF("n_planted", "batch_equal_ok", "recall_ok")
   }
 
@@ -205,21 +213,29 @@ object Streaming {
     val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val planted = emb.filter(col("vec_id") % 7 === 0)
     val stream = planted.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
-    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // Distributed compare, same shape as the minhash gate above: exceptAll
+    // both ways for multiset equality, anti-join for full planted recall.
     val streamPairs = graft.streaming.Streams
       .incrementalEmbedDedup(stream, emb, "vec_id", "embedding",
         threshold = 0.3, bands = 8, planesPerBand = 8)
-      .select(col("stream_id"), col("ref_id"), round(col("sim"), 9))
-      .collect().map(key).toSet
+      .select(col("stream_id"), col("ref_id"), round(col("sim"), 9).as("s"))
+      .localCheckpoint(false)
     val batchCross = EmbedDedup.lshPairs(emb.unionByName(stream), "vec_id", "embedding",
         threshold = 0.3, bands = 8, planesPerBand = 8)
       .filter(col("right_id") >= 1000000L && col("left_id") < 1000000L)
-      .select(col("right_id"), col("left_id"), round(col("sim"), 9))
-      .collect().map(key).toSet
-    val truth = planted.select(col("vec_id")).collect()
-      .map(r => (r.getLong(0) + 1000000L, r.getLong(0))).toSet
-    val allPlantedBack = truth.forall(p => streamPairs.exists(q => (q._1, q._2) == p))
-    Seq((truth.size.toLong, streamPairs == batchCross, allPlantedBack))
+      .select(col("right_id").as("stream_id"), col("left_id").as("ref_id"),
+        round(col("sim"), 9).as("s"))
+      .localCheckpoint(false)
+    val batchEqual = streamPairs.exceptAll(batchCross).count() == 0 &&
+      batchCross.exceptAll(streamPairs).count() == 0
+    val truth = planted
+      .select((col("vec_id") + 1000000L).as("stream_id"), col("vec_id").as("ref_id"))
+      .localCheckpoint(false)
+    val allPlantedBack = truth
+      .join(streamPairs.select("stream_id", "ref_id"),
+        Seq("stream_id", "ref_id"), "left_anti")
+      .count() == 0
+    Seq((truth.count(), batchEqual, allPlantedBack))
       .toDF("n_planted", "batch_equal_ok", "recall_ok")
   }
 
@@ -268,6 +284,189 @@ object Streaming {
        |FROM z GROUP BY user_id, sid
        |ORDER BY user_id, start_us""".stripMargin
 
+  /** Batch execution of [[graft.streaming.Streams.watermarkDedup]] — the
+    * EXACT operator code path (`withWatermark` is a no-op in batch and
+    * `dropDuplicatesWithinWatermark` degrades to key dedup, per its
+    * contract — within-watermark semantics only bound STATE, never change
+    * which keys survive). The surviving row per key is engine-arbitrary,
+    * so the gate projects the key columns — the deterministic part of the
+    * operator's contract — and the oracle pins the exact key set.
+    */
+  private def watermarkDedupGate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.watermarkDedup(
+        Tables(s, dir, "events").select(col("user_id"), col("event_type"), col("ts")),
+        "ts", Seq("user_id", "event_type"), watermark = "10 minutes")
+      .select(col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_type")
+
+  private val watermarkDedupGateSql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Batch execution of [[graft.streaming.Streams.sessionize]] — the
+    * `flatMapGroupsWithState` arbitrary-state surface, run on the real
+    * events table through the exact streaming function (batch invokes it
+    * once per user with the full group; timeouts never fire and the open
+    * trailing session stays in discarded state, so the output is every
+    * user's CLOSED sessions — deterministic, and exactly the lag/cumsum
+    * island rebuild minus each user's last session). Compared in the
+    * MILLISECOND domain: the state logic clocks `Timestamp.getTime`
+    * (floor-to-ms), and the oracle floors the same way with epoch_ms.
+    */
+  private def sessionizeGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[graft.streaming.SessionEvent]
+    graft.streaming.Streams.sessionize(ev, gapSeconds = 1800, watermark = "1 hour")
+      .toDF()
+      .select(col("user_id"),
+        (unix_micros(col("session_start")) / 1000).cast("long").as("start_ms"),
+        col("n_events"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  private val sessionizeGateSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+      |x AS (
+      |  SELECT user_id, ms,
+      |    lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev FROM e),
+      |y AS (
+      |  SELECT user_id, ms,
+      |    CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, ms,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM y),
+      |sess AS (
+      |  SELECT user_id, CAST(min(ms) AS BIGINT) AS start_ms,
+      |    count(*) AS n_events,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY min(ms) DESC) AS rn
+      |  FROM z GROUP BY user_id, sid)
+      |SELECT user_id, start_ms, n_events FROM sess WHERE rn > 1
+      |ORDER BY user_id, start_ms""".stripMargin
+
+  /** Batch execution of [[graft.streaming.Streams.incrementalMatch]] — the
+    * deterministic-rules streaming matcher (reference
+    * client/_handler/main.py match loop): every rule is a stream-static
+    * join, the union dedups on the pair, score is the rule-hit constant.
+    * Stream = odd customers, reference = even customers, two rules of
+    * different selectivity sharing the nation block.
+    */
+  private def matchIncrementalGate(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    // Blocking columns precomputed per side with the Num.cents money
+    // convention (whole-dollar band), so both rules are equi-conjuncts
+    // the DuckDB twin states identically.
+    def side(parityEven: Boolean): DataFrame =
+      cust.filter(col("c_custkey") % 2 === (if (parityEven) 0 else 1))
+        .withColumn("bal_dollars", expr(s"${Num.centsSql("c_acctbal")} DIV 100"))
+    graft.streaming.Streams.incrementalMatch(
+        side(parityEven = false), side(parityEven = true),
+        "c_custkey", "c_custkey",
+        comparisons = Seq(
+          "l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment" +
+            " AND l.c_custkey DIV 100 = r.c_custkey DIV 100",
+          "l.c_nationkey = r.c_nationkey AND l.bal_dollars = r.bal_dollars"))
+      .orderBy("left_id", "right_id")
+  }
+
+  private val matchIncrementalGateSql =
+    s"""WITH l AS (SELECT *, ${Num.centsSql("c_acctbal")} // 100 AS bal_dollars
+      |  FROM customer WHERE c_custkey % 2 = 1),
+      |r AS (SELECT *, ${Num.centsSql("c_acctbal")} // 100 AS bal_dollars
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |hits AS (
+      |  SELECT l.c_custkey AS left_id, r.c_custkey AS right_id
+      |  FROM l JOIN r ON l.c_nationkey = r.c_nationkey
+      |    AND l.c_mktsegment = r.c_mktsegment
+      |    AND l.c_custkey // 100 = r.c_custkey // 100
+      |  UNION
+      |  SELECT l.c_custkey AS left_id, r.c_custkey AS right_id
+      |  FROM l JOIN r ON l.c_nationkey = r.c_nationkey
+      |    AND l.bal_dollars = r.bal_dollars)
+      |SELECT CAST(left_id AS BIGINT) AS left_id,
+      |  CAST(right_id AS BIGINT) AS right_id, CAST(1.0 AS DOUBLE) AS score
+      |FROM hits ORDER BY left_id, right_id""".stripMargin
+
+  /** Batch execution of [[graft.streaming.Streams.incrementalFuzzyMatch]]
+    * — the UNWINDOWED stream-static fuzzy matcher (the per-record
+    * groupBy-max that needs update mode on a live stream plans as a plain
+    * aggregation in batch). Same sides, blocking, JW comparison ladder
+    * and threshold as `st_fuzzy_windowed`, so the two gates differ by
+    * exactly the windowing — a drift in either shows as a one-sided
+    * failure.
+    */
+  private def fuzzyIncrementalGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Link
+    graft.functions.GraftExtensions.register(s)
+    val cust = Tables(s, dir, "customer")
+    def side(parityEven: Boolean): DataFrame = {
+      val base = cust.filter(col("c_custkey") % 2 === (if (parityEven) 0 else 1))
+      if (parityEven)
+        base.withColumn("sname",
+            expr("substr(md5(CAST(c_custkey AS STRING)), 1, 9)"))
+          .withColumn("blk", expr("c_custkey DIV 20"))
+      else
+        base.withColumn("base",
+            expr("substr(md5(CAST(c_custkey - 1 AS STRING)), 1, 9)"))
+          .withColumn("sname", expr(
+            """CASE CAST(c_custkey % 10 AS INT)
+              |  WHEN 5 THEN substr(base, 1, 8)
+              |  WHEN 7 THEN substr(base, 1, 6)
+              |  WHEN 9 THEN reverse(base)
+              |  ELSE base END""".stripMargin))
+          .withColumn("blk", expr("(c_custkey - 1) DIV 20"))
+    }
+    graft.streaming.Streams.incrementalFuzzyMatch(
+        side(parityEven = false), side(parityEven = true),
+        "c_custkey", "c_custkey",
+        blocking = "l.blk = r.blk",
+        comparisons = Seq(
+          Link.LevelComparison(
+            Seq("l.sname = r.sname",
+              "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
+              "jaro_winkler_similarity(l.sname, r.sname) >= 0.88"),
+            Seq(-3.0, 1.5, 4.0, 6.0)),
+          Link.LevelComparison(
+            Seq("l.c_mktsegment = r.c_mktsegment"),
+            Seq(-0.5, 1.2))),
+        threshold = 1.0)
+      .orderBy("left_id")
+  }
+
+  private val fuzzyIncrementalGateSql =
+    """WITH le AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS sname,
+      |    c_custkey // 20 AS blk
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |ri AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE CAST(c_custkey % 10 AS INT)
+      |      WHEN 5 THEN substr(base, 1, 8)
+      |      WHEN 7 THEN substr(base, 1, 6)
+      |      WHEN 9 THEN reverse(base)
+      |      ELSE base END AS sname,
+      |    (c_custkey - 1) // 20 AS blk
+      |  FROM (SELECT *, substr(md5(CAST(c_custkey - 1 AS VARCHAR)), 1, 9) AS base
+      |        FROM customer WHERE c_custkey % 2 = 1)),
+      |scored AS (
+      |  SELECT CAST(r.c_custkey AS BIGINT) AS left_id,
+      |    (CASE WHEN r.sname = l.sname THEN CAST(6.0 AS DOUBLE)
+      |          WHEN jaro_winkler_similarity(r.sname, l.sname) >= 0.95 THEN CAST(4.0 AS DOUBLE)
+      |          WHEN jaro_winkler_similarity(r.sname, l.sname) >= 0.88 THEN CAST(1.5 AS DOUBLE)
+      |          ELSE CAST(-3.0 AS DOUBLE) END
+      |     + CASE WHEN r.c_mktsegment = l.c_mktsegment THEN CAST(1.2 AS DOUBLE)
+      |            ELSE CAST(-0.5 AS DOUBLE) END) AS w
+      |  FROM ri r JOIN le l ON r.blk = l.blk)
+      |SELECT left_id, max(w) AS best_weight, CAST(count(*) AS BIGINT) AS n_matches
+      |FROM scored WHERE w >= 1.0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st_events_rate", eventsRate, Some(eventsRateSql)),
     QueryDef("st_session_gate", sessionGate, Some(sessionGateSql)),
@@ -276,5 +475,12 @@ object Streaming {
     QueryDef("st_dedup_incremental_gate", dedupIncrementalGate,
       Some(dedupIncrementalGateSql)),
     QueryDef("st_embed_incremental_gate", embedIncrementalGate,
-      Some(embedIncrementalGateSql)))
+      Some(embedIncrementalGateSql)),
+    QueryDef("st_watermark_dedup_gate", watermarkDedupGate,
+      Some(watermarkDedupGateSql)),
+    QueryDef("st_sessionize_gate", sessionizeGate, Some(sessionizeGateSql)),
+    QueryDef("st_match_incremental_gate", matchIncrementalGate,
+      Some(matchIncrementalGateSql)),
+    QueryDef("st_fuzzy_incremental_gate", fuzzyIncrementalGate,
+      Some(fuzzyIncrementalGateSql)))
 }

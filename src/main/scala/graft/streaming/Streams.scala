@@ -222,15 +222,25 @@ object Streams {
     * formulation that survives an unbounded ingest feed. Emits the first
     * arrival of each key (e.g. a content hash) per watermark horizon;
     * re-arrivals inside the horizon are suppressed.
+    *
+    * On a BATCH frame the same contract degrades to plain key dedup (one
+    * surviving row per key — the watermark only ever bounds state, it
+    * never changes which keys survive), and Spark rejects
+    * `dropDuplicatesWithinWatermark` outside streaming, so the operator
+    * dispatches on `isStreaming`. This is what lets the
+    * `st_watermark_dedup_gate` batch twin drive this exact function
+    * against the DuckDB oracle.
     */
   def watermarkDedup(
       records: DataFrame,
       tsCol: String,
       keyCols: Seq[String],
       watermark: String = "10 minutes"): DataFrame =
-    records
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(keyCols)
+    if (records.isStreaming)
+      records
+        .withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else records.dropDuplicates(keyCols)
 
   /** Native `session_window` streaming sessionization — the built-in
     * session state operator (streaming twin of the oracle-matched batch
@@ -265,6 +275,12 @@ object Streams {
       gapSeconds: Long = 1800,
       watermark: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    // Batch execution (the st_sessionize_gate oracle twin) invokes the
+    // state function once per group: timeouts can never fire and the
+    // batch GroupState has no watermark to read, so arming the timer is
+    // both pointless and an error — skip it. Streaming behaviour is
+    // untouched.
+    val streaming = events.isStreaming
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -294,13 +310,15 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              // A timeout at or below the current watermark throws and kills
-              // the query (possible when a group's events arrive very late);
-              // clamp to just past the watermark so the session still closes
-              // on the next trigger.
-              val target = s.lastMs + gapSeconds * 1000
-              state.setTimeoutTimestamp(
-                math.max(state.getCurrentWatermarkMs() + 1, target))
+              if (streaming) {
+                // A timeout at or below the current watermark throws and
+                // kills the query (possible when a group's events arrive
+                // very late); clamp to just past the watermark so the
+                // session still closes on the next trigger.
+                val target = s.lastMs + gapSeconds * 1000
+                state.setTimeoutTimestamp(
+                  math.max(state.getCurrentWatermarkMs() + 1, target))
+              }
             }
             closed.reverseIterator
           }

@@ -118,6 +118,46 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("damerau_levenshtein matches DuckDB-verified vectors and a driver reference") {
+    graft.functions.GraftExtensions.register(spark)
+    // Every distance below was produced by DuckDB's damerau_levenshtein
+    // (the oracle engine) — full Lowrance–Wagner variant over UTF-8
+    // bytes: transpositions bridge edits ('CA'→'ABC' = 2, not OSA's 3),
+    // 'éa' costs its two bytes.
+    val vectors = Seq(
+      ("", "", 0L), ("a", "", 1L), ("", "abc", 3L), ("ca", "ac", 1L),
+      ("CA", "ABC", 2L), ("éa", "ea", 2L), ("abcdef", "abdcef", 1L),
+      ("teh", "the", 1L), ("abc", "ca", 2L), ("a cat", "an act", 2L),
+      ("xyz", "zyx", 2L), ("aabbcc", "ccbbaa", 4L),
+      ("damerau", "levenshtein", 10L), ("ifhs", "fish", 2L),
+      ("BADC", "ABCD", 2L), ("bdaae", "c", 5L), ("", "baaddaba", 8L),
+      ("daeabeae", "abaebc", 5L), ("beaece", "ae", 4L), ("cae", "e", 2L),
+      ("", "ded", 3L), ("dedcc", "bba", 5L), ("edcd", "eaae", 3L),
+      ("bcbdda", "e", 6L), ("ccede", "aacdaac", 6L), ("cdcadcb", "d", 6L),
+      ("", "cbb", 3L), ("ddabdd", "cbdecdcd", 5L), ("bab", "bb", 1L),
+      ("", "ebccabd", 7L), ("ceecbeea", "eddddad", 7L), ("ababdb", "c", 6L),
+      ("", "a", 1L), ("ea", "eaabe", 3L), ("bccecd", "a", 6L),
+      ("dddcaba", "cdbea", 5L), ("ecb", "aecacecb", 5L), ("beeec", "ebb", 4L),
+      ("bbedca", "", 6L), ("dcbe", "dccab", 3L))
+    val df = vectors.toDF("a", "b", "want")
+    val bad = df.withColumn("got", expr("damerau_levenshtein(a, b)"))
+      .filter(col("got") =!= col("want"))
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+    // invariants on random strings: symmetric, bounded by levenshtein
+    // from below by |len diff|, and never more than plain levenshtein
+    val rng = new scala.util.Random(91)
+    val rand = Seq.fill(300)((
+      rng.alphanumeric.take(rng.nextInt(10)).mkString,
+      rng.alphanumeric.take(rng.nextInt(10)).mkString)).toDF("a", "b")
+    val inv = rand.select(
+      expr("damerau_levenshtein(a, b)").as("d"),
+      expr("damerau_levenshtein(b, a)").as("ds"),
+      expr("levenshtein(a, b)").cast("long").as("lev"),
+      abs(length(col("a")) - length(col("b"))).cast("long").as("lo"))
+    assert(inv.filter(col("d") =!= col("ds") || col("d") > col("lev") ||
+      col("d") < col("lo")).isEmpty)
+  }
+
   test("all native functions register for SQL use") {
     graft.functions.GraftExtensions.register(spark)
     Tables(spark, sfDir, "documents").limit(10).createOrReplaceTempView("docs_fn_test")

@@ -27,21 +27,23 @@ class GraphMetricsSpec extends SparkSpec {
     }
   }
 
-  test("bloom wedge probe path counts identically to the unprobed path") {
-    // The probe only engages above bloomProbeMinEdges; force it on and
-    // assert exact agreement — false positives must die in the closing
-    // equi-join, false negatives are impossible by Bloom's contract.
-    spark.conf.set("spark.graft.graph.bloomProbeMinEdges", "1")
-    try {
-      for ((seed, n, m) <- Seq((21, 30, 200), (22, 12, 120))) {
-        val e = GraphMetrics.canonicalEdges(randomEdges(seed, n, m), "left_id", "right_id")
-        val probed = GraphMetrics.triangleStats(e).collect()(0)
-        spark.conf.set("spark.graft.graph.bloomProbeMinEdges", "1000000000")
-        val plain = GraphMetrics.triangleStats(e).collect()(0)
-        spark.conf.set("spark.graft.graph.bloomProbeMinEdges", "1")
-        assert(probed == plain, s"seed=$seed: probed=$probed plain=$plain")
-      }
-    } finally spark.conf.unset("spark.graft.graph.bloomProbeMinEdges")
+  test("the sorted-merge intersect kernel matches array_intersect on adjacency shapes") {
+    // The native two-pointer kernel only sees sorted distinct arrays in
+    // triangleStats; pin it against the built-in on exactly that shape,
+    // including empty and disjoint arrays and both codegen'd and
+    // interpreted eval (the spec frame is small enough that Spark fuses
+    // the expression once and twice across the two projections).
+    val rng = new Random(41)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rng.nextInt(20))(rng.nextInt(30).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(20))(rng.nextInt(30).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.SortedIntersectCount(col("a"), col("b")).as("c"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+    assert(got.where(col("c") =!= col("ref")).count() == 0)
   }
 
   test("a k-clique has C(k,3) triangles and C(k,2) edges; ties in degree are fine") {
