@@ -54,6 +54,43 @@ object Tables {
   * doubles. At 100 TB this also beats decimal aggregation: long sums stay in
   * whole-stage codegen with no decimal overflow checks.
   */
+/** Lineage truncation for iterative operators (components, PageRank,
+  * label propagation, k-core peeling): each round's frame must cut its
+  * logical plan or the lineage grows unboundedly over rounds.
+  *
+  * Two modes, chosen by session conf:
+  *   - default: `localCheckpoint` (lazy) — executor-local blocks, zero
+  *     extra I/O; right for local mode and for clusters where a lost
+  *     executor may simply rerun the job;
+  *   - `spark.graft.checkpoint.dir=<path>`: durable `checkpoint()` to
+  *     that directory (set on the SparkContext on first use) — on a real
+  *     100 TB cluster an hours-long iterative job survives executor loss,
+  *     which executor-local blocks do not.
+  * Both modes truncate lineage identically, so results are bit-identical
+  * (spec-pinned in ComponentsSpec).
+  */
+object Ckpt {
+  // setCheckpointDir mints a fresh UUID subdirectory per call — remember
+  // the last dir we applied so re-entrant operators don't litter one per
+  // round. (Volatile is enough: worst case under a race is one extra
+  // subdirectory, never a wrong checkpoint.)
+  @volatile private var appliedDir: String = null
+
+  def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpoint.dir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = spark.sparkContext
+        if (appliedDir != dir || sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(dir)
+          appliedDir = dir
+        }
+        df.checkpoint(eager = false)
+      case _ => df.localCheckpoint(eager = false)
+    }
+  }
+}
+
 object Num {
   /** A <=2-decimal-place double as integer hundredths. */
   def cents(c: Column): Column = round(c * lit(100)).cast("long")

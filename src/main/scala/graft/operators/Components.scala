@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * as the alternating large-star / small-star algorithm of Kiveris et al.,
   * "Connected Components in MapReduce and Beyond" (SoCC 2014): O(log n)
   * rounds, each round a groupBy-min plus an equi-join, all shuffle-partitioned
-  * by node id. Lineage is truncated every round with localCheckpoint (on a
-  * real cluster, point `spark.checkpoint.dir` at durable storage and use
-  * checkpoint() for fault tolerance instead).
+  * by node id. Lineage is truncated every round via [[graft.Ckpt.truncate]]:
+  * executor-local checkpoints by default, or durable `checkpoint()` when
+  * `spark.graft.checkpoint.dir` points at reliable storage — the mode a
+  * real 100 TB cluster runs so an hours-long resolve survives executor
+  * loss (both modes are spec-pinned to identical results).
   *
   * Output: one row per node, `(id, component)` where `component` is the
   * minimum node id in the component — a deterministic representative, unlike
@@ -192,7 +194,7 @@ object Components {
     while (!converged && iter < maxIter) {
       // lazy checkpoint: the signature aggregation is the action that
       // materialises it — one job per round instead of two
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = graft.Ckpt.truncate(smallStar(largeStar(e)))
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

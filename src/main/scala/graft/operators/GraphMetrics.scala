@@ -170,15 +170,15 @@ object GraphMetrics {
       scale: Long, alphaNum: Long, alphaDen: Long): DataFrame = {
     require(iters >= 1 && scale > 0 && alphaDen > 0 &&
       alphaNum >= 0 && alphaNum <= alphaDen)
-    val e2 = edges.select(col("a").as("s"), col("b").as("t"))
-      .unionAll(edges.select(col("b").as("s"), col("a").as("t")))
-      .localCheckpoint(false)
+    val e2 = graft.Ckpt.truncate(
+      edges.select(col("a").as("s"), col("b").as("t"))
+        .unionAll(edges.select(col("b").as("s"), col("a").as("t"))))
     val deg = e2.groupBy(col("s").as("n")).agg(count(lit(1)).as("d"))
     val base = (alphaDen - alphaNum) * scale / alphaDen
     // sflag ∈ {0,1}: which nodes receive the teleport term. The global
     // variant tags every node, so the plan keeps one shape; the tag join
     // is on the node key the aggregation already shuffles on.
-    val tagged = (seeds match {
+    val tagged = graft.Ckpt.truncate(seeds match {
       case None => deg.select(col("n"), col("d"), lit(1L).as("sflag"))
       case Some(sd) =>
         deg.join(
@@ -186,7 +186,7 @@ object GraphMetrics {
               .withColumn("sflag", lit(1L)),
             Seq("n"), "left")
           .select(col("n"), col("d"), coalesce(col("sflag"), lit(0L)).as("sflag"))
-    }).localCheckpoint(false)
+    })
     var pr = tagged.select(col("n"), (lit(scale) * col("sflag")).as("r"))
     (1 to iters).foreach { _ =>
       val contrib = pr.join(tagged, "n")
@@ -196,7 +196,7 @@ object GraphMetrics {
         .agg(expr(s"($alphaNum * sum(c)) DIV $alphaDen").as("flow"))
         .join(tagged.select(col("n"), col("sflag")), "n")
         .select(col("n"), (col("flow") + lit(base) * col("sflag")).as("r"))
-        .localCheckpoint(false)
+      pr = graft.Ckpt.truncate(pr)
     }
     pr
   }
@@ -219,9 +219,9 @@ object GraphMetrics {
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
-    val e2 = edges.select(col("a").as("s"), col("b").as("t"))
-      .unionAll(edges.select(col("b").as("s"), col("a").as("t")))
-      .localCheckpoint(false)
+    val e2 = graft.Ckpt.truncate(
+      edges.select(col("a").as("s"), col("b").as("t"))
+        .unionAll(edges.select(col("b").as("s"), col("a").as("t"))))
     var lab = e2.select(col("s").as("n")).distinct()
       .withColumn("lab", col("n"))
     (1 to iters).foreach { _ =>
@@ -231,7 +231,7 @@ object GraphMetrics {
         .groupBy("n")
         .agg(min(struct((-col("cnt")).as("negc"), col("lab").as("lab"))).as("w"))
         .select(col("n"), col("w.lab").as("lab"))
-        .localCheckpoint(false)
+      lab = graft.Ckpt.truncate(lab)
     }
     lab
   }
@@ -256,7 +256,7 @@ object GraphMetrics {
     */
   def kCoreEdges(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var e = edges.localCheckpoint(false)
+    var e = graft.Ckpt.truncate(edges)
     // Fixed-point early exit: if a round removes no edge, every surviving
     // node already has deg >= k, so all remaining rounds are no-ops — stop
     // issuing cluster jobs. On dense graphs (where no node ever peels) this
@@ -272,7 +272,7 @@ object GraphMetrics {
         .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint(false)
+      e = graft.Ckpt.truncate(e)
       val cnt = e.count()
       fixed = cnt == prev || cnt == 0L
       prev = cnt
@@ -292,7 +292,7 @@ object GraphMetrics {
     require(k >= 1 && rounds >= 1)
     val spark = edges.sparkSession
     import spark.implicits._
-    var e = edges.localCheckpoint(false)
+    var e = graft.Ckpt.truncate(edges)
     var prev = e.count()
     var lastNodes = 0L
     var lastEdges = 0L
@@ -304,7 +304,7 @@ object GraphMetrics {
           .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
           .select("a", "b")
-          .localCheckpoint(false)
+        e = graft.Ckpt.truncate(e)
         lastEdges = e.count()
         lastNodes =
           if (lastEdges == 0L) 0L

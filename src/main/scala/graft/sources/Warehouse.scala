@@ -74,6 +74,39 @@ object Warehouse {
     df.orderBy(ordering: _*).limit(n)
   }
 
+  /** Dry-run type inference for an extract-transform SQL statement — the
+    * source-registration probe (reference: client/locations.py:297
+    * `infer_types`, which runs `select * from (et) limit 1` plus one
+    * probe query per column). Spark already resolves every column's type
+    * at ANALYSIS time, so the whole probe is a LIMIT-0 plan: zero rows
+    * are fetched from any backing source (for a JDBC-backed view the
+    * schema comes from driver metadata; for files from the footer), and
+    * one round-trip replaces the reference's per-column scans.
+    *
+    * Matching the reference's safety check, DDL/DML is rejected loudly:
+    * the statement must parse as a pure query.
+    *
+    * @return columns in SELECT order with their resolved Catalyst types
+    */
+  def inferTypes(
+      spark: SparkSession, extractTransform: String): Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val cleaned = extractTransform.replaceAll("[;\\s]+$", "")
+    val parsed = spark.sessionState.sqlParser.parsePlan(cleaned)
+    // DDL parses to Command subtypes; DML to InsertIntoStatement /
+    // v2 write plans — reject anything that is not a pure query anywhere
+    // in the parsed tree (a write can wrap a query, never vice versa).
+    val impure = parsed.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.Command => c
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => i
+      case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand => w
+    }
+    require(impure.isEmpty,
+      s"extract-transform must not contain DDL or DML commands: " +
+        impure.map(_.nodeName).getOrElse(""))
+    spark.sql(s"SELECT * FROM ($cleaned) sub LIMIT 0")
+      .schema.map(f => f.name -> f.dataType).toSeq
+  }
+
   /** JDBC sink (append/overwrite a warehouse table). */
   def writeJdbc(
       df: DataFrame, url: String, table: String,

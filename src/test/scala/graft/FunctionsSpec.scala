@@ -249,6 +249,37 @@ class FunctionsSpec extends SparkSpec {
     assert(sharded.rdd.getNumPartitions == 2 && sharded.count() == nation.count())
   }
 
+  test("inferTypes dry-runs extract-transform SQL over JDBC and parquet, rejecting DDL/DML") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    // parquet-backed view: inferred types must equal the read schema
+    Tables(spark, sfDir, "nation").createOrReplaceTempView("nation_it")
+    val t1 = Warehouse.inferTypes(spark,
+      "SELECT n_nationkey, n_name, n_nationkey + 1 AS nk2 FROM nation_it ;\n")
+    assert(t1.map(_._1) == Seq("n_nationkey", "n_name", "nk2"))
+    assert(t1(1)._2 == StringType)
+    assert(t1(0)._2 == t1(2)._2) // derived column resolves to the key's type
+    // JDBC-backed view (embedded Derby): schema comes from driver
+    // metadata — a LIMIT-0 probe, no row fetch
+    val dbDir = new java.io.File("target/derby-spec").getAbsolutePath
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    Warehouse.writeJdbc(
+      Tables(spark, sfDir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")),
+      url, "nation_infer", mode = org.apache.spark.sql.SaveMode.Overwrite,
+      connectionProperties = props)
+    Warehouse.readJdbc(spark, url, "nation_infer", connectionProperties = props)
+      .createOrReplaceTempView("nation_jdbc_it")
+    val t2 = Warehouse.inferTypes(spark,
+      "SELECT n_nationkey, n_name, CAST(n_nationkey AS DOUBLE) AS d FROM nation_jdbc_it")
+    assert(t2 == Seq("n_nationkey" -> LongType, "n_name" -> StringType, "d" -> DoubleType))
+    // reference contract: DDL and DML are rejected loudly
+    for (bad <- Seq("DROP TABLE nation_it",
+        "INSERT INTO nation_it VALUES (1)",
+        "CREATE TABLE x (a INT) USING parquet"))
+      intercept[Exception](Warehouse.inferTypes(spark, bad))
+  }
+
   test("bucketed table write round-trips and keeps the bucket spec") {
     val src = Tables(spark, sfDir, "nation")
     Warehouse.writeBucketed(src, "nation_bucketed", Seq("n_nationkey"), numBuckets = 4,

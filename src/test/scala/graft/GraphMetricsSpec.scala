@@ -46,6 +46,32 @@ class GraphMetricsSpec extends SparkSpec {
     assert(got.where(col("c") =!= col("ref")).count() == 0)
   }
 
+  test("durable checkpoint mode converges identically to localCheckpoint mode") {
+    // spark.graft.checkpoint.dir switches every iterative operator's
+    // per-round lineage cut from executor-local blocks to reliable
+    // checkpoint files (the fault-tolerant mode for a real cluster).
+    // Truncation must never change results: pin PageRank, k-core and
+    // components bit-identical across the two modes.
+    val e = GraphMetrics.canonicalEdges(randomEdges(51, 40, 200), "left_id", "right_id")
+    val pairs = randomEdges(52, 60, 150)
+      .withColumnRenamed("left_id", "src").withColumnRenamed("right_id", "dst")
+    def run() = (
+      GraphMetrics.pageRank(e, iters = 5).orderBy("n").collect().toSeq,
+      GraphMetrics.kCoreEdges(e, k = 3, rounds = 4).orderBy("a", "b").collect().toSeq,
+      graft.operators.Components.connected(pairs, smallGraphThreshold = 0)
+        .orderBy("id").collect().toSeq)
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val durable = run()
+      assert(durable == local)
+      // the durable mode really did write reliable checkpoints
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0,
+        "no checkpoint files written under spark.graft.checkpoint.dir")
+    } finally spark.conf.unset("spark.graft.checkpoint.dir")
+  }
+
   test("a k-clique has C(k,3) triangles and C(k,2) edges; ties in degree are fine") {
     val k = 7
     val pairs = (for (i <- 0 until k; j <- 0 until k if i != j)
