@@ -455,13 +455,14 @@ object Pipeline {
     * exactly what survives.
     */
   private def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    // Extraction is ONE native kernel call per document
+    // (winnow_fingerprints: Karp-Rabin k-gram hashes + window minima,
+    // graft/functions/WinnowFingerprints.scala) — replacing the
+    // interpreted per-position md5 + slice/array_min lambda pipeline that
+    // dominated this query's CPU (the r11 plan-audit note).
     val fps = withDupes(s, dir, exact = false)
-      .withColumn("hs", expr(
-        """transform(sequence(1, greatest(length(text) - 7, 1)),
-          | i -> md5(substring(text, i, 8)))""".stripMargin))
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)),
-          | j -> array_min(slice(hs, j, 4))))""".stripMargin)).as("fp"))
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints(col("text"), 8, 4)).as("fp"))
       .localCheckpoint(false) // extraction feeds df-filter, sizes AND both join sides
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 64).select("fp")
@@ -484,7 +485,10 @@ object Pipeline {
        |h AS (
        |  SELECT doc_id,
        |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-       |      i -> md5(substr(text, i, 8))) AS hs
+       |      i -> list_reduce(
+       |        list_transform(range(i, least(i + 8, length(text) + 1)),
+       |          t -> CAST(ord(substr(text, t, 1)) AS BIGINT)),
+       |        (h, b) -> (h * 131 + b) % 1000000007)) AS hs
        |  FROM docs2),
        |f AS (
        |  SELECT doc_id,

@@ -158,6 +158,45 @@ class FunctionsSpec extends SparkSpec {
       col("d") < col("lo")).isEmpty)
   }
 
+  test("winnow_fingerprints matches the DuckDB oracle formulation exactly") {
+    // Each expected set below is DuckDB's output for the oracle SQL the
+    // dx_winnow_pairs gate runs (Karp-Rabin fold (h*131+b) % 1e9+7 over
+    // k=8 grams, w=4 window minima, distinct) — the kernel must produce
+    // the same SET of fingerprints (order is irrelevant downstream: the
+    // array feeds explode -> posting joins).
+    val vectors: Seq[(String, Seq[Long])] = Seq(
+      ("the quick brown fox jumps over the lazy dog", Seq(51176257L, 115199380L, 151386197L, 186527843L, 203183807L, 257891742L, 379508465L, 420793582L, 438779543L, 488697818L, 506694683L, 508447348L, 593196786L, 642196226L, 664231751L, 758349309L, 763124639L)),
+      ("abcdefghijklmnop", Seq(34292360L, 221032441L, 254182242L)),
+      ("aaaaaaaaaaaa", Seq(443106138L)),
+      ("short", Seq(103212062L)),
+      ("x", Seq(120L)),
+      ("the quick brown fox jumps over the lazy dog again and again and again", Seq(37636859L, 43064385L, 51176257L, 115199380L, 139068007L, 151386197L, 186527843L, 203183807L, 257891742L, 305868641L, 379508465L, 412974435L, 420793582L, 438779543L, 488697818L, 506694683L, 508447348L, 553575540L, 591528496L, 593196786L, 642196226L, 664231751L, 758349309L, 763124639L)))
+    val got = vectors.map(_._1).toDF("text")
+      .select(col("text"),
+        graft.functions.WinnowFingerprints(col("text"), 8, 4).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).sorted).toMap
+    vectors.foreach { case (t, want) =>
+      assert(got(t) == want, s"text '$t': got ${got(t)} want $want")
+    }
+    // winnowing guarantee on the real corpus: every planted mutated copy
+    // shares at least one fingerprint with its original (shared prefix
+    // >> k + w - 1 chars)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(60)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints(col("text"), 8, 4)).as("fp"))
+    val mut = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(60)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("concat(substring(text, 1, length(text) - 10), ' tail')").as("text"))
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints(col("text"), 8, 4)).as("fp"))
+    val shared = docs.join(mut, "fp")
+      .filter(docs("doc_id") + 1000000 === mut("doc_id"))
+      .select(docs("doc_id")).distinct().count()
+    assert(shared == 60L, s"only $shared/60 planted copies share a fingerprint")
+  }
+
   test("all native functions register for SQL use") {
     graft.functions.GraftExtensions.register(spark)
     Tables(spark, sfDir, "documents").limit(10).createOrReplaceTempView("docs_fn_test")
