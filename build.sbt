@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Compress cached/localCheckpoint blocks (lz4): iterative graph
+  // operators checkpoint multi-GB edge frames per round, and the default
+  // UNCOMPRESSED disk blocks (54 GB for the sf10 replica's directed edge
+  // list) exhausted local disk where the compressed form fits 4-5x over.
+  // Static conf - must be set before SparkContext creation, hence here.
+  "-Dspark.rdd.compress=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -44,16 +44,6 @@ object Tables {
   }
 }
 
-/** Deterministic numeric helpers.
-  *
-  * Double sums are order-dependent, so a Spark partial-aggregate sum and a
-  * DuckDB single-threaded sum can differ in the last ulps. All monetary
-  * inputs in the test data carry at most 2 decimal places, so we sum scaled
-  * 64-bit integers (exact, associative) and divide once at the end — the
-  * same trick works verbatim in the DuckDB oracle SQL, giving bit-identical
-  * doubles. At 100 TB this also beats decimal aggregation: long sums stay in
-  * whole-stage codegen with no decimal overflow checks.
-  */
 /** Lineage truncation for iterative operators (components, PageRank,
   * label propagation, k-core peeling): each round's frame must cut its
   * logical plan or the lineage grows unboundedly over rounds.
@@ -76,7 +66,79 @@ object Ckpt {
   // subdirectory, never a wrong checkpoint.)
   @volatile private var appliedDir: String = null
 
-  def truncate(df: DataFrame): DataFrame = {
+  /** Rolling block release for iterative loops. Round N−1's
+    * localCheckpoint blocks are dead the moment round N is materialised,
+    * but nothing drops them until driver GC happens to collect the old
+    * RDD reference — on the sf10 replica (1.69G-edge frames ≈ tens of GB
+    * per round) the leftovers exhausted local disk and killed
+    * k-core/PageRank outright. Protocol per round:
+    * `mark()` → build the round's truncated frame → materialise it
+    * (count/head) → `release()`. release unpersists every persistent RDD
+    * that existed at mark() time except the loop's base inputs (whatever
+    * was persistent when the Rolling was constructed), then nudges the
+    * JVM so ContextCleaner also reaps the dead rounds' shuffle files.
+    * Durable-checkpoint mode writes files instead of blocks — pending
+    * stays empty and release is a no-op; reliable storage is the
+    * cluster's concern.
+    */
+  final class Rolling(spark: SparkSession) {
+    private val sc = spark.sparkContext
+    private val keep: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    private var pending: Set[Int] = Set.empty
+
+    /** Snapshot the currently-persistent non-base RDDs (= prior rounds'). */
+    def mark(): Unit =
+      pending = sc.getPersistentRDDs.keySet.toSet -- keep
+
+    /** Drop the marked blocks; call only after the new round's frame is
+      * materialised (its lineage is truncated — the old blocks are the
+      * only copy of nothing anymore).
+      */
+    def release(): Unit = {
+      if (pending.nonEmpty) {
+        // silence the expected "truncated lineage" WARN, as BlockCleanup
+        import org.apache.logging.log4j.{Level, LogManager}
+        import org.apache.logging.log4j.core.config.Configurator
+        val logger = "org.apache.spark.rdd"
+        val prev = LogManager.getLogger(logger).getLevel
+        Configurator.setLevel(logger, Level.ERROR)
+        val bytes =
+          try {
+            val sizes = sc.getRDDStorageInfo
+              .filter(i => pending.contains(i.id))
+              .map(i => i.memSize + i.diskSize).sum
+            val live = sc.getPersistentRDDs
+            pending.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+            sizes
+          } catch { case _: Throwable => 0L }
+          finally Configurator.setLevel(logger, prev)
+        pending = Set.empty
+        // Shuffle files of dead rounds clean up only when ContextCleaner
+        // sees their references collected; when this loop is moving GBs
+        // per round, a forced gc bounds disk between Spark's own 30-min
+        // periodicGC. Gated on released size so sf0.01-scale rounds never
+        // pay a full collection.
+        if (bytes > (1L << 30)) System.gc()
+      }
+    }
+  }
+
+  def truncate(df: DataFrame): DataFrame = truncateImpl(df, bulk = false)
+
+  /** [[truncate]] for DATA-SIZED frames (edge lists, pair lists): blocks
+    * go DISK_ONLY instead of MEMORY_AND_DISK. A multi-GB deserialized
+    * cache squeezes the unified region until execution memory starves
+    * (the sf10 1.69G-edge k-core/PageRank rounds died with
+    * UNABLE_TO_ACQUIRE_MEMORY exactly this way); disk blocks are lz4'd
+    * (spark.rdd.compress, set in every entrypoint) and re-read through
+    * the OS page cache, so the local-mode cost is near zero while the
+    * execution pool keeps the whole region. Node-sized frames (ranks,
+    * labels, survivor sets) stay on [[truncate]] — they're small and
+    * re-read hot.
+    */
+  def truncateBulk(df: DataFrame): DataFrame = truncateImpl(df, bulk = true)
+
+  private def truncateImpl(df: DataFrame, bulk: Boolean): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpoint.dir") match {
       case Some(dir) if dir.nonEmpty =>
@@ -86,11 +148,25 @@ object Ckpt {
           appliedDir = dir
         }
         df.checkpoint(eager = false)
-      case _ => df.localCheckpoint(eager = false)
+      case _ =>
+        if (bulk)
+          df.localCheckpoint(eager = false,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        else df.localCheckpoint(eager = false)
     }
   }
 }
 
+/** Deterministic numeric helpers.
+  *
+  * Double sums are order-dependent, so a Spark partial-aggregate sum and a
+  * DuckDB single-threaded sum can differ in the last ulps. All monetary
+  * inputs in the test data carry at most 2 decimal places, so we sum scaled
+  * 64-bit integers (exact, associative) and divide once at the end — the
+  * same trick works verbatim in the DuckDB oracle SQL, giving bit-identical
+  * doubles. At 100 TB this also beats decimal aggregation: long sums stay in
+  * whole-stage codegen with no decimal overflow checks.
+  */
 object Num {
   /** A <=2-decimal-place double as integer hundredths. */
   def cents(c: Column): Column = round(c * lit(100)).cast("long")

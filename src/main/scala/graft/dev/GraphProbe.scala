@@ -12,14 +12,13 @@ object GraphProbe {
       .config("spark.sql.shuffle.partitions", 16)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val e = graft.queries.Relational.graphEdges(spark, args(0)).localCheckpoint()
+    val e = graft.queries.Relational.graphEdges(spark, args(0))
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-    val m = e.count()
     val stats = deg.agg(count(lit(1)), max("deg"),
       expr("approx_percentile(deg, array(0.5, 0.9, 0.99, 0.999))"),
-      sum(expr("deg * deg"))).head()
-    println(s"PROBE edges=$m nodes=${stats.get(0)} maxdeg=${stats.get(1)} " +
+      sum(expr("deg * deg")), expr("sum(deg) DIV 2")).head()
+    println(s"PROBE edges=${stats.get(4)} nodes=${stats.get(0)} maxdeg=${stats.get(1)} " +
       s"pct=${stats.get(2)} sumdeg2=${stats.get(3)}")
     spark.stop()
   }

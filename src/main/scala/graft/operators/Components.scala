@@ -52,7 +52,7 @@ object Components {
         greatest(col("src"), col("dst")).cast("long").as("u"),
         least(col("src"), col("dst")).cast("long").as("v"))
       .distinct()
-      .localCheckpoint(false)
+      .transform(graft.Ckpt.truncateBulk)
     // take() doubles as the size probe and the driver-path data fetch — no
     // separate count() job; it stops reading partitions once over budget.
     val takeN = (math.min(threshold, Int.MaxValue.toLong - 1) + 1).toInt
@@ -191,11 +191,14 @@ object Components {
     var converged = false
     var iter = 0
     var sig = signature(e)
+    val roll = new graft.Ckpt.Rolling(spark)
     while (!converged && iter < maxIter) {
+      roll.mark()
       // lazy checkpoint: the signature aggregation is the action that
       // materialises it — one job per round instead of two
-      val next = graft.Ckpt.truncate(smallStar(largeStar(e)))
+      val next = graft.Ckpt.truncateBulk(smallStar(largeStar(e)))
       val nextSig = signature(next)
+      roll.release()
       converged = nextSig == sig
       sig = nextSig
       e = next

@@ -26,6 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
+  /** Node-sized per-round frames (surviving-node sets, rank vectors,
+    * label tables) are broadcast into the edge join when the node count
+    * fits `spark.graft.graph.broadcastNodesMax` (default 10M ≈ 160 MB) —
+    * then the EDGE frame, the big object, never shuffles per round: the
+    * sf10 replica's 1.69G-edge k-core/PageRank rounds each re-shuffled
+    * ~27 GB of edges and exhausted local disk. Above the threshold the
+    * plain shuffle join remains (a 10^10-node graph cannot broadcast its
+    * node table), so the operator degrades to the general formulation
+    * instead of the driver dying — the same adaptive trade
+    * [[graft.operators.Components.connected]] makes.
+    */
+  private def broadcastNodesMax(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.graph.broadcastNodesMax", "10000000").toLong
+
+  private def maybeBroadcast(nodeFrame: DataFrame, nodeCount: Long, max: Long): DataFrame =
+    if (nodeCount <= max) broadcast(nodeFrame) else nodeFrame
+
   /** Canonicalise an arbitrary pair list (possibly with both orientations,
     * self-loops, duplicates) to distinct undirected simple edges `a < b`.
     */
@@ -82,8 +100,8 @@ object GraphMetrics {
   def triangleStats(edges: DataFrame): DataFrame = {
     // Feeds degree agg, two rank joins, the adjacency fold and the edge
     // count — materialise once.
-    val e = edges.localCheckpoint(false)
-    val deg = degrees(e).localCheckpoint(false)
+    val e = graft.Ckpt.truncateBulk(edges)
+    val deg = graft.Ckpt.truncate(degrees(e))
 
     // Total order on nodes by (degree, id): ties broken by id so the
     // orientation is a strict tournament regardless of degree collisions.
@@ -99,7 +117,7 @@ object GraphMetrics {
           .otherwise(struct(col("b").as("u"), col("a").as("v")))
           .as("o"))
       .select(col("o.u").as("u"), col("o.v").as("v"))
-      .localCheckpoint(false)
+      .transform(graft.Ckpt.truncateBulk)
 
     // One sorted out-adjacency array per orientation source. Group size is
     // bounded by the O(√m) oriented out-degree — no unbounded collect.
@@ -170,7 +188,7 @@ object GraphMetrics {
       scale: Long, alphaNum: Long, alphaDen: Long): DataFrame = {
     require(iters >= 1 && scale > 0 && alphaDen > 0 &&
       alphaNum >= 0 && alphaNum <= alphaDen)
-    val e2 = graft.Ckpt.truncate(
+    val e2 = graft.Ckpt.truncateBulk(
       edges.select(col("a").as("s"), col("b").as("t"))
         .unionAll(edges.select(col("b").as("s"), col("a").as("t"))))
     val deg = e2.groupBy(col("s").as("n")).agg(count(lit(1)).as("d"))
@@ -188,15 +206,27 @@ object GraphMetrics {
           .select(col("n"), col("d"), coalesce(col("sflag"), lit(0L)).as("sflag"))
     })
     var pr = tagged.select(col("n"), (lit(scale) * col("sflag")).as("r"))
+    // Eager rounds + rolling release: materialise each rank frame, then
+    // drop the previous round's dead blocks (Ckpt.Rolling — the sf10
+    // disk-exhaustion fix). The count() that materialises is a scan of
+    // the blocks the checkpoint writes anyway.
+    val roll = new graft.Ckpt.Rolling(edges.sparkSession)
+    val nodeCount = tagged.count()
+    val bcMax = broadcastNodesMax(edges)
     (1 to iters).foreach { _ =>
-      val contrib = pr.join(tagged, "n")
-        .select(col("n").as("s"), expr("r DIV d").as("c"))
-      pr = e2.join(contrib, "s")
-        .groupBy(col("t").as("n"))
-        .agg(expr(s"($alphaNum * sum(c)) DIV $alphaDen").as("flow"))
-        .join(tagged.select(col("n"), col("sflag")), "n")
-        .select(col("n"), (col("flow") + lit(base) * col("sflag")).as("r"))
-      pr = graft.Ckpt.truncate(pr)
+      roll.mark()
+      val contrib = maybeBroadcast(
+        pr.join(tagged, "n")
+          .select(col("n").as("s"), expr("r DIV d").as("c")),
+        nodeCount, bcMax)
+      pr = graft.Ckpt.truncate(
+        e2.join(contrib, "s")
+          .groupBy(col("t").as("n"))
+          .agg(expr(s"($alphaNum * sum(c)) DIV $alphaDen").as("flow"))
+          .join(tagged.select(col("n"), col("sflag")), "n")
+          .select(col("n"), (col("flow") + lit(base) * col("sflag")).as("r")))
+      pr.count()
+      roll.release()
     }
     pr
   }
@@ -219,19 +249,25 @@ object GraphMetrics {
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
-    val e2 = graft.Ckpt.truncate(
+    val e2 = graft.Ckpt.truncateBulk(
       edges.select(col("a").as("s"), col("b").as("t"))
         .unionAll(edges.select(col("b").as("s"), col("a").as("t"))))
     var lab = e2.select(col("s").as("n")).distinct()
       .withColumn("lab", col("n"))
+    val roll = new graft.Ckpt.Rolling(edges.sparkSession)
+    val nodeCount = lab.count()
+    val bcMax = broadcastNodesMax(edges)
     (1 to iters).foreach { _ =>
-      lab = e2.join(lab.withColumnRenamed("n", "s"), "s")
-        .groupBy(col("t").as("n"), col("lab"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("n")
-        .agg(min(struct((-col("cnt")).as("negc"), col("lab").as("lab"))).as("w"))
-        .select(col("n"), col("w.lab").as("lab"))
-      lab = graft.Ckpt.truncate(lab)
+      roll.mark()
+      lab = graft.Ckpt.truncate(
+        e2.join(maybeBroadcast(lab.withColumnRenamed("n", "s"), nodeCount, bcMax), "s")
+          .groupBy(col("t").as("n"), col("lab"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("n")
+          .agg(min(struct((-col("cnt")).as("negc"), col("lab").as("lab"))).as("w"))
+          .select(col("n"), col("w.lab").as("lab")))
+      lab.count()
+      roll.release()
     }
     lab
   }
@@ -256,7 +292,7 @@ object GraphMetrics {
     */
   def kCoreEdges(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var e = graft.Ckpt.truncate(edges)
+    var e = graft.Ckpt.truncateBulk(edges)
     // Fixed-point early exit: if a round removes no edge, every surviving
     // node already has deg >= k, so all remaining rounds are no-ops — stop
     // issuing cluster jobs. On dense graphs (where no node ever peels) this
@@ -266,14 +302,20 @@ object GraphMetrics {
     var prev = e.count()
     var round = 0
     var fixed = false
+    val roll = new graft.Ckpt.Rolling(edges.sparkSession)
+    val bcMax = broadcastNodesMax(edges)
     while (round < rounds && !fixed) {
-      val keep = degrees(e).filter(col("deg") >= k).select(col("n"))
+      roll.mark()
+      val keep = graft.Ckpt.truncate(
+        degrees(e).filter(col("deg") >= k).select(col("n")))
+      val kb = maybeBroadcast(keep, keep.count(), bcMax)
       e = e
-        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .join(kb.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(kb.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
         .select("a", "b")
-      e = graft.Ckpt.truncate(e)
+      e = graft.Ckpt.truncateBulk(e)
       val cnt = e.count()
+      roll.release()
       fixed = cnt == prev || cnt == 0L
       prev = cnt
       round += 1
@@ -292,20 +334,26 @@ object GraphMetrics {
     require(k >= 1 && rounds >= 1)
     val spark = edges.sparkSession
     import spark.implicits._
-    var e = graft.Ckpt.truncate(edges)
+    var e = graft.Ckpt.truncateBulk(edges)
     var prev = e.count()
     var lastNodes = 0L
     var lastEdges = 0L
     var fixed = false
+    val roll = new graft.Ckpt.Rolling(spark)
+    val bcMax = broadcastNodesMax(edges)
     val rows = (1 to rounds).map { r =>
       if (!fixed) {
-        val keep = degrees(e).filter(col("deg") >= k).select(col("n"))
+        roll.mark()
+        val keep = graft.Ckpt.truncate(
+          degrees(e).filter(col("deg") >= k).select(col("n")))
+        val kb = maybeBroadcast(keep, keep.count(), bcMax)
         e = e
-          .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+          .join(kb.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+          .join(kb.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
           .select("a", "b")
-        e = graft.Ckpt.truncate(e)
+        e = graft.Ckpt.truncateBulk(e)
         lastEdges = e.count()
+        roll.release()
         lastNodes =
           if (lastEdges == 0L) 0L
           else e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
