@@ -68,10 +68,18 @@ object Bench {
     // once and keep the faster run, so published walls are load-bearing:
     // on the contended r11 detail this re-runs 19/203 queries (exactly
     // the judge-flagged outliers), on a clean box 2/28.
+    // Protocol transparency (r12 ADVICE): this is a min-of-2 applied to a
+    // self-selected subset, and the second run also enjoys a warmer page
+    // cache/JIT — so BOTH walls and which run was kept are recorded under
+    // "remeasured" in BENCH_DETAIL.json. Consumers (BASELINE, benchdiff)
+    // can see exactly which published walls came from a second run and
+    // reconstruct the unguarded total from first-run walls.
+    val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = firstPass.map {
       case r @ (name, wall, cpu, _, true)
           if cpu >= 0 && wall > 1.0 && cpu / wall < 2.0 =>
         val again = measure(name, SparkEntry.queries(name))
+        remeasured(name) = (wall, again._2)
         if (again._5 && again._2 < wall) again else r
       case r => r
     }
@@ -94,7 +102,11 @@ object Bench {
     // tail of stdout (observed: last 2000 chars), and an over-long line gets
     // its head — including "value" — truncated away (this is what voided the
     // round-3 official bench numbers).
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2, 6)},"cpu_sec":${jmap(_._3, 6)},"gc_sec":${jmap(_._4, 6)},"total_cpu":$totalCpu,"total_gc":$totalGc,"cores":$cpus,"failed":$failed,"sf":"$sfDir"}"""
+    val remeasuredJson = remeasured
+      .map { case (n, (w1, w2)) =>
+        s"\"" + n + s"\":{\"first\":${round(w1, 6)},\"second\":${round(w2, 6)},\"kept\":\"${if (w2 < w1) "second" else "first"}\"}" }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2, 6)},"cpu_sec":${jmap(_._3, 6)},"gc_sec":${jmap(_._4, 6)},"total_cpu":$totalCpu,"total_gc":$totalGc,"cores":$cpus,"failed":$failed,"remeasured":$remeasuredJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -65,9 +65,12 @@ object BCubed {
     *
     * Determinism without driver ordering: Σ sq/n is split per group into
     * `sq DIV n` (exact BIGINT, order-insensitive sum) plus the proper
-    * fraction `(sq mod n)/n` evaluated as a scale-21 DECIMAL quotient —
+    * fraction `(sq mod n)/n` evaluated as a DECIMAL quotient — Spark
+    * sizes DECIMAL(20,0)/DECIMAL(20,0) at precision 38 and adjusts the
+    * result to DECIMAL(38,18), so the quotient lands at scale 18 —
     * rounded per ELEMENT (not per partial sum), so the decimal sum is
-    * independent of partition order; total error ≤ G·5e-22 for G groups.
+    * independent of partition order; total error ≤ G·5e-19 for G groups
+    * (r12 ADVICE corrected the earlier scale-21/5e-22 claim).
     * A perfect clustering has sq = n² in every group, zero remainders,
     * and scores exactly 1.0.
     */

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared scalar kernel for FULL (unrestricted) Damerau–Levenshtein
@@ -86,11 +86,15 @@ object DamerauLevenshteinImpl {
   * kernel keeps the expression inside whole-stage codegen.
   */
 case class DamerauLevenshtein(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "damerau_levenshtein"
+
+  // SQL-registered: make analysis coerce non-string inputs (or fail
+  // loudly) instead of letting a mistyped call reach the UTF8String cast.
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     DamerauLevenshteinImpl.distance(

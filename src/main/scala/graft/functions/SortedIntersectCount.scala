@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression: `|A ∩ B|` of two ASCENDING-sorted
   * `array<bigint>` sets, by linear merge — the inner kernel of
@@ -25,11 +25,21 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * here, per-row validation would cost as much as the merge.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
+
+  // SQL-registered, so analysis must coerce or reject: without this,
+  // `sorted_intersect_count(array(1, 2), array(2, 3))` (default INT
+  // literals) passes analysis and `getLong` reads misaligned 4-byte slots
+  // as garbage longs in both eval paths (r12 ADVICE). With it, analysis
+  // inserts an array<int> → array<bigint> cast.
+  // (declared as Seq[DataType] — covariant refinement of the trait's
+  // Seq[AbstractDataType], whose type name is private[sql])
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -13,26 +13,61 @@ import org.apache.spark.unsafe.types.UTF8String
   * polynomial, slide a w-window over the hash stream, keep each window's
   * minimum, return the distinct minima.
   *
-  * The hash is `fold(h, b) = (h·131 + b) mod 1e9+7` over UTF-8 bytes with
-  * the FIRST byte as the fold seed — exactly DuckDB's
-  * `list_reduce(bytes, (h, b) -> (h * 131 + b) % 1000000007)`, so the
-  * oracle can recompute identical fingerprints in portable integer SQL
-  * (the prior formulation hashed each gram with md5: ~100× the per-gram
-  * cost in block rounds plus a 32-char hex allocation, and the winnow
-  * mins then compared strings instead of longs).
+  * The hash is `fold(h, c) = (h·131 + c) mod 1e9+7` over Unicode CODE
+  * POINTS at CHARACTER positions, with the FIRST code point as the fold
+  * seed — exactly DuckDB's
+  * `list_reduce(list_transform(range(i, i+k), t -> ord(substr(text, t, 1))),
+  *              (h, c) -> (h * 131 + c) % 1000000007)`
+  * (`substr` is character-indexed and `ord` yields the full code point),
+  * so the oracle recomputes identical fingerprints in portable integer
+  * SQL on ANY input, not just ASCII. (The r12 formulation folded UTF-8
+  * bytes — identical on ASCII, divergent in both gram boundaries and
+  * hash values on any multi-byte character; r12 ADVICE.) Code points are
+  * decoded once per document straight from the UTF-8 bytes — no
+  * String/UTF-16 round trip. The earlier md5-per-gram formulation is
+  * gone for cost reasons (see git history).
   *
   * Degenerate inputs follow the substring conventions of the md5
   * formulation: a text shorter than k yields one gram over its full
-  * byte run; an empty text yields the single fingerprint 0.
+  * run; an empty text yields the single fingerprint 0 (the oracle twin
+  * guards this case explicitly — DuckDB's `list_reduce` of an empty
+  * list raises).
   */
 object WinnowFingerprintsImpl {
 
   private final val B = 131L
   private final val M = 1000000007L
 
-  def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val b = text.getBytes
+  /** Decode UTF-8 bytes to an array of Unicode code points. Malformed
+    * sequences follow the permissive convention of treating each
+    * unexpected byte as its own code point (the corpus is valid UTF-8 —
+    * Spark's UTF8String guarantees it — so this branch never fires on
+    * real data; it just keeps the kernel total).
+    */
+  private def codePoints(b: Array[Byte]): Array[Int] = {
     val n = b.length
+    val out = new Array[Int](n) // upper bound: one cp per byte
+    var i = 0
+    var m = 0
+    while (i < n) {
+      val b0 = b(i) & 0xFF
+      if (b0 < 0x80) { out(m) = b0; i += 1 }
+      else if (b0 < 0xE0 && i + 1 < n) {
+        out(m) = ((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2
+      } else if (b0 < 0xF0 && i + 2 < n) {
+        out(m) = ((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F); i += 3
+      } else if (i + 3 < n) {
+        out(m) = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F); i += 4
+      } else { out(m) = b0; i += 1 }
+      m += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val cp = codePoints(text.getBytes)
+    val n = cp.length
     val nGrams = math.max(n - k + 1, 1)
     val hs = new Array[Long](nGrams)
     var i = 0
@@ -41,8 +76,8 @@ object WinnowFingerprintsImpl {
       var h = 0L
       var t = i
       while (t < end) {
-        val byte = (b(t) & 0xFF).toLong
-        h = if (t == i) byte else (h * B + byte) % M
+        val c = cp(t).toLong
+        h = if (t == i) c else (h * B + c) % M
         t += 1
       }
       hs(i) = h

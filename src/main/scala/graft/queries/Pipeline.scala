@@ -483,12 +483,17 @@ object Pipeline {
   private val winnowPairsSql = {
     s"""WITH docs2 AS (${dupesSql(exact = false)}),
        |h AS (
+       |  -- kernel twin: Karp-Rabin over Unicode code points at character
+       |  -- positions (ord/substr), first code point as the fold seed;
+       |  -- empty text is guarded to the kernel's [0] convention because
+       |  -- list_reduce of an empty list raises in DuckDB
        |  SELECT doc_id,
        |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-       |      i -> list_reduce(
-       |        list_transform(range(i, least(i + 8, length(text) + 1)),
-       |          t -> CAST(ord(substr(text, t, 1)) AS BIGINT)),
-       |        (h, b) -> (h * 131 + b) % 1000000007)) AS hs
+       |      i -> CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+       |        ELSE list_reduce(
+       |          list_transform(range(i, least(i + 8, length(text) + 1)),
+       |            t -> CAST(ord(substr(text, t, 1)) AS BIGINT)),
+       |          (h, b) -> (h * 131 + b) % 1000000007) END) AS hs
        |  FROM docs2),
        |f AS (
        |  SELECT doc_id,

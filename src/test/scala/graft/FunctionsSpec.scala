@@ -170,7 +170,17 @@ class FunctionsSpec extends SparkSpec {
       ("aaaaaaaaaaaa", Seq(443106138L)),
       ("short", Seq(103212062L)),
       ("x", Seq(120L)),
-      ("the quick brown fox jumps over the lazy dog again and again and again", Seq(37636859L, 43064385L, 51176257L, 115199380L, 139068007L, 151386197L, 186527843L, 203183807L, 257891742L, 305868641L, 379508465L, 412974435L, 420793582L, 438779543L, 488697818L, 506694683L, 508447348L, 553575540L, 591528496L, 593196786L, 642196226L, 664231751L, 758349309L, 763124639L)))
+      ("the quick brown fox jumps over the lazy dog again and again and again", Seq(37636859L, 43064385L, 51176257L, 115199380L, 139068007L, 151386197L, 186527843L, 203183807L, 257891742L, 305868641L, 379508465L, 412974435L, 420793582L, 438779543L, 488697818L, 506694683L, 508447348L, 553575540L, 591528496L, 593196786L, 642196226L, 664231751L, 758349309L, 763124639L)),
+      // Non-ASCII parity (r12 ADVICE): the kernel folds Unicode CODE
+      // POINTS at CHARACTER positions — same as the oracle's
+      // ord(substr(text, t, 1)) — so multi-byte text must match DuckDB
+      // too (the old byte-fold diverged on every one of these).
+      ("café au lait — déjà vu, naïve façade, über schön", Seq(20502582L, 57466192L, 73847608L, 89286924L, 109515724L, 187820955L, 211142204L, 228861362L, 241999584L, 278113268L, 305807150L, 331468125L, 349377523L, 440380754L, 457576833L)),
+      ("日本語のテキストと English mixed コンテンツ", Seq(78972730L, 115698012L, 142438652L, 143146904L, 547747373L, 651996082L, 668690990L, 696559644L, 758245719L)),
+      ("éa", Seq(30620L)),
+      // empty text: kernel convention [0]; the oracle twin guards this
+      // case explicitly (list_reduce of an empty list raises in DuckDB)
+      ("", Seq(0L)))
     val got = vectors.map(_._1).toDF("text")
       .select(col("text"),
         graft.functions.WinnowFingerprints(col("text"), 8, 4).as("fp"))
@@ -211,6 +221,14 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.forall(_.getSeq[Long](0).length == 8))
     assert(rows.forall(x => math.abs(x.getDouble(2) - 1.0) < 1e-12))
     assert(rows.forall(_.getLong(3) == 5L))
+    // inputTypes coercion (r12 ADVICE): default INT array literals must be
+    // cast to array<bigint> by analysis, not silently read as misaligned
+    // longs — this call returned garbage before ExpectsInputTypes.
+    val coerced = spark.sql(
+      """SELECT sorted_intersect_count(array(1, 2), array(2, 3)) AS c,
+        |  damerau_levenshtein('CA', 'ABC') AS d""".stripMargin).head()
+    assert(coerced.getLong(0) == 1L)
+    assert(coerced.getLong(1) == 2L)
   }
 
   test("cosine_sim registers for SQL use") {
