@@ -7,12 +7,24 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Dev-only master override (e.g. local-cluster[2,8,4096]): runs the
+    // ENTIRE oracle dump with real serialization and separate executor
+    // JVMs — the closure/broadcast bugs local[n] structurally cannot
+    // catch. The driver always runs the default local[n].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // local-cluster executors are separate JVMs launched from SPARK_HOME:
+    // they need the graft classes (and the test-run working dir) on their
+    // own classpath — sbt's classes dir serves both
+    if (master.startsWith("local-cluster")) {
+      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      builder.config("spark.executor.extraClassPath", classes)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (unset in driver runs → full dump).

@@ -11,11 +11,33 @@ import org.apache.spark.sql.functions._
   * (sf0.1 → sf1) for BASELINE.md's scale-evidence table; the driver's
   * official data stays untouched at /root/testdata.
   *
-  * Usage: runMain graft.dev.ScaleUp <srcSfDir> <outDir> <factor>
+  * Usage: runMain graft.dev.ScaleUp <srcSfDir> <outDir> <factor> [mode]
+  *
+  * `mode` (default `verbatim`): `mutate` applies a per-copy content
+  * variation so replicas are NOT verbatim copies (the r12 verdict's
+  * ScaleUp ask — verbatim text replicas put every copy of a document in
+  * one identical-text group, so TRUE near-dup pair output grows ~factor²
+  * and any similarity operator's wall at sf10 measures replica artefact,
+  * not operator). The variations are similarity-preserving bijections
+  * WITHIN a copy and decorrelating ACROSS copies, so true-pair growth is
+  * exactly linear (factor × the original pair set):
+  *  - documents.text: every token gets the copy-indexed suffix `_i`
+  *    (the testkit Scenario `Suffix` slot applied per token). A token
+  *    bijection preserves every within-copy token/shingle equality — doc
+  *    A_i vs B_i has the SAME shingle-jaccard as A vs B — while copy i
+  *    and copy j ≠ i share no token at all.
+  *  - embeddings.embedding: elementwise sign flip with signs drawn from
+  *    xxhash64(copy, dim) parity. (A⊙s)·(B⊙s) = A·B, so within-copy
+  *    cosines are bit-preserved up to multiplication order; cross-copy
+  *    cosines collapse toward 0 under independent sign patterns.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(src, out, factorS) = args
+    val (src, out, factorS, mode) = args match {
+      case Array(a, b, c) => (a, b, c, "verbatim")
+      case Array(a, b, c, m) => (a, b, c, m)
+    }
+    require(mode == "verbatim" || mode == "mutate", s"unknown mode $mode")
     val factor = factorS.toInt
     require(factor >= 2, "factor must be >= 2")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -50,18 +72,33 @@ object ScaleUp {
     val docS = span(read("documents"), "doc_id")
     val vecS = span(read("embeddings"), "vec_id")
 
-    /** `factor` copies with per-copy key offsets (copy 0 = original). */
-    def replicate(t: String, offsets: Map[String, Long]): Unit = {
+    /** `factor` copies with per-copy key offsets (copy 0 = original);
+      * `mutateCopy` optionally rewrites content columns per copy.
+      */
+    def replicate(t: String, offsets: Map[String, Long],
+        mutateCopy: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       val base = read(t)
       val copies = (0 until factor).map { i =>
-        offsets.foldLeft(base) { case (df, (c, s)) =>
+        val keyed = offsets.foldLeft(base) { case (df, (c, s)) =>
           df.withColumn(c, (col(c) + lit(i * s)).cast(base.schema(c).dataType))
         }
+        if (mode == "mutate" && i > 0) mutateCopy(keyed, i) else keyed
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[scaleup] $t x$factor done")
+      println(s"[scaleup] $t x$factor done" +
+        (if (mode == "mutate") " (mutated copies)" else ""))
     }
+
+    def mutateText(df: DataFrame, i: Int): DataFrame =
+      df.withColumn("text", expr(
+        s"concat_ws(' ', transform(split(text, ' '), t -> concat(t, '_$i')))"))
+
+    def mutateEmbedding(df: DataFrame, i: Int): DataFrame =
+      df.withColumn("embedding", expr(
+        s"""transform(embedding, (x, k) ->
+           |  CASE WHEN pmod(xxhash64($i * 8192 + k), 2) = 0 THEN x
+           |       ELSE -x END)""".stripMargin))
 
     def copy(t: String): Unit = {
       read(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -76,8 +113,8 @@ object ScaleUp {
     replicate("lineitem", Map("l_orderkey" -> ordS, "l_partkey" -> partS,
       "l_suppkey" -> suppS))
     replicate("events", Map("event_id" -> evS, "user_id" -> userS))
-    replicate("documents", Map("doc_id" -> docS))
-    replicate("embeddings", Map("vec_id" -> vecS))
+    replicate("documents", Map("doc_id" -> docS), mutateText)
+    replicate("embeddings", Map("vec_id" -> vecS), mutateEmbedding)
     spark.stop()
   }
 }

@@ -1,16 +1,37 @@
 package graft.eval
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Pairwise precision / recall of model clusters against human judgements
   * (reference: src/matchbox/common/eval.py `precision_recall`).
   *
   * The reference expands clusters to pairs with itertools.combinations on
-  * the driver; here cluster→pair expansion is a self-equi-join on the
-  * cluster id (shuffle on cluster id; skew-safe for matching workloads where
-  * cluster sizes are bounded), and the endorse/reject netting is a groupBy
-  * sum. Everything stays distributed until the final two ratios.
+  * the driver. Until r12 this twin expanded within-cluster pairs with a
+  * self-equi-join too (guarded and triangle-blocked) — but every model
+  * pair that can ever be COUNTED must also be a judged pair, so the
+  * expansion ran quadratic work in cluster size only to throw almost all
+  * of it away against the judgement-sized net. r13 inverts the join
+  * (the r12 verdict's "pair-free sufficient statistics" ask): the netted
+  * judgement pairs — the small side by construction — are annotated with
+  * each endpoint's cluster assignment via two id equi-joins, and a pair
+  * is a model pair iff both components are present and equal. All three
+  * counts (tp, n_model, n_validation) then come from ONE aggregation over
+  * the net: no pair expansion exists anywhere in the evaluator, so an
+  * over-merged model — the exact thing eval exists to catch — costs
+  * O(|net|) instead of Ω(|C|²), and the old maxClusterSize guard and
+  * triangle-block expansion machinery are gone because the wall they
+  * guarded is gone.
+  *
+  * Scale shape at 100 TB: two shuffles of the judgement net on id
+  * (broadcast-able when judgements are human-scale, which they are — a
+  * judgement is something a person produced), one scalar aggregate.
+  * The assignment table is only ever probed, never self-joined.
+  *
+  * Assumes each id carries one assignment row per model (the reference's
+  * dict-shaped input guarantees the same); duplicate assignment rows
+  * would multiply pair counts identically in the reference combinatorial
+  * formulation.
   */
 object PrecisionRecall {
 
@@ -53,11 +74,6 @@ object PrecisionRecall {
     * universe; validation pairs (net > 0 within shared leaves) are common to
     * all models. Returns one row per model: (model, tp, n_model,
     * n_validation, precision, recall), ordered by model index.
-    *
-    * Distributed shape: the leaf intersection is one unioned groupBy
-    * (id → count == nModels + 1), not N sequential joins; each model's pair
-    * expansion is a self-equi-join on its cluster id over shared leaves
-    * only.
     */
   def multi(models: Seq[DataFrame], judgements: DataFrame): DataFrame = {
     val net = netOf(judgements)
@@ -76,167 +92,88 @@ object PrecisionRecall {
     multiFromNet(models, Judgements.net(judgements, expansion),
       Judgements.leaves(judgements, expansion))
 
-  /** Pair expansion is quadratic in cluster size: one over-merged cluster of
-    * judged leaves emits |C|²/2 pairs out of a single reducer — and an
-    * over-permissive linker is exactly what eval exists to catch, so the
-    * "clusters are small" assumption cannot be trusted here. Any cluster
-    * with more judged members than `spark.graft.eval.maxClusterSize`
-    * (default 100000) either fails loudly, naming the cluster, or — with
-    * `spark.graft.eval.expandLargeClusters=true` — has its expansion spread
-    * over triangle blocks (see [[expandPairs]]) so the evaluator still
-    * completes. The probe is one map-side-combinable count aggregate over
-    * the (already checkpointed) membership — negligible next to the
-    * expansion. Returns the components that need the blocked path (empty in
-    * the usual case).
+  /** Attach one endpoint's component: left join so a missing assignment
+    * shows as NULL (pair falls outside the model's leaf universe) rather
+    * than dropping the row before the other flags are read.
     */
-  private def guardClusterSizes(member: DataFrame, what: String): Seq[Any] = {
-    val conf = member.sparkSession.conf
-    val maxSize = conf.get("spark.graft.eval.maxClusterSize", "100000").toLong
-    val expand = conf.get("spark.graft.eval.expandLargeClusters", "false").toBoolean
-    val oversized = member.groupBy("component").agg(count(lit(1)).as("csize"))
-      .filter(col("csize") > maxSize)
-      .orderBy(col("csize").desc)
-      .collect()
-    if (oversized.nonEmpty && !expand) {
-      val r = oversized.head
-      val size = r.getLong(1)
-      throw new IllegalStateException(
-        s"$what cluster ${r.get(0)} has $size judged members; pair expansion would " +
-          s"emit ~${size * size / 2} pairs on one reducer. This usually means the " +
-          "model over-merged. Raise spark.graft.eval.maxClusterSize only if a " +
-          s"cluster of $size is genuinely expected, or set " +
-          "spark.graft.eval.expandLargeClusters=true to spread the expansion " +
-          "over triangle blocks.")
-    }
-    // read generically — components may carry string ids upstream of hashing
-    oversized.map(_.get(0)).toSeq
-  }
-
-  /** Within-cluster pair expansion. Clusters under the size cap use the
-    * plain self-equi-join on the cluster id (one shuffle, one reducer per
-    * cluster). Oversized clusters take the triangle block partition
-    * (the [[graft.operators.dedup.EmbedDedup.allPairs]] device): members
-    * replicate to the block-pairs of a B×B triangle and pairs come from an
-    * equi-join on (component, blockPair), so the |C|²/2 compute spreads
-    * over B(B+1)/2 reducers with O(|C|·B) shuffle instead of one reducer.
-    * Output for both paths: canonical (a < b) pairs, each exactly once.
-    */
-  private def expandPairs(member: DataFrame, oversized: Seq[Any]): DataFrame = {
-    val plain = {
-      val m = if (oversized.isEmpty) member
-        else member.filter(!col("component").isInCollection(oversized))
-      m.alias("x")
-        .join(m.alias("y"),
-          col("x.component") === col("y.component") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("a"), col("y.id").as("b"))
-    }
-    if (oversized.isEmpty) plain
-    else {
-      val spark = member.sparkSession
-      val numBlocks = spark.conf.get("spark.graft.eval.expansionBlocks", "16").toInt
-      require(numBlocks >= 1,
-        s"spark.graft.eval.expansionBlocks must be >= 1, got $numBlocks " +
-          "(a non-positive block count would silently drop every pair from " +
-          "oversized clusters)")
-      // hash the id before pmod: ids need not be numeric (pmod on a string id
-      // yields null → zero pairs, silently), and hashing also spreads skewed
-      // numeric id ranges evenly over blocks
-      val big = member.filter(col("component").isInCollection(oversized))
-        .withColumn("blk", pmod(xxhash64(col("id")), lit(numBlocks.toLong)).cast("int"))
-      val blockPairs = spark.range(numBlocks.toLong * numBlocks)
-        .select(
-          (col("id") / numBlocks).cast("int").as("bi"),
-          pmod(col("id"), lit(numBlocks)).cast("int").as("bj"))
-        .filter(col("bi") <= col("bj"))
-      val left = big.join(broadcast(blockPairs), col("blk") === col("bi"))
-        .select(col("component"), col("bi"), col("bj"), col("id").as("xa"))
-      val right = big.join(broadcast(blockPairs), col("blk") === col("bj"))
-        .select(col("component").as("rc"), col("bi").as("rbi"),
-          col("bj").as("rbj"), col("id").as("xb"))
-      // cross-block pairs materialise in exactly one orientation; same-block
-      // pairs need the id-order filter (the allPairs invariant)
-      val blocked = left.join(right,
-          col("component") === col("rc") &&
-            col("bi") === col("rbi") && col("bj") === col("rbj") &&
-            (col("bi") < col("rbj") || col("xa") < col("xb")))
-        .select(least(col("xa"), col("xb")).as("a"), greatest(col("xa"), col("xb")).as("b"))
-      plain.unionByName(blocked)
-    }
-  }
+  private def withComponent(
+      net: DataFrame, assignments: DataFrame, end: String, as: String): DataFrame =
+    net.join(
+      assignments.select(col("id").as(end), col("component").as(as)),
+      Seq(end), "left")
 
   private def multiFromNet(
       models: Seq[DataFrame], rawNet: DataFrame,
       rawJudgementLeaves: DataFrame): DataFrame = {
     require(models.nonEmpty, "at least one model required")
-    val net = rawNet.filter(col("net") =!= 0.0).localCheckpoint(false)
-    val judgementLeaves = rawJudgementLeaves
-    val leafSets = models.map(_.select(col("id")).distinct()) :+ judgementLeaves
-    val shared = leafSets.reduce(_ union _)
-      .groupBy("id").count()
-      .filter(col("count") === leafSets.size)
-      .select("id")
-      .localCheckpoint(false)
+    var annotated = rawNet.filter(col("net") =!= 0.0)
+    models.zipWithIndex.foreach { case (m, i) =>
+      annotated = withComponent(
+        withComponent(annotated, m, "a", s"ca_$i"), m, "b", s"cb_$i")
+    }
+    annotated = annotated
+      .join(rawJudgementLeaves.select(col("id").as("a"), lit(1).as("ja")), Seq("a"), "left")
+      .join(rawJudgementLeaves.select(col("id").as("b"), lit(1).as("jb")), Seq("b"), "left")
 
-    val validation = net.filter(col("net") > 0)
-      .join(shared.withColumnRenamed("id", "a"), "a")
-      .join(shared.withColumnRenamed("id", "b"), "b")
-      .select(col("a"), col("b"), lit(1L).as("v"))
+    // shared-leaf universe: both endpoints assigned by EVERY model and
+    // present among the judgement leaves (reference: intersection of all
+    // leaf sets)
+    val inUniverse: Column =
+      models.indices.map(i => col(s"ca_$i").isNotNull && col(s"cb_$i").isNotNull)
+        .reduce(_ && _) && col("ja").isNotNull && col("jb").isNotNull
+    val isValidation: Column = inUniverse && col("net") > 0
 
-    val perModel = models.zipWithIndex.map { case (assignments, i) =>
-      val member = assignments.join(shared, "id").localCheckpoint(false)
-      val oversized = guardClusterSizes(member, s"model $i")
-      val modelPairs = expandPairs(member, oversized)
-        .join(net, Seq("a", "b")) // drop un-judged and neutrally-judged pairs
-        .select(col("a"), col("b"), lit(1L).as("m"))
-      modelPairs.join(validation, Seq("a", "b"), "full_outer")
-        .agg(
-          coalesce(sum(col("m") * col("v")), lit(0L)).as("tp"),
-          coalesce(sum("m"), lit(0L)).as("n_model"),
-          coalesce(sum("v"), lit(0L)).as("n_validation"))
-        .select(
-          lit(i.toLong).as("model"),
-          col("tp"), col("n_model"), col("n_validation"),
-          (col("tp").cast("double") / col("n_model")).as("precision"),
-          (col("tp").cast("double") / col("n_validation")).as("recall"))
+    def cnt(c: Column): Column = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+
+    val aggs = cnt(isValidation).as("n_validation") +:
+      models.indices.flatMap { i =>
+        val isModel = inUniverse && col(s"ca_$i") === col(s"cb_$i")
+        Seq(cnt(isModel).as(s"n_model_$i"), cnt(isModel && col("net") > 0).as(s"tp_$i"))
+      }
+    // one physical pass: the per-model projections below each read this
+    // single-row aggregate, so materialise it once instead of re-running
+    // the net joins N times
+    val one = annotated.agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
+
+    val perModel = models.indices.map { i =>
+      one.select(
+        lit(i.toLong).as("model"),
+        col(s"tp_$i").as("tp"), col(s"n_model_$i").as("n_model"), col("n_validation"),
+        ratio(col(s"tp_$i"), col(s"n_model_$i")).as("precision"),
+        ratio(col(s"tp_$i"), col("n_validation")).as("recall"))
     }
     perModel.reduce(_ unionByName _).orderBy("model")
   }
 
   private def fromNet(assignments: DataFrame, rawNet: DataFrame): DataFrame = {
-    // materialised once: the model side and the validation side of the
-    // final full-outer join both read the netted pairs
-    val net = rawNet.filter(col("net") =!= 0.0).localCheckpoint(false)
+    // single-model universe (reference single-model path): model pairs
+    // need both endpoints judged (automatic — they come from the net) and
+    // co-clustered; validation pairs (net > 0) must lie within the
+    // model's leaf universe, i.e. both endpoints carry an assignment
+    val annotated = withComponent(
+      withComponent(rawNet.filter(col("net") =!= 0.0), assignments, "a", "ca"),
+      assignments, "b", "cb")
 
-    val judgedLeaves = net.select(col("a").as("id"))
-      .union(net.select(col("b").as("id"))).distinct()
+    val inUniverse = col("ca").isNotNull && col("cb").isNotNull
+    val isModel = inUniverse && col("ca") === col("cb")
+    def cnt(c: Column): Column = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
 
-    val member = assignments.join(judgedLeaves, "id").localCheckpoint(false)
-    val oversized = guardClusterSizes(member, "model")
-    val modelPairs = expandPairs(member, oversized)
-      .join(net, Seq("a", "b")) // drop un-judged and neutrally-judged pairs
-
-    // Shared-leaves rule: validation pairs must lie within the model's leaf
-    // universe too (reference eval.py computes the intersection of leaf sets).
-    val modelLeaves = assignments.select(col("id")).distinct()
-    val validation = net.filter(col("net") > 0)
-      .join(modelLeaves.withColumnRenamed("id", "a"), "a")
-      .join(modelLeaves.withColumnRenamed("id", "b"), "b")
-      .select("a", "b")
-
-    // Single-pass counts: full-outer join model and validation pairs once,
-    // then one aggregation yields all three counts (avoids three separate
-    // count jobs chained by cross joins).
-    val m = modelPairs.select(col("a"), col("b"), lit(1L).as("m"))
-    val v = validation.select(col("a"), col("b"), lit(1L).as("v"))
-    val counts = m.join(v, Seq("a", "b"), "full_outer")
+    annotated
       .agg(
-        coalesce(sum(col("m") * col("v")), lit(0L)).as("tp"),
-        coalesce(sum("m"), lit(0L)).as("n_model"),
-        coalesce(sum("v"), lit(0L)).as("n_validation"))
-
-    counts.select(
-      col("tp"), col("n_model"), col("n_validation"),
-      (col("tp").cast("double") / col("n_model")).as("precision"),
-      (col("tp").cast("double") / col("n_validation")).as("recall"))
+        cnt(isModel && col("net") > 0).as("tp"),
+        cnt(isModel).as("n_model"),
+        cnt(inUniverse && col("net") > 0).as("n_validation"))
+      .select(
+        col("tp"), col("n_model"), col("n_validation"),
+        ratio(col("tp"), col("n_model")).as("precision"),
+        ratio(col("tp"), col("n_validation")).as("recall"))
   }
+
+  /** Exact-integer ratio as double; an empty denominator (nothing judged
+    * within the universe) scores NaN instead of tripping the ANSI
+    * divide-by-zero error — deterministic either way.
+    */
+  private def ratio(num: Column, den: Column): Column =
+    when(den === 0L, lit(Double.NaN))
+      .otherwise(num.cast("double") / den.cast("double"))
 }

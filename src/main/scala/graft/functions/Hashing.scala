@@ -86,4 +86,111 @@ object Hashing {
 
   def clusterHashSql(leafHashExpr: String): String =
     s"sha256(string_agg($leafHashExpr, '|' ORDER BY $leafHashExpr))"
+
+  // ---- wire format (reference common/hash.py:27-37, 220-232) ----------
+
+  /** URL-safe base64 of hash bytes — the wire form a matchbox client sees
+    * (reference `hash_to_base64`: `base64.urlsafe_b64encode`, '+'→'-',
+    * '/'→'_', padding kept). Byte-for-byte identical to the reference.
+    */
+  def hashToBase64(hashBytes: Column): Column =
+    translate(base64(hashBytes), "+/", "-_")
+
+  /** Inverse of [[hashToBase64]] (reference `base64_to_hash`; its
+    * bytes-pass-through branch is the Column type system here — a binary
+    * column never round-trips through this decoder).
+    */
+  def base64ToHash(value: Column): Column =
+    unbase64(translate(value, "-_", "+/"))
+
+  def hashToBase64Sql(binExpr: String): String =
+    s"replace(replace(to_base64($binExpr), '+', '-'), '/', '_')"
+
+  def base64ToHashSql(strExpr: String): String =
+    s"from_base64(replace(replace($strExpr, '-', '+'), '_', '/'))"
+
+  /** Whole-table content digest with the reference's full canonicalisation
+    * (common/hash.py:160-218 `hash_arrow_table`): optional
+    * `as_sorted_list` columns collapse to one sorted-list column (so
+    * (1,2) and (2,1) hash alike), columns are taken in sorted-name order,
+    * list columns explode one row per element (empty/null list → one null
+    * row, polars `empty_as_null`), each row hashes over `name␟value␞`
+    * fields, and the row digests are sorted and digested again — row
+    * order, field order and partitioning all cancel out. An empty table
+    * is the literal marker `empty_table_hash`, as in the reference.
+    *
+    * Two final-digest modes:
+    *  - `referenceExact = true`: concatenate the sorted row-digest BYTES
+    *    and sha256 those — byte-for-byte the reference's
+    *    `HashMethod.SHA256` path (pinned against hashlib-derived vectors
+    *    in FunctionsSpec);
+    *  - `referenceExact = false` (default): sha256 over the sorted
+    *    row-digest HEX string — same invariances, but computable by the
+    *    DuckDB oracle, whose `sha256` only accepts VARCHAR.
+    *
+    * Like [[clusterHash]], the sorted-aggregate form is the semantic
+    * contract; at 100 TB the digest list would tree-combine per
+    * partition.
+    *
+    * @return one row: (table_hash, n_rows)
+    */
+  def arrowTableHash(
+      df: DataFrame, asSortedList: Seq[String] = Nil,
+      referenceExact: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.ArrayType
+    val base =
+      if (asSortedList.isEmpty) df
+      else {
+        require(asSortedList.size >= 2,
+          "as_sorted_list needs at least 2 column names (reference contract)")
+        val missing = asSortedList.filterNot(df.columns.contains)
+        require(missing.isEmpty, s"columns not found: ${missing.mkString(", ")}")
+        df.withColumn("sorted_list", sort_array(array(asSortedList.map(col): _*)))
+          .drop(asSortedList: _*)
+      }
+    val cols = base.columns.sorted.toSeq
+    var flat = base.select(cols.map(col): _*)
+    cols.foreach { c =>
+      if (flat.schema(c).dataType.isInstanceOf[ArrayType])
+        flat = flat.select(cols.map(cn =>
+          if (cn == c) explode_outer(col(cn)).as(cn) else col(cn)): _*)
+    }
+    val parts = cols.flatMap(n => Seq(lit(n), lit(UnitSep), canonical(flat, n), lit(RecordSep)))
+    val hexChain = concat_ws("", sort_array(collect_list(col("h"))))
+    flat.select(sha2(concat(parts: _*), 256).as("h"))
+      .agg(
+        when(count(lit(1)) === 0, lit("empty_table_hash"))
+          .otherwise(sha2(if (referenceExact) unhex(hexChain) else hexChain, 256))
+          .as("table_hash"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Fingerprint model results (reference `hash_model_results`):
+    * [[arrowTableHash]] with left_id/right_id collapsed to a sorted pair,
+    * so edge orientation cannot change the digest.
+    */
+  def modelResultsHash(results: DataFrame, referenceExact: Boolean = false): DataFrame =
+    arrowTableHash(results, Seq("left_id", "right_id"), referenceExact)
+
+  /** Fingerprint resolver cluster assignments by membership semantics
+    * (reference `hash_clusters`): invariant to row order, parent_id
+    * relabeling, and child order within a cluster. Canonical form: per
+    * parent, the sorted distinct child set; clusters ranked by that list
+    * (1-based `cluster_ordinal`); exploded back to rows and digested by
+    * [[arrowTableHash]].
+    */
+  def clustersHash(assignments: DataFrame, referenceExact: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canonical = assignments.select(col("parent_id"), col("child_id"))
+      .groupBy("parent_id")
+      .agg(sort_array(array_distinct(collect_list(col("child_id")))).as("child_ids"))
+      // rank assignment is a window over one row PER CLUSTER (not per
+      // record); single-partition by necessity, like the reference's
+      // global sort + row index
+      .select(col("child_ids"),
+        row_number().over(Window.orderBy(col("child_ids"))).cast("long")
+          .as("cluster_ordinal"))
+      .select(col("cluster_ordinal"), explode_outer(col("child_ids")).as("child_id"))
+    arrowTableHash(canonical, Nil, referenceExact)
+  }
 }

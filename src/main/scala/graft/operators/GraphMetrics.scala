@@ -145,6 +145,38 @@ object GraphMetrics {
       .select("n_nodes", "n_edges", "n_triangles", "n_wedges")
   }
 
+  /** DOULION edge-sampled triangle estimate (Tsourakakis, Kang &
+    * Faloutsos, KDD 2009): keep each edge with probability p = 1/invP,
+    * count triangles EXACTLY on the sparsified graph with the same
+    * compact-forward kernel ([[triangleStats]]), and scale the count by
+    * invP³ — an unbiased estimator whose work shrinks ~p² in the wedge
+    * term, which is what makes a quadratic-density graph measurable at
+    * 100× (the r12 verdict's sampled-triangle ask; the exactness gate is
+    * the DuckDB oracle recomputing the SAMPLED subgraph's count).
+    *
+    * Sampling is a deterministic integer congruence on the edge's key
+    * pair — portable to any engine (Spark's xxhash64 has no DuckDB twin),
+    * reproducible across runs, and independent of partitioning. It is a
+    * fixed hash, not an i.i.d. coin: fine for a measurement harness,
+    * documented here because DOULION's variance analysis assumes
+    * independence.
+    *
+    * @return one row: (sampled_nodes, sampled_edges, sampled_triangles,
+    *         est_triangles = sampled · invP³, sampled_wedges, inv_p)
+    */
+  def triangleEstimateDoulion(edges: DataFrame, invP: Int): DataFrame = {
+    require(invP >= 2, s"invP must be >= 2, got $invP (1 = just triangleStats)")
+    val sampled = edges.filter(
+      pmod(col("a") * 1000003L + col("b") * 7919L, lit(invP.toLong)) === 0L)
+    triangleStats(sampled).select(
+      col("n_nodes").as("sampled_nodes"),
+      col("n_edges").as("sampled_edges"),
+      col("n_triangles").as("sampled_triangles"),
+      (col("n_triangles") * lit(invP.toLong * invP * invP)).as("est_triangles"),
+      col("n_wedges").as("sampled_wedges"),
+      lit(invP.toLong).as("inv_p"))
+  }
+
   /** Integer-exact PageRank over an undirected canonical edge list —
     * ranks in fixed-point `1/scale` units with ALL arithmetic in BIGINT,
     * so the result is bit-identical across engines and partitionings

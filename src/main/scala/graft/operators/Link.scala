@@ -1023,4 +1023,76 @@ object Link {
       .select("left_id", "right_id", "score")
     (scored, comparisons.indices.map(i => (m(i), u(i))))
   }
+
+  /** One blocking-rule-scoped EM training session plus its composition
+    * across rules — splink's `estimate_parameters_using_expectation_
+    * maximisation` workflow (reference splinklinker.py:80-140
+    * `linker_training_functions`; splink trains per blocking rule).
+    *
+    * Splink's full recipe, which [[emPerRuleTraining]] composes:
+    *   1. λ from deterministic rules of declared recall
+    *      ([[estimateLambda]] — `estimate_probability_two_random_records_match`);
+    *   2. u from unblocked random pair sampling ([[estimateU]] —
+    *      `estimate_u_using_random_sampling`), held FIXED through EM
+    *      (blocked pairs over-represent agreement, so the sampled u is the
+    *      unbiased one — splink pins it the same way);
+    *   3. one EM session per blocking rule: a comparison whose agreement
+    *      the rule forces carries no signal within that session's
+    *      candidates — splink drops it from the session's model, and so
+    *      does this twin (`fixed` indices). The session trains m for the
+    *      FREE comparisons only, with λ as the fixed prior;
+    *   4. composition: a comparison trained in several sessions takes the
+    *      arithmetic MEAN of its per-session m estimates, accumulated in
+    *      declared session order (deterministic — splink combines repeated
+    *      estimates the same way). Every comparison must be free in at
+    *      least one session, or training is refused loudly.
+    *
+    * Scale shape: each session is one blocked equi-join reduced to its
+    * ≤2^k-row pattern contingency table (the only thing that reaches the
+    * driver), then a driver-side EM fit over that table — the identical
+    * cost envelope as [[fellegiSunterEm]], once per rule.
+    *
+    * @param sessions (blockingRule, fixedComparisonIndices) in training order
+    * @return (composed m per comparison,
+    *         per-session m estimates — None where the comparison was fixed)
+    */
+  def emPerRuleTraining(
+      left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      sessions: Seq[(String, Set[Int])],
+      comparisons: Seq[String],
+      uFixed: Seq[Double],
+      lambda: Double,
+      iterations: Int = 20): (Seq[Double], Seq[Seq[Option[Double]]]) = {
+    require(sessions.nonEmpty, "at least one training session required")
+    require(uFixed.size == comparisons.size,
+      s"uFixed has ${uFixed.size} entries for ${comparisons.size} comparisons")
+    comparisons.foreach(validateComparison)
+    sessions.foreach { case (rule, fixed) =>
+      validateComparison(rule)
+      fixed.foreach(i => require(i >= 0 && i < comparisons.size,
+        s"fixed comparison index $i out of range for ${comparisons.size} comparisons"))
+    }
+    val untrained = comparisons.indices.filter(i => sessions.forall(_._2.contains(i)))
+    require(untrained.isEmpty,
+      s"comparisons ${untrained.mkString(", ")} are fixed by every blocking rule — " +
+        "no session can estimate their m; add a session whose rule leaves them free " +
+        "(splink raises the equivalent 'not trained' warning)")
+
+    val perSession: Seq[Seq[Option[Double]]] = sessions.map { case (rule, fixed) =>
+      val free = comparisons.indices.filterNot(fixed.contains)
+      val cand = emCandidates(left, right, leftId, rightId, rule,
+        free.map(comparisons))
+      val (_, params) = fellegiSunterEmOnCandidates(
+        cand, free.size, iterations, lambdaInit = lambda,
+        threshold = 0.0, uInit = Some(free.map(uFixed)), trainU = false)
+      val mFree = free.zip(params.map(_._1)).toMap
+      comparisons.indices.map(i => mFree.get(i))
+    }
+    val composed = comparisons.indices.map { i =>
+      val ests = perSession.flatMap(_(i))
+      ests.sum / ests.size
+    }
+    (composed, perSession)
+  }
 }

@@ -47,6 +47,83 @@ object Matchbox {
     s"""SELECT ${Hashing.clusterHashSql("h")} AS table_hash, count(*) AS n_rows
        |FROM (SELECT ${Hashing.rowHashSql(indexCols)} AS h FROM customer) t""".stripMargin
 
+  /** The hash WIRE format a matchbox client sees (reference
+    * common/hash.py:27-37 `hash_to_base64`/`base64_to_hash` and
+    * :220-232 `hash_model_results`/`hash_clusters`): model-result and
+    * cluster fingerprints via the full `hash_arrow_table`
+    * canonicalisation (sorted-pair collapse, sorted column names, list
+    * explode, sorted row digests), plus the url-safe base64 codec, all
+    * replayed bit-for-bit by the DuckDB oracle. Model pairs arrive in
+    * BOTH orientations (flip on odd keys) — the sorted-list collapse must
+    * erase the difference. The byte-exact `referenceExact` digest path is
+    * pinned against hashlib-derived vectors in FunctionsSpec (DuckDB's
+    * sha256 cannot take BLOBs, so the oracle pins the hex-chain mode).
+    */
+  private def hashWire(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val supp = Tables(s, dir, "supplier")
+    val joined = cust.join(supp, col("c_custkey") === col("s_suppkey"))
+      .select((col("c_custkey") * 2).cast("long").as("ca"),
+        (col("s_suppkey") * 2 + 1).cast("long").as("sb"))
+    // orientation flips on odd keys: hash_model_results must not care
+    val results = joined.select(
+      when(col("ca") % 4 === 2, col("sb")).otherwise(col("ca")).as("left_id"),
+      when(col("ca") % 4 === 2, col("ca")).otherwise(col("sb")).as("right_id"))
+    val clusters = cust.select(
+      col("c_nationkey").cast("long").as("parent_id"),
+      col("c_custkey").cast("long").as("child_id"))
+    val rh = Hashing.modelResultsHash(results)
+      .select(col("table_hash").as("results_hash"), col("n_rows").as("n_rows_results"))
+    val ch = Hashing.clustersHash(clusters)
+      .select(col("table_hash").as("clusters_hash"), col("n_rows").as("n_rows_clusters"))
+    rh.crossJoin(ch) // two one-row frames
+      .select(
+        col("results_hash"),
+        Hashing.hashToBase64(unhex(col("results_hash"))).as("results_hash_b64"),
+        col("clusters_hash"),
+        col("n_rows_results"), col("n_rows_clusters"),
+        (lower(hex(Hashing.base64ToHash(
+          Hashing.hashToBase64(unhex(col("results_hash")))))) === col("results_hash"))
+          .as("roundtrip_ok"))
+  }
+
+  private val hashWireSql = {
+    val us = Hashing.UnitSep; val rs = Hashing.RecordSep
+    s"""WITH p AS (
+       |  SELECT CAST(2 * c_custkey AS BIGINT) AS a,
+       |    CAST(2 * s_suppkey + 1 AS BIGINT) AS b
+       |  FROM customer JOIN supplier ON c_custkey = s_suppkey),
+       |e AS (SELECT unnest([least(a, b), greatest(a, b)]) AS v FROM p),
+       |rh AS (SELECT sha256(concat('sorted_list', '$us',
+       |    coalesce(CAST(v AS VARCHAR), chr(0)), '$rs')) AS h FROM e),
+       |r1 AS (SELECT
+       |    CASE WHEN count(*) = 0 THEN 'empty_table_hash'
+       |      ELSE sha256(string_agg(h, '' ORDER BY h)) END AS results_hash,
+       |    count(*) AS n_rows_results
+       |  FROM rh),
+       |c0 AS (SELECT CAST(c_nationkey AS BIGINT) AS parent_id,
+       |    CAST(c_custkey AS BIGINT) AS child_id FROM customer),
+       |g AS (SELECT parent_id, list_sort(list_distinct(list(child_id))) AS child_ids
+       |  FROM c0 GROUP BY parent_id),
+       |o AS (SELECT child_ids,
+       |    row_number() OVER (ORDER BY child_ids) AS cluster_ordinal FROM g),
+       |ce AS (SELECT cluster_ordinal, unnest(child_ids) AS child_id FROM o),
+       |crh AS (SELECT sha256(concat(
+       |    'child_id', '$us', coalesce(CAST(child_id AS VARCHAR), chr(0)), '$rs',
+       |    'cluster_ordinal', '$us', CAST(cluster_ordinal AS VARCHAR), '$rs')) AS h
+       |  FROM ce),
+       |r2 AS (SELECT
+       |    CASE WHEN count(*) = 0 THEN 'empty_table_hash'
+       |      ELSE sha256(string_agg(h, '' ORDER BY h)) END AS clusters_hash,
+       |    count(*) AS n_rows_clusters
+       |  FROM crh)
+       |SELECT r1.results_hash,
+       |  ${Hashing.hashToBase64Sql("unhex(r1.results_hash)")} AS results_hash_b64,
+       |  r2.clusters_hash, r1.n_rows_results, r2.n_rows_clusters,
+       |  CAST(1 AS BOOLEAN) AS roundtrip_ok
+       |FROM r1, r2""".stripMargin
+  }
+
   // ---- combine types --------------------------------------------------
   private def custSrc(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "customer").select(
@@ -336,6 +413,64 @@ object Matchbox {
   }
 
   private val linkEmGateSql = "SELECT CAST(1 AS BOOLEAN) AS em_ok"
+
+  /** Blocking-rule-scoped EM training sessions (splink's
+    * `estimate_parameters_using_expectation_maximisation` per rule;
+    * reference splinklinker.py:80-140) as a driver gate, composing the
+    * FULL splink recipe deterministically: λ from deterministic rules
+    * (`estimate_probability_two_random_records_match`), u from unblocked
+    * random-pair sampling, then one m-training session per blocking rule
+    * with the rule-fixed comparison dropped from that session's model.
+    *
+    * Gate asserts (oracle pinned true):
+    *  - run-twice determinism of the whole composition — λ, u, every
+    *    per-session m, and the composed means bit-identical;
+    *  - per-rule m/u separation — the nationkey-blocked session trains
+    *    segment+acctbal but NOT nationkey, the segment-blocked session
+    *    trains nationkey+acctbal but NOT segment (None in the session
+    *    matrix), and the two sessions' acctbal estimates are both present
+    *    (composed as their mean);
+    *  - discriminative signal — composed m exceeds sampled u on at least
+    *    one comparison, all parameters inside (0,1).
+    */
+  private def linkEmRulesGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val left = evenCustomers(s, dir)
+    val right = oddCustomers(s, dir)
+    val comparisons = Seq(
+      "l.c_mktsegment = r.c_mktsegment",          // 0: fixed under rule B
+      "abs(l.c_acctbal - r.c_acctbal) < 100",     // 1: free in both sessions
+      "l.c_nationkey = r.c_nationkey")            // 2: fixed under rule A
+    val sessions = Seq(
+      ("l.c_nationkey = r.c_nationkey AND abs(l.c_custkey - r.c_custkey) <= 20",
+        Set(2)),
+      ("l.c_mktsegment = r.c_mktsegment AND abs(l.c_custkey - r.c_custkey) <= 20",
+        Set(0)))
+    def run() = {
+      val lambda = Link.estimateLambda(left, right, "c_custkey", "c_custkey",
+        Seq("r.c_custkey = l.c_custkey + 1"), recall = 0.8)
+      val u = Link.estimateU(left, right, "c_custkey", "c_custkey",
+        comparisons, maxPairs = 250000L)
+      val (m, perSession) = Link.emPerRuleTraining(
+        left, right, "c_custkey", "c_custkey", sessions, comparisons,
+        uFixed = u, lambda = lambda)
+      (lambda, u, m, perSession)
+    }
+    val (l1, u1, m1, s1) = run()
+    val (l2, u2, m2, s2) = run()
+    val separation =
+      s1(0)(2).isEmpty && s1(0)(0).isDefined && s1(0)(1).isDefined &&
+      s1(1)(0).isEmpty && s1(1)(2).isDefined && s1(1)(1).isDefined &&
+      // acctbal trained twice -> composed as the mean of both sessions
+      m1(1) == (s1(0)(1).get + s1(1)(1).get) / 2
+    val ok = l1 == l2 && u1 == u2 && m1 == m2 && s1 == s2 &&
+      separation &&
+      m1.zip(u1).exists { case (m, u) => m > u } &&
+      m1.forall(v => v > 0.0 && v < 1.0) && l1 > 0.0 && l1 < 1.0
+    Seq(ok).toDF("em_rules_ok")
+  }
+
+  private val linkEmRulesGateSql = "SELECT CAST(1 AS BOOLEAN) AS em_rules_ok"
 
   // ---- multi-level fuzzy comparisons ---------------------------------
   /** Seeded fuzzy-duplicate pair: each ODD customer carries a perturbed
@@ -1410,8 +1545,8 @@ object Matchbox {
 
   /** Judgement netting as an oracle-matched query (reference eval.py
     * `process_judgements`; distributed twin `Judgements.net`, spec-only
-    * until r7). Deterministic seeding: each nation's suppliers form a
-    * shown cluster; one judgement endorses its even-key members, a second
+    * until r7). Deterministic seeding: suppliers form bounded-size shown
+    * clusters; one judgement endorses its even-key members, a second
     * its odd-key members (together a valid partition). Net weights: pairs
     * inside an endorsed set get `1 + (n_shown − n_endorsed)/n_shown`,
     * cross pairs collect `−n_endorsed/n_shown` from both endorsements —
@@ -1419,33 +1554,45 @@ object Matchbox {
     * commutative), so the oracle's CASE arithmetic is bit-exact.
     */
   private def judgementsNet(s: SparkSession, dir: String): DataFrame = {
-    // cluster key is nation mod 5, not nation: at sf0.001 the ten
-    // suppliers all sit in distinct nations, and singleton clusters have
-    // no pairs to judge — coarser groups keep the query non-empty at
-    // every sf
+    // Cluster key: (suppkey DIV 40, nation mod 5) packed as one long. The
+    // mod-5 fold keeps the query non-empty at sf0.001 (ten suppliers, all
+    // in distinct nations, would otherwise be singletons with no pairs);
+    // the DIV-40 term BOUNDS shown-cluster size (≤ 40 · nation share) no
+    // matter the sf. That bound is the honest scale model for judgements:
+    // a person is SHOWN a cluster, so shown clusters are human-scale by
+    // contract (the operator itself refuses >maxClusterSize leaves) — a
+    // 100× corpus means 100× MORE judgement events, never 100×-bigger
+    // shown clusters, so netted pair output grows linearly with sf (the
+    // r12 sf10 run's quadratic pair blow-up was this seeding's artefact,
+    // not the operator's).
     val supp = Tables(s, dir, "supplier")
-      .select((col("s_nationkey") % 5).cast("long").as("nk"), col("s_suppkey").as("id"))
+      .select((expr("s_suppkey DIV 40") * 5 + col("s_nationkey") % 5)
+        .cast("long").as("nk"), col("s_suppkey").as("id"))
+    // root encoding: shown = nk·3, endorsed-even = nk·3+1, endorsed-odd =
+    // nk·3+2 — collision-free for unbounded nk (the old +1000/+2000
+    // offsets would alias once nk crossed 1000)
     val shown = supp.groupBy("nk")
       .agg(sort_array(collect_list("id")).as("leaves"))
-      .select(col("nk").as("root"), col("leaves"))
-    def endorsedSet(parity: Int, offset: Long) = supp
+      .select((col("nk") * 3).as("root"), col("leaves"))
+    def endorsedSet(parity: Int, tag: Long) = supp
       .filter(col("id") % 2 === parity)
       .groupBy("nk")
       .agg(sort_array(collect_list("id")).as("leaves"))
-      .select((col("nk") + offset).as("root"), col("leaves"))
+      .select((col("nk") * 3 + tag).as("root"), col("leaves"))
     val expansion = shown
-      .unionByName(endorsedSet(0, 1000L)).unionByName(endorsedSet(1, 2000L))
+      .unionByName(endorsedSet(0, 1L)).unionByName(endorsedSet(1, 2L))
     // derive judgement rows from the endorsed sets that actually exist —
-    // a nation whose suppliers are all one parity gets one endorsement
+    // a cluster whose suppliers are all one parity gets one endorsement
     // covering the whole shown cluster, not a phantom empty one
-    val judgements = expansion.filter(col("root") >= 1000L)
-      .select((col("root") % 1000L).as("shown"), col("root").as("endorsed"))
+    val judgements = expansion.filter(col("root") % 3 =!= 0)
+      .select((expr("root DIV 3") * 3).as("shown"), col("root").as("endorsed"))
     graft.eval.Judgements.net(judgements, expansion)
       .orderBy("a", "b")
   }
 
   private val judgementsNetSql =
-    """WITH s AS (SELECT CAST(s_nationkey % 5 AS BIGINT) AS nk, s_suppkey AS id FROM supplier),
+    """WITH s AS (SELECT CAST((s_suppkey // 40) * 5 + s_nationkey % 5 AS BIGINT) AS nk,
+      |    s_suppkey AS id FROM supplier),
       |c AS (SELECT nk, count(*) AS n,
       |    count(*) FILTER (id % 2 = 0) AS ne, count(*) FILTER (id % 2 = 1) AS no
       |  FROM s GROUP BY nk),
@@ -1538,26 +1685,61 @@ object Matchbox {
       |WHERE c_custkey < 50
       |ORDER BY key, matched_key""".stripMargin
 
-  /** Deterministic cluster sampling for human judgement (reference:
-    * client/eval/samples.py `get_samples` — serve clusters with their
-    * member records for annotation). Hash-free deterministic pick so the
-    * oracle matches: clusters whose representative id % 10 == 3.
+  /** Cluster sampling for human judgement (reference: client/eval/samples.py
+    * `get_samples` + server `sample_for_eval` — serve clusters with their
+    * member records for annotation), upgraded to the disagreement-weighted
+    * stratified contract (r12 verdict ask): clusters are banded by size and,
+    * within each band, the two clusters where the chain resolution and an
+    * alternative resolution (nation × custkey%3 — planted to split chains
+    * unevenly) disagree on the most pairs are served first, members
+    * attached. [[graft.eval.Samples.disagreementStratified]] does the
+    * ranking on pair-counting sufficient statistics — exact integers, so
+    * the oracle replays it bit-for-bit.
     */
   private def evalSample(s: SparkSession, dir: String): DataFrame = {
     val customer = Tables(s, dir, "customer")
-    Components.connected(chainEdges(customer))
-      .filter(col("component") % 10 === 3)
+    val resolution = Components.connected(chainEdges(customer))
+    val alternative = customer.select(
+      col("c_custkey").cast("long").as("id"),
+      (col("c_nationkey") * 10 + col("c_custkey") % 3).cast("long").as("alt"))
+    val sampled = graft.eval.Samples.disagreementStratified(
+      resolution, alternative, perBand = 2)
+    sampled
+      .join(resolution.withColumnRenamed("component", "cluster_id"), "cluster_id")
       .join(customer, col("id") === col("c_custkey"))
-      .select(col("component").as("cluster_id"), col("id"), col("c_name").as("name"))
-      .orderBy("cluster_id", "id")
+      .select(
+        col("band").cast("long").as("band"),
+        col("cluster_id"), col("id"), col("c_name").as("name"),
+        col("dis_ppm"))
+      .orderBy("band", "cluster_id", "id")
   }
 
   private val evalSampleSql =
-    s"""WITH comp AS (${Components.connectedSql(chainEdgesSql.stripMargin)})
-       |SELECT component AS cluster_id, id, c_name AS name
-       |FROM comp JOIN customer ON id = c_custkey
-       |WHERE component % 10 = 3
-       |ORDER BY cluster_id, id""".stripMargin
+    s"""WITH comp AS (${Components.connectedSql(chainEdgesSql.stripMargin)}),
+       |m AS (
+       |  SELECT comp.id, comp.component,
+       |    CAST(c_nationkey * 10 + c_custkey % 3 AS BIGINT) AS alt, c_name
+       |  FROM comp JOIN customer ON id = c_custkey),
+       |cells AS (SELECT component, alt, count(*) AS n_i FROM m GROUP BY 1, 2),
+       |cl AS (SELECT component AS cluster_id,
+       |    CAST(sum(n_i) AS BIGINT) AS csize,
+       |    CAST(sum(n_i * (n_i - 1) // 2) AS BIGINT) AS agree
+       |  FROM cells GROUP BY 1),
+       |st AS (SELECT cluster_id, csize,
+       |    csize * (csize - 1) // 2 - agree AS split_pairs,
+       |    csize * (csize - 1) // 2 AS total_pairs,
+       |    CAST(length(bin(csize)) - 1 AS BIGINT) AS band
+       |  FROM cl),
+       |rk AS (SELECT band, cluster_id,
+       |    CAST(split_pairs * 1000000 // greatest(total_pairs, 1) AS BIGINT) AS dis_ppm,
+       |    row_number() OVER (PARTITION BY band
+       |      ORDER BY split_pairs * 1000000 // greatest(total_pairs, 1) DESC,
+       |        cluster_id) AS rn
+       |  FROM st)
+       |SELECT band, cluster_id, m.id, c_name AS name, dis_ppm
+       |FROM rk JOIN m ON m.component = rk.cluster_id
+       |WHERE rn <= 2
+       |ORDER BY band, cluster_id, id""".stripMargin
 
   // ---- score normalisation -------------------------------------------
   private def normaliseScores(s: SparkSession, dir: String): DataFrame = {
@@ -2059,6 +2241,7 @@ object Matchbox {
     QueryDef("mb_source_index", sourceIndex, Some(sourceIndexSql)),
     QueryDef("mb_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("mb_table_hash", tableHash, Some(tableHashSql)),
+    QueryDef("mb_hash_wire", hashWire, Some(hashWireSql)),
     QueryDef("mb_query_concat", queryConcat, Some(queryConcatSql)),
     QueryDef("mb_query_explode", queryExplode, Some(queryExplodeSql)),
     QueryDef("mb_query_explode3", queryExplode3, Some(queryExplode3Sql)),
@@ -2071,6 +2254,7 @@ object Matchbox {
     QueryDef("mb_link_fellegi_sunter", linkFellegiSunter, Some(linkFellegiSunterSql)),
     QueryDef("mb_link_em", linkEm, None),
     QueryDef("mb_link_em_gate", linkEmGate, Some(linkEmGateSql)),
+    QueryDef("mb_link_em_rules_gate", linkEmRulesGate, Some(linkEmRulesGateSql)),
     QueryDef("mb_link_fuzzy", linkFuzzy, Some(linkFuzzySql)),
     QueryDef("mb_link_levenshtein", linkLevenshtein, Some(linkLevenshteinSql)),
     QueryDef("mb_link_damerau", linkDamerau, Some(linkDamerauSql)),

@@ -1994,6 +1994,36 @@ object Relational {
       |             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
       |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges""".stripMargin
 
+  /** DOULION edge-sampled triangle estimate over the same proximity graph
+    * (GraphMetrics.triangleEstimateDoulion, KDD 2009): 1-in-16 edges by a
+    * portable integer congruence, EXACT compact-forward count on the
+    * sample (the oracle recomputes it — that is the exactness gate),
+    * estimate = count·16³. This is the scale path for the quadratic graph
+    * member: wedge work shrinks ~p², making the 1.69G-edge sf10 replica
+    * measurable on one box where the exact count is cluster-scale.
+    */
+  private def qGraphTrianglesDoulion(s: SparkSession, dir: String): DataFrame =
+    GraphMetrics.triangleEstimateDoulion(graphEdges(s, dir), invP = 16)
+
+  private val qGraphTrianglesDoulionSql =
+    s"""WITH $graphEdgesCte,
+      |se AS (SELECT a, b FROM e WHERE (a * 1000003 + b * 7919) % 16 = 0),
+      |sdeg AS (
+      |  SELECT n, count(*) AS d
+      |  FROM (SELECT a AS n FROM se UNION ALL SELECT b AS n FROM se)
+      |  GROUP BY n)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM sdeg) AS sampled_nodes,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM se) AS sampled_edges,
+      |  (SELECT CAST(count(*) AS BIGINT)
+      |   FROM se e1 JOIN se e2 ON e2.a = e1.b
+      |              JOIN se e3 ON e3.a = e1.a AND e3.b = e2.b) AS sampled_triangles,
+      |  (SELECT CAST(count(*) * 4096 AS BIGINT)
+      |   FROM se e1 JOIN se e2 ON e2.a = e1.b
+      |              JOIN se e3 ON e3.a = e1.a AND e3.b = e2.b) AS est_triangles,
+      |  (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) FROM sdeg) AS sampled_wedges,
+      |  CAST(16 AS BIGINT) AS inv_p""".stripMargin
+
   /** Integer-exact PageRank over the proximity graph: 5 fixed-point
     * iterations (scale 1e8, α = 85/100) entirely in BIGINT — floors are
     * engine-identical, so the top-20 ranks compare bit-exact against the
@@ -2150,6 +2180,8 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_graph_triangles", qGraphTriangles, Some(qGraphTrianglesSql)),
+    QueryDef("q_graph_triangles_doulion", qGraphTrianglesDoulion,
+      Some(qGraphTrianglesDoulionSql)),
     QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),
     QueryDef("q_graph_pagerank", qGraphPagerank, Some(qGraphPagerankSql)),
     QueryDef("q_graph_ppr", qGraphPpr, Some(qGraphPprSql)),

@@ -67,62 +67,73 @@ class EvalSpec extends SparkSpec {
       && r2.getAs[Double]("recall") == 0.0)
   }
 
-  test("mega-cluster trips the pair-expansion guard; bounded clusters pass") {
-    // 40 judged leaves all merged into one cluster: with the cap at 10 the
-    // evaluator must refuse the quadratic expansion instead of attempting it
+  test("mega-cluster evaluates pair-free: cost tracks judged pairs, not cluster size") {
+    // 40 judged leaves all merged into one cluster: before r13 this tripped
+    // a quadratic-expansion guard (spark.graft.eval.maxClusterSize); the
+    // pair-free formulation never expands cluster pairs at all — the
+    // evaluator reads exactly the 39 judged chain pairs and completes with
+    // no conf knobs. Counts: all 39 pairs co-clustered and net-positive.
     val ids = (1L to 40L)
     val mega = ids.map(i => (i, 1L)).toDF("id", "component")
     val judged = ids.sliding(2).map(p => (p.head, p.last, 1)).toSeq
       .toDF("left_id", "right_id", "verdict")
-    spark.conf.set("spark.graft.eval.maxClusterSize", "10")
-    try {
-      val e = intercept[IllegalStateException] {
-        PrecisionRecall(mega, judged).head()
-      }
-      assert(e.getMessage.contains("40 judged members"))
-      assert(e.getMessage.contains("maxClusterSize"))
-      // opt-in triangle-block expansion: same cap, but the mega-cluster's
-      // pairs spread over block-pair reducers — results identical to naive
-      spark.conf.set("spark.graft.eval.expandLargeClusters", "true")
-      spark.conf.set("spark.graft.eval.expansionBlocks", "4")
-      val blocked = PrecisionRecall(mega, judged).head()
-      spark.conf.unset("spark.graft.eval.expandLargeClusters")
-      spark.conf.unset("spark.graft.eval.maxClusterSize")
-      val r = PrecisionRecall(mega, judged).head()
-      assert(r.getAs[Long]("n_validation") == 39L)
-      assert(blocked == r, s"blocked expansion diverged: $blocked vs $r")
-    } finally {
-      spark.conf.unset("spark.graft.eval.maxClusterSize")
-      spark.conf.unset("spark.graft.eval.expandLargeClusters")
-      spark.conf.unset("spark.graft.eval.expansionBlocks")
-    }
+    val r = PrecisionRecall(mega, judged).head()
+    assert(r.getAs[Long]("tp") == 39L)
+    assert(r.getAs[Long]("n_model") == 39L)
+    assert(r.getAs[Long]("n_validation") == 39L)
+    assert(r.getAs[Double]("precision") == 1.0 && r.getAs[Double]("recall") == 1.0)
+    // a model that withholds half the leaves: pairs with an unassigned
+    // endpoint leave the universe for BOTH sides (validation too)
+    val half = ids.filter(_ % 2 == 1).map(i => (i, 1L)).toDF("id", "component")
+    val rh = PrecisionRecall(half, judged).head()
+    assert(rh.getAs[Long]("n_validation") == 0L) // chain pairs straddle parities
+    assert(rh.getAs[Long]("n_model") == 0L)
   }
 
-  test("blocked expansion handles string ids and rejects non-positive block counts") {
-    // pre-fix, pmod(string_id, B) was null → the blocked path silently
-    // emitted zero pairs for any non-numeric id; now ids are hashed first
+  test("pair-free evaluation handles string ids and rejected pairs") {
+    // ids need not be numeric anywhere in the evaluator (the pre-r13
+    // blocked expansion once pmod'ed raw ids); rejected pairs count
+    // toward nothing, endorsed cross-cluster pairs hit recall only
     val ids = (1 to 25).map(i => s"doc-$i")
     val mega = ids.map(i => (i, "c1")).toDF("id", "component")
     val judged = ids.sliding(2).map(p => (p.head, p.last, 1)).toSeq
       .toDF("left_id", "right_id", "verdict")
-    try {
-      val plain = PrecisionRecall(mega, judged).head()
-      spark.conf.set("spark.graft.eval.maxClusterSize", "10")
-      spark.conf.set("spark.graft.eval.expandLargeClusters", "true")
-      spark.conf.set("spark.graft.eval.expansionBlocks", "4")
-      val blocked = PrecisionRecall(mega, judged).head()
-      assert(blocked.getAs[Long]("n_validation") == 24L)
-      assert(blocked == plain, s"string-id blocked expansion diverged: $blocked vs $plain")
-      spark.conf.set("spark.graft.eval.expansionBlocks", "0")
-      val e = intercept[IllegalArgumentException] {
-        PrecisionRecall(mega, judged).head()
-      }
-      assert(e.getMessage.contains("expansionBlocks"))
-    } finally {
-      spark.conf.unset("spark.graft.eval.maxClusterSize")
-      spark.conf.unset("spark.graft.eval.expandLargeClusters")
-      spark.conf.unset("spark.graft.eval.expansionBlocks")
-    }
+    val plain = PrecisionRecall(mega, judged).head()
+    assert(plain.getAs[Long]("n_validation") == 24L)
+    assert(plain.getAs[Long]("tp") == 24L)
+    // split model: doc-1..doc-9 and doc-10.. live apart (string order!),
+    // so some judged pairs cross components → tp < n_validation
+    val split = ids.map(i => (i, if (i.length == 5) "s" else "l")).toDF("id", "component")
+    val rs = PrecisionRecall(split, judged).head()
+    assert(rs.getAs[Long]("n_validation") == 24L)
+    assert(rs.getAs[Long]("tp") < 24L && rs.getAs[Long]("tp") > 0L)
+    assert(rs.getAs[Long]("n_model") == rs.getAs[Long]("tp")) // all judged pairs positive
+  }
+
+  test("disagreement-stratified sampling ranks planted disagreement first within bands") {
+    import graft.eval.Samples
+    // resolution: A={1..6}, D={10..15} (both band 2), B={7,8} (band 1),
+    // C={9} (band 0). alternative splits A as {1,2,3},{4,5},{6} -> 11 of
+    // A's 15 pairs split (dis_ppm = 733333); keeps D and B intact (0).
+    val resolution = (
+      (1L to 6L).map(_ -> 100L) ++ (10L to 15L).map(_ -> 400L) ++
+        Seq(7L -> 200L, 8L -> 200L, 9L -> 300L)).toDF("id", "component")
+    val alternative = (
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 3L,
+        7L -> 5L, 8L -> 5L, 9L -> 6L) ++ (10L to 15L).map(_ -> 7L))
+      .toDF("id", "alt")
+    val one = Samples.disagreementStratified(resolution, alternative, perBand = 1)
+      .collect().map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("split_pairs"),
+          r.getAs[Long]("dis_ppm")))).toMap
+    assert(one(2L) == ((100L, 11L, 733333L)), s"band 2 pick: ${one(2L)}")
+    assert(one(1L) == ((200L, 0L, 0L)))
+    assert(one(0L) == ((300L, 0L, 0L)))
+    // perBand=2 admits the agreeing band-2 cluster D behind A
+    val two = Samples.disagreementStratified(resolution, alternative, perBand = 2)
+      .filter(col("band") === 2L).orderBy(col("dis_ppm").desc)
+      .collect().map(_.getAs[Long]("cluster_id")).toSeq
+    assert(two == Seq(100L, 400L), s"band 2 order: $two")
   }
 
   test("judgement validation flags duplicates and shown/endorsed inconsistency") {

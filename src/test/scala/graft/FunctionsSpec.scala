@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, Sketches}
+import graft.functions.{CosineSimilarity, Hashing, Sketches}
 import graft.sources.Warehouse
 import org.apache.spark.sql.functions._
 
@@ -205,6 +205,50 @@ class FunctionsSpec extends SparkSpec {
       .filter(docs("doc_id") + 1000000 === mut("doc_id"))
       .select(docs("doc_id")).distinct().count()
     assert(shared == 60L, s"only $shared/60 planted copies share a fingerprint")
+  }
+
+  test("hash wire format matches the reference byte-for-byte") {
+    import spark.implicits._
+    // Vectors generated by replaying reference common/hash.py with
+    // hashlib/base64 directly (the HashMethod.SHA256 path): row string
+    // name␟value␞ per sorted column, sha256 per row, digest BYTES sorted
+    // and concatenated, sha256 again; urlsafe base64 with padding.
+    // hash_to_base64 / base64_to_hash (hash.py:27-37)
+    val digest = Seq(1).toDF("x").select(
+      Hashing.hashToBase64(unhex(lit("adf4a84426c4bf916745766e713396ba2ea0b36e571264dc0e547dab9b74ce0a"))).as("b64"))
+      .head().getString(0)
+    assert(digest == "rfSoRCbEv5FnRXZucTOWui6gs25XEmTcDlR9q5t0zgo=")
+    val back = Seq(1).toDF("x").select(
+      lower(hex(Hashing.base64ToHash(lit("rfSoRCbEv5FnRXZucTOWui6gs25XEmTcDlR9q5t0zgo=")))).as("h"))
+      .head().getString(0)
+    assert(back == "adf4a84426c4bf916745766e713396ba2ea0b36e571264dc0e547dab9b74ce0a")
+    // hash_model_results (hash.py:220-223): sorted-pair collapse erases
+    // orientation; both digest modes pinned
+    val results = Seq((4L, 1L), (2L, 3L)).toDF("left_id", "right_id")
+    val exact = Hashing.modelResultsHash(results, referenceExact = true).head()
+    assert(exact.getString(0) ==
+      "0c40a8e39b0cc26242f4546d26a74621b3f3f6d26a8079c1853aea635a9f6c69")
+    assert(exact.getLong(1) == 4L)
+    val portable = Hashing.modelResultsHash(results).head().getString(0)
+    assert(portable ==
+      "85be52662fa1cb5de9793df8700d9f3ae8b2fedd7d0b5b886fc00db710b9373c")
+    val flipped = Hashing.modelResultsHash(
+      Seq((1L, 4L), (3L, 2L)).toDF("left_id", "right_id"), referenceExact = true)
+      .head().getString(0)
+    assert(flipped == exact.getString(0), "orientation must not change the digest")
+    // hash_clusters (hash.py:225-232): invariant to row order, parent
+    // relabeling, duplicate membership rows
+    val clusters = Seq((10L, 5L), (10L, 2L), (10L, 5L), (20L, 7L))
+      .toDF("parent_id", "child_id")
+    val ch = Hashing.clustersHash(clusters, referenceExact = true).head().getString(0)
+    assert(ch == "7eedeeaac5bd873b7a018d1a2385350400a28b2797bed22be001142c3ebe3b66")
+    val relabeled = Hashing.clustersHash(
+      Seq((99L, 7L), (1L, 2L), (1L, 5L)).toDF("parent_id", "child_id"),
+      referenceExact = true).head().getString(0)
+    assert(relabeled == ch, "parent relabeling must not change the digest")
+    // empty table marker (hash.py:178)
+    val empty = Hashing.arrowTableHash(results.filter(lit(false))).head()
+    assert(empty.getString(0) == "empty_table_hash" && empty.getLong(1) == 0L)
   }
 
   test("all native functions register for SQL use") {

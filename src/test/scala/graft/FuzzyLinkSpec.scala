@@ -153,6 +153,44 @@ class FuzzyLinkSpec extends SparkSpec {
     assert(m(2) / u(2) > m(0) / u(0))
   }
 
+  test("emPerRuleTraining: per-rule sessions skip rule-fixed comparisons, compose by mean") {
+    // planted duplicates: same name AND same seg on i%3==0; blocks by blk
+    val left = (0L until 30L).map(i => (i, s"name$i", s"s${i % 5}", i / 6))
+      .toDF("id", "name", "seg", "blk")
+    val right = (0L until 30L).map { i =>
+      val nm = if (i % 3 == 0) s"name$i" else s"other$i"
+      val sg = if (i % 3 == 0) s"s${i % 5}" else "sX"
+      (i + 100L, nm, sg, i / 6)
+    }.toDF("id", "name", "seg", "blk")
+    val comparisons = Seq("l.name = r.name", "l.seg = r.seg")
+    val sessions = Seq(
+      ("l.name = r.name AND l.blk = r.blk", Set(0)),  // fixes name
+      ("l.seg = r.seg AND l.blk = r.blk", Set(1)))    // fixes seg
+    def run() = Link.emPerRuleTraining(left, right, "id", "id",
+      sessions, comparisons, uFixed = Seq(0.05, 0.2), lambda = 0.2)
+    val (m1, s1) = run()
+    val (m2, s2) = run()
+    assert(m1 == m2 && s1 == s2, "per-rule training must be deterministic")
+    // separation: the name-blocked session trains seg only; vice versa
+    assert(s1(0)(0).isEmpty && s1(0)(1).isDefined)
+    assert(s1(1)(1).isEmpty && s1(1)(0).isDefined)
+    // single-estimate comparisons compose as that estimate
+    assert(m1(0) == s1(1)(0).get && m1(1) == s1(0)(1).get)
+    assert(m1.forall(v => v > 0.0 && v < 1.0))
+    // a comparison fixed by EVERY rule cannot be trained — refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Link.emPerRuleTraining(left, right, "id", "id",
+        Seq(("l.name = r.name", Set(0, 1))), comparisons,
+        uFixed = Seq(0.05, 0.2), lambda = 0.2)
+    }
+    assert(e.getMessage.contains("fixed by every blocking rule"))
+    // a comparison free in BOTH sessions composes as the mean
+    val threeComp = comparisons :+ "l.blk = r.blk"
+    val (m3, s3) = Link.emPerRuleTraining(left, right, "id", "id",
+      sessions, threeComp, uFixed = Seq(0.05, 0.2, 0.3), lambda = 0.2)
+    assert(m3(2) == (s3(0)(2).get + s3(1)(2).get) / 2)
+  }
+
   test("fellegiSunterLevelsMulti: candidates are the dedup'd union of all blocking rules") {
     val left = Seq((1L, "anna", 10, "A"), (2L, "bob", 20, "B")).toDF("id", "name", "blk", "seg")
     val right = Seq(

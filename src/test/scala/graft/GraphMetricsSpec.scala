@@ -27,6 +27,30 @@ class GraphMetricsSpec extends SparkSpec {
     }
   }
 
+  test("DOULION estimate: exact on the sampled subgraph, scaled by invP cubed") {
+    for ((seed, n, m, invP) <- Seq((21, 30, 200, 2), (22, 60, 500, 4))) {
+      val e = GraphMetrics.canonicalEdges(randomEdges(seed, n, m), "left_id", "right_id")
+        .localCheckpoint(false)
+      val est = GraphMetrics.triangleEstimateDoulion(e, invP).head()
+      // the operator's sampled count must equal the naive count over the
+      // SAME congruence-sampled edges (the exactness gate), and the
+      // estimate must be exactly that count times invP^3
+      val sampled = e.filter(
+        pmod(col("a") * 1000003L + col("b") * 7919L, lit(invP.toLong)) === 0L)
+      val naive = GraphMetrics.triangleStatsNaive(sampled).head()
+      assert(est.getAs[Long]("sampled_edges") == naive.getAs[Long]("n_edges"))
+      assert(est.getAs[Long]("sampled_triangles") == naive.getAs[Long]("n_triangles"))
+      assert(est.getAs[Long]("est_triangles") ==
+        naive.getAs[Long]("n_triangles") * invP.toLong * invP * invP)
+      assert(est.getAs[Long]("inv_p") == invP.toLong)
+    }
+    // invP=1 would be a no-op disguise; the operator refuses it
+    intercept[IllegalArgumentException] {
+      GraphMetrics.triangleEstimateDoulion(
+        Seq((1L, 2L)).toDF("a", "b"), 1)
+    }
+  }
+
   test("the sorted-merge intersect kernel matches array_intersect on adjacency shapes") {
     // The native two-pointer kernel only sees sorted distinct arrays in
     // triangleStats; pin it against the built-in on exactly that shape,

@@ -80,6 +80,11 @@ class RegistrySpec extends SparkSpec {
       // triangle stats: edge-count + triangle-count one-row aggregates
       // crossed into the (n_nodes, n_wedges) row
       "q_graph_triangles" -> scalarAggBuild,
+      // wire-format digests: the one-row results-hash frame crossed into
+      // the one-row clusters-hash frame
+      "mb_hash_wire" -> scalarAggBuild,
+      // DOULION twin of the same shape, over the sampled subgraph
+      "q_graph_triangles_doulion" -> scalarAggBuild,
       // sweep: one-row cluster-census aggregate per threshold (x3)
       "mb_resolver_sweep" -> scalarAggBuild,
       // CMS: one-row corpus-total aggregate crossed into the estimate table
@@ -94,7 +99,8 @@ class RegistrySpec extends SparkSpec {
     // per-document pass: the corpus count (threshold) and the collected
     // common-token set — each build must still prove the scalar-agg shape
     val maxBnljs = Map("dx_boilerplate" -> 2, "mb_eval_ari" -> 2,
-      "q_graph_triangles" -> 2, "dx_perplexity_buckets" -> 2,
+      "q_graph_triangles" -> 2, "q_graph_triangles_doulion" -> 2,
+      "dx_perplexity_buckets" -> 2,
       "mb_resolver_sweep" -> 3, "mb_blocking_quality" -> 5).withDefaultValue(1)
 
     Registry.all.foreach { d =>
