@@ -154,20 +154,30 @@ object GraphMetrics {
     * 100× (the r12 verdict's sampled-triangle ask; the exactness gate is
     * the DuckDB oracle recomputing the SAMPLED subgraph's count).
     *
-    * Sampling is a deterministic integer congruence on the edge's key
-    * pair — portable to any engine (Spark's xxhash64 has no DuckDB twin),
-    * reproducible across runs, and independent of partitioning. It is a
-    * fixed hash, not an i.i.d. coin: fine for a measurement harness,
-    * documented here because DOULION's variance analysis assumes
-    * independence.
+    * Sampling is deterministic: the first 16 bits of md5 of the edge's
+    * canonical "a,b" key, mod invP — the repo's standard portable hash
+    * (engine-exact between Spark's `conv(substring(md5…))` and DuckDB's
+    * hex-digit parse), reproducible across runs, and independent of
+    * partitioning. md5 digits, not a linear congruence: the first cut of
+    * this operator used `(a·1000003 + b·7919) mod invP`, whose low bits
+    * CORRELATE with the banded key structure of the proximity graph —
+    * triangle closure forces `3a ≡ b (mod 16)` chains, and the sf1
+    * estimate came out 7× the exact count. A cryptographic digest is
+    * independent of any key structure. It is still a fixed hash, not an
+    * i.i.d. coin: fine for a measurement harness, documented because
+    * DOULION's variance analysis assumes independence. invP must divide
+    * 2¹⁶ so the 16-bit digest mods without bias.
     *
     * @return one row: (sampled_nodes, sampled_edges, sampled_triangles,
     *         est_triangles = sampled · invP³, sampled_wedges, inv_p)
     */
   def triangleEstimateDoulion(edges: DataFrame, invP: Int): DataFrame = {
     require(invP >= 2, s"invP must be >= 2, got $invP (1 = just triangleStats)")
-    val sampled = edges.filter(
-      pmod(col("a") * 1000003L + col("b") * 7919L, lit(invP.toLong)) === 0L)
+    require(65536 % invP == 0,
+      s"invP must divide 65536 (a 16-bit digest slice mods without bias), got $invP")
+    val sampled = edges.filter(expr(
+      s"""CAST(conv(substring(md5(concat(CAST(a AS STRING), ',', CAST(b AS STRING))),
+         |  1, 4), 16, 10) AS BIGINT) % $invP = 0""".stripMargin))
     triangleStats(sampled).select(
       col("n_nodes").as("sampled_nodes"),
       col("n_edges").as("sampled_edges"),

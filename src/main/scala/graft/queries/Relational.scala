@@ -1995,19 +1995,25 @@ object Relational {
       |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges""".stripMargin
 
   /** DOULION edge-sampled triangle estimate over the same proximity graph
-    * (GraphMetrics.triangleEstimateDoulion, KDD 2009): 1-in-16 edges by a
-    * portable integer congruence, EXACT compact-forward count on the
-    * sample (the oracle recomputes it — that is the exactness gate),
-    * estimate = count·16³. This is the scale path for the quadratic graph
-    * member: wedge work shrinks ~p², making the 1.69G-edge sf10 replica
-    * measurable on one box where the exact count is cluster-scale.
+    * (GraphMetrics.triangleEstimateDoulion, KDD 2009): 1-in-16 edges by
+    * the portable md5-digit hash (key-structure-independent — see the
+    * operator Scaladoc for why a linear congruence is disqualified here),
+    * EXACT compact-forward count on the sample (the oracle recomputes
+    * it — that is the exactness gate), estimate = count·16³. This is the
+    * scale path for the quadratic graph member: wedge work shrinks ~p²,
+    * making the 1.69G-edge sf10 replica measurable on one box where the
+    * exact count is cluster-scale.
     */
   private def qGraphTrianglesDoulion(s: SparkSession, dir: String): DataFrame =
     GraphMetrics.triangleEstimateDoulion(graphEdges(s, dir), invP = 16)
 
   private val qGraphTrianglesDoulionSql =
     s"""WITH $graphEdgesCte,
-      |se AS (SELECT a, b FROM e WHERE (a * 1000003 + b * 7919) % 16 = 0),
+      |se AS (SELECT a, b FROM e WHERE
+      |  (((strpos('0123456789abcdef', substr(md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)), 1, 1)) - 1) * 4096
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)), 2, 1)) - 1) * 256
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)), 3, 1)) - 1) * 16
+      |   + strpos('0123456789abcdef', substr(md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)), 4, 1)) - 1) % 16 = 0)),
       |sdeg AS (
       |  SELECT n, count(*) AS d
       |  FROM (SELECT a AS n FROM se UNION ALL SELECT b AS n FROM se)

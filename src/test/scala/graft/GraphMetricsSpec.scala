@@ -35,8 +35,9 @@ class GraphMetricsSpec extends SparkSpec {
       // the operator's sampled count must equal the naive count over the
       // SAME congruence-sampled edges (the exactness gate), and the
       // estimate must be exactly that count times invP^3
-      val sampled = e.filter(
-        pmod(col("a") * 1000003L + col("b") * 7919L, lit(invP.toLong)) === 0L)
+      val sampled = e.filter(expr(
+        s"""CAST(conv(substring(md5(concat(CAST(a AS STRING), ',', CAST(b AS STRING))),
+           |  1, 4), 16, 10) AS BIGINT) % $invP = 0""".stripMargin))
       val naive = GraphMetrics.triangleStatsNaive(sampled).head()
       assert(est.getAs[Long]("sampled_edges") == naive.getAs[Long]("n_edges"))
       assert(est.getAs[Long]("sampled_triangles") == naive.getAs[Long]("n_triangles"))
