@@ -2032,6 +2032,70 @@ object Pipeline {
     * pack can overflow by at most one document, never undershoot).
     * Windows partition by bucket — bounded state, no single-partition sort.
     */
+  /** PCA rotation of the embeddings table (operators/embed/Pca — the
+    * whitening step before OPQ/quantization/semantic dedup): top-8
+    * components, long-form integer-micro coordinates. The fit is a pure
+    * function of the table (exact decimal sufficient statistics +
+    * fixed-sweep Jacobi), but an eigensolve has no SQL twin, so this is
+    * rows-only; the spectral invariants are driver-gated below.
+    */
+  private val pcaDim = 64
+  private val pcaK = 8
+
+  private def embedPca(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val f = graft.operators.embed.Pca.fit(emb, "embedding", pcaDim, pcaK)
+    graft.operators.embed.Pca.project(emb, "vec_id", "embedding", f)
+      .orderBy("vec_id", "comp")
+  }
+
+  /** Driver-gated spectral contracts of the PCA fit: (a) the rotation is
+    * orthonormal (max |V·Vᵀ−I| ≤ 1e-9); (b) eigenvalues are descending
+    * and non-negative (≥ −1e-9 — exact zeros can round negative); (c)
+    * Jacobi preserved the trace (Σλ = tr C, rel 1e-9); (d) the Rayleigh
+    * identity holds END TO END — for each kept component, the distributed
+    * projection's mean squared coordinate equals its eigenvalue (rel
+    * 2e-3: micro-quantization of the emitted coordinates is the only
+    * slack), which ties the PROJECTION pass to the fit, not just the fit
+    * to itself; (e) run-twice determinism of the full fit, bit-for-bit.
+    * Oracle pins the data-derived point count plus the flags.
+    */
+  private def embedPcaGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val f = graft.operators.embed.Pca.fit(emb, "embedding", pcaDim, pcaK)
+    val f2 = graft.operators.embed.Pca.fit(emb, "embedding", pcaDim, pcaK)
+    val deterministic = f.n == f2.n &&
+      f.values.sameElements(f2.values) &&
+      f.vectors.zip(f2.vectors).forall { case (a, b) => a.sameElements(b) }
+    val orthoErr = (for (a <- f.vectors; b <- f.vectors) yield {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      math.abs(dot - (if (a eq b) 1.0 else 0.0))
+    }).max
+    val orderOk = f.values.sliding(2).forall {
+      case Array(x, y) => x >= y; case _ => true
+    } && f.values.forall(_ >= -1e-9)
+    val traceOk = math.abs(f.values.sum - f.trace) <=
+      1e-9 * math.max(math.abs(f.trace), 1e-12)
+    val ss = graft.operators.embed.Pca.project(emb, "vec_id", "embedding", f)
+      .groupBy("comp")
+      .agg(sum(expr("CAST(y_micro AS DECIMAL(18,0)) * y_micro")).as("ss"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    val rayleighOk = (0 until pcaK).forall { c =>
+      val lhs = ss(c) / 1e12 / f.n.toDouble
+      math.abs(lhs - f.values(c)) <= math.max(2e-3 * f.values(c), 1e-6)
+    }
+    Seq((f.n, orthoErr <= 1e-9, orderOk, traceOk, rayleighOk, deterministic))
+      .toDF("n_points", "ortho_ok", "order_ok", "trace_ok", "rayleigh_ok",
+        "deterministic_ok")
+  }
+
+  private val embedPcaGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_points, true AS ortho_ok,
+      |  true AS order_ok, true AS trace_ok, true AS rayleigh_ok,
+      |  true AS deterministic_ok
+      |FROM embeddings""".stripMargin
+
   private def packSequences(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3017,6 +3081,8 @@ object Pipeline {
     QueryDef("dx_embed_kmeans_gate", embedKmeansGate, Some(embedKmeansGateSql)),
     QueryDef("dx_dedup_semantic", dedupSemantic, None),
     QueryDef("dx_dedup_semantic_gate", dedupSemanticGate, Some(dedupSemanticGateSql)),
+    QueryDef("dx_embed_pca", embedPca, None),
+    QueryDef("dx_embed_pca_gate", embedPcaGate, Some(embedPcaGateSql)),
     QueryDef("dx_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("dx_bm25_search", bm25Search, Some(bm25SearchSql)),
     QueryDef("dx_tokens", tokens, Some(tokensSql)),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.operators.text.Unigram
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -364,11 +365,204 @@ object Selection {
       |FROM c JOIN t ON c.lang = t.lang
       |ORDER BY split, c.lang""".stripMargin
 
+  // ---------------------------------------------------------------- unigram
+
+  /** Word-frequency collapse shared by the unigram trainer's passes —
+    * the ONLY corpus-scale aggregate of the tokenizer loop (checkpointed:
+    * it feeds the substring seed AND both Viterbi passes). Words beyond
+    * `Unigram.maxWord` are outside the query's contract on both engines
+    * (the oracle unrolls the DP to that length).
+    */
+  private def unigramWf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(expr("split(trim(text), '\\\\s+')")).as("w"))
+      .filter(length(col("w")) <= Unigram.maxWord)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+
+  /** Unigram-LM tokenizer training (operators/text/Unigram — Kudo 2018,
+    * SentencePiece's other model family next to dx_bpe_train): integer
+    * bit-cost hard-EM, two Viterbi E-steps with a zero-usage prune in
+    * between. Output is the surviving vocabulary with final usage counts
+    * and re-estimated costs; the oracle replays both DP rounds as
+    * unrolled min-plus CTEs, bit-for-bit.
+    */
+  private def unigramTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Unigram.train(unigramWf(s, dir)).vocab
+      .toDF("piece", "n_uses", "cost_bits").orderBy("piece")
+  }
+
+  /** Unigram encode census: per-document piece counts under the trained
+    * model plus compression against the character baseline. The corpus is
+    * touched once — the vocabulary-sized word→n_pieces frame (the round-2
+    * segmentations) joins the token stream (AQE broadcasts it) and one
+    * per-doc aggregate closes.
+    */
+  private def unigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val np = Unigram.train(unigramWf(s, dir)).words
+      .select(col("w"), expr("CAST(size(pieces) AS BIGINT)").as("n_pieces"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("split(trim(text), '\\\\s+')")).as("w"))
+      .join(np, "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_pieces"),
+        sum(length(col("w"))).cast("long").as("n_base_chars"))
+      .withColumn("compression_permille",
+        expr("(1000 * n_pieces) div n_base_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle replay of the unigram trainer: seed substring mass → c0 →
+    * round-1 DP (unrolled positions 1..maxWord, combined `best·16+bp`
+    * min-plus exactly as the Spark fold) → usage → prune → c1 → round-2
+    * DP → final stats. Mechanically generated, like bpeCtes.
+    */
+  private def unigramCtes: String = {
+    val P = Unigram.maxPiece
+    val L = Unigram.maxWord
+    val M = Unigram.missingCost
+    // DP + backtrack chain for one round over wfu with cost cte `cN`;
+    // returns (sql, lastCteName). Piece costs are pre-joined into
+    // per-word columns c_j_i (one LEFT JOIN against the cost table over
+    // the 34 (boundary, end) position pairs) — a correlated scalar
+    // subquery per DP term would make DuckDB re-evaluate the whole cost
+    // subtree per lookup.
+    val positions: Seq[(Int, Int)] =
+      for (i <- 1 to L; j <- math.max(0, i - P) until i) yield (j, i)
+    def dpChain(r: Int, costCte: String): (String, String) = {
+      val sb = new StringBuilder
+      val pairVals = positions.map { case (j, i) => s"($j, $i)" }.mkString(", ")
+      val pivots = positions.map { case (j, i) =>
+        s"min(CASE WHEN j = $j AND i = $i THEN c END) AS c_${j}_$i"
+      }.mkString(",\n    ")
+      sb.append(s""",
+         |wc$r AS (
+         |  SELECT w,
+         |    $pivots
+         |  FROM (
+         |    SELECT f.w, t.j, t.i, coalesce(k.cost, $M) AS c
+         |    FROM wfu f
+         |    CROSS JOIN (VALUES $pairVals) t(j, i)
+         |    LEFT JOIN $costCte k ON k.piece = substr(f.w, t.j + 1, t.i - t.j)
+         |    WHERE length(f.w) >= t.i) q
+         |  GROUP BY w),
+         |d${r}_0 AS (SELECT * FROM wfu JOIN wc$r USING (w))""".stripMargin)
+      var prev = s"d${r}_0"
+      for (i <- 1 to L) {
+        val terms = (math.max(0, i - P) until i).map { j =>
+          val b = if (j == 0) "CAST(0 AS BIGINT)" else s"(q$j // 16)"
+          s"($b + c_${j}_$i) * 16 + $j"
+        }
+        val body =
+          if (terms.size == 1) terms.head
+          else s"least(\n    ${terms.mkString(",\n    ")})"
+        sb.append(s""",
+           |d${r}_$i AS (SELECT *, CASE WHEN length(w) >= $i THEN
+           |  $body END AS q$i FROM $prev)""".stripMargin)
+        prev = s"d${r}_$i"
+      }
+      sb.append(s""",
+         |g${r}_0 AS (SELECT *, CAST(length(w) AS BIGINT) AS s0 FROM $prev)"""
+        .stripMargin)
+      prev = s"g${r}_0"
+      val bpCases = (1 to L).map(i => s"WHEN $i THEN q$i % 16").mkString(" ")
+      for (k <- 1 to L) {
+        sb.append(s""",
+           |g${r}_$k AS (SELECT *, CASE WHEN s${k - 1} > 0 THEN
+           |  (CASE s${k - 1} $bpCases END) ELSE 0 END AS s$k FROM $prev)"""
+          .stripMargin)
+        prev = s"g${r}_$k"
+      }
+      (sb.toString, prev)
+    }
+    def usageCte(r: Int, lastG: String): String = {
+      val pieceCases = (1 to L).map(k =>
+        s"CASE WHEN s${k - 1} > 0 THEN substr(w, s$k + 1, s${k - 1} - s$k) END")
+        .mkString(",\n    ")
+      s""",
+         |u$r AS (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS n_u FROM (
+         |    SELECT unnest([$pieceCases]) AS piece, cnt FROM $lastG) q
+         |  WHERE piece IS NOT NULL GROUP BY piece)""".stripMargin
+    }
+    val head =
+      s"""WITH tokw AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+         |wfu AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tokw
+         |        WHERE length(w) <= $L GROUP BY w),
+         |sub AS (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
+         |      i -> list_transform(range(i, least(length(w), i + ${P - 1}) + 1),
+         |           j -> substr(w, i, j - i + 1))))) AS piece, cnt
+         |    FROM wfu) q
+         |  GROUP BY piece),
+         |v0 AS (
+         |  SELECT piece, freq FROM sub WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, freq FROM (
+         |    SELECT piece, freq FROM sub WHERE length(piece) > 1
+         |    ORDER BY freq DESC, piece LIMIT ${Unigram.multiVocab}) q),
+         |t0 AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM v0),
+         |c0 AS (SELECT piece,
+         |  CAST(20 - length(bin(greatest(1, (1000000 * freq) // total))) AS BIGINT)
+         |    AS cost
+         |  FROM v0 CROSS JOIN t0)""".stripMargin
+    val (chain1, g1) = dpChain(1, "c0")
+    val (chain2, g2) = dpChain(2, "c1")
+    val mid =
+      s""",
+         |v1 AS (
+         |  SELECT piece FROM v0 WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece FROM v0 JOIN u1 USING (piece)
+         |  WHERE length(piece) > 1 AND n_u > 0),
+         |t1 AS (SELECT CAST(sum(n_u) AS BIGINT) AS total FROM u1),
+         |c1 AS (SELECT piece,
+         |  CAST(20 - length(bin(greatest(1, (1000000 * coalesce(n_u, 0)) // total)))
+         |    AS BIGINT) AS cost
+         |  FROM v1 LEFT JOIN u1 USING (piece) CROSS JOIN t1)""".stripMargin
+    head + chain1 + usageCte(1, g1) + mid + chain2 + usageCte(2, g2) +
+      s""",
+         |t2 AS (SELECT CAST(sum(n_u) AS BIGINT) AS total FROM u2),
+         |np AS (SELECT w, CAST(${(1 to L).map(k =>
+             s"(CASE WHEN s${k - 1} > 0 THEN 1 ELSE 0 END)").mkString(" + ")}
+         |  AS BIGINT) AS n_pieces FROM $g2)""".stripMargin
+  }
+
+  private val unigramTrainSql: String =
+    unigramCtes +
+      s"""
+         |SELECT piece, CAST(coalesce(n_u, 0) AS BIGINT) AS n_uses,
+         |  CAST(20 - length(bin(greatest(1, (1000000 * coalesce(n_u, 0)) // total)))
+         |    AS BIGINT) AS cost_bits
+         |FROM v1 LEFT JOIN u2 USING (piece) CROSS JOIN t2
+         |ORDER BY piece""".stripMargin
+
+  private val unigramEncodeSql: String =
+    unigramCtes +
+      s""",
+         |enc AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(length(w)) AS BIGINT) AS n_base_chars,
+         |  CAST((1000 * sum(n_pieces)) // sum(length(w)) AS BIGINT)
+         |    AS compression_permille
+         |FROM enc JOIN np USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dsir", dsir, Some(dsirSql)),
     QueryDef("dx_split_stratified", splitStratified, Some(splitStratifiedSql)),
     QueryDef("dx_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("dx_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    QueryDef("dx_unigram_train", unigramTrain, Some(unigramTrainSql)),
+    QueryDef("dx_unigram_encode", unigramEncode, Some(unigramEncodeSql)),
     QueryDef("dx_contamination_report", contaminationReport,
       Some(contaminationReportSql)))
 }

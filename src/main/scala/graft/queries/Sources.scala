@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Num, QueryDef, Tables}
 import graft.sources.Warehouse
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source/sink round-trip gates (SURVEY.md §2, "Sources" — the matchbox
@@ -15,23 +15,73 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
-  /** Embedded-Derby JDBC round trip: write nation out as a warehouse
-    * table, read it back as 4 range-bounded parallel queries with a
-    * pushed-down filter (the reference's RelationalDBLocation ingest
-    * shape), and aggregate per region. Derby runs in-process — no
-    * network — so the gate exercises exactly the Spark JDBC source code
-    * paths (partitioned scan, filter pushdown, type mapping).
+  /** Embedded-Derby JDBC round trip: load nation into a warehouse table,
+    * read it back as 4 range-bounded parallel queries with a pushed-down
+    * filter (the reference's RelationalDBLocation ingest shape), and
+    * aggregate per region. Derby runs in-process — no network — so the
+    * gate exercises exactly the Spark JDBC source code paths (partitioned
+    * scan, filter pushdown, type mapping).
+    *
+    * Multi-JVM discipline (caught by the r13 local-cluster smoke):
+    * embedded Derby lets only ONE JVM boot a read-write database, so a
+    * Spark `write.jdbc` — whose insert tasks run on executors while the
+    * driver holds the table-create connection — collides with any
+    * separate-executor master on the db.lck boot lock. The warehouse
+    * reality at scale is the inverse anyway: Spark READS the warehouse in
+    * parallel; loading it is the database's job. So the load is a plain
+    * driver-side JDBC batch over the bounded dimension (25 rows), the
+    * database is shut down (releasing the boot lock) and archived into a
+    * jar — Derby's `jar:` subprotocol is read-only media, the one mode
+    * it boots CONCURRENTLY from many JVMs (a chmod-based read-only flip
+    * is NOT reliable here: as root, File.canWrite ignores permission
+    * bits) — and then every executor scan task opens its own read-only
+    * boot. Spark's jdbc WRITE path stays covered by FunctionsSpec's
+    * single-JVM round trip.
     */
   private def jdbcGate(s: SparkSession, dir: String): DataFrame = {
     val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
-    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val db = s"$dbDir/graftdb"
     val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
     val nation = Tables(s, dir, "nation")
       .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
         col("n_regionkey").cast("long").as("n_regionkey"))
-    Warehouse.writeJdbc(nation, url, "nation_jdbc",
-      mode = SaveMode.Overwrite, connectionProperties = props)
-    Warehouse.readJdbc(s, url, "nation_jdbc",
+      .collect() // bounded dimension: 25 rows by TPC-H contract
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE nation_jdbc
+          |(n_nationkey BIGINT, n_name VARCHAR(64), n_regionkey BIGINT)""".stripMargin)
+      val ps = conn.prepareStatement("INSERT INTO nation_jdbc VALUES (?, ?, ?)")
+      nation.foreach { r =>
+        ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
+        ps.setLong(3, r.getLong(2)); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+    // shutdown=true releases the db.lck boot lock (Derby signals success
+    // with SQLState 08006 — an exception by design)
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+    catch { case _: java.sql.SQLException => () }
+    // archive the database directory into a jar: `jar:` subprotocol
+    // databases are read-only media, bootable concurrently from any
+    // number of JVMs (no db.lck)
+    import scala.jdk.CollectionConverters._
+    val jarPath = s"$dbDir/graftdb.jar"
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(jarPath))
+    try {
+      val root = java.nio.file.Paths.get(db)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .toSeq.sortBy(_.toString)
+        .foreach { p =>
+          zos.putNextEntry(new java.util.zip.ZipEntry(
+            "graftdb/" + root.relativize(p).toString))
+          zos.write(java.nio.file.Files.readAllBytes(p))
+          zos.closeEntry()
+        }
+    } finally zos.close()
+    Warehouse.readJdbc(s, s"jdbc:derby:jar:($jarPath)graftdb", "nation_jdbc",
         partitionColumn = Some("n_nationkey"),
         lowerBound = 0L, upperBound = 25L, numPartitions = 4,
         connectionProperties = props)
