@@ -2096,6 +2096,92 @@ object Pipeline {
       |  true AS deterministic_ok
       |FROM embeddings""".stripMargin
 
+  /** Main-content HTML extraction (operators/text/HtmlExtract — the
+    * jusText/trafilatura boilerplate-removal shape): the corpus is
+    * word-soup, so the query first synthesizes deterministic HTML from it
+    * — per 10-token block, `(doc_id + block) % 3` picks nav (every token
+    * a link → dropped by density), mixed (only ≥7-char tokens linked →
+    * straddles the threshold from below, kept), or plain prose — wrapped
+    * in head/script/style the extractor must strip (the script body
+    * contains a literal `<`). Then the extractor runs and the census
+    * reports per-doc block/kept/link counts plus the md5 of the
+    * extracted main text. Everything is per-row regex + HOF expressions
+    * — integer decisions, no shuffles beyond the final sort — and the
+    * oracle synthesizes AND extracts with the twin DuckDB chain
+    * (`HtmlExtract.duckSnippets` keeps the regexes in lockstep).
+    */
+  private def htmlSynthSpark: String = {
+    val slice = "slice(toks, b * 10 + 1, 10)"
+    s"""concat(
+       |  '<html><head><script>var x = 1 < 2;</script>',
+       |  '<style>p { color: red; }</style></head><body>',
+       |  array_join(transform(sequence(0, (size(toks) - 1) div 10), b ->
+       |    CASE CAST((doc_id + b) % 3 AS INT)
+       |      WHEN 0 THEN concat('<p class="nav">',
+       |        array_join(transform($slice,
+       |          t -> concat('<a href="/', t, '">', t, '</a>')), ' '), '</p>')
+       |      WHEN 1 THEN concat('<p>',
+       |        array_join(transform($slice,
+       |          t -> CASE WHEN length(t) >= 7
+       |            THEN concat('<a href="/', t, '">', t, '</a>')
+       |            ELSE t END), ' '), '</p>')
+       |      ELSE concat('<p>', array_join($slice, ' '), '</p>')
+       |    END), ''),
+       |  '</body></html>')""".stripMargin
+  }
+
+  private def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val withHtml = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .withColumn("html", expr(htmlSynthSpark))
+    graft.operators.text.HtmlExtract.extract(withHtml, "html")
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        expr("CAST(size(regexp_extract_all(html, '<a[^>]*>', 0)) AS BIGINT)")
+          .as("n_links"),
+        expr("CAST(length(main_text) AS BIGINT)").as("main_chars"),
+        md5(col("main_text")).as("main_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val htmlExtractSql: String = {
+    val slice = "list_slice(toks, b * 10 + 1, b * 10 + 10)"
+    // NB every `||` sits at END of line: this snippet is re-embedded in a
+    // stripMargin'd string, and a leading `||` would lose a pipe to the
+    // outer stripMargin (the bpeEncodeSql trap, dev/NOTES r11)
+    val synth =
+      s"""'<html><head><script>var x = 1 < 2;</script>' ||
+         |  '<style>p { color: red; }</style></head><body>' ||
+         |  coalesce(list_aggregate(
+         |       list_transform(range(0, (len(toks) - 1) // 10 + 1), b ->
+         |         CASE CAST((doc_id + b) % 3 AS INT)
+         |           WHEN 0 THEN '<p class="nav">' ||
+         |             coalesce(list_aggregate(list_transform($slice,
+         |                  t -> '<a href="/' || t || '">' || t || '</a>'),
+         |                  'string_agg', ' '), '') || '</p>'
+         |           WHEN 1 THEN '<p>' ||
+         |             coalesce(list_aggregate(list_transform($slice,
+         |                  t -> CASE WHEN length(t) >= 7
+         |                    THEN '<a href="/' || t || '">' || t || '</a>'
+         |                    ELSE t END), 'string_agg', ' '), '') || '</p>'
+         |           ELSE '<p>' ||
+         |             coalesce(list_aggregate($slice, 'string_agg', ' '), '') ||
+         |             '</p>'
+         |         END), 'string_agg', ''), '') ||
+         |  '</body></html>'""".stripMargin
+    val (nb, nk, main) = graft.operators.text.HtmlExtract.duckSnippets("html")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |h AS (SELECT doc_id, $synth AS html FROM tk)
+       |SELECT doc_id,
+       |  CAST($nb AS BIGINT) AS n_blocks,
+       |  CAST($nk AS BIGINT) AS n_kept,
+       |  CAST(len(regexp_extract_all(html, '<a[^>]*>', 0)) AS BIGINT) AS n_links,
+       |  CAST(length($main) AS BIGINT) AS main_chars,
+       |  md5($main) AS main_md5
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   private def packSequences(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3083,6 +3169,7 @@ object Pipeline {
     QueryDef("dx_dedup_semantic_gate", dedupSemanticGate, Some(dedupSemanticGateSql)),
     QueryDef("dx_embed_pca", embedPca, None),
     QueryDef("dx_embed_pca_gate", embedPcaGate, Some(embedPcaGateSql)),
+    QueryDef("dx_html_extract", htmlExtract, Some(htmlExtractSql)),
     QueryDef("dx_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("dx_bm25_search", bm25Search, Some(bm25SearchSql)),
     QueryDef("dx_tokens", tokens, Some(tokensSql)),
