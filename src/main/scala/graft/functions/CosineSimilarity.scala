@@ -139,6 +139,12 @@ object GraftExtensions {
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       { exprs: Seq[Expression] => SortedIntersectCount(exprs(0), exprs(1)) }),
+    (FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      { exprs: Seq[Expression] => CdcChunks(exprs(0),
+        intLiteral(exprs(1), "cdc_chunks minLen"),
+        intLiteral(exprs(2), "cdc_chunks div"),
+        intLiteral(exprs(3), "cdc_chunks maxLen")) }),
     // DuckDB-compatible NFC normalization, plus the general form-selectable
     // variant (unicode_normalize(s, 'NFKC') etc.)
     (FunctionIdentifier("nfc_normalize"),

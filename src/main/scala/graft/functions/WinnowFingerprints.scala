@@ -44,7 +44,7 @@ object WinnowFingerprintsImpl {
     * Spark's UTF8String guarantees it — so this branch never fires on
     * real data; it just keeps the kernel total).
     */
-  private def codePoints(b: Array[Byte]): Array[Int] = {
+  private[functions] def codePoints(b: Array[Byte]): Array[Int] = {
     val n = b.length
     val out = new Array[Int](n) // upper bound: one cp per byte
     var i = 0

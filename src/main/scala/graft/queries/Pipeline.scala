@@ -2345,6 +2345,103 @@ object Pipeline {
        |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY left_id, right_id""".stripMargin
 
+  /** Content-defined chunking census (`functions/CdcChunks` — the
+    * Gear/FastCDC shape): cut positions from the native rolling-gear
+    * kernel, then a chunk-hash dedup census — per document, the chunk
+    * count, min/max chunk length, an md5 of the cut vector (proves
+    * byte-identical boundaries across engines), and how many of the
+    * document's chunks also occur (by md5 of chunk text) in at least one
+    * OTHER document. The census is the scale path for shift-robust
+    * substring dedup: chunking is map-only, the dedup is ONE groupBy on
+    * an 8–16-byte chunk hash — no pair expansion, no fixed-stride
+    * alignment sensitivity (contrast dx_dedup_substring's token windows).
+    * The DuckDB twin replays the gear hash via its closed form
+    * (windowed sum mod 2^28 — see the kernel's Scaladoc) and the cut scan
+    * as a saturating list_reduce jump, so boundaries are oracle-exact.
+    */
+  private val (cdcMin, cdcDiv, cdcMax) = (12, 32, 96)
+  private def cdcChunk(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("cuts",
+        graft.functions.CdcChunks(col("text"), cdcMin, cdcDiv, cdcMax))
+      .withColumn("lens", expr(
+        "transform(cuts, (c, i) -> c - CASE WHEN i = 0 THEN 0L ELSE element_at(cuts, i) END)"))
+    val ex = base.select(col("doc_id"), explode(expr(
+      """transform(cuts, (c, i) -> md5(substring(text,
+        |  CAST(CASE WHEN i = 0 THEN 1L ELSE element_at(cuts, i) + 1L END AS INT),
+        |  CAST(c - CASE WHEN i = 0 THEN 0L ELSE element_at(cuts, i) END AS INT))))"""
+        .stripMargin)).as("chash"))
+    val shared = ex.groupBy("chash")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = ex.join(shared, "chash").groupBy("doc_id")
+      .agg(sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    base
+      .select(col("doc_id"),
+        expr("CAST(size(cuts) AS BIGINT)").as("n_chunks"),
+        expr("array_min(lens)").as("min_chunk"),
+        expr("array_max(lens)").as("max_chunk"),
+        md5(expr("concat_ws(',', transform(cuts, c -> CAST(c AS STRING)))"))
+          .as("cuts_md5"))
+      .join(perDoc, Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val cdcChunkSql = {
+    // closed form of the rolling gear hash at position t (1-indexed):
+    // only the last 28 terms survive mod 2^28, so h_t is a windowed sum —
+    // per-position, no sequential state (terms < 2^55, sum < 2^60: safe)
+    val hsExpr =
+      s"""list_transform(range(1, n + 1), t ->
+         |  CAST(list_aggregate(list_transform(range(greatest(1, t - 27), t + 1),
+         |    j -> ((ord(substr(text, j, 1)) * 2654435761) % 268435456)
+         |           * (CAST(1 AS BIGINT) << CAST(t - j AS INT))), 'sum')
+         |    % 268435456 AS BIGINT))""".stripMargin
+    // saturating jump scan: from the last cut p, the next cut is the first
+    // position in [p+min, p+max] whose hash is a div-multiple, else the
+    // forced p+max, capped at n. `nxt` precomputes that jump for EVERY
+    // start position in list_transform context; the sequential walk itself
+    // is a RECURSIVE CTE (0 → nxt[1] → …, strictly increasing, stops at
+    // n) — deliberately not a list_reduce: DuckDB 1.0 mis-binds nested
+    // lambdas inside list_reduce across vector rows and segfaults on
+    // list-typed accumulators, while recursive CTEs are plain relational
+    // iteration. Chunk lengths then fall out of a lag() window.
+    val nxtExpr =
+      s"""list_transform(range(0, n), p ->
+         |  least(n, coalesce(
+         |    list_min(list_filter(ms,
+         |      t -> t >= p + $cdcMin AND t <= p + $cdcMax)),
+         |    p + $cdcMax)))""".stripMargin
+    s"""WITH RECURSIVE
+       |d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |h AS (SELECT doc_id, n, $hsExpr AS hs FROM d),
+       |m AS (SELECT doc_id, n,
+       |  list_filter(range(1, n + 1), t -> hs[t] % $cdcDiv = 0) AS ms FROM h),
+       |j AS (SELECT doc_id, n, $nxtExpr AS nxt FROM m),
+       |r AS (SELECT doc_id, CAST(0 AS BIGINT) AS p FROM j
+       |  UNION ALL
+       |  SELECT r.doc_id, j.nxt[r.p + 1] AS p
+       |  FROM r JOIN j ON r.doc_id = j.doc_id WHERE r.p < j.n),
+       |cr AS (SELECT doc_id, p AS cut,
+       |    lag(p, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+       |  FROM r WHERE p > 0),
+       |ch AS (SELECT cr.doc_id, cut, cut - prev AS clen,
+       |    md5(substr(d.text, CAST(prev + 1 AS INT), CAST(cut - prev AS INT))) AS chash
+       |  FROM cr JOIN d ON cr.doc_id = d.doc_id),
+       |sh AS (SELECT chash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+       |pd AS (SELECT ch.doc_id,
+       |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |  FROM ch JOIN sh USING (chash) GROUP BY 1),
+       |agg AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(min(clen) AS BIGINT) AS min_chunk,
+       |    CAST(max(clen) AS BIGINT) AS max_chunk,
+       |    md5(string_agg(CAST(cut AS VARCHAR), ',' ORDER BY cut)) AS cuts_md5
+       |  FROM ch GROUP BY 1)
+       |SELECT agg.doc_id, n_chunks, min_chunk, max_chunk, cuts_md5, n_shared
+       |FROM agg JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** Overlapping sliding-window chunking — the context-window preparation
     * step between cleaning and packing: split each document into
     * `chunkW`-token windows advancing by `chunkS` (stride < window ⇒
@@ -3107,6 +3204,7 @@ object Pipeline {
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
+    QueryDef("dx_cdc_chunk", cdcChunk, Some(cdcChunkSql)),
     QueryDef("dx_chunk", chunk, Some(chunkSql)),
     QueryDef("dx_sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("dx_dedup_url", dedupUrl, Some(dedupUrlSql)),
