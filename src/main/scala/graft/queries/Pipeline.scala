@@ -2182,6 +2182,94 @@ object Pipeline {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** C4-style page cleaning (Raffel et al. 2020, the C4 construction
+    * rules): line-level — keep only lines ending in terminal punctuation,
+    * with ≥ 3 words, and not mentioning "javascript"; page-level — drop
+    * any page containing "lorem ipsum" or a curly brace, or with fewer
+    * than 5 surviving sentences. The corpus is punctuation-free word
+    * soup, so the query first synthesizes deterministic line structure
+    * (8-token lines whose decoration cycles on `(doc_id·7 + line) % 5`:
+    * terminal period / bare / javascript-tagged / 2-word short / question
+    * mark, plus page-level lorem/brace injections on doc_id residues) —
+    * every rule family fires. Per-rule drop counters use a fixed
+    * precedence (javascript → no-punctuation → too-short) so the counts
+    * partition the dropped lines identically in both engines. Pure
+    * per-row HOFs — no shuffle before the final sort. Cleaned text is
+    * proven by md5 (NULL for dropped pages).
+    */
+  private def c4Clean(s: SparkSession, dir: String): DataFrame =
+    graft.operators.text.C4Rules(Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .withColumn("lines", expr(
+        """concat(
+          |  transform(sequence(0, (size(toks) - 1) div 8), b ->
+          |    CASE CAST((doc_id * 7 + b) % 5 AS INT)
+          |      WHEN 0 THEN concat(concat_ws(' ', slice(toks, b*8+1, 8)), '.')
+          |      WHEN 1 THEN concat_ws(' ', slice(toks, b*8+1, 8))
+          |      WHEN 2 THEN concat(concat_ws(' ', slice(toks, b*8+1, 8)), ' javascript.')
+          |      WHEN 3 THEN concat(concat_ws(' ', slice(toks, b*8+1, 2)), '.')
+          |      ELSE concat(concat_ws(' ', slice(toks, b*8+1, 8)), '?')
+          |    END),
+          |  filter(array('lorem ipsum dolor sit.'), x -> doc_id % 17 = 0),
+          |  filter(array('var f = function() {.'), x -> doc_id % 23 = 0))"""
+          .stripMargin)))
+      .select(col("doc_id"),
+        expr("CAST(size(lines) AS BIGINT)").as("n_lines"),
+        col("drop_js"), col("drop_nopunct"), col("drop_short"),
+        col("n_kept"), col("doc_keep"), col("drop_reason"), col("cleaned_md5"))
+      .orderBy("doc_id")
+
+  private val c4CleanSql = {
+    val synth =
+      s"""list_concat(list_concat(
+         |  list_transform(range(0, (len(toks) - 1) // 8 + 1), b ->
+         |    CASE CAST((doc_id * 7 + b) % 5 AS INT)
+         |      WHEN 0 THEN array_to_string(list_slice(toks, b*8+1, b*8+8), ' ') || '.'
+         |      WHEN 1 THEN array_to_string(list_slice(toks, b*8+1, b*8+8), ' ')
+         |      WHEN 2 THEN array_to_string(list_slice(toks, b*8+1, b*8+8), ' ') ||
+         |        ' javascript.'
+         |      WHEN 3 THEN array_to_string(list_slice(toks, b*8+1, b*8+2), ' ') || '.'
+         |      ELSE array_to_string(list_slice(toks, b*8+1, b*8+8), ' ') || '?'
+         |    END),
+         |  CASE WHEN doc_id % 17 = 0 THEN ['lorem ipsum dolor sit.']
+         |    ELSE CAST([] AS VARCHAR[]) END),
+         |  CASE WHEN doc_id % 23 = 0 THEN ['var f = function() {.']
+         |    ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |li AS (SELECT doc_id, $synth AS lines FROM t),
+       |k AS (SELECT doc_id, lines,
+       |    list_filter(lines, l -> NOT l LIKE '%javascript%'
+       |      AND right(l, 1) IN ('.', '!', '?', '"')
+       |      AND len(string_split(l, ' ')) >= 3) AS kept,
+       |    len(list_filter(lines, l -> l LIKE '%lorem ipsum%')) > 0 AS has_lorem,
+       |    len(list_filter(lines, l -> l LIKE '%{%')) > 0 AS has_brace
+       |  FROM li),
+       |f AS (SELECT doc_id, lines, kept, has_lorem, has_brace,
+       |    CAST(len(kept) AS BIGINT) AS n_kept,
+       |    (NOT has_lorem AND NOT has_brace AND len(kept) >= 5) AS doc_keep
+       |  FROM k)
+       |SELECT doc_id,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(list_filter(lines, l -> l LIKE '%javascript%')) AS BIGINT)
+       |    AS drop_js,
+       |  CAST(len(list_filter(lines, l -> NOT l LIKE '%javascript%'
+       |    AND NOT right(l, 1) IN ('.', '!', '?', '"'))) AS BIGINT) AS drop_nopunct,
+       |  CAST(len(list_filter(lines, l -> NOT l LIKE '%javascript%'
+       |    AND right(l, 1) IN ('.', '!', '?', '"')
+       |    AND len(string_split(l, ' ')) < 3)) AS BIGINT) AS drop_short,
+       |  n_kept, doc_keep,
+       |  CASE WHEN has_lorem THEN 'lorem_ipsum'
+       |    WHEN has_brace THEN 'brace'
+       |    WHEN n_kept < 5 THEN 'too_few_sentences'
+       |    ELSE '' END AS drop_reason,
+       |  CASE WHEN doc_keep
+       |    THEN md5(array_to_string(kept, chr(10)))
+       |    ELSE CAST(NULL AS VARCHAR) END AS cleaned_md5
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   private def packSequences(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3268,6 +3356,7 @@ object Pipeline {
     QueryDef("dx_embed_pca", embedPca, None),
     QueryDef("dx_embed_pca_gate", embedPcaGate, Some(embedPcaGateSql)),
     QueryDef("dx_html_extract", htmlExtract, Some(htmlExtractSql)),
+    QueryDef("dx_c4_clean", c4Clean, Some(c4CleanSql)),
     QueryDef("dx_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("dx_bm25_search", bm25Search, Some(bm25SearchSql)),
     QueryDef("dx_tokens", tokens, Some(tokensSql)),
