@@ -2270,6 +2270,112 @@ object Pipeline {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher quality-rule battery (Rae et al. 2021, Table A1 — the
+    * MassiveText filters): word count, mean word length, symbol-to-word
+    * ratio (`#` and `…`), bullet-start / ellipsis-end line fractions,
+    * alphabetic-word fraction, Gopher stopword hits, duplicate-line and
+    * duplicate-line-character fractions, and the most-frequent-2-gram
+    * character fraction. Every ratio is an integer permille (or centi)
+    * via truncating division, so the DuckDB twin is bit-exact. The corpus
+    * is punctuation-free word soup, so the query synthesizes
+    * deterministic line structure first (8-token lines cycling bullet /
+    * ellipsis / symbol+digit / fixed-duplicate / plain on
+    * `(doc_id·11 + line) % 5`) — every rule family fires. The top-2-gram
+    * statistic is per-row HOFs (distinct grams → count → min struct), so
+    * the whole battery is map-only; char coverage uses the standard
+    * `count × gram length` approximation (overlaps double-counted).
+    */
+  private def gopherRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.text.GopherRules(Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .withColumn("lines", expr(
+        """transform(sequence(0, (size(toks) - 1) div 8), b ->
+          |  CASE CAST((doc_id * 11 + b) % 5 AS INT)
+          |    WHEN 0 THEN concat('- ', concat_ws(' ', slice(toks, b*8+1, 8)), '.')
+          |    WHEN 1 THEN concat(concat_ws(' ', slice(toks, b*8+1, 8)), '...')
+          |    WHEN 2 THEN concat('# ', concat_ws(' ', slice(toks, b*8+1, 8)), ' 12345.')
+          |    WHEN 3 THEN 'that line would have to be of use with the dup marker.'
+          |    ELSE concat(concat_ws(' ', slice(toks, b*8+1, 8)), '.')
+          |  END)""".stripMargin)))
+      .select("doc_id", "n_words", "mwl_centi", "symbol_permille",
+        "bullet_permille", "ellipsis_permille", "alpha_permille", "stop_hits",
+        "dup_line_permille", "dup_line_char_permille", "top2gram",
+        "top2gram_char_permille", "gopher_pass")
+      .orderBy("doc_id")
+
+  private val gopherRulesSql = {
+    val synth =
+      s"""list_transform(range(0, (len(toks) - 1) // 8 + 1), b ->
+         |  CASE CAST((doc_id * 11 + b) % 5 AS INT)
+         |    WHEN 0 THEN '- ' || array_to_string(list_slice(toks, b*8+1, b*8+8), ' ') || '.'
+         |    WHEN 1 THEN array_to_string(list_slice(toks, b*8+1, b*8+8), ' ') || '...'
+         |    WHEN 2 THEN '# ' || array_to_string(list_slice(toks, b*8+1, b*8+8), ' ') ||
+         |      ' 12345.'
+         |    WHEN 3 THEN 'that line would have to be of use with the dup marker.'
+         |    ELSE array_to_string(list_slice(toks, b*8+1, b*8+8), ' ') || '.'
+         |  END)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |li AS (SELECT doc_id, $synth AS lines FROM t),
+       |f AS (SELECT doc_id, lines, array_to_string(lines, ' ') AS ftext FROM li),
+       |w AS (SELECT doc_id, lines, ftext, string_split(ftext, ' ') AS words,
+       |    CAST(len(string_split(ftext, ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(length(ftext) AS BIGINT) AS n_chars
+       |  FROM f),
+       |g AS (SELECT *, list_transform(range(1, len(words)),
+       |    i -> words[i] || ' ' || words[i+1]) AS grams FROM w),
+       |tp AS (SELECT *, list_min(list_transform(list_distinct(grams),
+       |    x -> struct_pack(nc := -len(list_filter(grams, y -> y = x)), g := x)))
+       |    AS top FROM g)
+       |SELECT doc_id, n_words,
+       |  CAST(100 * list_aggregate(list_transform(words, w -> length(w)), 'sum')
+       |    // n_words AS BIGINT) AS mwl_centi,
+       |  1000 * (len(list_filter(words, w -> w = '#'))
+       |    + (length(ftext) - length(replace(ftext, '...', ''))) // 3)
+       |    // n_words AS symbol_permille,
+       |  1000 * len(list_filter(lines, l -> l LIKE '- %')) // n_lines
+       |    AS bullet_permille,
+       |  1000 * len(list_filter(lines, l -> l LIKE '%...')) // n_lines
+       |    AS ellipsis_permille,
+       |  1000 * len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+       |    // n_words AS alpha_permille,
+       |  CAST(len(list_filter(
+       |    ['the','be','to','of','and','that','have','with'],
+       |    sw -> list_contains(words, sw))) AS BIGINT) AS stop_hits,
+       |  1000 * (n_lines - len(list_distinct(lines))) // n_lines
+       |    AS dup_line_permille,
+       |  CAST(1000 * (list_aggregate(list_transform(lines, l -> length(l)), 'sum')
+       |    - list_aggregate(list_transform(list_distinct(lines), l -> length(l)),
+       |        'sum'))
+       |    // list_aggregate(list_transform(lines, l -> length(l)), 'sum')
+       |    AS BIGINT) AS dup_line_char_permille,
+       |  top.g AS top2gram,
+       |  1000 * (CAST(-top.nc AS BIGINT) * length(top.g)) // n_chars
+       |    AS top2gram_char_permille,
+       |  (n_words BETWEEN 50 AND 100000
+       |    AND 100 * list_aggregate(list_transform(words, w -> length(w)), 'sum')
+       |      // n_words BETWEEN 300 AND 1000
+       |    AND 1000 * (len(list_filter(words, w -> w = '#'))
+       |      + (length(ftext) - length(replace(ftext, '...', ''))) // 3)
+       |      // n_words <= 100
+       |    AND 1000 * len(list_filter(lines, l -> l LIKE '- %')) // n_lines <= 900
+       |    AND 1000 * len(list_filter(lines, l -> l LIKE '%...')) // n_lines <= 300
+       |    AND 1000 * len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+       |      // n_words >= 800
+       |    AND len(list_filter(['the','be','to','of','and','that','have','with'],
+       |      sw -> list_contains(words, sw))) >= 2
+       |    AND 1000 * (n_lines - len(list_distinct(lines))) // n_lines <= 300
+       |    AND 1000 * (list_aggregate(list_transform(lines, l -> length(l)), 'sum')
+       |      - list_aggregate(list_transform(list_distinct(lines), l -> length(l)),
+       |          'sum'))
+       |      // list_aggregate(list_transform(lines, l -> length(l)), 'sum') <= 200
+       |    AND 1000 * (CAST(-top.nc AS BIGINT) * length(top.g)) // n_chars <= 200)
+       |    AS gopher_pass
+       |FROM tp ORDER BY doc_id""".stripMargin
+  }
+
   private def packSequences(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3357,6 +3463,7 @@ object Pipeline {
     QueryDef("dx_embed_pca_gate", embedPcaGate, Some(embedPcaGateSql)),
     QueryDef("dx_html_extract", htmlExtract, Some(htmlExtractSql)),
     QueryDef("dx_c4_clean", c4Clean, Some(c4CleanSql)),
+    QueryDef("dx_gopher_rules", gopherRules, Some(gopherRulesSql)),
     QueryDef("dx_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("dx_bm25_search", bm25Search, Some(bm25SearchSql)),
     QueryDef("dx_tokens", tokens, Some(tokensSql)),
