@@ -2237,6 +2237,159 @@ object Matchbox {
       |SELECT c_custkey, c_name, c_acctbal FROM delta WHERE op <> 'D'
       |ORDER BY c_custkey""".stripMargin
 
+  // ---- linkage QA: unlinkables + cluster graph metrics ----------------
+  /** Unlinkables analysis (splink's `unlinkables_chart`, the standard
+    * linkage-QA artifact next to the m/u parameter charts): for every
+    * left-side record, the BEST match weight it achieves against any
+    * blocked candidate, then — over a fixed grid of would-be thresholds —
+    * how many records would link to nothing at all. Records with no
+    * blocked candidate are unlinkable at every threshold (−999 sentinel).
+    * Uses the mb_link_fellegi_sunter weight model so the chart describes
+    * that linker's thresholds.
+    *
+    * Scale shape: the blocked-pair frame is the linker's own candidate
+    * join; best-per-record is one map-side-combinable max (record-sized
+    * output); the grid pass is a broadcast cross join against 17 literal
+    * rows plus one aggregate. Weights are 2-term sums of literal doubles
+    * (identical bits on both engines), thresholds are tenths integers and
+    * the grid points are exact binary halves, so every comparison — and
+    * therefore the whole chart — is engine-exact.
+    */
+  private def unlinkables(s: SparkSession, dir: String): DataFrame = {
+    val pairs = evenCustomers(s, dir).alias("l")
+      .join(oddCustomers(s, dir).alias("r"),
+        col("l.c_nationkey") === col("r.c_nationkey"))
+      .select(col("l.c_custkey").as("left_id"),
+        (when(col("l.c_mktsegment") === col("r.c_mktsegment"), lit(2.5d))
+           .otherwise(lit(-1.2d)) +
+         when(abs(col("l.c_acctbal") - col("r.c_acctbal")) < 100, lit(3.1d))
+           .otherwise(lit(-0.8d))).as("w"))
+    val best = pairs.groupBy("left_id").agg(max("w").as("best"))
+    val recs = evenCustomers(s, dir).select(col("c_custkey").as("left_id"))
+      .join(best, Seq("left_id"), "left")
+      .select(coalesce(col("best"), lit(-999.0d)).as("best"))
+    val grid = s.range(-4, 13)
+      .select((col("id") * 5).cast("int").as("threshold_tenths"))
+    recs.crossJoin(broadcast(grid))
+      .groupBy("threshold_tenths")
+      .agg(
+        sum(when(col("best") < col("threshold_tenths") / lit(10.0d), 1L)
+          .otherwise(0L)).as("n_unlinkable"),
+        count(lit(1)).as("n_records"))
+      .withColumn("prop_permille", expr("(1000 * n_unlinkable) div n_records"))
+      .orderBy("threshold_tenths")
+  }
+
+  private val unlinkablesSql =
+    """WITH pairs AS (
+      |  SELECT l.c_custkey AS left_id,
+      |    (CASE WHEN l.c_mktsegment = r.c_mktsegment
+      |          THEN CAST(2.5 AS DOUBLE) ELSE CAST(-1.2 AS DOUBLE) END
+      |   + CASE WHEN abs(l.c_acctbal - r.c_acctbal) < 100
+      |          THEN CAST(3.1 AS DOUBLE) ELSE CAST(-0.8 AS DOUBLE) END) AS w
+      |  FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) l
+      |  JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 1) r
+      |    ON l.c_nationkey = r.c_nationkey),
+      |best AS (SELECT left_id, max(w) AS best FROM pairs GROUP BY left_id),
+      |recs AS (
+      |  SELECT coalesce(best, CAST(-999.0 AS DOUBLE)) AS best
+      |  FROM (SELECT c_custkey AS left_id FROM customer WHERE c_custkey % 2 = 0) c
+      |  LEFT JOIN best USING (left_id)),
+      |grid AS (SELECT CAST(unnest(range(-20, 61, 5)) AS INT) AS threshold_tenths)
+      |SELECT threshold_tenths,
+      |  CAST(sum(CASE WHEN best < threshold_tenths / 10.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unlinkable,
+      |  CAST(count(*) AS BIGINT) AS n_records,
+      |  CAST((1000 * sum(CASE WHEN best < threshold_tenths / 10.0 THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS prop_permille
+      |FROM recs CROSS JOIN grid
+      |GROUP BY threshold_tenths ORDER BY threshold_tenths""".stripMargin
+
+  /** Cluster graph metrics (splink's `compute_graph_metrics`: per-cluster
+    * node count, edge count, max node degree, density and Freeman degree
+    * centralisation) over the resolver's components — the linkage-QA view
+    * that tells you whether a cluster is a clean clique or a hairball
+    * chained through one hub record. Runs on the same chain+bridge edge
+    * set the incremental-resolution query maintains, so both surfaces
+    * describe one resolution.
+    *
+    * Everything is keyed by cluster id: canonical undirected edges (one
+    * distinct), one degree aggregate, one per-cluster edge count and one
+    * per-cluster node rollup, joined cluster-to-cluster — no pair
+    * materialisation beyond the edge set itself. Metrics are exact
+    * permille integers — density (2000·E) div (n·(n−1)); Freeman
+    * centralisation (1000·Σ(degmax−deg)) div ((n−1)·(n−2)) via
+    * Σ(degmax−deg) = n·degmax − 2E, NULL below its n>2 domain.
+    */
+  private def clusterGraphMetrics(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    val bridges = customer.filter(col("c_custkey") % 10 === 0)
+      .withColumn("dst", lead("c_custkey", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("c_custkey").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    val raw = chainEdges(customer).unionByName(bridges)
+    // canonical undirected edge set feeds components, degrees AND the
+    // per-cluster edge count — checkpoint once, scan three times
+    val edges = raw.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val comp = Components.connected(
+      edges.select(col("a").as("src"), col("b").as("dst")))
+    val deg = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val nodeStats = comp.join(deg, "id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_nodes"), max("degree").as("max_degree"),
+        sum("degree").as("sum_degree"))
+    val edgeStats = edges.join(comp.withColumnRenamed("id", "a"), "a")
+      .groupBy("component").agg(count(lit(1)).as("n_edges"))
+    nodeStats.join(edgeStats, "component")
+      .select(col("component").as("cluster_id"), col("n_nodes"),
+        col("n_edges"), col("max_degree"),
+        expr("(2000 * n_edges) div (n_nodes * (n_nodes - 1))")
+          .as("density_permille"),
+        expr("""CASE WHEN n_nodes > 2
+               |THEN (1000 * (n_nodes * max_degree - sum_degree))
+               |     div ((n_nodes - 1) * (n_nodes - 2)) END""".stripMargin)
+          .as("centralisation_permille"))
+      .orderBy("cluster_id")
+  }
+
+  private lazy val clusterGraphMetricsSql =
+    s"""WITH comp AS (${Components.connectedSql(
+         chainEdgesSql.stripMargin + "\nUNION ALL\n" + bridgeEdgesSql)}),
+       |rawe AS (${chainEdgesSql.stripMargin}
+       |  UNION ALL
+       |  $bridgeEdgesSql),
+       |edges AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM rawe WHERE src <> dst),
+       |deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS degree
+       |  FROM (SELECT a AS id FROM edges UNION ALL SELECT b FROM edges)
+       |  GROUP BY id),
+       |ns AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    max(degree) AS max_degree, CAST(sum(degree) AS BIGINT) AS sum_degree
+       |  FROM comp JOIN deg USING (id) GROUP BY component),
+       |es AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS n_edges
+       |  FROM edges JOIN comp ON comp.id = edges.a GROUP BY component)
+       |SELECT component AS cluster_id, n_nodes, n_edges, max_degree,
+       |  CAST((2000 * n_edges) // (n_nodes * (n_nodes - 1)) AS BIGINT)
+       |    AS density_permille,
+       |  CAST(CASE WHEN n_nodes > 2
+       |    THEN (1000 * (n_nodes * max_degree - sum_degree))
+       |         // ((n_nodes - 1) * (n_nodes - 2)) END AS BIGINT)
+       |    AS centralisation_permille
+       |FROM ns JOIN es USING (component)
+       |ORDER BY cluster_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mb_source_index", sourceIndex, Some(sourceIndexSql)),
     QueryDef("mb_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
@@ -2259,6 +2412,9 @@ object Matchbox {
     QueryDef("mb_link_levenshtein", linkLevenshtein, Some(linkLevenshteinSql)),
     QueryDef("mb_link_damerau", linkDamerau, Some(linkDamerauSql)),
     QueryDef("mb_blocking_quality", blockingQuality, Some(blockingQualitySql)),
+    QueryDef("mb_unlinkables", unlinkables, Some(unlinkablesSql)),
+    QueryDef("mb_cluster_graph_metrics", clusterGraphMetrics,
+      Some(clusterGraphMetricsSql)),
     QueryDef("mb_link_fuzzy_nulls", linkFuzzyNulls, Some(linkFuzzyNullsSql)),
     QueryDef("mb_link_fuzzy_nulls_gate", linkFuzzyNullsGate,
       Some(linkFuzzyNullsGateSql)),

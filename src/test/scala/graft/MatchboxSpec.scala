@@ -330,4 +330,39 @@ class MatchboxSpec extends SparkSpec {
     val perLeft = df.groupBy("left_id").count()
     assert(perLeft.filter(col("left_id") < 10 && col("count") > 1).isEmpty)
   }
+
+  test("unlinkables chart is a monotone CDF ending at 1000 permille") {
+    val rows = Registry.byName("mb_unlinkables").fn(spark, sfDir)
+      .orderBy("threshold_tenths").collect()
+    assert(rows.length == 17)
+    val total = rows.head.getLong(2)
+    assert(rows.forall(_.getLong(2) == total))
+    // counts grow monotonically with the threshold (it's a CDF of best
+    // weights) and the top grid point (6.0) exceeds the max possible
+    // weight 5.6, so every record is unlinkable there
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a <= b })
+    assert(counts.last == total && rows.last.getLong(3) == 1000L)
+    assert(rows.forall(r => r.getLong(3) == 1000L * r.getLong(1) / total))
+  }
+
+  test("cluster graph metrics satisfy the graph identities per cluster") {
+    val rows = Registry.byName("mb_cluster_graph_metrics").fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, e, dmax) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 2, s"cluster ${r.getLong(0)}: every component has an edge")
+      assert(e >= n - 1 && e <= n * (n - 1) / 2, "connected, simple")
+      assert(dmax >= 1 && dmax <= n - 1)
+      val density = r.getLong(4)
+      assert(density == 2000L * e / (n * (n - 1)) && density > 0 && density <= 1000)
+      if (n > 2) {
+        val c = r.getLong(5)
+        // Σ(degmax − deg) = n·degmax − 2E, Freeman-normalised by (n−1)(n−2)
+        assert(c == 1000L * (n * dmax - 2 * e) / ((n - 1) * (n - 2)))
+        assert(c >= 0 && c <= 1000)
+      } else assert(r.isNullAt(5))
+    }
+  }
 }
