@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.text.Unigram
+import graft.operators.text.{Unigram, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -556,6 +556,145 @@ object Selection {
          |FROM enc JOIN np USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** WordPiece greedy-encode census — the third tokenizer family next to
+    * dx_bpe_* and dx_unigram_*: greedy longest-match-first (max-munch)
+    * segmentation over the unigram seed inventory, the serving algorithm
+    * of the BERT-family encoders (operators/text/WordPiece.scala). Per
+    * doc: word/piece counts, fertility (pieces per 1000 words — the
+    * number tokenizer papers report) and compression vs the char
+    * baseline. The corpus is touched once (word-freq collapse + one
+    * vocabulary-sized equi-join); segmentation is a pure fold over the
+    * distinct-word frame; the oracle replays the greedy walk as an
+    * unrolled jump-table chain (longest match per position pivoted into
+    * per-word columns, then maxWord CASE steps).
+    */
+  private def wordpieceWords(s: SparkSession, dir: String): DataFrame = {
+    val wf = unigramWf(s, dir)
+    WordPiece.segment(wf, WordPiece.vocab(wf))
+  }
+
+  private def wordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val seg = wordpieceWords(s, dir)
+      .select(col("w"), expr("CAST(size(pieces) AS BIGINT)").as("n_pieces"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("split(trim(text), '\\\\s+')")).as("w"))
+      .join(seg, "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_pieces"),
+        sum(length(col("w"))).cast("long").as("n_base_chars"))
+      .withColumn("fertility_permille", expr("(1000 * n_pieces) div n_words"))
+      .withColumn("compression_permille",
+        expr("(1000 * n_pieces) div n_base_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Piece-usage table of the greedy segmentations (Σ word-frequency ×
+    * occurrences-on-walk): the vocabulary census a tokenizer report ships
+    * — `##`-continuation entries count separately from word-initial ones,
+    * exactly as a split WordPiece vocabulary would. One piece-domain
+    * aggregate over the segmented distinct-word frame.
+    */
+  private def wordpieceUsage(s: SparkSession, dir: String): DataFrame =
+    wordpieceWords(s, dir)
+      .select(explode(col("pieces")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("n_uses"))
+      .orderBy("piece")
+
+  /** Oracle replay of the greedy walk: seed vocabulary (tokw/wfu/sub/v0 —
+    * the unigram head verbatim) → longest vocabulary match per (word,
+    * position) pivoted into per-word jump columns (inner join against the
+    * (position, length) candidate grid, single-char fallback via LEFT
+    * JOIN + coalesce) → maxWord unrolled walk steps → per-word piece
+    * count and piece extraction. Mechanically generated, like bpeCtes.
+    */
+  private def wordpieceCtes: String = {
+    val P = Unigram.maxPiece
+    val L = Unigram.maxWord
+    val pairVals = (for (p <- 1 to L; m <- 2 to P) yield s"($p, $m)")
+      .mkString(", ")
+    val jPivot = (1 to L).map(p =>
+      s"max(CASE WHEN t.p = $p THEN t.m END) AS j_$p").mkString(",\n    ")
+    val kCoalesce = (1 to L).map(p => s"coalesce(j_$p, 1) AS k_$p")
+      .mkString(", ")
+    val jumpCases = (1 to L).map(p => s"WHEN $p THEN k_$p").mkString(" ")
+    val head =
+      s"""WITH tokw AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+         |wfu AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tokw
+         |        WHERE length(w) <= $L GROUP BY w),
+         |sub AS (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
+         |      i -> list_transform(range(i, least(length(w), i + ${P - 1}) + 1),
+         |           j -> substr(w, i, j - i + 1))))) AS piece, cnt
+         |    FROM wfu) q
+         |  GROUP BY piece),
+         |v0 AS (
+         |  SELECT piece FROM sub WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece FROM (
+         |    SELECT piece FROM sub WHERE length(piece) > 1
+         |    ORDER BY freq DESC, piece LIMIT ${Unigram.multiVocab}) q),
+         |wj AS (
+         |  SELECT f.w,
+         |    $jPivot
+         |  FROM wfu f
+         |  JOIN (VALUES $pairVals) t(p, m) ON length(f.w) >= t.p + t.m - 1
+         |  JOIN v0 v ON v.piece = substr(f.w, t.p, t.m)
+         |  GROUP BY f.w),
+         |g0 AS (
+         |  SELECT w, cnt, length(w) AS lw, $kCoalesce, 0 AS pos0
+         |  FROM wfu LEFT JOIN wj USING (w))""".stripMargin
+    val walk = (1 to L).map { k =>
+      s""",
+         |g$k AS (SELECT *, CASE WHEN pos${k - 1} < lw THEN pos${k - 1}
+         |  + (CASE pos${k - 1} + 1 $jumpCases END)
+         |  ELSE pos${k - 1} END AS pos$k FROM g${k - 1})""".stripMargin
+    }.mkString
+    val nPieces = (1 to L).map(k =>
+      s"(CASE WHEN pos$k > pos${k - 1} THEN 1 ELSE 0 END)").mkString(" + ")
+    head + walk +
+      s""",
+         |np AS (SELECT w, CAST($nPieces AS BIGINT) AS n_pieces FROM g$L)"""
+        .stripMargin
+  }
+
+  private val wordpieceEncodeSql: String =
+    wordpieceCtes +
+      s""",
+         |enc AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(length(w)) AS BIGINT) AS n_base_chars,
+         |  CAST((1000 * sum(n_pieces)) // count(*) AS BIGINT)
+         |    AS fertility_permille,
+         |  CAST((1000 * sum(n_pieces)) // sum(length(w)) AS BIGINT)
+         |    AS compression_permille
+         |FROM enc JOIN np USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val wordpieceUsageSql: String = {
+    val L = Unigram.maxWord
+    // concat(), not ||: these lines are stripMargin'd, and a leading ||
+    // would lose its first pipe (the bpeEncodeSql gotcha)
+    val pieceCases = (1 to L).map(k =>
+      s"""CASE WHEN pos$k > pos${k - 1} THEN concat(
+         |      CASE WHEN pos${k - 1} = 0 THEN '' ELSE '##' END,
+         |      substr(w, pos${k - 1} + 1, pos$k - pos${k - 1})) END"""
+        .stripMargin).mkString(",\n    ")
+    wordpieceCtes +
+      s""",
+         |up AS (
+         |  SELECT unnest([$pieceCases]) AS piece, cnt FROM g$L)
+         |SELECT piece, CAST(sum(cnt) AS BIGINT) AS n_uses
+         |FROM up WHERE piece IS NOT NULL
+         |GROUP BY piece ORDER BY piece""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dsir", dsir, Some(dsirSql)),
     QueryDef("dx_split_stratified", splitStratified, Some(splitStratifiedSql)),
@@ -563,6 +702,8 @@ object Selection {
     QueryDef("dx_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("dx_unigram_train", unigramTrain, Some(unigramTrainSql)),
     QueryDef("dx_unigram_encode", unigramEncode, Some(unigramEncodeSql)),
+    QueryDef("dx_wordpiece", wordpieceEncode, Some(wordpieceEncodeSql)),
+    QueryDef("dx_wordpiece_usage", wordpieceUsage, Some(wordpieceUsageSql)),
     QueryDef("dx_contamination_report", contaminationReport,
       Some(contaminationReportSql)))
 }

@@ -210,10 +210,108 @@ object Sources {
       |FROM documents WHERE lang = 'en'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Plain-text round trip: delimited lines out through the text sink,
+    * back through the text source with an explicit parse (split + casts —
+    * the classic log/flat-file ingest shape), per-brand census. The money
+    * column crosses the text boundary as Spark's shortest-roundtrip
+    * double rendering, so the parse-back is value-exact and the
+    * scaled-integer aggregate proves it against the parquet.
+    */
+  private def textGate(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_text").toString
+    Tables(s, dir, "part")
+      .select(concat_ws("|", col("p_partkey"), col("p_brand"),
+        col("p_retailprice")).as("value"))
+      .write.mode("overwrite").text(s"$out/part_txt")
+    Warehouse.read(s, "text", s"$out/part_txt", schema = None)
+      .select(split(col("value"), "\\|").as("f"))
+      .select(
+        expr("CAST(element_at(f, 1) AS BIGINT)").as("p_partkey"),
+        expr("element_at(f, 2)").as("p_brand"),
+        expr("CAST(element_at(f, 3) AS DOUBLE)").as("p_retailprice"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        min("p_partkey").as("min_key"),
+        Num.moneySum(col("p_retailprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  private val textGateSql =
+    s"""SELECT p_brand, count(*) AS n_parts, min(p_partkey) AS min_key,
+       |  ${Num.moneySumSql("p_retailprice")} AS sum_price
+       |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** XML round trip (Spark 4's built-in XML source, the spark-xml
+    * donation): nations out as `<nation>` row elements, back in with the
+    * explicit schema and rowTag, per-region census. XML is the interchange
+    * format warehouses still emit for reference data; the gate catches
+    * element/attribute mapping and type-coercion drift.
+    */
+  private def xmlGate(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    val nation = Tables(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+    nation.write.mode("overwrite").format("xml")
+      .option("rowTag", "nation").option("rootTag", "nations")
+      .save(s"$out/nation_xml")
+    Warehouse.read(s, "xml", s"$out/nation_xml",
+        schema = Some(nation.schema), options = Map("rowTag" -> "nation"))
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_name"),
+        sum("n_nationkey").as("sum_key"))
+      .orderBy("n_regionkey")
+  }
+
+  private val xmlGateSql =
+    """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+      |  count(*) AS n_nations, min(n_name) AS first_name,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Binary-file ingest (`binaryFile`, the path every blob corpus —
+    * image/audio shards, WARC members — enters Spark through): a bounded
+    * document slice is materialised as one UTF-8 file per doc, read back
+    * as (path, content) with a glob filter, and re-keyed from the file
+    * name. Byte length and sha256 per document are oracle-matched against
+    * the parquet text, proving the bytes survived the filesystem hop
+    * exactly. Listing is distributed and contents stream per task — at
+    * 100 TB this is the same plan, pointed at an object store.
+    */
+  private def binaryGate(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_bin").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/docs"))
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text")).collect() // bounded: 5% slice
+      .foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/docs/${r.getLong(0)}.txt"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(s"$out/docs")
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        sha2(col("content"), 256).as("sha"))
+      .orderBy("doc_id")
+  }
+
+  private val binaryGateSql =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS sha
+      |FROM documents WHERE doc_id % 20 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("src_jdbc_gate", jdbcGate, Some(jdbcGateSql)),
     QueryDef("src_csv_gate", csvGate, Some(csvGateSql)),
     QueryDef("src_json_gate", jsonGate, Some(jsonGateSql)),
     QueryDef("src_orc_gate", orcGate, Some(orcGateSql)),
-    QueryDef("src_partition_gate", partitionGate, Some(partitionGateSql)))
+    QueryDef("src_partition_gate", partitionGate, Some(partitionGateSql)),
+    QueryDef("src_text_gate", textGate, Some(textGateSql)),
+    QueryDef("src_xml_gate", xmlGate, Some(xmlGateSql)),
+    QueryDef("src_binary_gate", binaryGate, Some(binaryGateSql)))
 }
