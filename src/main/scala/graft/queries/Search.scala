@@ -158,8 +158,87 @@ object Search {
        |FROM seeded s LEFT JOIN vc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- containment search ----------------------------------------------
+  /** Asymmetric shingle-containment search (|A∩B| / |A| — quote/excerpt
+    * detection, the one-sided cousin of Jaccard dedup: a 50-token excerpt
+    * inside a 5000-token page has tiny Jaccard but containment ≈ 1, which
+    * is why Lee et al. 2022 "Deduplicating Training Data" treat substring
+    * containment as its own dedup axis). Seeds: every doc_id % 9 = 0 doc
+    * gets a half-length excerpt twin (+2000000), so excerpt→source pairs
+    * must surface with ~1000 permille containment; source→excerpt stays
+    * below threshold and must NOT.
+    *
+    * Scale shape: distinct 3-shingle postings with a df ≤ 64 hot-shingle
+    * drop (frequent shingles carry no containment evidence — the same
+    * bound that keeps dx_winnow_pairs' posting join linear at 100×); one
+    * posting groupBy emits each list's ordered pairs locally (both
+    * directions); sizes are rare-shingle counts, so both engines compute
+    * the SAME normaliser. No length blocking — asymmetric containment is
+    * exactly the case length-bucket blocking would wrongly prune.
+    * Decisions are integer-exact ((1000·c) div n_src ≥ 800, n_src ≥ 5).
+    */
+  private def withExcerpts(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        expr("substring(text, 1, length(text) div 2)").as("text")))
+  }
+
+  private val excerptsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 2000000, substr(text, 1, length(text) // 2)
+      |FROM documents WHERE doc_id % 9 = 0""".stripMargin
+
+  private def containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = withExcerpts(s, dir)
+      .select(col("doc_id"),
+        array_distinct(
+          graft.functions.Sketches.shingleHashes(col("text"), 3)).as("sh"))
+    val posts = docs.select(col("doc_id"), explode(col("sh")).as("fp"))
+    val rare = posts.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select("fp")
+    val k = posts.join(rare, "fp").localCheckpoint(false)
+    val sizes = k.groupBy("doc_id").agg(count(lit(1)).as("n_src"))
+    val shared = k
+      .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    array(named_struct('src', x, 'dst', y),
+          |          named_struct('src', y, 'dst', x)))))""".stripMargin)).as("pp"))
+      .select(explode(col("pp")).as("p"))
+      .groupBy(col("p.src").as("src_id"), col("p.dst").as("dst_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "src_id")), "src_id")
+      .withColumn("containment_permille", expr("(1000 * n_shared) div n_src"))
+      .filter(col("containment_permille") >= 800 && col("n_src") >= 5)
+      .select("src_id", "dst_id", "n_shared", "n_src", "containment_permille")
+      .orderBy("src_id", "dst_id")
+  }
+
+  private lazy val containmentSql =
+    s"""WITH docs3 AS ($excerptsSql),
+       |sh AS (SELECT doc_id, ${Pipeline.shingleDuck} AS hs FROM docs3),
+       |f AS (SELECT doc_id, unnest(hs) AS fp FROM sh),
+       |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 64),
+       |k AS (SELECT doc_id, f.fp FROM f JOIN rare USING (fp)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_src FROM k GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT src_id, dst_id, n_shared, n_src,
+       |  CAST((1000 * n_shared) // n_src AS BIGINT) AS containment_permille
+       |FROM shared JOIN sz ON sz.doc_id = shared.src_id
+       |WHERE (1000 * n_shared) // n_src >= 800 AND n_src >= 5
+       |ORDER BY src_id, dst_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("dx_collocations", collocations, Some(collocationsSql)),
-    QueryDef("dx_pii_battery", piiBattery, Some(piiBatterySql)))
+    QueryDef("dx_pii_battery", piiBattery, Some(piiBatterySql)),
+    QueryDef("dx_containment", containment, Some(containmentSql)))
 }

@@ -70,6 +70,31 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("containment surfaces every excerpt→source pair and no reverses") {
+    val rows = Registry.byName("dx_containment").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val allExcerpts = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id"), expr(
+        "size(split(trim(substring(text, 1, length(text) div 2)), '\\\\s+'))")
+        .as("ntok"))
+      .collect().map(r => (r.getLong(0) + 2000000, r.getInt(1)))
+    val excerptIds = allExcerpts.map(_._1).toSet
+    // every seeded excerpt ABOVE the operator's n_src ≥ 5 noise floor must
+    // hit its source (tiny docs' excerpts have < 5 shingles by contract)
+    allExcerpts.filter(_._2 >= 10).map(_._1).foreach { ex =>
+      val hit = rows.find { case (s0, d, _) => s0 == ex && d == ex - 2000000 }
+      assert(hit.isDefined, s"excerpt $ex lost its source")
+      // ≥ the query threshold: short docs lose a couple of shingles to
+      // the mid-token cut, so ~857 permille happens at sf0.001
+      assert(hit.get._3 >= 800, s"excerpt $ex containment ${hit.get._3}")
+    }
+    // the reverse direction (source→half-length excerpt) is ~500 permille
+    // and must stay below the 800 threshold
+    assert(!rows.exists { case (s0, d, _) =>
+      excerptIds.contains(d) && s0 == d - 2000000 })
+  }
+
   test("collocations match a driver-side recomputation") {
     val toks = Tables(spark, sfDir, "documents")
       .select(split(trim(col("text")), "\\s+").as("ws"))
