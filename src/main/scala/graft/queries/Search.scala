@@ -191,27 +191,46 @@ object Search {
       |FROM documents WHERE doc_id % 9 = 0""".stripMargin
 
   private def containment(s: SparkSession, dir: String): DataFrame = {
+    // Asymmetric PREFIX filter (the containment form of PPJoin's prefix
+    // principle, one-sided because only the SRC size bounds the miss
+    // budget): containment ≥ 800‰ lets src miss at most floor(n_src/5)
+    // shingles, so a qualifying pair MUST co-occur in src's
+    // floor(n_src/5)+1 RAREST shingles (pigeonhole). Candidates are
+    // therefore prefix-postings × full-postings — Σ_prefix df instead of
+    // the full index's Σdf² — and survivors verify EXACTLY on the
+    // rare-shingle arrays. Same pair set, same values, ~5× less posting
+    // work; at 100 TB the prefix is what keeps the join linear in docs.
     val docs = withExcerpts(s, dir)
       .select(col("doc_id"),
         array_distinct(
           graft.functions.Sketches.shingleHashes(col("text"), 3)).as("sh"))
+      .localCheckpoint(false)
     val posts = docs.select(col("doc_id"), explode(col("sh")).as("fp"))
     val rare = posts.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 64).select("fp")
+      .filter(col("df") <= 64)
     val k = posts.join(rare, "fp").localCheckpoint(false)
-    val sizes = k.groupBy("doc_id").agg(count(lit(1)).as("n_src"))
-    val shared = k
-      .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    array(named_struct('src', x, 'dst', y),
-          |          named_struct('src', y, 'dst', x)))))""".stripMargin)).as("pp"))
-      .select(explode(col("pp")).as("p"))
-      .groupBy(col("p.src").as("src_id"), col("p.dst").as("dst_id"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "src_id")), "src_id")
+    // rare shingles per doc, rarest first ((df, fp) — a consistent total
+    // order shared by prefix selection and nothing else; verification is
+    // order-blind)
+    val arrs = k
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("fp")))).as("sf"))
+      .select(col("doc_id"), expr("transform(sf, x -> x.fp)").as("rsh"),
+        expr("CAST(size(sf) AS BIGINT)").as("n_src"))
+      .localCheckpoint(false)
+    val prefix = arrs.select(col("doc_id").as("src_id"),
+      explode(expr("slice(rsh, 1, CAST(n_src div 5 AS INT) + 1)")).as("fp"))
+    val cand = prefix
+      .join(k.select(col("doc_id").as("dst_id"), col("fp")), "fp")
+      .filter(col("src_id") =!= col("dst_id"))
+      .select("src_id", "dst_id").distinct()
+    cand
+      .join(arrs.select(col("doc_id").as("src_id"), col("rsh").as("src_sh"),
+        col("n_src")), "src_id")
+      .join(arrs.select(col("doc_id").as("dst_id"), col("rsh").as("dst_sh")),
+        "dst_id")
+      .withColumn("n_shared",
+        expr("CAST(size(array_intersect(src_sh, dst_sh)) AS BIGINT)"))
       .withColumn("containment_permille", expr("(1000 * n_shared) div n_src"))
       .filter(col("containment_permille") >= 800 && col("n_src") >= 5)
       .select("src_id", "dst_id", "n_shared", "n_src", "containment_permille")
