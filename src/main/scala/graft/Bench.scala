@@ -45,7 +45,17 @@ object Bench {
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
       val cpu0 = processCpuNanos(); val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // Force FULL materialization of the query's own plan. `.count()` is
+      // NOT that: Catalyst rewrites count-over-result — all columns prune
+      // away, map-only queries collapse to zero-column count-star scans
+      // (the regex/HOF work never runs), and a cardinality-preserving
+      // outer join whose payload is unused is eliminated outright (caught
+      // r13: mb_unlinkables "ran" 22.5G blocked pairs in 1.5 s because
+      // the best-weight branch hangs off exactly such a join — real wall
+      // 202 s). toRdd executes the unrewritten physical plan and the RDD
+      // count forces every InternalRow to be produced, which is what a
+      // real consumer (Verify's parquet dump, a downstream stage) pays.
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
