@@ -94,6 +94,9 @@ class RegistrySpec extends SparkSpec {
       // blocking quality: |L|, |R|, |truth| one-row counts crossed into
       // the 3-row scheme census
       "mb_blocking_quality" -> scalarAggBuild,
+      // unlinkables: the 17-row literal threshold grid (a Range, not even
+      // a scan) crossed into the per-record best-weight frame
+      "mb_unlinkables" -> boundedScanBuild,
       "dx_boilerplate" -> scalarAggBuild)
     // dx_boilerplate legitimately crosses TWO one-row aggregates into the
     // per-document pass: the corpus count (threshold) and the collected

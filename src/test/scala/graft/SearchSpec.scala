@@ -95,6 +95,39 @@ class SearchSpec extends SparkSpec {
       excerptIds.contains(d) && s0 == d - 2000000 })
   }
 
+  test("phrase search equals naive sliding-window counts on random docs") {
+    val rng = new scala.util.Random(1913)
+    val vocab = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 5) {
+      val docs = (1L to 40L).map(id =>
+        (id, Seq.fill(2 + rng.nextInt(20))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")))
+      val phrase = Seq.fill(1 + rng.nextInt(3))(vocab(rng.nextInt(vocab.size)))
+      val expected = docs.flatMap { case (id, text) =>
+        val ws = text.split(" ").toSeq
+        val n = ws.sliding(phrase.size).count(_ == phrase)
+        if (n > 0) Some(id -> n.toLong) else None
+      }.toMap
+      val got = Phrase.search(docs.toDF("doc_id", "text"), phrase).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial phrase ${phrase.mkString(" ")}")
+    }
+  }
+
+  test("Luhn generation/validation round-trips on random 15-digit bases") {
+    val rng = new scala.util.Random(77)
+    val bases = Seq.fill(40)(400000000000000L + math.abs(rng.nextLong()) % 100000000000000L)
+    val df = bases.toDF("b")
+    assert(df.select(expr(Pii.cardFromBase("b", "div")).as("c"))
+      .select(Pii.luhnValid("c").as("v"))
+      .collect().forall(_.getInt(0) == 1))
+    for (off <- 1 to 9) {
+      assert(df.select(expr(Pii.cardFromBase("b", "div", offset = off)).as("c"))
+        .select(Pii.luhnValid("c").as("v"))
+        .collect().forall(_.getInt(0) == 0), s"offset $off must break Luhn")
+    }
+  }
+
   test("collocations match a driver-side recomputation") {
     val toks = Tables(spark, sfDir, "documents")
       .select(split(trim(col("text")), "\\s+").as("ws"))
