@@ -2581,7 +2581,11 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  private val cdcChunkSql = {
+  /** CDC oracle chain through `ch` (doc_id, cut, clen, chash),
+    * parameterized on the doc source so the CDC-dedup twin runs the same
+    * hash/scan over the seeded corpus.
+    */
+  private def cdcCtes(srcSql: String): String = {
     // closed form of the rolling gear hash at position t (1-indexed):
     // only the last 28 terms survive mod 2^28, so h_t is a windowed sum —
     // per-position, no sequential state (terms < 2^55, sum < 2^60: safe)
@@ -2607,7 +2611,7 @@ object Pipeline {
          |      t -> t >= p + $cdcMin AND t <= p + $cdcMax)),
          |    p + $cdcMax)))""".stripMargin
     s"""WITH RECURSIVE
-       |d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |d AS (SELECT doc_id, text, length(text) AS n FROM ($srcSql)),
        |h AS (SELECT doc_id, n, $hsExpr AS hs FROM d),
        |m AS (SELECT doc_id, n,
        |  list_filter(range(1, n + 1), t -> hs[t] % $cdcDiv = 0) AS ms FROM h),
@@ -2621,7 +2625,12 @@ object Pipeline {
        |  FROM r WHERE p > 0),
        |ch AS (SELECT cr.doc_id, cut, cut - prev AS clen,
        |    md5(substr(d.text, CAST(prev + 1 AS INT), CAST(cut - prev AS INT))) AS chash
-       |  FROM cr JOIN d ON cr.doc_id = d.doc_id),
+       |  FROM cr JOIN d ON cr.doc_id = d.doc_id)""".stripMargin
+  }
+
+  private val cdcChunkSql =
+    cdcCtes("SELECT doc_id, text FROM documents") +
+    s""",
        |sh AS (SELECT chash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
        |pd AS (SELECT ch.doc_id,
        |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
@@ -2634,7 +2643,66 @@ object Pipeline {
        |  FROM ch GROUP BY 1)
        |SELECT agg.doc_id, n_chunks, min_chunk, max_chunk, cuts_md5, n_shared
        |FROM agg JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** CDC-chunk substring dedup pairs — the operator the dx_cdc_chunk
+    * census exists to feed (the way real substring dedup runs at scale:
+    * LBFS/Venti-style content-defined chunking, then docs sharing chunk
+    * hashes pair up): per doc the DISTINCT chunk-hash set, a per-chunk
+    * group with a 2..64 occupancy band (singleton chunks pair nothing;
+    * hot chunks — boilerplate — carry no dedup evidence, the same cap as
+    * dx_containment's postings), then each group's ordered pairs with
+    * shared-chunk counts and shared BYTES (chunk lengths are content-
+    * determined, so the byte sum is well-defined). Runs over the
+    * mutated-dup seeded corpus (withDupes): a near-dup copy shares every
+    * chunk except where the tail edit lands — shift-robust by CDC
+    * construction, no alignment sensitivity. No pair ever materialises
+    * outside a shared-chunk group: Σ over groups of d(d−1)/2, bounded by
+    * the occupancy cap — the 100 TB shape.
+    */
+  private def dedupCdc(s: SparkSession, dir: String): DataFrame = {
+    val ex = withDupes(s, dir, exact = false)
+      .select(col("doc_id"), col("text"))
+      .withColumn("cuts",
+        graft.functions.CdcChunks(col("text"), cdcMin, cdcDiv, cdcMax))
+      .select(col("doc_id"), explode(expr(
+        """transform(cuts, (c, i) -> struct(
+          |  md5(substring(text,
+          |    CAST(CASE WHEN i = 0 THEN 1L ELSE element_at(cuts, i) + 1L END AS INT),
+          |    CAST(c - CASE WHEN i = 0 THEN 0L ELSE element_at(cuts, i) END AS INT)))
+          |    AS chash,
+          |  c - CASE WHEN i = 0 THEN 0L ELSE element_at(cuts, i) END AS clen))"""
+          .stripMargin)).as("ch"))
+      .select(col("doc_id"), col("ch.chash").as("chash"), col("ch.clen").as("clen"))
+      .distinct()
+    ex.groupBy("chash", "clen")
+      .agg(sort_array(collect_list("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 64))
+      .select(col("clen"), explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    named_struct('left_id', x, 'right_id', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.left_id").as("left_id"), col("p.right_id").as("right_id"))
+      .agg(count(lit(1)).as("shared_chunks"), sum("clen").as("shared_bytes"))
+      .filter(col("shared_chunks") >= 2)
+      .orderBy("left_id", "right_id")
   }
+
+  private lazy val dedupCdcSql =
+    cdcCtes(dupesSql(exact = false)) +
+    s""",
+       |dch AS (SELECT DISTINCT doc_id, chash, clen FROM ch),
+       |g AS (SELECT chash, clen FROM dch GROUP BY 1, 2
+       |      HAVING count(*) BETWEEN 2 AND 64)
+       |SELECT left_id, right_id, shared_chunks, shared_bytes FROM (
+       |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       |    CAST(count(*) AS BIGINT) AS shared_chunks,
+       |    CAST(sum(a.clen) AS BIGINT) AS shared_bytes
+       |  FROM dch a
+       |  JOIN g ON g.chash = a.chash AND g.clen = a.clen
+       |  JOIN dch b ON a.chash = b.chash AND a.clen = b.clen
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |WHERE shared_chunks >= 2 ORDER BY left_id, right_id""".stripMargin
 
   /** Overlapping sliding-window chunking — the context-window preparation
     * step between cleaning and packing: split each document into
@@ -3399,6 +3467,7 @@ object Pipeline {
     QueryDef("dx_dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QueryDef("dx_cdc_chunk", cdcChunk, Some(cdcChunkSql)),
+    QueryDef("dx_dedup_cdc", dedupCdc, Some(dedupCdcSql)),
     QueryDef("dx_chunk", chunk, Some(chunkSql)),
     QueryDef("dx_sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     QueryDef("dx_dedup_url", dedupUrl, Some(dedupUrlSql)),

@@ -114,4 +114,25 @@ class CdcChunksSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(one === kernel("abcdefghijklmnopqrstuvwxyz"))
   }
+
+  test("CDC dedup pairs every seeded near-dup with its source, canonically") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byName("dx_dedup_cdc").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // canonical ordered pairs, each emitted once
+    assert(rows.forall { case (l, r0, _, _) => l < r0 })
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    // every seeded mutated copy (id + 1000000, tail edit) long enough to
+    // produce >= 3 chunks must pair with its source — CDC boundaries
+    // re-align after the edit, so all but the tail chunks are shared
+    val longSeeds = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 300)
+      .select("doc_id").collect().map(_.getLong(0))
+    longSeeds.foreach { id =>
+      val hit = rows.find { case (l, r0, _, _) => l == id && r0 == id + 1000000 }
+      assert(hit.isDefined, s"near-dup of $id not paired")
+      assert(hit.get._4 >= 100, s"pair of $id shares only ${hit.get._4} bytes")
+    }
+  }
 }
