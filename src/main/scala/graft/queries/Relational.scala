@@ -1994,6 +1994,37 @@ object Relational {
       |             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
       |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges""".stripMargin
 
+  /** Per-node triangle counts and Watts–Strogatz local clustering
+    * coefficient over the same proximity graph
+    * (GraphMetrics.localClustering): compact-forward orientation, common
+    * out-neighborhoods materialised once per oriented edge and credited
+    * to all three triangle corners — Σ t(n) = 3·triangles by
+    * construction. Exact permille; NULL below the deg ≥ 2 domain. The
+    * oracle recounts canonical (x<y<z) triangles and fans each out to
+    * its corners.
+    */
+  private def qGraphClustering(s: SparkSession, dir: String): DataFrame =
+    GraphMetrics.localClustering(graphEdges(s, dir)).orderBy("node_id")
+
+  private val qGraphClusteringSql =
+    s"""WITH $graphEdgesCte,
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tc AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+       |    SELECT x AS n FROM tri
+       |    UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri)
+       |  GROUP BY n)
+       |SELECT deg.n AS node_id, CAST(d AS BIGINT) AS degree,
+       |  CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+       |  CAST(CASE WHEN d >= 2 THEN (2000 * coalesce(t, 0)) // (d * (d - 1)) END
+       |    AS BIGINT) AS cc_permille
+       |FROM deg LEFT JOIN tc ON tc.n = deg.n
+       |ORDER BY node_id""".stripMargin
+
   /** DOULION edge-sampled triangle estimate over the same proximity graph
     * (GraphMetrics.triangleEstimateDoulion, KDD 2009): 1-in-16 edges by
     * the portable md5-digit hash (key-structure-independent — see the
@@ -2186,6 +2217,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_graph_triangles", qGraphTriangles, Some(qGraphTrianglesSql)),
+    QueryDef("q_graph_clustering", qGraphClustering, Some(qGraphClusteringSql)),
     QueryDef("q_graph_triangles_doulion", qGraphTrianglesDoulion,
       Some(qGraphTrianglesDoulionSql)),
     QueryDef("q_graph_degrees", qGraphDegrees, Some(qGraphDegreesSql)),

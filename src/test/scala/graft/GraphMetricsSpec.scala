@@ -195,4 +195,32 @@ class GraphMetricsSpec extends SparkSpec {
     assert(row.getLong(0) == 10 && row.getLong(1) == 9)
     assert(row.getLong(2) == 0 && row.getLong(3) == 8)
   }
+
+  test("local clustering: triangle + pendant pins every column") {
+    // triangle {1,2,3} plus pendant 4 hanging off 3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphMetrics.localClustering(e).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000L)), 2L -> ((2L, 1L, 1000L)),
+      3L -> ((3L, 1L, 333L)), 4L -> ((1L, 0L, -1L))))
+  }
+
+  test("local clustering credits sum to exactly 3x the global triangle count") {
+    val rng = new scala.util.Random(4242)
+    val edges = Seq.fill(160)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val e = edges.toDF("a", "b")
+    val perNode = GraphMetrics.localClustering(e)
+    val total = GraphMetrics.triangleStats(e).collect()(0).getLong(2)
+    val creditSum = perNode.agg(sum("n_triangles")).head().getLong(0)
+    assert(creditSum == 3 * total, s"$creditSum != 3 x $total")
+    // cc bounds on the domain
+    assert(perNode.filter(col("cc_permille") < 0 || col("cc_permille") > 1000).isEmpty)
+    assert(perNode.filter(col("degree") < 2 && col("cc_permille").isNotNull).isEmpty)
+  }
 }
