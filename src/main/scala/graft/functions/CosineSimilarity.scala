@@ -139,6 +139,9 @@ object GraftExtensions {
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       { exprs: Seq[Expression] => SortedIntersectCount(exprs(0), exprs(1)) }),
+    (FunctionIdentifier("sorted_intersect_values"),
+      new ExpressionInfo(classOf[SortedIntersectValues].getName, "sorted_intersect_values"),
+      { exprs: Seq[Expression] => SortedIntersectValues(exprs(0), exprs(1)) }),
     (FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       { exprs: Seq[Expression] => CdcChunks(exprs(0),

@@ -170,12 +170,16 @@ object GraphMetrics {
           .as("o"))
       .select(col("o.u").as("u"), col("o.v").as("v"))
       .transform(graft.Ckpt.truncateBulk)
-    val adj = oriented.groupBy("u")
-      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    // adj feeds BOTH posting joins — checkpoint or the groupBy+sort runs
+    // twice (triangleStats tolerates that for its one-row output; here
+    // the whole frame flows on)
+    val adj = graft.Ckpt.truncateBulk(oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("v"))).as("nbrs")))
     val credits = oriented
       .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-      .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
+      .select(col("u"), col("v"),
+        graft.functions.SortedIntersectValues(col("nu"), col("nv")).as("ws"))
       .select(explode(expr(
         """concat(
           |  array(named_struct('n', u, 'c', CAST(size(ws) AS BIGINT)),

@@ -71,6 +71,28 @@ class GraphMetricsSpec extends SparkSpec {
     assert(got.where(col("c") =!= col("ref")).count() == 0)
   }
 
+  test("the values kernel equals sorted array_intersect, elements and order") {
+    val rng = new Random(43)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rng.nextInt(20))(rng.nextInt(30).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(20))(rng.nextInt(30).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.SortedIntersectValues(col("a"), col("b")).as("v"),
+      // array_intersect preserves left order; left is sorted, so the
+      // reference is ascending exactly like the kernel's merge output
+      array_intersect(col("a"), col("b")).as("ref"))
+    assert(got.where(col("v") =!= col("ref")).count() == 0)
+    // SQL registration coerces int-literal arrays (the getLong hazard)
+    graft.functions.GraftExtensions.register(spark)
+    val one = spark.sql(
+      "SELECT sorted_intersect_values(array(1, 2, 3), array(2, 3, 4)) AS v")
+      .head().getSeq[Long](0)
+    assert(one == Seq(2L, 3L))
+  }
+
   test("durable checkpoint mode converges identically to localCheckpoint mode") {
     // spark.graft.checkpoint.dir switches every iterative operator's
     // per-round lineage cut from executor-local blocks to reliable
