@@ -116,13 +116,20 @@ object Bench {
       .map { case (n, (w1, w2)) =>
         s"\"" + n + s"\":{\"first\":${round(w1, 6)},\"second\":${round(w2, 6)},\"kept\":\"${if (w2 < w1) "second" else "first"}\"}" }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2, 6)},"cpu_sec":${jmap(_._3, 6)},"gc_sec":${jmap(_._4, 6)},"total_cpu":$totalCpu,"total_gc":$totalGc,"cores":$cpus,"failed":$failed,"remeasured":$remeasuredJson,"sf":"$sfDir"}"""
+    // Methodology tag (r13 ADVICE): materialization switched from count()
+    // (Catalyst count-collapses the plan) to queryExecution.toRdd.count()
+    // in r13, making walls before/after non-comparable; consumers
+    // (benchdiff, BASELINE, the judge) can detect the discontinuity
+    // programmatically instead of by changelog. Bump on any future change
+    // to WHAT a measured wall includes.
+    val method = "materialize-toRdd/v2"
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","queries":${jmap(_._2, 6)},"cpu_sec":${jmap(_._3, 6)},"gc_sec":${jmap(_._4, 6)},"total_cpu":$totalCpu,"total_gc":$totalGc,"cores":$cpus,"failed":$failed,"remeasured":$remeasuredJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // detail file is best-effort
     def line(dp: Int): String =
-      s"""{"metric":"total","value":${round(total, 2)},"unit":"sec","queries":${jmap(_._2, dp)},"total_cpu":${round(totalCpu, 1)},"total_gc":${round(totalGc, 1)},"cores":$cpus,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${round(total, 2)},"unit":"sec","method":"$method","queries":${jmap(_._2, dp)},"total_cpu":${round(totalCpu, 1)},"total_gc":${round(totalGc, 1)},"cores":$cpus,"failed":$failed,"sf":"$sfDir"}"""
     // Degrade per-query precision until the line fits the tail window with
     // room for sbt's trailing "[success] ..." line (~80 chars) and its own
     // "[info] " prefix.

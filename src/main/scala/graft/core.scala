@@ -42,6 +42,29 @@ object Tables {
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Widen a frame to the session's parallelism when its scan produced
+    * fewer splits — the guard queries with CPU-amplifying per-row work
+    * (per-position hashing, big HOF batteries, dim² product fan-outs)
+    * put after their scan.
+    *
+    * Why it exists: parquet parallelism bottoms out at the ROW-GROUP, not
+    * the byte range — a small single-row-group file is ONE task no matter
+    * what `maxPartitionBytes` says, so a 2000×-amplifying expression
+    * chain runs serially on 32 idle cores (r13 bench: dx_fingerprint
+    * 4.9 s wall at 5.45 CPU-s). At 100 TB the scan already yields far
+    * more splits than cores and this is a no-op — no shuffle is added —
+    * so the discipline costs nothing at the design scale and only fires
+    * in exactly the regime that needs it (small or post-filter frames
+    * feeding heavy per-row compute).
+    *
+    * Only apply to partition-order-insensitive consumers (per-row maps,
+    * commutative aggregates) — which CPU-amplifying stages are by nature.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }
 
 /** Lineage truncation for iterative operators (components, PageRank,

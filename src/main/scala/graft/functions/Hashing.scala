@@ -181,15 +181,40 @@ object Hashing {
     */
   def clustersHash(assignments: DataFrame, referenceExact: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val canonical = assignments.select(col("parent_id"), col("child_id"))
+    val grouped = assignments.select(col("parent_id"), col("child_id"))
       .groupBy("parent_id")
       .agg(sort_array(array_distinct(collect_list(col("child_id")))).as("child_ids"))
-      // rank assignment is a window over one row PER CLUSTER (not per
-      // record); single-partition by necessity, like the reference's
-      // global sort + row index
+      .select("child_ids")
+    // Global rank WITHOUT a single-partition window: cluster count is
+    // O(corpus), so `row_number() OVER (ORDER BY child_ids)` — one row
+    // per cluster, but ONE partition — is a driver-adjacent sort wall at
+    // scale. Two-pass ordinal instead (the RangePartitioner discipline:
+    // a bounded driver-side prepass steering a fully-distributed main
+    // pass): range-partition by the sort key (global order across
+    // partitions is the range partitioner's contract), count rows per
+    // partition (a #partitions-sized collect — bounded by deployment,
+    // never by data), broadcast the cumulative start offsets back as a
+    // literal map, and add them to per-partition row numbers. The frame
+    // is lineage-truncated so the count prepass and the rank pass share
+    // one materialization. Bit-identical to the global window: keys are
+    // distinct per cluster (a child set determines its cluster), and even
+    // under duplicate-key ties the emitted (ordinal, child) multiset is
+    // unchanged (spec-pinned in FunctionsSpec).
+    val parts = math.max(grouped.sparkSession.sparkContext.defaultParallelism, 1)
+    val ranged = graft.Ckpt.truncate(
+      grouped.repartitionByRange(parts, col("child_ids"))
+        .withColumn("pid", spark_partition_id()))
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("pid")), lit(0L))
+    val canonical = ranged.withColumn("local_rn",
+        row_number().over(Window.partitionBy(col("pid")).orderBy(col("child_ids"))))
       .select(col("child_ids"),
-        row_number().over(Window.orderBy(col("child_ids"))).cast("long")
-          .as("cluster_ordinal"))
+        (offExpr + col("local_rn")).cast("long").as("cluster_ordinal"))
       .select(col("cluster_ordinal"), explode_outer(col("child_ids")).as("child_id"))
     arrowTableHash(canonical, Nil, referenceExact)
   }

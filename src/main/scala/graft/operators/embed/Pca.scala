@@ -43,22 +43,41 @@ object Pca {
       : (Long, Array[java.math.BigDecimal], Array[Array[java.math.BigDecimal]]) = {
     // cast to DOUBLE before scaling: float·int would coerce to a FLOAT
     // multiply and quantize on a lower-precision product
-    val q = emb.select(expr(
+    val q = graft.Tables.spread(emb.select(expr(
       s"""transform($vecCol,
-         |  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS DECIMAL(18,0)))"""
+         |  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"""
         .stripMargin).as("x"))
-      .filter(size(col("x")) === dim)
+      .filter(size(col("x")) === dim))
+    // spread before the dim² fan-out: each input row explodes into
+    // ~dim·(dim+3)/2 product structs (≈2.1k at dim=64), so a
+    // single-row-group scan would run the whole Gram computation in ONE
+    // task (r13 bench: 62-80 s serial). The aggregation below is exact
+    // integer — partition-order-insensitive — so widening is free.
+    //
+    // Per-row products are exact LONGs (the Num.bigSum discipline: cheap
+    // integer arithmetic per row, a 128-bit DECIMAL only in the
+    // aggregation buffer where billions of rows can overflow a long).
+    // x_i·x_j fits a long iff |micros| ≤ floor(sqrt(2^63−1)) ≈ 3.037e9,
+    // i.e. |v| ≤ ~3037 — three orders of magnitude above any normalized
+    // embedding. Guarded LOUDLY below (one cheap map-only aggregate), not
+    // silently wrapped.
+    val mxRow = q.agg(max(expr("array_max(transform(x, a -> abs(a)))"))).head()
+    val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+    require(mx <= 3037000499L,
+      s"PCA long-exact product domain exceeded: |component micros| = $mx > " +
+        "3.037e9 (|v| > ~3037); quantized inputs must be embedding-scaled")
     val agg = q.select(explode(expr(
         s"""flatten(transform(sequence(0, ${dim - 1}, 1), i ->
            |  concat(
-           |    array(struct(i AS i, -1 AS j,
-           |      CAST(element_at(x, i + 1) AS DECIMAL(37,0)) AS p)),
+           |    array(struct(i AS i, -1 AS j, element_at(x, i + 1) AS p)),
            |    transform(sequence(i, ${dim - 1}, 1), j ->
            |      struct(i AS i, j AS j,
-           |        CAST(element_at(x, i + 1) * element_at(x, j + 1)
-           |          AS DECIMAL(37,0)) AS p)))))""".stripMargin)).as("t"))
+           |        element_at(x, i + 1) * element_at(x, j + 1) AS p)))))"""
+          .stripMargin)).as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-      .groupBy("i", "j").agg(sum("p").as("sp"), count(lit(1)).as("cnt"))
+      .groupBy("i", "j").agg(
+        sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sp"),
+        count(lit(1)).as("cnt"))
       .collect()
     val lin = Array.fill(dim)(java.math.BigDecimal.ZERO)
     val quad = Array.fill(dim, dim)(java.math.BigDecimal.ZERO)
@@ -130,6 +149,18 @@ object Pca {
     */
   def fit(emb: DataFrame, vecCol: String, dim: Int, k: Int): Fit = {
     val (n, lin, quad) = sums(emb, vecCol, dim)
+    fitFromSums(n, lin, quad, k)
+  }
+
+  /** Eigensolve from already-collected sufficient statistics — a pure
+    * driver-side function (microseconds at dim=64). Callers that need
+    * run-twice determinism evidence re-run [[sums]] and this separately
+    * instead of paying the distributed pass once per [[fit]].
+    */
+  def fitFromSums(
+      n: Long, lin: Array[java.math.BigDecimal],
+      quad: Array[Array[java.math.BigDecimal]], k: Int): Fit = {
+    val dim = lin.length
     require(n > 0L, "PCA needs a non-empty embedding table")
     val nd = n.toDouble
     val mean = Array.tabulate(dim)(i => lin(i).doubleValue() / nd / 1e6)
@@ -166,7 +197,10 @@ object Pca {
     val meanLit = f.mean.map(m => s"CAST($m AS DOUBLE)").mkString("array(", ", ", ")")
     val vLit = f.vectors.map(_.map(x => s"CAST($x AS DOUBLE)")
       .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-    emb.filter(size(col(vecCol)) === f.mean.length)
+    // k·dim zip/fold HOF work per row (interpreted lambdas, not
+    // whole-stage codegen) — spread past the single-row-group scan so the
+    // per-row cost parallelizes; per-row pure, so output is unchanged.
+    graft.Tables.spread(emb.filter(size(col(vecCol)) === f.mean.length))
       .select(col(idCol), expr(
         s"""transform($vLit, row ->
            |  CAST(round(1000000 * aggregate(

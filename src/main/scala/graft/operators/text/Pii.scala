@@ -20,7 +20,17 @@ object Pii {
 
   val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
   val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-  val cardRe = "[0-9]{16}"
+
+  /** Card candidates are MAXIMAL digit runs of exactly 16 digits: extract
+    * `[0-9]+` runs, keep length-16 ones. A bare `[0-9]{16}` pattern has no
+    * digit-boundary guards, so a 17+-digit serial number would yield a
+    * misaligned 16-digit window as a false candidate (r13 ADVICE). Run
+    * extraction + length filter expresses the boundary guard in BOTH
+    * engines — DuckDB's RE2 has no lookbehind, so the
+    * `(?<![0-9])…(?![0-9])` spelling would not cross.
+    */
+  val digitRunRe = "[0-9]+"
+  val cardLen = 16
 
   /** Luhn digit-sum of a 16-char digit-string SQL expression `c`; valid
     * iff `% 10 = 0`. Dialect-neutral (substring/CAST/CASE are common to

@@ -2305,6 +2305,76 @@ object Matchbox {
       |FROM recs CROSS JOIN grid
       |GROUP BY threshold_tenths ORDER BY threshold_tenths""".stripMargin
 
+  /** Record-sampled unlinkables chart — the form splink users actually run
+    * at scale: [[unlinkables]]' blocked-pair scan is quadratic BY CONTRACT
+    * (every left record × its blocked candidates — 172 s at sf10m, honest
+    * but the wrong default at 100×), so the production chart estimates the
+    * same CDF from a deterministic record sample. Sampling is on the LEFT
+    * records only (1/16 via the first md5 hex digit — content-derived, so
+    * the sample is reproducible on any engine and stable under corpus
+    * growth); each sampled record still scores against its FULL blocked
+    * candidate set, so every per-record best weight — and therefore the
+    * chart over the sample — is EXACT, not estimated. The only
+    * approximation is which records the CDF averages over, which is the
+    * estimator splink's own chart tooling applies to big tables. The
+    * DuckDB oracle replays the whole computation over the same sample —
+    * the exactness gate.
+    */
+  private def unlinkablesSampled(s: SparkSession, dir: String): DataFrame = {
+    val sampledLeft = evenCustomers(s, dir)
+      .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) === "0")
+    val pairs = sampledLeft.alias("l")
+      .join(oddCustomers(s, dir).alias("r"),
+        col("l.c_nationkey") === col("r.c_nationkey"))
+      .select(col("l.c_custkey").as("left_id"),
+        (when(col("l.c_mktsegment") === col("r.c_mktsegment"), lit(2.5d))
+           .otherwise(lit(-1.2d)) +
+         when(abs(col("l.c_acctbal") - col("r.c_acctbal")) < 100, lit(3.1d))
+           .otherwise(lit(-0.8d))).as("w"))
+    val best = pairs.groupBy("left_id").agg(max("w").as("best"))
+    val recs = sampledLeft.select(col("c_custkey").as("left_id"))
+      .join(best, Seq("left_id"), "left")
+      .select(coalesce(col("best"), lit(-999.0d)).as("best"))
+    val grid = s.range(-4, 13)
+      .select((col("id") * 5).cast("int").as("threshold_tenths"))
+    recs.crossJoin(broadcast(grid))
+      .groupBy("threshold_tenths")
+      .agg(
+        sum(when(col("best") < col("threshold_tenths") / lit(10.0d), 1L)
+          .otherwise(0L)).as("n_unlinkable"),
+        count(lit(1)).as("n_records"))
+      .withColumn("prop_permille", expr("(1000 * n_unlinkable) div n_records"))
+      .orderBy("threshold_tenths")
+  }
+
+  private val unlinkablesSampledSql =
+    """WITH sl AS (
+      |  SELECT * FROM customer WHERE c_custkey % 2 = 0
+      |    AND substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
+      |pairs AS (
+      |  SELECT l.c_custkey AS left_id,
+      |    (CASE WHEN l.c_mktsegment = r.c_mktsegment
+      |          THEN CAST(2.5 AS DOUBLE) ELSE CAST(-1.2 AS DOUBLE) END
+      |   + CASE WHEN abs(l.c_acctbal - r.c_acctbal) < 100
+      |          THEN CAST(3.1 AS DOUBLE) ELSE CAST(-0.8 AS DOUBLE) END) AS w
+      |  FROM sl l
+      |  JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 1) r
+      |    ON l.c_nationkey = r.c_nationkey),
+      |best AS (SELECT left_id, max(w) AS best FROM pairs GROUP BY left_id),
+      |recs AS (
+      |  SELECT coalesce(best, CAST(-999.0 AS DOUBLE)) AS best
+      |  FROM (SELECT c_custkey AS left_id FROM sl) c
+      |  LEFT JOIN best USING (left_id)),
+      |grid AS (SELECT CAST(unnest(range(-20, 61, 5)) AS INT) AS threshold_tenths)
+      |SELECT threshold_tenths,
+      |  CAST(sum(CASE WHEN best < threshold_tenths / 10.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unlinkable,
+      |  CAST(count(*) AS BIGINT) AS n_records,
+      |  CAST((1000 * sum(CASE WHEN best < threshold_tenths / 10.0 THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS prop_permille
+      |FROM recs CROSS JOIN grid
+      |GROUP BY threshold_tenths ORDER BY threshold_tenths""".stripMargin
+
   /** Cluster graph metrics (splink's `compute_graph_metrics`: per-cluster
     * node count, edge count, max node degree, density and Freeman degree
     * centralisation) over the resolver's components — the linkage-QA view
@@ -2413,6 +2483,7 @@ object Matchbox {
     QueryDef("mb_link_damerau", linkDamerau, Some(linkDamerauSql)),
     QueryDef("mb_blocking_quality", blockingQuality, Some(blockingQualitySql)),
     QueryDef("mb_unlinkables", unlinkables, Some(unlinkablesSql)),
+    QueryDef("mb_unlinkables_sampled", unlinkablesSampled, Some(unlinkablesSampledSql)),
     QueryDef("mb_cluster_graph_metrics", clusterGraphMetrics,
       Some(clusterGraphMetricsSql)),
     QueryDef("mb_link_fuzzy_nulls", linkFuzzyNulls, Some(linkFuzzyNullsSql)),

@@ -115,7 +115,9 @@ object Pipeline {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    // per-position rolling hash amplifies CPU ~length× per row — spread
+    // past the single-row-group scan bottleneck (no-op once splits ≥ cores)
+    Tables.spread(Tables(s, dir, "documents").select("doc_id", "text"))
       .select(
         col("doc_id"),
         expr("""array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
@@ -1215,6 +1217,22 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** OPQ = PCA rotation ∘ PQ (operators/ann/Opq — the FAISS
+    * `OPQMatrix,PQ` stack in its PCA-init form): the rotation is a pure
+    * orthonormal map so the exact rerank returns true cosines, while the
+    * ADC scan quantizes variance-aligned subspaces. Rows-only (iterative
+    * Lloyd inside); the recall floor vs brute force is the gate — held to
+    * PQ's own floor on the same corpus, the ≥-composition contract.
+    */
+  private def knnOpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Opq.search(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
   private def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     graft.operators.ann.Pq.searchIvf(
@@ -2063,9 +2081,18 @@ object Pipeline {
   private def embedPcaGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
-    val f = graft.operators.embed.Pca.fit(emb, "embedding", pcaDim, pcaK)
-    val f2 = graft.operators.embed.Pca.fit(emb, "embedding", pcaDim, pcaK)
-    val deterministic = f.n == f2.n &&
+    // Determinism evidence = the distributed sufficient-statistics pass
+    // run twice (the only stage that could vary with partition order) +
+    // the pure driver eigensolve run twice on each — not two full fits:
+    // the sums pass is the expensive one, and fitFromSums is a pure
+    // function of its output (microseconds at dim=64).
+    val (n1, lin1, quad1) = graft.operators.embed.Pca.sums(emb, "embedding", pcaDim)
+    val (n2, lin2, quad2) = graft.operators.embed.Pca.sums(emb, "embedding", pcaDim)
+    val sumsDeterministic = n1 == n2 && lin1.sameElements(lin2) &&
+      quad1.zip(quad2).forall { case (a, b) => a.sameElements(b) }
+    val f = graft.operators.embed.Pca.fitFromSums(n1, lin1, quad1, pcaK)
+    val f2 = graft.operators.embed.Pca.fitFromSums(n2, lin2, quad2, pcaK)
+    val deterministic = sumsDeterministic && f.n == f2.n &&
       f.values.sameElements(f2.values) &&
       f.vectors.zip(f2.vectors).forall { case (a, b) => a.sameElements(b) }
     val orthoErr = (for (a <- f.vectors; b <- f.vectors) yield {
@@ -2131,8 +2158,8 @@ object Pipeline {
   }
 
   private def htmlExtract(s: SparkSession, dir: String): DataFrame = {
-    val withHtml = Tables(s, dir, "documents")
-      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+    val withHtml = Tables.spread(Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks")))
       .withColumn("html", expr(htmlSynthSpark))
     graft.operators.text.HtmlExtract.extract(withHtml, "html")
       .select(col("doc_id"), col("n_blocks"), col("n_kept"),
@@ -2198,8 +2225,8 @@ object Pipeline {
     * proven by md5 (NULL for dropped pages).
     */
   private def c4Clean(s: SparkSession, dir: String): DataFrame =
-    graft.operators.text.C4Rules(Tables(s, dir, "documents")
-      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+    graft.operators.text.C4Rules(Tables.spread(Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks")))
       .withColumn("lines", expr(
         """concat(
           |  transform(sequence(0, (size(toks) - 1) div 8), b ->
@@ -2286,8 +2313,8 @@ object Pipeline {
     * `count × gram length` approximation (overlaps double-counted).
     */
   private def gopherRules(s: SparkSession, dir: String): DataFrame =
-    graft.operators.text.GopherRules(Tables(s, dir, "documents")
-      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+    graft.operators.text.GopherRules(Tables.spread(Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks")))
       .withColumn("lines", expr(
         """transform(sequence(0, (size(toks) - 1) div 8), b ->
           |  CASE CAST((doc_id * 11 + b) % 5 AS INT)
@@ -3498,6 +3525,8 @@ object Pipeline {
     QueryDef("dx_knn_ivf_recall", knnRecallGate(knnIvf, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_knn_pq", knnPq, None),
     QueryDef("dx_knn_pq_recall", knnRecallGate(knnPq, 0.6), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_opq", knnOpq, None),
+    QueryDef("dx_knn_opq_recall", knnRecallGate(knnOpq, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_knn_sq", knnSq, None),
     QueryDef("dx_knn_sq_recall", knnRecallGate(knnSq, 0.9), Some(knnRecallGateSql)),
     QueryDef("dx_knn_ivfsq", knnIvfSq, None),

@@ -131,9 +131,13 @@ object Search {
           .cast("long").as("n_phones"),
         size(regexp_extract_all(col("t"), lit(Pii.ipRe), lit(0)))
           .cast("long").as("n_ips"),
-        expr(s"CAST(size(regexp_extract_all(t, '${Pii.cardRe}', 0)) AS BIGINT)")
+        // candidates = MAXIMAL digit runs of exactly cardLen digits — the
+        // boundary-guard form that crosses engines (see Pii.digitRunRe)
+        expr(s"""CAST(size(filter(regexp_extract_all(t, '${Pii.digitRunRe}', 0),
+                |  c -> length(c) = ${Pii.cardLen})) AS BIGINT)""".stripMargin)
           .as("n_cc_candidates"),
-        expr(s"""aggregate(regexp_extract_all(t, '${Pii.cardRe}', 0), 0L,
+        expr(s"""aggregate(filter(regexp_extract_all(t, '${Pii.digitRunRe}', 0),
+                |    c -> length(c) = ${Pii.cardLen}), 0L,
                 |  (acc, c) -> acc + $luhnCase)""".stripMargin)
           .as("n_cc_valid"))
       .orderBy("doc_id")
@@ -143,8 +147,10 @@ object Search {
     s"""WITH seeded AS (
        |  SELECT doc_id, ${piiSeedSql("//")} AS t FROM documents),
        |cand AS (
-       |  SELECT doc_id, unnest(regexp_extract_all(t, '${Pii.cardRe}')) AS c
-       |  FROM seeded),
+       |  SELECT doc_id, c FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(t, '${Pii.digitRunRe}')) AS c
+       |    FROM seeded)
+       |  WHERE length(c) = ${Pii.cardLen}),
        |vc AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cand,
        |    CAST(sum(CASE WHEN ${Pii.luhnSum16("c")} % 10 = 0

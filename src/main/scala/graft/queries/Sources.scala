@@ -15,6 +15,45 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
+  // ---- temp-dir discipline (r13 ADVICE: every gate minted a fresh
+  // Files.createTempDirectory per invocation and never deleted it, so
+  // repeated bench/verify runs leaked disk under /tmp) -----------------
+  private val cleanupPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit = {
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      cleanupPaths.asScala.foreach { p =>
+        try java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        catch { case _: Throwable => () } // exit-time cleanup is best-effort
+      }
+    }
+    ()
+  }
+
+  /** A fresh temp dir, deleted recursively at JVM exit — for gates whose
+    * body cannot re-run over an existing dir (Derby CREATE TABLE).
+    */
+  private def scratchDir(prefix: String): String = {
+    cleanupHook
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$prefix").toString
+    cleanupPaths.add(p)
+    p
+  }
+
+  private val sessionDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One temp dir per (gate, sf) per JVM, reused across repeated
+    * invocations (all consumers write with overwrite semantics), deleted
+    * recursively at JVM exit.
+    */
+  private def sessionDir(gate: String, sfDir: String): String =
+    sessionDirs.getOrElseUpdate(
+      s"${gate}_${Integer.toHexString(sfDir.hashCode)}", scratchDir(gate))
+
   /** Embedded-Derby JDBC round trip: load nation into a warehouse table,
     * read it back as 4 range-bounded parallel queries with a pushed-down
     * filter (the reference's RelationalDBLocation ingest shape), and
@@ -39,7 +78,7 @@ object Sources {
     * single-JVM round trip.
     */
   private def jdbcGate(s: SparkSession, dir: String): DataFrame = {
-    val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
+    val dbDir = scratchDir("jdbc")
     val db = s"$dbDir/graftdb"
     val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
     val nation = Tables(s, dir, "nation")
@@ -104,7 +143,7 @@ object Sources {
     * the scaled-integer sum makes the aggregate bit-identical anyway.
     */
   private def csvGate(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val out = sessionDir("csv", dir)
     val customer = Tables(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey").cast("int").as("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
@@ -125,7 +164,7 @@ object Sources {
   /** JSON round trip: suppliers out as JSON lines, back in with the
     * explicit schema, per-nation census. */
   private def jsonGate(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val out = sessionDir("json", dir)
     val supplier = Tables(s, dir, "supplier")
       .select(col("s_suppkey"), col("s_name"),
         col("s_nationkey").cast("int").as("s_nationkey"), col("s_acctbal"))
@@ -149,7 +188,7 @@ object Sources {
     * drift (compression, dictionary encoding) rather than type mangling.
     */
   private def orcGate(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val out = sessionDir("orc", dir)
     val part = Tables(s, dir, "part")
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_size"), col("p_retailprice"))
@@ -181,7 +220,7 @@ object Sources {
     * exactly (they travel as directory names, not data pages).
     */
   private def partitionGate(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val out = sessionDir("part", dir)
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").partitionBy("lang").parquet(s"$out/docs_part")
@@ -218,7 +257,7 @@ object Sources {
     * scaled-integer aggregate proves it against the parquet.
     */
   private def textGate(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_text").toString
+    val out = sessionDir("text", dir)
     Tables(s, dir, "part")
       .select(concat_ws("|", col("p_partkey"), col("p_brand"),
         col("p_retailprice")).as("value"))
@@ -248,7 +287,7 @@ object Sources {
     * element/attribute mapping and type-coercion drift.
     */
   private def xmlGate(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    val out = sessionDir("xml", dir)
     val nation = Tables(s, dir, "nation")
       .select(col("n_nationkey").cast("long").as("n_nationkey"),
         col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
@@ -279,15 +318,22 @@ object Sources {
     * 100 TB this is the same plan, pointed at an object store.
     */
   private def binaryGate(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_bin").toString
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/docs"))
+    val out = sessionDir("bin", dir)
+    val docsDir = s"$out/docs"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(docsDir))
+    // files are written ON EXECUTORS (foreachPartition), not via a driver
+    // collect loop (r13 ADVICE: the collect form was a driver-memory and
+    // wall-clock hazard if the slice grows) — the blob store the real
+    // ingest writes to is shared storage, exactly like this local path
     Tables(s, dir, "documents")
       .filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id"), col("text")).collect() // bounded: 5% slice
-      .foreach { r =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$out/docs/${r.getLong(0)}.txt"),
-          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$docsDir/${r.getLong(0)}.txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
       }
     s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
       .load(s"$out/docs")

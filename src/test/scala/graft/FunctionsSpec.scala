@@ -251,6 +251,34 @@ class FunctionsSpec extends SparkSpec {
     assert(empty.getString(0) == "empty_table_hash" && empty.getLong(1) == 0L)
   }
 
+  test("clustersHash two-pass ordinal is bit-identical to a global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 400 clusters of mixed sizes across many partitions — enough that the
+    // range partitioner actually spreads them. The distributed ordinal
+    // (range partition + per-partition rank + broadcast offsets) must
+    // reproduce the single-partition `row_number() OVER (ORDER BY
+    // child_ids)` digest exactly.
+    val assignments = (0 until 2000)
+      .map(i => ((i % 400).toLong, (i * 37 % 997).toLong))
+      .toDF("parent_id", "child_id")
+      .repartition(13)
+    val fast = Hashing.clustersHash(assignments, referenceExact = true)
+      .head().getString(0)
+    val reference = {
+      val canonical = assignments
+        .groupBy("parent_id")
+        .agg(sort_array(array_distinct(collect_list(col("child_id")))).as("child_ids"))
+        .select(col("child_ids"),
+          row_number().over(Window.orderBy(col("child_ids"))).cast("long")
+            .as("cluster_ordinal"))
+        .select(col("cluster_ordinal"), explode_outer(col("child_ids")).as("child_id"))
+      Hashing.arrowTableHash(canonical, Nil, referenceExact = true).head().getString(0)
+    }
+    assert(fast == reference,
+      "distributed ordinal must match the global-window reference digest")
+  }
+
   test("all native functions register for SQL use") {
     graft.functions.GraftExtensions.register(spark)
     Tables(spark, sfDir, "documents").limit(10).createOrReplaceTempView("docs_fn_test")

@@ -70,6 +70,23 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("card candidates need digit boundaries: 17+-digit runs never fire") {
+    // r13 ADVICE: a bare [0-9]{16} pattern yields a misaligned candidate
+    // inside any longer digit run. The maximal-run form must extract
+    // nothing from 15- and 17-digit runs and exactly one candidate from a
+    // bounded 16-digit run.
+    val battery = expr(
+      s"""CAST(size(filter(regexp_extract_all(t, '${Pii.digitRunRe}', 0),
+         |  c -> length(c) = ${Pii.cardLen})) AS BIGINT)""".stripMargin)
+    val counts = Seq(
+      "serial 41111111111111112 end",  // 17 digits — no candidate
+      "short 411111111111111 end",     // 15 digits — no candidate
+      "card 4111111111111111 end",     // exactly 16 — one candidate
+      "a4111111111111111b")            // letter-bounded 16 — one candidate
+      .toDF("t").select(battery.as("n")).collect().map(_.getLong(0)).toSeq
+    assert(counts == Seq(0L, 0L, 1L, 1L), s"got $counts")
+  }
+
   test("containment surfaces every excerpt→source pair and no reverses") {
     val rows = Registry.byName("dx_containment").fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
