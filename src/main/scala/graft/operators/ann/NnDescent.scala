@@ -1,0 +1,128 @@
+package graft.operators.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** NN-Descent k-NN graph construction (Dong, Moses & Li, WWW 2011,
+  * "Efficient K-Nearest Neighbor Graph Construction for Generic
+  * Similarity Measures") — the graph member of the ANN family, and the
+  * construction step under graph-ANN serving indexes (HNSW's layer-0
+  * neighborhoods are exactly a refined k-NN graph; pointer-chasing HNSW
+  * search itself is sequential and belongs on the serving node, while
+  * BUILDING the graph over a corpus is the cluster-scale job this
+  * operator does).
+  *
+  * The algorithm's local rule — "a neighbor of a neighbor is likely a
+  * neighbor" — is join-shaped, which is why it distributes where graph
+  * descent does not:
+  *
+  *  1. init: each vector gets up to k pseudo-random neighbors — its
+  *     successor in each of k independently-salted hash orders
+  *     (per-salt bucketed windows, the sorted-neighborhood device from
+  *     `Link.sortedNeighborhood`, so no global sort). One salted order
+  *     alone would leave the graph a set of disconnected bucket-chains
+  *     that wedges can never bridge (descent is then capped at
+  *     within-component recall — observed, not theoretical); the union
+  *     of k independent orders is connected w.h.p., which is what the
+  *     paper's uniform random init actually buys. Buckets are sized
+  *     from the corpus count so window partitions stay O(k) rows
+  *     regardless of scale;
+  *  2. each round: candidates = wedges through the CAPPED forward ∪
+  *     reverse neighborhood (the paper's ρ·k sampling — per-node work is
+  *     bounded at cap², hubs can't go quadratic), scored with the native
+  *     cosine kernel, merged with the current graph, top-k kept per node
+  *     via the bounded-heap TopK operator (no per-group sort);
+  *  3. rounds are O(1) (the paper observes ~4-5 to convergence);
+  *     per-round lineage is truncated (Ckpt) like every iterative
+  *     operator here.
+  *
+  * Per-round cost: |V|·cap² candidate wedges through two equi-joins —
+  * linear in corpus for fixed k/cap, every shuffle on node id. No
+  * similarity structure is assumed (the paper's "generic measures"), so
+  * this also serves metric spaces the bucketing families (LSH/IVF) cannot
+  * hash.
+  */
+object NnDescent {
+
+  /** The directed k-NN graph: (id, nbr, sim), k rows per id.
+    *
+    * @param cap neighborhood sample bound per node per round (ρ·k in the
+    *   paper; wedge work is Σ cap², so this is the scale knob)
+    * @param kBuild internal list size during descent (returned graph is
+    *   truncated to k). On weak-structure corpora the k-sized heuristic
+    *   hits a fixed point well short of the true graph (measured: 0.68
+    *   top-5 recall flat from round 6 onward at kBuild=k); doubling the
+    *   construction lists gives the wedge pool enough diversity to escape
+    *   it (0.92 by round 4, same corpus). Classic accuracy/work dial —
+    *   wedge cost scales with min(cap, kBuild+rev)².
+    */
+  def knnGraph(
+      targets: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 4, cap: Int = 20, kBuild0: Int = 0): DataFrame = {
+    val kBuild = if (kBuild0 > 0) kBuild0 else 2 * k
+    require(k >= 1 && iters >= 1 && cap >= kBuild && kBuild >= k)
+    val vecs = targets
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .localCheckpoint(false) // scanned 2× per round
+    // --- init: successor in each of k salted hash orders ----------------
+    // bucket size ~4k rows: windows stay tiny at any corpus size, and a
+    // chain of >=4k nodes loses only its tail row per bucket
+    val n = vecs.count()
+    val buckets = math.max(1L, n / (4L * kBuild))
+    val w = Window.partitionBy("salt", "bkt").orderBy("h", "id")
+    val init = vecs.select(col("id"))
+      .withColumn("salt", explode(array((1 to kBuild).map(lit): _*)))
+      .withColumn("h", xxhash64(col("id"), col("salt")))
+      .withColumn("bkt", pmod(col("h"), lit(buckets)))
+      .withColumn("nbr", lead(col("id"), 1).over(w))
+      .filter(col("nbr").isNotNull && col("nbr") =!= col("id"))
+      .select("id", "nbr").distinct()
+    var nn = score(init, vecs)
+    nn = graft.plans.TopK.perKey(nn, Seq("id"), "sim", kBuild,
+      tieCols = Seq("nbr")).drop("rank")
+    nn = graft.Ckpt.truncate(nn)
+
+    // --- descent rounds -------------------------------------------------
+    for (r <- 1 to iters) {
+      val fwd = nn.select("id", "nbr")
+      val rev = fwd.select(col("nbr").as("id"), col("id").as("nbr"))
+      // neighborhood = ALL k forward neighbors (the current best — the
+      // descent direction, never sampled away) ∪ a capped reverse sample
+      // (deterministic per-round: smallest round-salted hashes — the ρ·k
+      // device; rev is the unbounded side, hubs are what the cap bounds)
+      val revCapped = graft.plans.TopK.perKey(
+        rev.withColumn("hs", xxhash64(col("nbr"), lit(r))),
+        Seq("id"), "hs", math.max(cap - kBuild, 1),
+        descending = false, tieCols = Seq("nbr"))
+        .select("id", "nbr")
+      val capped = fwd.unionByName(revCapped).distinct()
+      // wedges: two members of one node's neighborhood propose each other
+      val wedges = capped.alias("a").join(capped.alias("b"), "id")
+        .filter(col("a.nbr") < col("b.nbr"))
+        .select(col("a.nbr").as("x"), col("b.nbr").as("y"))
+        .distinct()
+      val proposals = wedges
+        .select(col("x").as("id"), col("y").as("nbr"))
+        .unionByName(wedges.select(col("y").as("id"), col("x").as("nbr")))
+      val scored = score(proposals, vecs)
+      val merged = nn.unionByName(scored)
+        // a pair can arrive from several wedges AND already sit in the
+        // graph — keep one row before the heap
+        .groupBy("id", "nbr").agg(max("sim").as("sim"))
+      nn = graft.plans.TopK.perKey(merged, Seq("id"), "sim", kBuild,
+        tieCols = Seq("nbr")).drop("rank")
+      nn = graft.Ckpt.truncate(nn)
+    }
+    if (kBuild == k) nn
+    else graft.plans.TopK.perKey(nn, Seq("id"), "sim", k,
+      tieCols = Seq("nbr")).drop("rank")
+  }
+
+  private def score(pairs: DataFrame, vecs: DataFrame): DataFrame =
+    pairs
+      .join(vecs.select(col("id"), col("v").as("va")), "id")
+      .join(vecs.select(col("id").as("nbr"), col("v").as("vb")), "nbr")
+      .select(col("id"), col("nbr"),
+        graft.functions.CosineSimilarity(col("va"), col("vb")).as("sim"))
+}

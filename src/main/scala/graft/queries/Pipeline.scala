@@ -1233,6 +1233,24 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** NN-Descent k-NN graph (operators/ann/NnDescent — the graph-ANN
+    * family member: the cluster-scale construction job under HNSW-style
+    * serving indexes). Builds the k=10 graph over the corpus by iterated
+    * capped wedge joins, then reports the top-5 graph neighbors of the
+    * query slice in the family's standard shape. Rows-only (iterative,
+    * hash-seeded); the recall floor vs brute force is the gate.
+    */
+  private def knnGraphNnd(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val g = graft.operators.ann.NnDescent.knnGraph(
+      emb, "vec_id", "embedding", k = 10, iters = 4, cap = 40)
+    graft.plans.TopK.perKey(g.filter(col("id") < 10), Seq("id"), "sim", 5,
+        tieCols = Seq("nbr"))
+      .select(col("id").as("query_id"), col("nbr").as("neighbor_id"),
+        col("rank"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
   private def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     graft.operators.ann.Pq.searchIvf(
@@ -3527,6 +3545,8 @@ object Pipeline {
     QueryDef("dx_knn_pq_recall", knnRecallGate(knnPq, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_knn_opq", knnOpq, None),
     QueryDef("dx_knn_opq_recall", knnRecallGate(knnOpq, 0.6), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_graph", knnGraphNnd, None),
+    QueryDef("dx_knn_graph_recall", knnRecallGate(knnGraphNnd, 0.7), Some(knnRecallGateSql)),
     QueryDef("dx_knn_sq", knnSq, None),
     QueryDef("dx_knn_sq_recall", knnRecallGate(knnSq, 0.9), Some(knnRecallGateSql)),
     QueryDef("dx_knn_ivfsq", knnIvfSq, None),

@@ -517,6 +517,76 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("OPQ rotation preserves cosine and composes with PQ above its floor") {
+    import graft.operators.ann.{Knn, Opq}
+    import graft.operators.embed.Pca
+    val emb = Tables(spark, sfDir, "embeddings")
+    val f = Pca.fit(emb, "embedding", 64, 64)
+    // pure orthonormal map: pairwise cosines in rotated space equal the
+    // originals (the property that lets the exact rerank skip any inverse
+    // transform)
+    val rot = Opq.rotate(emb, "embedding", f)
+    val origSims = Knn.bruteForce(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rotSims = Knn.bruteForce(
+      rot.filter(col("vec_id") < 5), rot, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rotSims.keySet == origSims.keySet,
+      "rotation must not change the brute-force neighbor sets")
+    rotSims.foreach { case (k2, s) =>
+      assert(math.abs(s - origSims(k2)) < 1e-5,
+        s"cosine not preserved at $k2: $s vs ${origSims(k2)}")
+    }
+    // composed search: recall vs brute at PQ's own floor
+    val brute = Knn.bruteForce(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val opq = Opq.search(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val nBrute = brute.count()
+    val hits = brute.join(opq, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits.toDouble / nBrute >= 0.6, s"OPQ recall $hits/$nBrute under 0.6")
+  }
+
+  test("NN-Descent graph: invariants, determinism, recall above the gate floor") {
+    import graft.operators.ann.{Knn, NnDescent}
+    val emb = Tables(spark, sfDir, "embeddings")
+    val g = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 10,
+      iters = 4, cap = 40).localCheckpoint(false)
+    // ≤ k rows per node, no self-loops
+    val perNode = g.groupBy("id").agg(count(lit(1)).as("n"))
+    assert(perNode.filter(col("n") > 10).count() == 0)
+    assert(g.filter(col("id") === col("nbr")).count() == 0)
+    // edge sims are true cosines (recompute independently)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val recomputed = g
+      .join(vecs.withColumnRenamed("vec_id", "id"), "id")
+      .join(vecs.select(col("vec_id").as("nbr"), col("embedding").as("e2")), "nbr")
+      .withColumn("sim2", graft.functions.CosineSimilarity(col("embedding"), col("e2")))
+      .filter(abs(col("sim") - col("sim2")) > 1e-9)
+    assert(recomputed.count() == 0, "graph sims must be exact cosines")
+    // deterministic: run twice, identical edge sets
+    val g2 = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 10,
+      iters = 4, cap = 40)
+    assert(g.select("id", "nbr").exceptAll(g2.select("id", "nbr")).count() == 0)
+    assert(g2.select("id", "nbr").exceptAll(g.select("id", "nbr")).count() == 0)
+    // top-5 recall vs brute force for the query slice (the gate's floor)
+    val brute = Knn.bruteForce(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val top5 = graft.plans.TopK.perKey(
+      g.filter(col("id") < 10), Seq("id"), "sim", 5, tieCols = Seq("nbr"))
+      .select(col("id").as("query_id"), col("nbr").as("neighbor_id"))
+    val nBrute = brute.count()
+    val hits = brute.join(top5, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits.toDouble / nBrute >= 0.7,
+      s"NN-Descent recall $hits/$nBrute under the 0.7 gate floor")
+  }
+
   test("PQ search reranks exactly and beats the compression floor") {
     import graft.operators.ann.{Knn, Pq}
     val emb = Tables(spark, sfDir, "embeddings")
