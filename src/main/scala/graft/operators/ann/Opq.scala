@@ -36,14 +36,11 @@ object Opq {
     val dim = f.mean.length
     require(f.vectors.length == dim,
       s"OPQ needs the FULL rotation: fit k=${f.vectors.length} != dim=$dim")
-    val vLit = f.vectors.map(_.map(x => s"CAST($x AS DOUBLE)")
-      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    // native fused mat-vec (same double accumulation order as the HOF
+    // spelling it replaced, so results are bit-identical — spec-pinned)
     graft.Tables.spread(df.filter(size(col(vecCol)) === dim))
-      .withColumn(vecCol, expr(
-        s"""transform($vLit, row ->
-           |  CAST(aggregate(
-           |    zip_with(row, $vecCol, (w, x) -> w * CAST(x AS DOUBLE)),
-           |    0D, (acc, t) -> acc + t) AS FLOAT))""".stripMargin))
+      .withColumn(vecCol,
+        graft.functions.MatVec(col(vecCol), f.vectors.toSeq.map(_.toSeq)))
   }
 
   /** PQ search over PCA-rotated space — parameters as [[Pq.search]]. */

@@ -510,4 +510,35 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/nanos/events.parquet")
       .schema("ts").dataType == LongType)
   }
+
+  test("MatVec is bit-identical to the HOF spelling in codegen and interpreted paths") {
+    import graft.functions.MatVec
+    val m = Seq(Seq(0.5, -1.25, 3.0), Seq(2.0, 0.125, -0.75))
+    val df = Seq(
+      (1L, Seq(1.5f, -2.0f, 0.25f)),
+      (2L, Seq(0f, 0f, 0f)),
+      (3L, Seq(1e30f, -1e30f, 1f))).toDF("id", "v")
+    val mLit = m.map(_.map(x => s"CAST($x AS DOUBLE)")
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    val hof = df.select(col("id"), expr(
+      s"""transform($mLit, row ->
+         |  CAST(aggregate(zip_with(row, v, (w, x) -> w * CAST(x AS DOUBLE)),
+         |    0D, (acc, t) -> acc + t) AS FLOAT))""".stripMargin).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for (fallback <- Seq("false", "true")) {
+      spark.conf.set("spark.sql.codegen.fallback", fallback)
+      val forceInterp = fallback == "true"
+      if (forceInterp) spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try {
+        val got = df.select(col("id"), MatVec(col("v"), m).as("y"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+        assert(got == hof, s"fallback=$fallback: $got != $hof")
+      } finally if (forceInterp)
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // null vector stays null (nullIntolerant)
+    val withNull = Seq((1L, Some(Seq(1f, 2f, 3f))), (2L, None)).toDF("id", "v")
+    assert(withNull.select(MatVec(col("v"), m).as("y"))
+      .filter(col("y").isNull).count() == 1)
+  }
 }
