@@ -7,17 +7,18 @@ object RecallProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"); (it, cp) <- Seq((4,40))) {
+    for (dir <- Seq("/root/testdata/sf0.1"); (it, cp) <- Seq((4,40)); (sd, hp) <- Seq((4,3),(8,3),(8,4),(16,4),(8,5))) {
       val emb = graft.Tables(spark, dir, "embeddings")
       val g = graft.operators.ann.NnDescent.knnGraph(emb, "vec_id", "embedding", 10, it, cp)
-      val top5 = graft.plans.TopK.perKey(g.filter(col("id") < 10), Seq("id"), "sim", 5, tieCols = Seq("nbr"))
-        .select(col("id").as("query_id"), col("nbr").as("neighbor_id"))
+      val top5 = graft.operators.ann.NnDescent.searchGraph(
+        emb.filter(col("vec_id") < 10), g, emb, "vec_id", "embedding", 5, 20, hp, sd)
+        .select("query_id", "neighbor_id")
       val brute = graft.operators.ann.Knn.bruteForce(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
         .select("query_id", "neighbor_id")
       val nb = brute.count()
       val hits = brute.join(top5, Seq("query_id", "neighbor_id"), "left_semi").count()
-      println(s"RECALL $dir it=$it cap=$cp $hits/$nb = ${hits.toDouble / nb}")
+      println(s"RECALL seeds=$sd hops=$hp $hits/$nb = ${hits.toDouble / nb}")
     }
     spark.stop()
   }

@@ -119,6 +119,77 @@ object NnDescent {
       tieCols = Seq("nbr")).drop("rank")
   }
 
+  /** Batch beam search over a prebuilt k-NN graph — the serving half of
+    * graph ANN, restated as set-at-a-time joins (the pointer-chasing
+    * best-first loop of HNSW/NSG is inherently sequential per query; for
+    * a BATCH of queries the equivalent exploration is: expand every
+    * query's current beam through the graph in one equi-join, score the
+    * frontier against the query vectors in one scan, keep each query's
+    * top-`beam` survivors in one bounded-heap pass — per hop, three
+    * shuffles regardless of query count).
+    *
+    * Entry points are the `seeds` hash-order leads per query (geometry-
+    * blind, deterministic); `hops` rounds of expansion then top-k from
+    * everything visited. Work per hop: |Q|·beam·k candidate edges — at
+    * serving scale the graph side is the big frame and the frontier the
+    * small one, exactly the broadcast-join shape AQE picks.
+    */
+  def searchGraph(
+      queries: DataFrame, graph: DataFrame, targets: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      beam: Int = 20, hops: Int = 3, seeds: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 1 && seeds >= 1)
+    val vecs = targets
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .localCheckpoint(false)
+    val q = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .localCheckpoint(false)
+    val g = graph.select(col("id"), col("nbr")).localCheckpoint(false)
+    // seed: each query meets `seeds` hash-successor nodes (same device as
+    // the builder's init — no geometry assumed, no global sort)
+    val nSeed = vecs.count()
+    val seedBuckets = math.max(1L, nSeed / (4L * seeds))
+    val w = Window.partitionBy("salt", "bkt").orderBy("h", "id")
+    val seedNodes = vecs.select(col("id"))
+      .withColumn("salt", explode(array((1 to seeds).map(lit): _*)))
+      .withColumn("h", xxhash64(col("id"), col("salt")))
+      .withColumn("bkt", pmod(col("h"), lit(seedBuckets)))
+      .withColumn("lead_id", lead(col("id"), 1).over(w))
+      .filter(col("lead_id").isNotNull)
+      .select(col("id").as("qid"), col("lead_id").as("node"))
+    var visited = scoreQ(
+      q.join(seedNodes, "qid").select(col("qid"), col("node")), q, vecs)
+    visited = graft.Ckpt.truncate(visited)
+    for (_ <- 1 to hops) {
+      val frontier = graft.plans.TopK.perKey(visited, Seq("qid"), "sim",
+        beam, tieCols = Seq("node")).select("qid", "node")
+      // score only pairs not already visited — each (query, node) cosine
+      // is paid at most once across the whole search
+      val fresh = frontier
+        .join(g.select(col("id").as("node"), col("nbr")), "node")
+        .select(col("qid"), col("nbr").as("node"))
+        .distinct()
+        .join(visited.select("qid", "node"), Seq("qid", "node"), "left_anti")
+      visited = graft.Ckpt.truncate(
+        visited.unionByName(scoreQ(fresh, q, vecs)))
+    }
+    val top = if (excludeSelf) visited.filter(col("qid") =!= col("node"))
+              else visited
+    graft.plans.TopK.perKey(top, Seq("qid"), "sim", k, tieCols = Seq("node"))
+      .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  private def scoreQ(pairs: DataFrame, q: DataFrame, vecs: DataFrame)
+      : DataFrame =
+    pairs
+      .join(q, "qid")
+      .join(vecs.select(col("id").as("node"), col("v")), "node")
+      .select(col("qid"), col("node"),
+        graft.functions.CosineSimilarity(col("qv"), col("v")).as("sim"))
+
   private def score(pairs: DataFrame, vecs: DataFrame): DataFrame =
     pairs
       .join(vecs.select(col("id"), col("v").as("va")), "id")

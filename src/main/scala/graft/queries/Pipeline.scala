@@ -1251,6 +1251,23 @@ object Pipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** Beam search over the NN-Descent graph (the serving half of graph
+    * ANN, batch-restated as joins — `NnDescent.searchGraph`). Build +
+    * search in one plan, like every index family here. Rows-only; the
+    * recall gate is the pin.
+    */
+  private def knnGraphSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val g = graft.operators.ann.NnDescent.knnGraph(
+      emb, "vec_id", "embedding", k = 10, iters = 4, cap = 40)
+    graft.operators.ann.NnDescent.searchGraph(
+      emb.filter(col("vec_id") < 10), g, emb, "vec_id", "embedding",
+      k = 5, beam = 20, hops = 4, seeds = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
   private def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     graft.operators.ann.Pq.searchIvf(
@@ -2083,6 +2100,56 @@ object Pipeline {
     val f = graft.operators.embed.Pca.fit(emb, "embedding", pcaDim, pcaK)
     graft.operators.embed.Pca.project(emb, "vec_id", "embedding", f)
       .orderBy("vec_id", "comp")
+  }
+
+  /** JL random projection 64→16 (`operators/embed/RandomProjection`):
+    * data-independent, fit-free, one map-only scan through the native
+    * MatVec kernel. Long-form rounded coordinates; rows-only (the
+    * deterministic ±1/√k matrix is Scala-side), distortion gated below.
+    */
+  private val rpK = 16
+
+  private def embedRp(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.embed.RandomProjection
+      .project(emb, "embedding", pcaDim, rpK)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("comp", "y")))
+      .select(col("vec_id"), col("comp"),
+        round(col("y").cast("double"), 6).as("y_r"))
+      .orderBy("vec_id", "comp")
+  }
+
+  /** Driver-gated JL distortion contract: over the full query-slice pair
+    * grid (vec_id < 50 → 1225 pairs), the projected/original squared-
+    * euclidean ratio stays within 1 ± 0.75 for ≥ 90% of pairs, and the
+    * MEAN ratio within 1 ± 0.1 (the unbiasedness of ±1/√k entries —
+    * Achlioptas 2003 Thm 1.1; k=16 puts the per-pair sd at √(2/k) ≈
+    * 0.35, measured 0.94-0.99 in-band across sfs). Oracle pins the
+    * data-derived pair count plus the flags.
+    */
+  private def embedRpGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings").filter(col("vec_id") < 50)
+    val proj = graft.operators.embed.RandomProjection
+      .project(emb, "embedding", pcaDim, rpK)
+    def d2(df: DataFrame, out: String): DataFrame =
+      df.select(col("vec_id").as("a"), col("embedding").as("va"))
+        .join(df.select(col("vec_id").as("b"), col("embedding").as("vb")),
+          col("a") < col("b"))
+        .select(col("a"), col("b"), expr(
+          s"""aggregate(zip_with(va, vb,
+             |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+             |  0D, (acc, t) -> acc + t)""".stripMargin).as(out))
+    val ratios = d2(emb, "d2o").join(d2(proj, "d2p"), Seq("a", "b"))
+      .filter(col("d2o") > 0)
+      .select((col("d2p") / col("d2o")).as("r"))
+    val row = ratios.agg(
+      count(lit(1)).as("n_pairs"),
+      avg(when(abs(col("r") - 1) <= 0.75, 1.0).otherwise(0.0)).as("frac_in"),
+      avg(col("r")).as("mean_r")).head()
+    Seq((row.getLong(0), row.getDouble(1) >= 0.9,
+      math.abs(row.getDouble(2) - 1.0) <= 0.1))
+      .toDF("n_pairs", "band_ok", "mean_ok")
   }
 
   /** Driver-gated spectral contracts of the PCA fit: (a) the rotation is
@@ -3547,6 +3614,8 @@ object Pipeline {
     QueryDef("dx_knn_opq_recall", knnRecallGate(knnOpq, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_knn_graph", knnGraphNnd, None),
     QueryDef("dx_knn_graph_recall", knnRecallGate(knnGraphNnd, 0.7), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_graph_search", knnGraphSearch, None),
+    QueryDef("dx_knn_graph_search_recall", knnRecallGate(knnGraphSearch, 0.7), Some(knnRecallGateSql)),
     QueryDef("dx_knn_sq", knnSq, None),
     QueryDef("dx_knn_sq_recall", knnRecallGate(knnSq, 0.9), Some(knnRecallGateSql)),
     QueryDef("dx_knn_ivfsq", knnIvfSq, None),
@@ -3578,6 +3647,11 @@ object Pipeline {
     QueryDef("dx_dedup_semantic", dedupSemantic, None),
     QueryDef("dx_dedup_semantic_gate", dedupSemanticGate, Some(dedupSemanticGateSql)),
     QueryDef("dx_embed_pca", embedPca, None),
+    QueryDef("dx_embed_rp", embedRp, None),
+    QueryDef("dx_embed_rp_gate", embedRpGate, Some(
+      """SELECT CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
+        |       CAST(1 AS BOOLEAN) AS band_ok, CAST(1 AS BOOLEAN) AS mean_ok
+        |FROM (SELECT count(*) AS n FROM embeddings WHERE vec_id < 50)""".stripMargin)),
     QueryDef("dx_embed_pca_gate", embedPcaGate, Some(embedPcaGateSql)),
     QueryDef("dx_html_extract", htmlExtract, Some(htmlExtractSql)),
     QueryDef("dx_c4_clean", c4Clean, Some(c4CleanSql)),

@@ -587,6 +587,59 @@ class PipelineSpec extends SparkSpec {
       s"NN-Descent recall $hits/$nBrute under the 0.7 gate floor")
   }
 
+  test("graph beam search: bounded output, exact sims, recall over the gate floor") {
+    import graft.operators.ann.{Knn, NnDescent}
+    val emb = Tables(spark, sfDir, "embeddings")
+    val g = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 10,
+      iters = 4, cap = 40).localCheckpoint(false)
+    val res = NnDescent.searchGraph(
+      emb.filter(col("vec_id") < 10), g, emb, "vec_id", "embedding",
+      k = 5, beam = 20, hops = 4, seeds = 8).localCheckpoint(false)
+    // exactly 5 ranked rows per query, no self-matches
+    val perQ = res.groupBy("query_id").agg(count(lit(1)).as("n"),
+      max("rank").as("mr"))
+    assert(perQ.filter(col("n") =!= 5 || col("mr") =!= 5).count() == 0)
+    assert(res.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // reported sims are true cosines
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val wrong = res
+      .join(vecs.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .join(vecs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("e2")), "neighbor_id")
+      .filter(abs(col("sim") -
+        graft.functions.CosineSimilarity(col("embedding"), col("e2"))) > 1e-9)
+    assert(wrong.count() == 0, "search sims must be exact cosines")
+    // recall vs brute top-5 at the registry gate's floor
+    val brute = Knn.bruteForce(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val nBrute = brute.count()
+    val hits = brute.join(res.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits.toDouble / nBrute >= 0.7,
+      s"graph-search recall $hits/$nBrute under the 0.7 gate floor")
+  }
+
+  test("random projection: deterministic ±1/√k matrix, JL distortion in band") {
+    import graft.operators.embed.RandomProjection
+    val m = RandomProjection.matrix(64, 16)
+    assert(m.length == 16 && m.forall(_.length == 64))
+    val s = 1.0 / math.sqrt(16.0)
+    assert(m.flatten.forall(x => x == s || x == -s))
+    assert(m == RandomProjection.matrix(64, 16), "matrix must be deterministic")
+    // sign balance: a mixer whose signs skewed would bias every distance
+    val pos = m.flatten.count(_ > 0)
+    assert(math.abs(pos - 512) < 100, s"sign balance off: $pos/1024 positive")
+    // projection drops wrong-length rows, keeps ids, emits k-dim vectors
+    val emb = Tables(spark, sfDir, "embeddings")
+    val proj = RandomProjection.project(emb, "embedding", 64, 16)
+    assert(proj.count() == emb.count())
+    assert(proj.filter(size(col("embedding")) =!= 16).count() == 0)
+    // end-to-end distortion contract (the registry gate's own assertion)
+    val row = graft.SparkEntry.queries("dx_embed_rp_gate")(spark, sfDir).head()
+    assert(row.getLong(0) == 1225 && row.getBoolean(1) && row.getBoolean(2))
+  }
+
   test("PQ search reranks exactly and beats the compression floor") {
     import graft.operators.ann.{Knn, Pq}
     val emb = Tables(spark, sfDir, "embeddings")
