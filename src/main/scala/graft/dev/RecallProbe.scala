@@ -7,9 +7,12 @@ object RecallProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (dir <- Seq("/root/testdata/sf0.1"); (it, cp) <- Seq((4,40)); (sd, hp) <- Seq((4,3),(8,3),(8,4),(16,4),(8,5))) {
+    for (dir <- Seq("/root/testdata/sf0.1"); (it, cp) <- Seq((4,30),(4,40),(5,30)); (sd, hp) <- Seq((8,4))) {
       val emb = graft.Tables(spark, dir, "embeddings")
+      val t0 = System.nanoTime()
       val g = graft.operators.ann.NnDescent.knnGraph(emb, "vec_id", "embedding", 10, it, cp)
+        .localCheckpoint(false)
+      println(s"BUILD it=$it cap=$cp ${(System.nanoTime()-t0)/1e9}s")
       val top5 = graft.operators.ann.NnDescent.searchGraph(
         emb.filter(col("vec_id") < 10), g, emb, "vec_id", "embedding", 5, 20, hp, sd)
         .select("query_id", "neighbor_id")
