@@ -110,20 +110,28 @@ object NnDescent {
       // treat it as fresh if either route is
       val capped = fwd.unionByName(revCapped)
         .groupBy("id", "nbr").agg(max("fresh").as("fresh"))
-      // wedges: two members of one node's neighborhood propose each other;
-      // old×old pairs were proposed in the round that made them old — skip
-      val wedges = capped.alias("a").join(capped.alias("b"), "id")
-        .filter(col("a.nbr") < col("b.nbr") &&
-          (col("a.fresh") || col("b.fresh")))
-        .select(col("a.nbr").as("x"), col("b.nbr").as("y"))
-        .distinct()
-      // one cosine per unordered pair, then emit both directions — halves
-      // the dominant score-join traffic vs scoring (x,y) and (y,x)
-      val scoredPairs = wedges
-        .join(vecs.select(col("id").as("x"), col("v").as("vx")), "x")
-        .join(vecs.select(col("id").as("y"), col("v").as("vy")), "y")
-        .select(col("x"), col("y"),
-          graft.functions.CosineSimilarity(col("vx"), col("vy")).as("sim"))
+      // local join (the paper's §2.3): assemble each node's neighborhood
+      // WITH vectors (one vector ship per member — cap rows/node), then
+      // score every within-block pair in core via the native block kernel.
+      // The alternative — materialize a wedge frame and equi-join vector
+      // payloads onto it — ships two ~256 B vectors per cap²/2 pair row
+      // (~40 GB/round at 200 k nodes, the measured sf10m wall); blocks cut
+      // that shuffle by a factor of cap/2. A pair surfacing from several
+      // nodes is re-scored (exact, identical sim) instead of pre-deduped:
+      // a 64-dim dot is cheaper than the distinct shuffle it would avoid,
+      // and the merge aggregation dedups anyway.
+      val blocks = capped
+        .join(vecs.select(col("id").as("nbr"), col("v")), "nbr")
+        .groupBy("id")
+        .agg(collect_list(struct(col("nbr"), col("fresh"), col("v")))
+          .as("members"))
+      // emits only pairs touching a fresh edge (old×old pairs were
+      // proposed in the round that made them old — the incremental rule)
+      val scoredPairs = blocks
+        .select(explode(graft.functions.PairwiseCosine(col("members")))
+          .as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"),
+          col("p.sim").as("sim"))
       val proposals = scoredPairs
         .select(col("x").as("id"), col("y").as("nbr"), col("sim"))
         .unionByName(scoredPairs

@@ -78,25 +78,54 @@ case class TopKPerKeyExec(
       // worst-at-head heap: candidates better than the current worst evict it
       val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       val reverse = ordering.reversed()
-      iter.foreach { row =>
+      def insert(row: InternalRow): Boolean = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
           heap = new java.util.PriorityQueue[InternalRow](math.min(limit, 16), reverse)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size() < limit) heap.add(row.copy())
+        if (heap.size() < limit) { heap.add(row.copy()); true }
         else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
+          heap.poll(); heap.add(row.copy()); false
+        } else false
       }
       import scala.jdk.CollectionConverters._
       if (isPartial) {
-        // survivors only — rank assignment waits for the global merge
-        heaps.values().iterator().asScala.flatMap { heap =>
-          heap.toArray(new Array[InternalRow](heap.size())).iterator
+        // survivors only — rank assignment waits for the global merge.
+        // Memory bound: this stage's key-map grows with the DISTINCT KEYS
+        // seen in the input partition, which upstream of the key exchange
+        // can be the whole key domain (measured OOM: NN-Descent's merge at
+        // 200k nodes — 32 partitions × 200k keys × k buffered rows). When
+        // the buffered row count hits the flush bound, emit every heap and
+        // start fresh: partial output stays a correct candidate superset
+        // (the final stage re-merges), only the shuffle saving degrades
+        // toward pass-through.
+        val flushRows = 1 << 18
+        new Iterator[InternalRow] {
+          private var nBuf = 0
+          private var out: java.util.Iterator[InternalRow] =
+            java.util.Collections.emptyIterator()
+          private def pump(): Unit = {
+            while (iter.hasNext && nBuf < flushRows) {
+              if (insert(iter.next())) nBuf += 1
+            }
+            val all = new java.util.ArrayList[InternalRow](nBuf)
+            heaps.values().forEach(h => all.addAll(h))
+            heaps.clear(); nBuf = 0
+            out = all.iterator()
+          }
+          override def hasNext: Boolean = {
+            if (!out.hasNext && iter.hasNext) pump()
+            out.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            out.next()
+          }
         }
       } else {
+        iter.foreach(insert)
         val resultProj = UnsafeProjection.create(
           childOutput :+ rankAttr, childOutput :+ rankAttr)
         val joined = new JoinedRow

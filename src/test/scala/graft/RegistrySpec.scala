@@ -55,6 +55,9 @@ class RegistrySpec extends SparkSpec {
       "dx_knn_brute" -> boundedScanBuild,
       "dx_knn_ivf" -> boundedScanBuild,
       "dx_knn_pq" -> boundedScanBuild,
+      // OPQ: same bounded query-set broadcast; the extra Exchange under the
+      // build is the rotate stage's spread repartition, still one scan
+      "dx_knn_opq" -> boundedScanBuild,
       "dx_knn_sq" -> boundedScanBuild,
       "q22_idle_customers" -> scalarAggBuild,
       // Σw quota denominator: one-row sum crossed into the per-language
@@ -97,6 +100,7 @@ class RegistrySpec extends SparkSpec {
       // unlinkables: the 17-row literal threshold grid (a Range, not even
       // a scan) crossed into the per-record best-weight frame
       "mb_unlinkables" -> boundedScanBuild,
+      "mb_unlinkables_sampled" -> boundedScanBuild,
       "dx_boilerplate" -> scalarAggBuild)
     // dx_boilerplate legitimately crosses TWO one-row aggregates into the
     // per-document pass: the corpus count (threshold) and the collected
