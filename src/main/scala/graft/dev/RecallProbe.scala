@@ -7,7 +7,8 @@ object RecallProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (dir <- Seq("/root/testdata/sf0.1"); (it, cp) <- Seq((4,30),(4,40),(5,30)); (sd, hp) <- Seq((8,4))) {
+    val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
+    for (dir <- dirs; (it, cp) <- Seq((4,40)); (sd, hp) <- Seq((8,4))) {
       val emb = graft.Tables(spark, dir, "embeddings")
       val t0 = System.nanoTime()
       val g = graft.operators.ann.NnDescent.knnGraph(emb, "vec_id", "embedding", 10, it, cp)

@@ -37,7 +37,8 @@ object ScaleUp {
       case Array(a, b, c) => (a, b, c, "verbatim")
       case Array(a, b, c, m) => (a, b, c, m)
     }
-    require(mode == "verbatim" || mode == "mutate", s"unknown mode $mode")
+    require(mode == "verbatim" || mode == "mutate" || mode == "cluster",
+      s"unknown mode $mode")
     val factor = factorS.toInt
     require(factor >= 2, "factor must be >= 2")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -82,7 +83,7 @@ object ScaleUp {
         val keyed = offsets.foldLeft(base) { case (df, (c, s)) =>
           df.withColumn(c, (col(c) + lit(i * s)).cast(base.schema(c).dataType))
         }
-        if (mode == "mutate" && i > 0) mutateCopy(keyed, i) else keyed
+        if (mode != "verbatim" && i > 0) mutateCopy(keyed, i) else keyed
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -100,6 +101,20 @@ object ScaleUp {
            |  CASE WHEN pmod(xxhash64($i * 8192 + k), 2) = 0 THEN x
            |       ELSE -x END)""".stripMargin))
 
+    /** `cluster` mode: copies are NEAR-duplicates — flip exactly the 2
+      * hash-chosen sign positions of copy i, so copy i of vector A keeps
+      * cosine ≈ (dim-4)/dim ≈ 0.94 to A (real-embedding near-dup regime:
+      * the corpus becomes |base| tight 100-clusters), while A-vs-B
+      * geometry within a copy is fully preserved. The `mutate` mode's
+      * all-position parity flip decorrelates copies instead (uniform-
+      * random regime — the ANN adversarial floor). */
+    def clusterEmbedding(df: DataFrame, i: Int): DataFrame =
+      df.withColumn("embedding", expr(
+        s"""transform(embedding, (x, k) ->
+           |  CASE WHEN k = pmod(xxhash64($i), 64)
+           |         OR pmod(xxhash64($i * 8192 + k), 32) < 1 THEN -x
+           |       ELSE x END)""".stripMargin))
+
     def copy(t: String): Unit = {
       read(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaleup] $t copied (fixed dimension)")
@@ -114,7 +129,8 @@ object ScaleUp {
       "l_suppkey" -> suppS))
     replicate("events", Map("event_id" -> evS, "user_id" -> userS))
     replicate("documents", Map("doc_id" -> docS), mutateText)
-    replicate("embeddings", Map("vec_id" -> vecS), mutateEmbedding)
+    replicate("embeddings", Map("vec_id" -> vecS),
+      if (mode == "cluster") clusterEmbedding else mutateEmbedding)
     spark.stop()
   }
 }

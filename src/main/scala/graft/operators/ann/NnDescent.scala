@@ -72,16 +72,46 @@ object NnDescent {
     val vecs = targets
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .localCheckpoint(false) // scanned 2× per round
-    // --- init: successor in each of k salted hash orders ----------------
-    // bucket size ~4k rows: windows stay tiny at any corpus size, and a
-    // chain of >=4k nodes loses only its tail row per bucket
+    // --- init: successor in each of kBuild orders ------------------------
+    // Half the orders are salted-random chains (the union keeps the init
+    // graph connected w.h.p. — one order alone is disconnected
+    // bucket-chains, the r13 lesson). The other half are RANDOM-HYPERPLANE
+    // LSH orders (EFANNA's insight, restated set-at-a-time): successor
+    // within a 16-plane signature bucket, so geometrically-close vectors
+    // start out adjacent. On clustered corpora this is what lets descent
+    // bootstrap at all — with purely random init a node's ~iters·cap²
+    // candidate draws are uniform over the corpus, so at 200 k nodes in
+    // ~2 000 tight clusters the expected true-neighbor hits are ~2 of k=10
+    // and the wedge epidemic never ignites inside clusters (measured:
+    // graph-search recall 0.0 at 100×); one colliding bucket-mate per
+    // cluster ignites it.
     val n = vecs.count()
     val buckets = math.max(1L, n / (4L * kBuild))
-    val w = Window.partitionBy("salt", "bkt").orderBy("h", "id")
-    val init = vecs.select(col("id"))
-      .withColumn("salt", explode(array((1 to kBuild).map(lit): _*)))
+    val nPlanes = 16
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    // giant-bucket guard: a degenerate corpus (everything one signature)
+    // must not become one unbounded window — sub-split signatures so the
+    // expected worst window stays O(kBuild); inert below ~5e9 rows
+    val subSplit = math.max(1L, n / ((1L << nPlanes) * 4L * kBuild))
+    val half = math.max(1, kBuild / 2)
+    val rndOrders = vecs.select(col("id"))
+      .withColumn("salt", explode(array((1 to half).map(lit): _*)))
       .withColumn("h", xxhash64(col("id"), col("salt")))
       .withColumn("bkt", pmod(col("h"), lit(buckets)))
+    val lshCols = (half + 1 to kBuild).map { s =>
+      struct(lit(s).as("salt"),
+        Knn.lshBucket("v", nPlanes, dim, planeOffset = s * nPlanes).as("sig"))
+    }
+    val lshOrders = vecs
+      .select(col("id"), explode(array(lshCols: _*)).as("e"))
+      .withColumn("salt", col("e.salt"))
+      .withColumn("h", xxhash64(col("id"), col("salt")))
+      .withColumn("bkt",
+        col("e.sig") * lit(subSplit) + pmod(col("h"), lit(subSplit)))
+      .select("id", "salt", "h", "bkt")
+    val w = Window.partitionBy("salt", "bkt").orderBy("h", "id")
+    val init = rndOrders.select("id", "salt", "h", "bkt")
+      .unionByName(lshOrders)
       .withColumn("nbr", lead(col("id"), 1).over(w))
       .filter(col("nbr").isNotNull && col("nbr") =!= col("id"))
       .select("id", "nbr").distinct()
@@ -162,8 +192,21 @@ object NnDescent {
     * top-`beam` survivors in one bounded-heap pass — per hop, three
     * shuffles regardless of query count).
     *
-    * Entry points are the `seeds` hash-order leads per query (geometry-
-    * blind, deterministic); `hops` rounds of expansion then top-k from
+    * Entry points are SCORED COARSE SEEDS: every query is scored against a
+    * deterministic 1/`hubRate` hash sample of the corpus and its top
+    * `seeds` hubs start the beams (the SPANN/DiskANN two-stage shape:
+    * coarse candidate then graph refinement). Geometry-blind random seeds
+    * — the first formulation here — fail hard at scale on clustered data:
+    * a 100×-replica corpus is ~2 000 mutually-unrelated tight clusters, so
+    * its TRUE k-NN graph is near-disconnected cliques; a random entry
+    * lands in the query's cluster with probability ~clusterSize/n and
+    * greedy routing has no similarity gradient to cross clusters (measured
+    * top-5 recall 0.0 at 200 k nodes, vs 0.90 at 2 k where the beam simply
+    * covered 40% of the graph). The coarse stage puts ≥1 seed in any
+    * cluster of ≥ hubRate·ln(…) members w.h.p. and costs |Q|·n/hubRate
+    * broadcast-scan cosines — the IVF bill, 1/hubRate of brute force; the
+    * hash-successor device is unioned in as a floor so tiny corpora
+    * (n < hubRate) always seed. `hops` rounds of expansion then top-k from
     * everything visited. Work per hop: |Q|·beam·k candidate edges — at
     * serving scale the graph side is the big frame and the frontier the
     * small one, exactly the broadcast-join shape AQE picks.
@@ -172,8 +215,8 @@ object NnDescent {
       queries: DataFrame, graph: DataFrame, targets: DataFrame,
       idCol: String, vecCol: String, k: Int,
       beam: Int = 20, hops: Int = 3, seeds: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
-    require(k >= 1 && beam >= k && hops >= 1 && seeds >= 1)
+      excludeSelf: Boolean = true, hubRate: Int = 16): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 1 && seeds >= 1 && hubRate >= 1)
     val vecs = targets
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .localCheckpoint(false)
@@ -181,8 +224,18 @@ object NnDescent {
       .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
       .localCheckpoint(false)
     val g = graph.select(col("id"), col("nbr")).localCheckpoint(false)
-    // seed: each query meets `seeds` hash-successor nodes (same device as
-    // the builder's init — no geometry assumed, no global sort)
+    // coarse stage: brute-score the hub sample against the broadcast query
+    // set (the bounded-query-set BNLJ shape dx_knn_brute justifies), keep
+    // each query's top `seeds` hubs via the bounded heap
+    val hubs = vecs.filter(pmod(xxhash64(col("id"), lit(7L)), lit(hubRate)) === 0)
+    val coarse = graft.plans.TopK.perKey(
+      hubs.crossJoin(broadcast(q))
+        .select(col("qid"), col("id").as("node"),
+          graft.functions.CosineSimilarity(col("qv"), col("v")).as("sim")),
+      Seq("qid"), "sim", seeds, tieCols = Seq("node"))
+      .select("qid", "node", "sim")
+    // floor: `seeds` hash-successor nodes per query (geometry-blind — the
+    // guarantee that a sub-hubRate corpus still gets entry points)
     val nSeed = vecs.count()
     val seedBuckets = math.max(1L, nSeed / (4L * seeds))
     val w = Window.partitionBy("salt", "bkt").orderBy("h", "id")
@@ -195,6 +248,8 @@ object NnDescent {
       .select(col("id").as("qid"), col("lead_id").as("node"))
     var visited = scoreQ(
       q.join(seedNodes, "qid").select(col("qid"), col("node")), q, vecs)
+      .unionByName(coarse)
+      .groupBy("qid", "node").agg(max("sim").as("sim"))
     visited = graft.Ckpt.truncate(visited)
     for (_ <- 1 to hops) {
       val frontier = graft.plans.TopK.perKey(visited, Seq("qid"), "sim",
