@@ -64,9 +64,16 @@ object NnDescent {
     *   it (0.92 by round 4, same corpus). Classic accuracy/work dial —
     *   wedge cost scales with min(cap, kBuild+rev)².
     */
+  /** @param iters MAX descent rounds; the loop exits early when a round
+    *   adds fewer than `delta`·k·n fresh edges (the paper's δ-termination,
+    *   §2.2 — on structured corpora descent converges in 2-3 rounds and
+    *   later rounds are pure cost, on unstructured ones fresh stays high
+    *   and all `iters` rounds run)
+    */
   def knnGraph(
       targets: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 4, cap: Int = 20, kBuild0: Int = 0): DataFrame = {
+      iters: Int = 4, cap: Int = 20, kBuild0: Int = 0,
+      delta: Double = 0.001): DataFrame = {
     val kBuild = if (kBuild0 > 0) kBuild0 else 2 * k
     require(k >= 1 && iters >= 1 && cap >= kBuild && kBuild >= k)
     val vecs = targets
@@ -123,7 +130,8 @@ object NnDescent {
     nn = graft.Ckpt.truncate(nn)
 
     // --- descent rounds -------------------------------------------------
-    for (r <- 1 to iters) {
+    var converged = false
+    for (r <- 1 to iters if !converged) {
       val fwd = nn.select("id", "nbr", "fresh")
       val rev = fwd.select(col("nbr").as("id"), col("id").as("nbr"),
         col("fresh"))
@@ -176,6 +184,10 @@ object NnDescent {
       nn = graft.plans.TopK.perKey(merged, Seq("id"), "sim", kBuild,
         tieCols = Seq("nbr")).drop("rank")
       nn = graft.Ckpt.truncate(nn)
+      // δ-termination: the count doubles as the round's materialization
+      // point (truncate is lazy), so each round's blocks land exactly once
+      val freshCnt = nn.filter(col("fresh")).count()
+      if (freshCnt < (delta * k * n).toLong.max(1L)) converged = true
     }
     val done = nn.drop("fresh")
     if (kBuild == k) done
