@@ -72,6 +72,8 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val isPartial = partial
+    val flushRows = conf.getConfString("spark.graft.topk.flushRows", "262144").toInt
+    require(flushRows >= 1, "spark.graft.topk.flushRows must be >= 1")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
@@ -100,8 +102,9 @@ case class TopKPerKeyExec(
         // the buffered row count hits the flush bound, emit every heap and
         // start fresh: partial output stays a correct candidate superset
         // (the final stage re-merges), only the shuffle saving degrades
-        // toward pass-through.
-        val flushRows = 1 << 18
+        // toward pass-through. Bound set by spark.graft.topk.flushRows
+        // (rows, not keys — a partition upstream of the exchange can see
+        // the whole key domain, so keys are the unbounded dimension).
         new Iterator[InternalRow] {
           private var nBuf = 0
           private var out: java.util.Iterator[InternalRow] =

@@ -541,4 +541,35 @@ class FunctionsSpec extends SparkSpec {
     assert(withNull.select(MatVec(col("v"), m).as("y"))
       .filter(col("y").isNull).count() == 1)
   }
+
+  test("pairwise_cosine block kernel: exact sims, fresh-rule pair set") {
+    // The NN-Descent local-join kernel must emit exactly the unordered
+    // pairs touching a fresh member, with sims bit-identical to the scalar
+    // CosineSimilarity expression on the same vectors.
+    import graft.functions.PairwiseCosine
+    val emb = Tables(spark, sfDir, "embeddings").limit(12)
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+      .withColumn("fresh", pmod(col("id"), lit(3)) === 0)
+      .localCheckpoint(true)
+    val block = emb
+      .groupBy(lit(1).as("grp"))
+      .agg(collect_list(struct(col("id").as("nbr"), col("fresh"), col("v"))).as("members"))
+    val pairs = block
+      .select(explode(PairwiseCosine(col("members"))).as("p"))
+      .select(col("p.x"), col("p.y"), col("p.sim"))
+    // pair set: x < y, at least one endpoint fresh
+    val ids = emb.select("id", "fresh").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val expected = (for {
+      (a, fa) <- ids; (b, fb) <- ids
+      if a < b && (fa || fb)
+    } yield (a, b)).toSet
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"pair set mismatch: ${got.size} vs ${expected.size}")
+    // sims: bit-identical to the scalar expression on the joined vectors
+    val recomputed = pairs
+      .join(emb.select(col("id").as("x"), col("v").as("vx")), "x")
+      .join(emb.select(col("id").as("y"), col("v").as("vy")), "y")
+      .filter(col("sim") =!= CosineSimilarity(col("vx"), col("vy")))
+    assert(recomputed.count() == 0, "block kernel sims differ from scalar cosine")
+  }
 }

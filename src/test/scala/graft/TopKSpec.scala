@@ -83,4 +83,22 @@ class TopKSpec extends SparkSpec {
       .select("neighbor_id", "r").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(r == Set((11L, 1L), (12L, 2L)))
   }
+
+  test("partial flush bound: identical results when heaps flush mid-partition") {
+    // The partial stage's key-map is bounded by spark.graft.topk.flushRows
+    // (the NN-Descent OOM fix); force constant flushing and prove the final
+    // merge still produces the exact window-formulation answer.
+    val df = randomScored(11, nKeys = 2000, nRows = 20000).repartition(4)
+      .localCheckpoint(true)
+    val k = 3
+    def run() = TopK.perKey(df, Seq("query_id"), "sim", k,
+      tieCols = Seq("neighbor_id")).select("query_id", "neighbor_id", "rank", "sim")
+    val unflushed = run().collect().toSet
+    spark.conf.set("spark.graft.topk.flushRows", "16")
+    try {
+      val flushed = run().collect().toSet
+      assert(flushed == unflushed,
+        s"flush path changed results: ${flushed.size} vs ${unflushed.size}")
+    } finally spark.conf.unset("spark.graft.topk.flushRows")
+  }
 }
