@@ -14,16 +14,21 @@ object AnnRegimeProbe {
     import graft.operators.ann._
     val emb = graft.Tables(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
-    val brute = Knn.bruteForce(q, emb, "vec_id", "embedding", 5)
-      .select("query_id", "neighbor_id").localCheckpoint(false)
-    val nB = brute.count()
+    // truth held driver-side (50 rows) so between-family block cleanup can
+    // drop EVERY retained block — accumulated checkpoints OOM'd the graph
+    // build at 200k before this
+    val truth = Knn.bruteForce(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.BlockCleanup.dropRetainedBlocks(spark)
     def recall(name: String, res: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       try {
-        val r = res.select("query_id", "neighbor_id")
-        val hits = brute.join(r, Seq("query_id", "neighbor_id"), "left_semi").count()
-        println(f"REGIME $name%-12s ${hits.toDouble / nB}%.2f  (${(System.nanoTime()-t0)/1e9}%.1f s)")
+        val hits = res.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).count(truth)
+        println(f"REGIME $name%-12s ${hits.toDouble / truth.size}%.2f  (${(System.nanoTime()-t0)/1e9}%.1f s)")
       } catch { case e: Throwable => println(s"REGIME $name ERR ${e.getMessage}") }
+      graft.BlockCleanup.dropRetainedBlocks(spark)
     }
     recall("lsh", Knn.lsh(q, emb, "vec_id", "embedding", 5, tables = 12))
     recall("ivf", Ivf.search(q, emb, "vec_id", "embedding", 5, nprobe = 6))
