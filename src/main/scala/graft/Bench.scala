@@ -28,6 +28,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    BlockCleanup.muteBenignCleanupSpam()
     // Warm the JVM (parquet reader, codegen, shuffle, window, checkpoint
     // and driver-collect paths) on the tiny sf so the first measured query
     // is not charged session/JIT startup.
@@ -84,10 +85,18 @@ object Bench {
     // "remeasured" in BENCH_DETAIL.json. Consumers (BASELINE, benchdiff)
     // can see exactly which published walls came from a second run and
     // reconstruct the unguarded total from first-run walls.
+    // r14 verdict: the cpu/wall heuristic never retried the registry's
+    // HEAVIEST queries when contention inflated CPU along with wall (memory
+    // stalls bill as CPU on this box), leaving the top rows — exactly the
+    // ones a reader checks — single-measured and unarbitratable. The top-5
+    // wall queries are therefore remeasured UNCONDITIONALLY; min-of-2 with
+    // both walls recorded, same transparency contract as below.
+    val top5 = firstPass.filter(_._5).sortBy(-_._2).take(5).map(_._1).toSet
     val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = firstPass.map {
       case r @ (name, wall, cpu, _, true)
-          if cpu >= 0 && wall > 1.0 && cpu / wall < 2.0 =>
+          if top5.contains(name) ||
+            (cpu >= 0 && wall > 1.0 && cpu / wall < 2.0) =>
         val again = measure(name, SparkEntry.queries(name))
         remeasured(name) = (wall, again._2)
         if (again._5 && again._2 < wall) again else r

@@ -15,6 +15,43 @@ import org.apache.spark.sql.SparkSession
   * ERROR for just this loop and restored after.
   */
 object BlockCleanup {
+
+  /** Deny the benign post-cleanup DAGScheduler ERROR ("attempted to access
+    * non-existent accumulator N") that straggler tasks emit when they report
+    * AFTER ContextCleaner has dropped their job's accumulators — rc stays 0
+    * and every result is already in, but the stack trace lands at the TAIL
+    * of stdout/stderr, which is the only window the round driver keeps
+    * (it truncated the r03 bench line and made the r14 artifact look
+    * failure-adjacent). A context-wide log4j2 filter keyed on the message
+    * text mutes exactly this event and nothing else; real scheduler errors
+    * (job failures) still surface both in the log and as exceptions in the
+    * caller's own try/catch. Idempotent; best-effort (a log4j2 API drift
+    * must never fail a bench run).
+    */
+  def muteBenignCleanupSpam(): Unit =
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+      import org.apache.logging.log4j.core.filter.AbstractFilter
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val marker = "graft-mute-accumulator-cleanup"
+      val already = cfg.getProperties.containsKey(marker)
+      if (!already) {
+        cfg.getProperties.put(marker, "true")
+        cfg.addFilter(new AbstractFilter() {
+          override def filter(event: LogEvent): Filter.Result = {
+            val m = event.getMessage
+            if (m != null && m.getFormattedMessage != null &&
+                m.getFormattedMessage.contains("non-existent accumulator"))
+              Filter.Result.DENY
+            else Filter.Result.NEUTRAL
+          }
+        })
+        ctx.updateLoggers()
+      }
+    } catch { case _: Throwable => () }
+
   def dropRetainedBlocks(spark: SparkSession): Unit = {
     import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.config.Configurator

@@ -26,6 +26,7 @@ object Verify {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    BlockCleanup.muteBenignCleanupSpam()
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (unset in driver runs → full dump).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -38,7 +38,7 @@ object AnnRegimeProbe {
     recall("ivfsq", Sq.searchIvf(q, emb, "vec_id", "embedding", 5))
     recall("opq", Opq.search(q, emb, "vec_id", "embedding", 5))
     recall("graph", {
-      val g = NnDescent.knnGraph(emb, "vec_id", "embedding", 10, iters = 4, cap = 40)
+      val g = NnDescent.knnGraph(emb, "vec_id", "embedding", 10, iters = 4, cap0 = 40)
       NnDescent.searchGraph(q, g, emb, "vec_id", "embedding", 5,
         beam = 20, hops = 4, seeds = 8)
     })

@@ -43,7 +43,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero-norm guard: 0/0 = NaN sorts GREATEST under Spark's total order,
+    // which would rank a degenerate vector above every real neighbor in
+    // descending top-k — define cosine against the zero vector as 0.0.
+    // (No zero-norm vectors exist in the oracle-matched corpora —
+    // dx_embedding_qc pins n_zero — so the DuckDB twins are unaffected.)
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,7 +72,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yv = (double) $b.getFloat($i);
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
-         |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |  ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -70,7 +70,12 @@ case class PairwiseCosine(child: Expression)
           val d = math.min(va.length, vb.length)
           var dot = 0.0; var j = 0
           while (j < d) { dot += va(j).toDouble * vb(j).toDouble; j += 1 }
-          val sim = dot / (norms(a) * norms(b))
+          // zero-norm guard: 0/0 = NaN sorts GREATEST under Spark's total
+          // order, so one degenerate vector would outrank every real
+          // neighbor in the descending TopK heaps — emit 0.0 instead
+          // (mirrors CosineSimilarity)
+          val np = norms(a) * norms(b)
+          val sim = if (np == 0.0) 0.0 else dot / np
           val lo = math.min(ids(a), ids(b)); val hi = math.max(ids(a), ids(b))
           out.add(new GenericInternalRow(Array[Any](lo, hi, sim)))
         }

@@ -54,8 +54,13 @@ object NnDescent {
 
   /** The directed k-NN graph: (id, nbr, sim), k rows per id.
     *
-    * @param cap neighborhood sample bound per node per round (ρ·k in the
-    *   paper; wedge work is Σ cap², so this is the scale knob)
+    * @param cap0 neighborhood sample bound per node per round (ρ·k in the
+    *   paper; wedge work is Σ cap², so this is the scale knob). 0 (the
+    *   default) derives cap = 2·kBuild — full forward lists plus an
+    *   equal-size reverse sample; a fixed default equal to kBuild would
+    *   silently degenerate the reverse sample to max(cap−kBuild,1)=1 and
+    *   descent would lose nearly all reverse wedges (r14 ADVICE). An
+    *   explicit cap must exceed kBuild for the same reason.
     * @param kBuild internal list size during descent (returned graph is
     *   truncated to k). On weak-structure corpora the k-sized heuristic
     *   hits a fixed point well short of the true graph (measured: 0.68
@@ -72,10 +77,11 @@ object NnDescent {
     */
   def knnGraph(
       targets: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 4, cap: Int = 20, kBuild0: Int = 0,
+      iters: Int = 4, cap0: Int = 0, kBuild0: Int = 0,
       delta: Double = 0.001): DataFrame = {
     val kBuild = if (kBuild0 > 0) kBuild0 else 2 * k
-    require(k >= 1 && iters >= 1 && cap >= kBuild && kBuild >= k)
+    val cap = if (cap0 > 0) cap0 else 2 * kBuild
+    require(k >= 1 && iters >= 1 && cap > kBuild && kBuild >= k)
     val vecs = targets
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .localCheckpoint(false) // scanned 2× per round
@@ -109,16 +115,18 @@ object NnDescent {
       struct(lit(s).as("salt"),
         Knn.lshBucket("v", nPlanes, dim, planeOffset = s * nPlanes).as("sig"))
     }
-    val lshOrders = vecs
+    // kBuild=1 leaves no LSH orders (half=1 claims the only slot) — skip
+    // the union rather than analyze-fail on an empty array() (r14 ADVICE)
+    val lshOrders = if (lshCols.isEmpty) None else Some(vecs
       .select(col("id"), explode(array(lshCols: _*)).as("e"))
       .withColumn("salt", col("e.salt"))
       .withColumn("h", xxhash64(col("id"), col("salt")))
       .withColumn("bkt",
         col("e.sig") * lit(subSplit) + pmod(col("h"), lit(subSplit)))
-      .select("id", "salt", "h", "bkt")
+      .select("id", "salt", "h", "bkt"))
     val w = Window.partitionBy("salt", "bkt").orderBy("h", "id")
-    val init = rndOrders.select("id", "salt", "h", "bkt")
-      .unionByName(lshOrders)
+    val orders = rndOrders.select("id", "salt", "h", "bkt")
+    val init = lshOrders.fold(orders)(orders.unionByName)
       .withColumn("nbr", lead(col("id"), 1).over(w))
       .filter(col("nbr").isNotNull && col("nbr") =!= col("id"))
       .select("id", "nbr").distinct()
@@ -216,9 +224,10 @@ object NnDescent {
     * top-5 recall 0.0 at 200 k nodes, vs 0.90 at 2 k where the beam simply
     * covered 40% of the graph). The coarse stage puts ≥1 seed in any
     * cluster of ≥ hubRate·ln(…) members w.h.p. and costs |Q|·n/hubRate
-    * broadcast-scan cosines — the IVF bill, 1/hubRate of brute force; the
-    * hash-successor device is unioned in as a floor so tiny corpora
-    * (n < hubRate) always seed. `hops` rounds of expansion then top-k from
+    * broadcast-scan cosines — the IVF bill, 1/hubRate of brute force; a
+    * hash-chosen floor set of `seeds` target nodes is unioned in so every
+    * query always seeds, even on tiny corpora (n < hubRate) and when query
+    * ids are disjoint from target ids. `hops` rounds of expansion then top-k from
     * everything visited. Work per hop: |Q|·beam·k candidate edges — at
     * serving scale the graph side is the big frame and the frontier the
     * small one, exactly the broadcast-join shape AQE picks.
@@ -246,20 +255,20 @@ object NnDescent {
           graft.functions.CosineSimilarity(col("qv"), col("v")).as("sim")),
       Seq("qid"), "sim", seeds, tieCols = Seq("node"))
       .select("qid", "node", "sim")
-    // floor: `seeds` hash-successor nodes per query (geometry-blind — the
-    // guarantee that a sub-hubRate corpus still gets entry points)
-    val nSeed = vecs.count()
-    val seedBuckets = math.max(1L, nSeed / (4L * seeds))
-    val w = Window.partitionBy("salt", "bkt").orderBy("h", "id")
-    val seedNodes = vecs.select(col("id"))
-      .withColumn("salt", explode(array((1 to seeds).map(lit): _*)))
-      .withColumn("h", xxhash64(col("id"), col("salt")))
-      .withColumn("bkt", pmod(col("h"), lit(seedBuckets)))
-      .withColumn("lead_id", lead(col("id"), 1).over(w))
-      .filter(col("lead_id").isNotNull)
-      .select(col("id").as("qid"), col("lead_id").as("node"))
+    // floor: `seeds` hash-chosen TARGET nodes shared by every query
+    // (geometry-blind — the guarantee that EVERY query gets entry points
+    // even when the hub sample is empty, n < hubRate). The first
+    // formulation keyed a hash-successor window by target id and aliased
+    // it as qid, which only seeded queries whose ids happened to exist in
+    // the target set — cross-dataset queries silently got zero rows (r15
+    // ADVICE, medium). A bounded global TakeOrdered picks the floor set
+    // (never empty for a nonempty corpus); seeds×|Q| is the broadcast
+    // cross of two small frames.
+    val floorNodes = vecs.select(col("id").as("node"))
+      .orderBy(xxhash64(col("node"), lit(11L)), col("node"))
+      .limit(seeds)
     var visited = scoreQ(
-      q.join(seedNodes, "qid").select(col("qid"), col("node")), q, vecs)
+      q.select(col("qid")).crossJoin(broadcast(floorNodes)), q, vecs)
       .unionByName(coarse)
       .groupBy("qid", "node").agg(max("sim").as("sim"))
     visited = graft.Ckpt.truncate(visited)

@@ -1243,7 +1243,7 @@ object Pipeline {
   private def knnGraphNnd(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val g = graft.operators.ann.NnDescent.knnGraph(
-      emb, "vec_id", "embedding", k = 10, iters = 4, cap = 40)
+      emb, "vec_id", "embedding", k = 10, iters = 4, cap0 = 40)
     graft.plans.TopK.perKey(g.filter(col("id") < 10), Seq("id"), "sim", 5,
         tieCols = Seq("nbr"))
       .select(col("id").as("query_id"), col("nbr").as("neighbor_id"),
@@ -1259,7 +1259,7 @@ object Pipeline {
   private def knnGraphSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val g = graft.operators.ann.NnDescent.knnGraph(
-      emb, "vec_id", "embedding", k = 10, iters = 4, cap = 40)
+      emb, "vec_id", "embedding", k = 10, iters = 4, cap0 = 40)
     graft.operators.ann.NnDescent.searchGraph(
       emb.filter(col("vec_id") < 10), g, emb, "vec_id", "embedding",
       k = 5, beam = 20, hops = 4, seeds = 8)
@@ -3648,10 +3648,17 @@ object Pipeline {
     QueryDef("dx_dedup_semantic_gate", dedupSemanticGate, Some(dedupSemanticGateSql)),
     QueryDef("dx_embed_pca", embedPca, None),
     QueryDef("dx_embed_rp", embedRp, None),
+    // n_pairs mirrors the Spark side's d2o > 0 exclusion (r15 ADVICE: a
+    // duplicate embedding among vec_id < 50 would otherwise diverge the
+    // engines on the pair count) — a pair is counted iff the vectors
+    // differ in at least one coordinate, which is exactly d2o > 0 for
+    // NaN-free floats
     QueryDef("dx_embed_rp_gate", embedRpGate, Some(
-      """SELECT CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         |       CAST(1 AS BOOLEAN) AS band_ok, CAST(1 AS BOOLEAN) AS mean_ok
-        |FROM (SELECT count(*) AS n FROM embeddings WHERE vec_id < 50)""".stripMargin)),
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND b.vec_id < 50
+        |WHERE a.embedding <> b.embedding""".stripMargin)),
     QueryDef("dx_embed_pca_gate", embedPcaGate, Some(embedPcaGateSql)),
     QueryDef("dx_html_extract", htmlExtract, Some(htmlExtractSql)),
     QueryDef("dx_c4_clean", c4Clean, Some(c4CleanSql)),

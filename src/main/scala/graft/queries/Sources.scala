@@ -320,29 +320,55 @@ object Sources {
   private def binaryGate(s: SparkSession, dir: String): DataFrame = {
     val out = sessionDir("bin", dir)
     val docsDir = s"$out/docs"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(docsDir))
     // files are written ON EXECUTORS (foreachPartition), not via a driver
     // collect loop (r13 ADVICE: the collect form was a driver-memory and
-    // wall-clock hazard if the slice grows) — the blob store the real
-    // ingest writes to is shared storage, exactly like this local path
-    Tables(s, dir, "documents")
+    // wall-clock hazard if the slice grows) — and through the HADOOP
+    // FILESYSTEM of the target path, not java.nio (r14 ADVICE: a local
+    // java.nio write lands on each executor's OWN disk on a real cluster
+    // and the driver-side listing silently reads empty; FileSystem.get
+    // resolves the path against the executor's Hadoop config, so an
+    // hdfs://... or s3a://... docsDir writes to shared storage — the blob
+    // store the real ingest targets)
+    // the bare path resolves against fs.defaultFS on BOTH sides (write
+    // tasks and the driver's binaryFile listing), so they always agree on
+    // which store the files live in; created driver-side too so an empty
+    // slice still lists as zero files instead of failing the load
+    new org.apache.hadoop.fs.Path(docsDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(docsDir))
+    val slice = Tables(s, dir, "documents")
       .filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), col("text"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      .localCheckpoint(false)
+    val nSlice = slice.count()
+    slice.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.nonEmpty) {
+        val base = new org.apache.hadoop.fs.Path(docsDir)
+        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.mkdirs(base)
         it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$docsDir/${r.getLong(0)}.txt"),
+          val o = fs.create(
+            new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.txt"), true)
+          try o.write(
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally o.close()
         }
       }
-    s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
-      .load(s"$out/docs")
+    }
+    val back = s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(docsDir)
       .select(
         regexp_extract(col("path"), "([0-9]+)\\.txt$", 1)
           .cast("long").as("doc_id"),
         col("length").as("n_bytes"),
         sha2(col("content"), 256).as("sha"))
       .orderBy("doc_id")
+    // loud divergence guard: a mis-rooted filesystem (files on executor
+    // disks, listing on the driver) must fail the gate, never read empty
+    val nBack = back.count()
+    require(nBack == nSlice,
+      s"binaryGate round-trip lost files: wrote $nSlice, read back $nBack")
+    back
   }
 
   private val binaryGateSql =

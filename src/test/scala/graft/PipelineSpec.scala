@@ -556,7 +556,7 @@ class PipelineSpec extends SparkSpec {
     import graft.operators.ann.{Knn, NnDescent}
     val emb = Tables(spark, sfDir, "embeddings")
     val g = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 10,
-      iters = 4, cap = 40).localCheckpoint(false)
+      iters = 4, cap0 = 40).localCheckpoint(false)
     // ≤ k rows per node, no self-loops
     val perNode = g.groupBy("id").agg(count(lit(1)).as("n"))
     assert(perNode.filter(col("n") > 10).count() == 0)
@@ -571,7 +571,7 @@ class PipelineSpec extends SparkSpec {
     assert(recomputed.count() == 0, "graph sims must be exact cosines")
     // deterministic: run twice, identical edge sets
     val g2 = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 10,
-      iters = 4, cap = 40)
+      iters = 4, cap0 = 40)
     assert(g.select("id", "nbr").exceptAll(g2.select("id", "nbr")).count() == 0)
     assert(g2.select("id", "nbr").exceptAll(g.select("id", "nbr")).count() == 0)
     // top-5 recall vs brute force for the query slice (the gate's floor)
@@ -591,7 +591,7 @@ class PipelineSpec extends SparkSpec {
     import graft.operators.ann.{Knn, NnDescent}
     val emb = Tables(spark, sfDir, "embeddings")
     val g = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 10,
-      iters = 4, cap = 40).localCheckpoint(false)
+      iters = 4, cap0 = 40).localCheckpoint(false)
     val res = NnDescent.searchGraph(
       emb.filter(col("vec_id") < 10), g, emb, "vec_id", "embedding",
       k = 5, beam = 20, hops = 4, seeds = 8).localCheckpoint(false)
