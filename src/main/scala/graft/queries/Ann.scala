@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.ann.Knn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search / approximate-nearest-neighbor family over the
+  * `embeddings` table (SURVEY.md §2, "similarity search"): the exact
+  * brute-force baseline plus every index family — hyperplane LSH, IVF,
+  * PQ/OPQ/IVF-PQ (ADC), SQ/IVF-SQ, and the NN-Descent k-NN graph with
+  * batch beam-search serving — each rows-only query paired with an
+  * oracle-pinned recall gate against the brute-force truth.
+  */
+object Ann {
+
+  // ---- similarity search ---------------------------------------------
+  private def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Knn.bruteForce(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
+  private val knnBruteSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |t AS (SELECT vec_id AS neighbor_id, embedding AS te FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |  list_reduce(list_transform(range(1, len(qe) + 1),
+      |    i -> CAST(qe[i] AS DOUBLE) * CAST(te[i] AS DOUBLE)), (a, b) -> a + b)
+      |  / (sqrt(list_reduce(list_transform(range(1, len(qe) + 1),
+      |       i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (a, b) -> a + b))
+      |    * sqrt(list_reduce(list_transform(range(1, len(te) + 1),
+      |       i -> CAST(te[i] AS DOUBLE) * CAST(te[i] AS DOUBLE)), (a, b) -> a + b))) AS sim
+      |  FROM q, t WHERE query_id <> neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, sim,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+      |SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Pq.search(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** OPQ = PCA rotation ∘ PQ (operators/ann/Opq — the FAISS
+    * `OPQMatrix,PQ` stack in its PCA-init form): the rotation is a pure
+    * orthonormal map so the exact rerank returns true cosines, while the
+    * ADC scan quantizes variance-aligned subspaces. Rows-only (iterative
+    * Lloyd inside); the recall floor vs brute force is the gate — held to
+    * PQ's own floor on the same corpus, the ≥-composition contract.
+    */
+  private def knnOpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Opq.search(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** NN-Descent k-NN graph (operators/ann/NnDescent — the graph-ANN
+    * family member: the cluster-scale construction job under HNSW-style
+    * serving indexes). Builds the k=10 graph over the corpus by iterated
+    * capped wedge joins, then reports the top-5 graph neighbors of the
+    * query slice in the family's standard shape. Rows-only (iterative,
+    * hash-seeded); the recall floor vs brute force is the gate.
+    */
+  private def knnGraphNnd(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val g = graft.operators.ann.NnDescent.knnGraph(
+      emb, "vec_id", "embedding", k = 10, iters = 4, cap0 = 40)
+    graft.plans.TopK.perKey(g.filter(col("id") < 10), Seq("id"), "sim", 5,
+        tieCols = Seq("nbr"))
+      .select(col("id").as("query_id"), col("nbr").as("neighbor_id"),
+        col("rank"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Beam search over the NN-Descent graph (the serving half of graph
+    * ANN, batch-restated as joins — `NnDescent.searchGraph`). Build +
+    * search in one plan, like every index family here. Rows-only; the
+    * recall gate is the pin.
+    */
+  private def knnGraphSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val g = graft.operators.ann.NnDescent.knnGraph(
+      emb, "vec_id", "embedding", k = 10, iters = 4, cap0 = 40)
+    graft.operators.ann.NnDescent.searchGraph(
+      emb.filter(col("vec_id") < 10), g, emb, "vec_id", "embedding",
+      k = 5, beam = 20, hops = 4, seeds = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Pq.searchIvf(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
+  private def knnSq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Sq.search(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
+  private def knnIvfSq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Sq.searchIvf(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
+  private def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.Ivf.search(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5,
+      nprobe = 6)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** 12 hash tables: these synthetic embeddings are uniform-random — the LSH
+    * worst case (top-5 neighbor cosine ~0.6 → per-table hit rate p^6 ≈ 5%),
+    * so recall is bought with tables, not planes. Measured recall ~0.45
+    * here; a real embedding corpus (neighbor sims 0.9+) clears 0.95 with the
+    * same config.
+    */
+  private def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Knn.lsh(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5,
+      tables = 12)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Driver-gated recall check for the approximate kNN paths: recall of the
+    * approximate top-5 against the exact brute-force top-5, as a one-row
+    * boolean the DuckDB oracle pins to `true`. This turns the ScalaTest-only
+    * recall evidence into a hard per-round gate: if recall drops below the
+    * floor, the hash comparison fails the round. (The recall *value* itself
+    * is Spark-vs-Spark and has no SQL twin; the boolean does.)
+    */
+  private def knnRecallGate(
+      approx: (SparkSession, String) => DataFrame, minRecall: Double)(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = knnBrute(s, dir).select("query_id", "neighbor_id")
+      .localCheckpoint(false)
+    val found = approx(s, dir).select("query_id", "neighbor_id")
+    val nBrute = brute.count()
+    val nHit = brute.join(found, Seq("query_id", "neighbor_id"), "left_semi").count()
+    Seq((nBrute, nHit.toDouble / nBrute >= minRecall)).toDF("n_brute", "recall_ok")
+  }
+
+  /** Oracle twin: brute-force truth size is 5 per query (any corpus bigger
+    * than 6 vectors), and the recall flag must come back true.
+    */
+  private val knnRecallGateSql =
+    """SELECT CAST(5 * count(*) AS BIGINT) AS n_brute, CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dx_knn_brute", knnBrute, Some(knnBruteSql)),
+    QueryDef("dx_knn_lsh", knnLsh, None),
+    QueryDef("dx_knn_ivf", knnIvf, None),
+    QueryDef("dx_knn_lsh_recall", knnRecallGate(knnLsh, 0.3), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_ivf_recall", knnRecallGate(knnIvf, 0.6), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_pq", knnPq, None),
+    QueryDef("dx_knn_pq_recall", knnRecallGate(knnPq, 0.6), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_opq", knnOpq, None),
+    QueryDef("dx_knn_opq_recall", knnRecallGate(knnOpq, 0.6), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_graph", knnGraphNnd, None),
+    QueryDef("dx_knn_graph_recall", knnRecallGate(knnGraphNnd, 0.7), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_graph_search", knnGraphSearch, None),
+    QueryDef("dx_knn_graph_search_recall", knnRecallGate(knnGraphSearch, 0.7), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_sq", knnSq, None),
+    QueryDef("dx_knn_sq_recall", knnRecallGate(knnSq, 0.9), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_ivfsq", knnIvfSq, None),
+    QueryDef("dx_knn_ivfsq_recall", knnRecallGate(knnIvfSq, 0.6), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_ivfpq", knnIvfPq, None),
+    QueryDef("dx_knn_ivfpq_recall", knnRecallGate(knnIvfPq, 0.5), Some(knnRecallGateSql)))
+}
