@@ -1,0 +1,73 @@
+package graft.operators.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build-once / serve-many persistence for the NN-Descent graph — the
+  * SPANN/DiskANN serving split the operator's own doc comment argues for.
+  * The inline build+search queries re-pay graph construction on every run;
+  * a production retrieval pipeline builds the index ONCE (a cluster job:
+  * hours over 100 TB of embeddings) and every query batch afterwards pays
+  * only the search joins against the stored graph — this object is that
+  * split: [[build]] writes the graph keyed by node id, [[load]] reads it
+  * for [[NnDescent.searchGraph]].
+  *
+  * The persisted graph carries HUB LONG-LINKS in addition to the base
+  * k-NN edges: a second NN-Descent run over the deterministic 1/hubRate
+  * hash sample (the SAME sample `searchGraph`'s coarse stage scores, so
+  * every entry point is a long-linked node) adds hub↔hub edges — HNSW's
+  * upper layers restated as extra edges in a flat graph. A beam that
+  * enters at a hub can cross to another region in ONE hop instead of
+  * diameter-many base-edge hops, which is what lets serving run at
+  * hops=2 for the recall that flat-graph routing needed hops=4 to reach
+  * (hops is the shuffle knob: three shuffles per hop, independent of
+  * query count). Long edges are flagged in a `long` column so consumers
+  * can tell routing edges from true top-k neighbors; the base edges alone
+  * are the k-NN graph.
+  *
+  * Storage layout: parquet repartitioned by node id, so the per-node
+  * edge lists are co-located for the frontier⋈graph equi-join (on a
+  * warehouse deployment the same frame would be written `bucketBy(id)`
+  * into a table for shuffle-free joins — the bucketed-join evidence in
+  * SkewSpec; plain parquet keeps the driver gates filesystem-only).
+  */
+object GraphIndex {
+
+  /** Build the serving index and write it to `path` (overwrite).
+    *
+    * @param numFiles output file count (0 = the session's shuffle
+    *   parallelism); bounded corpora should pass a small number so the
+    *   index isn't scattered into tiny files
+    */
+  def build(
+      targets: DataFrame, idCol: String, vecCol: String, k: Int,
+      path: String, iters: Int = 4, hubRate: Int = 16, hubK: Int = 8,
+      numFiles: Int = 0): Unit = {
+    val base = NnDescent
+      .knnGraph(targets, idCol, vecCol, k, iters)
+      .withColumn("long", lit(false))
+    // the hub sample must match searchGraph's coarse stage bit-for-bit
+    // (same hash, same salt) so every scored entry point is long-linked
+    val hubs = targets.filter(
+      pmod(xxhash64(col(idCol).cast("long"), lit(7L)), lit(hubRate)) === 0)
+    val nHubs = hubs.count()
+    // a hub layer needs enough hubs for its own k-NN structure to mean
+    // anything; below that the base graph alone is beam-coverable anyway
+    val full =
+      if (nHubs >= 4L * hubK)
+        base.unionByName(NnDescent
+          .knnGraph(hubs, idCol, vecCol, hubK, iters)
+          .withColumn("long", lit(true)))
+      else base
+    // a hub edge duplicating a base edge keeps the base flag (min) — the
+    // sims are identical either way (same kernel over the same vectors)
+    val merged = full.groupBy("id", "nbr")
+      .agg(max("sim").as("sim"), min("long").as("long"))
+    val keyed = if (numFiles > 0) merged.repartition(numFiles, col("id"))
+                else merged.repartition(col("id"))
+    keyed.write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted index: (id, nbr, sim, long). */
+  def load(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+}

@@ -85,20 +85,37 @@ object NnDescent {
     val vecs = targets
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .localCheckpoint(false) // scanned 2× per round
-    // --- init: successor in each of kBuild orders ------------------------
-    // Half the orders are salted-random chains (the union keeps the init
-    // graph connected w.h.p. — one order alone is disconnected
-    // bucket-chains, the r13 lesson). The other half are RANDOM-HYPERPLANE
-    // LSH orders (EFANNA's insight, restated set-at-a-time): successor
-    // within a 16-plane signature bucket, so geometrically-close vectors
-    // start out adjacent. On clustered corpora this is what lets descent
-    // bootstrap at all — with purely random init a node's ~iters·cap²
-    // candidate draws are uniform over the corpus, so at 200 k nodes in
-    // ~2 000 tight clusters the expected true-neighbor hits are ~2 of k=10
-    // and the wedge epidemic never ignites inside clusters (measured:
-    // graph-search recall 0.0 at 100×); one colliding bucket-mate per
-    // cluster ignites it.
     val n = vecs.count()
+    val init = initEdges(vecs, n, kBuild)
+    // `fresh` marks edges added in the latest merge — only wedges touching
+    // a fresh edge are scored next round (the paper's incremental rule)
+    var nn = score(init, vecs).withColumn("fresh", lit(true))
+    nn = graft.plans.TopK.perKey(nn, Seq("id"), "sim", kBuild,
+      tieCols = Seq("nbr")).drop("rank")
+    nn = graft.Ckpt.truncate(nn)
+    val done = descend(nn, vecs, k, kBuild, iters, cap, delta, termN = n)
+    if (kBuild == k) done
+    else graft.plans.TopK.perKey(done, Seq("id"), "sim", k,
+      tieCols = Seq("nbr")).drop("rank")
+  }
+
+  /** Init edges (id, nbr): each node's successor in each of kBuild
+    * independent orders.
+    *
+    * Half the orders are salted-random chains (the union keeps the init
+    * graph connected w.h.p. — one order alone is disconnected
+    * bucket-chains, the r13 lesson). The other half are RANDOM-HYPERPLANE
+    * LSH orders (EFANNA's insight, restated set-at-a-time): successor
+    * within a 16-plane signature bucket, so geometrically-close vectors
+    * start out adjacent. On clustered corpora this is what lets descent
+    * bootstrap at all — with purely random init a node's ~iters·cap²
+    * candidate draws are uniform over the corpus, so at 200 k nodes in
+    * ~2 000 tight clusters the expected true-neighbor hits are ~2 of k=10
+    * and the wedge epidemic never ignites inside clusters (measured:
+    * graph-search recall 0.0 at 100×); one colliding bucket-mate per
+    * cluster ignites it.
+    */
+  private def initEdges(vecs: DataFrame, n: Long, kBuild: Int): DataFrame = {
     val buckets = math.max(1L, n / (4L * kBuild))
     val nPlanes = 16
     val dim = vecs.select(size(col("v"))).head().getInt(0)
@@ -126,18 +143,24 @@ object NnDescent {
       .select("id", "salt", "h", "bkt"))
     val w = Window.partitionBy("salt", "bkt").orderBy("h", "id")
     val orders = rndOrders.select("id", "salt", "h", "bkt")
-    val init = lshOrders.fold(orders)(orders.unionByName)
+    lshOrders.fold(orders)(orders.unionByName)
       .withColumn("nbr", lead(col("id"), 1).over(w))
       .filter(col("nbr").isNotNull && col("nbr") =!= col("id"))
       .select("id", "nbr").distinct()
-    // `fresh` marks edges added in the latest merge — only wedges touching
-    // a fresh edge are scored next round (the paper's incremental rule)
-    var nn = score(init, vecs).withColumn("fresh", lit(true))
-    nn = graft.plans.TopK.perKey(nn, Seq("id"), "sim", kBuild,
-      tieCols = Seq("nbr")).drop("rank")
-    nn = graft.Ckpt.truncate(nn)
+  }
 
-    // --- descent rounds -------------------------------------------------
+  /** The descent loop (the paper's §2.1 main iteration): takes the current
+    * graph `nn0` — (id, nbr, sim, fresh), per-node lists already capped at
+    * kBuild — and runs up to `iters` rounds of capped local joins, merging
+    * proposals and re-truncating per node each round. `termN` is the
+    * δ-termination base (corpus size for a full build; DELTA size for an
+    * incremental update, where fresh counts are small from the start).
+    * Returns the converged kBuild-lists graph (id, nbr, sim).
+    */
+  private def descend(
+      nn0: DataFrame, vecs: DataFrame, k: Int, kBuild: Int, iters: Int,
+      cap: Int, delta: Double, termN: Long): DataFrame = {
+    var nn = nn0
     var converged = false
     for (r <- 1 to iters if !converged) {
       val fwd = nn.select("id", "nbr", "fresh")
@@ -195,11 +218,76 @@ object NnDescent {
       // δ-termination: the count doubles as the round's materialization
       // point (truncate is lazy), so each round's blocks land exactly once
       val freshCnt = nn.filter(col("fresh")).count()
-      if (freshCnt < (delta * k * n).toLong.max(1L)) converged = true
+      if (freshCnt < (delta * k * termN).toLong.max(1L)) converged = true
     }
-    val done = nn.drop("fresh")
-    if (kBuild == k) done
-    else graft.plans.TopK.perKey(done, Seq("id"), "sim", k,
+    nn.drop("fresh")
+  }
+
+  /** Incremental index maintenance — the daily-increment path of a
+    * production ANN pipeline (the `mb_components_incremental` pattern
+    * applied to the ANN family: don't re-descend the corpus from scratch
+    * for a batch of new vectors). Seeds each NEW vector's list by
+    * beam-searching the EXISTING graph (the serving path reused as the
+    * insert path — DiskANN's insert rule), adds salted successor chains
+    * AMONG the new batch so intra-delta near-duplicates connect without
+    * relying on old-graph routing, marks exactly those edges fresh, and
+    * runs the standard descent rounds over the union corpus. The
+    * incremental rule then confines wedge work to neighborhoods a fresh
+    * edge touches — per-round cost scales with |delta|·cap² plus the
+    * touched old neighborhoods, not |base|·cap².
+    *
+    * Old nodes update too: every new→old seed edge is proposed in BOTH
+    * directions, so an old node whose true neighborhood now contains a
+    * new vector re-ranks its list in the first descent round and the
+    * wedge epidemic spreads the correction outward. δ-termination is
+    * measured against |delta| (fresh counts are small from the start of
+    * an incremental run).
+    *
+    * Returns the refreshed directed k-NN graph over base ∪ delta, same
+    * shape as [[knnGraph]].
+    */
+  def addVectors(
+      graph: DataFrame, base: DataFrame, delta: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      iters: Int = 2, cap0: Int = 0, kBuild0: Int = 0,
+      deltaTerm: Double = 0.001): DataFrame = {
+    val kBuild = if (kBuild0 > 0) kBuild0 else 2 * k
+    val cap = if (cap0 > 0) cap0 else 2 * kBuild
+    require(k >= 1 && iters >= 1 && cap > kBuild && kBuild >= k)
+    val baseVecs = base
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val deltaVecs = delta
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .localCheckpoint(false)
+    val vecs = baseVecs.unionByName(deltaVecs).localCheckpoint(false)
+    val nDelta = deltaVecs.count()
+    if (nDelta == 0) return graph
+    // seed: each new vector's kBuild best reachable old neighbors via the
+    // existing graph (scored — these carry true sims)
+    val seeded = searchGraph(deltaVecs, graph, baseVecs, "id", "v",
+      k = kBuild, beam = math.max(20, kBuild), hops = 2, seeds = 8)
+      .select(col("query_id").as("id"), col("neighbor_id").as("nbr"),
+        col("sim"))
+    // intra-delta chains (new×new), scored like a fresh build's init
+    val deltaInit = score(initEdges(deltaVecs, nDelta, kBuild), vecs)
+    // both directions so OLD endpoints get fresh edges (and thus wedges)
+    val fresh0 = seeded.unionByName(deltaInit)
+    val seedEdges = fresh0.unionByName(
+      fresh0.select(col("nbr").as("id"), col("id").as("nbr"), col("sim")))
+    // merge with the existing graph: an edge already known stays old
+    // (its old×old wedges were explored at build time); genuinely new
+    // edges enter fresh and drive the next rounds' local joins
+    val nn0 = graph.select(col("id"), col("nbr"), col("sim"))
+      .withColumn("fresh", lit(false))
+      .unionByName(seedEdges.withColumn("fresh", lit(true)))
+      .groupBy("id", "nbr")
+      .agg(max("sim").as("sim"), min("fresh").as("fresh"))
+    val capped = graft.Ckpt.truncate(
+      graft.plans.TopK.perKey(nn0, Seq("id"), "sim", kBuild,
+        tieCols = Seq("nbr")).drop("rank"))
+    val done = descend(capped, vecs, k, kBuild, iters, cap, deltaTerm,
+      termN = nDelta)
+    graft.plans.TopK.perKey(done, Seq("id"), "sim", k,
       tieCols = Seq("nbr")).drop("rank")
   }
 

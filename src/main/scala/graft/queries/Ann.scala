@@ -157,25 +157,148 @@ object Ann {
     * recall evidence into a hard per-round gate: if recall drops below the
     * floor, the hash comparison fails the round. (The recall *value* itself
     * is Spark-vs-Spark and has no SQL twin; the boolean does.)
+    *
+    * The `regime` column promotes the r14 two-regime protocol
+    * (BASELINE.md "Graph-ANN recall at 100×") from evidence to contract:
+    * the gate derives the corpus regime from the brute-force truth itself
+    * — mean top-1 cosine ≥ 0.8 means the queries have near-duplicate
+    * neighbors (the real-embedding "clustered" regime, where every family
+    * measures ~1.0), below it the truth is uniform-noise maxima (the
+    * adversarial "uniform" regime the per-family floors are tuned for) —
+    * and applies that regime's floor. The oracle pins regime='uniform' at
+    * the driver sfs, so a future testdata/replica change that flips the
+    * corpus geometry fails the hash compare LOUDLY instead of silently
+    * grading every family against an adversarial lower bound (the exact
+    * failure mode dev/NOTES.md r14 documents).
     */
   private def knnRecallGate(
-      approx: (SparkSession, String) => DataFrame, minRecall: Double)(
+      approx: (SparkSession, String) => DataFrame, minRecall: Double,
+      minRecallClustered: Double = 0.9)(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val brute = knnBrute(s, dir).select("query_id", "neighbor_id")
-      .localCheckpoint(false)
+    val bruteTop = knnBrute(s, dir).localCheckpoint(false)
+    val brute = bruteTop.select("query_id", "neighbor_id")
+    val top1 = bruteTop.filter(col("rank") === 1)
+      .agg(avg("sim_r")).head().getDouble(0)
+    val clustered = top1 >= 0.8
+    val regime = if (clustered) "clustered" else "uniform"
+    val floor = if (clustered) minRecallClustered else minRecall
     val found = approx(s, dir).select("query_id", "neighbor_id")
     val nBrute = brute.count()
     val nHit = brute.join(found, Seq("query_id", "neighbor_id"), "left_semi").count()
-    Seq((nBrute, nHit.toDouble / nBrute >= minRecall)).toDF("n_brute", "recall_ok")
+    Seq((nBrute, regime, nHit.toDouble / nBrute >= floor))
+      .toDF("n_brute", "regime", "recall_ok")
   }
 
   /** Oracle twin: brute-force truth size is 5 per query (any corpus bigger
-    * than 6 vectors), and the recall flag must come back true.
+    * than 6 vectors), the driver corpora are uniform-random (regime pinned
+    * — see the gate doc), and the recall flag must come back true.
     */
   private val knnRecallGateSql =
-    """SELECT CAST(5 * count(*) AS BIGINT) AS n_brute, CAST(1 AS BOOLEAN) AS recall_ok
+    """SELECT CAST(5 * count(*) AS BIGINT) AS n_brute, 'uniform' AS regime,
+      |  CAST(1 AS BOOLEAN) AS recall_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  // ---- persisted serving index (build-once / serve-many) --------------
+
+  private val cleanupPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit = {
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      cleanupPaths.asScala.foreach { p =>
+        try java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        catch { case _: Throwable => () }
+      }
+    }
+    ()
+  }
+
+  /** One persisted graph index per sf per JVM (built on first demand,
+    * whichever of the index/serve queries runs first — bench's sorted
+    * order makes that dx_knn_graph_index, so the serve query's wall is
+    * search-only). Deleted recursively at JVM exit, like the Sources
+    * scratch dirs.
+    */
+  private val builtIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ensureGraphIndex(s: SparkSession, dir: String): String =
+    builtIndexes.getOrElseUpdate(dir, {
+      cleanupHook
+      val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+      cleanupPaths.add(tmp)
+      val path = s"$tmp/graph"
+      graft.operators.ann.GraphIndex.build(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", k = 10,
+        path = path, iters = 4, numFiles = 8)
+      path
+    })
+
+  /** Index-construction query — the build half of the serving split
+    * ([[graft.operators.ann.GraphIndex]]): builds the NN-Descent graph +
+    * hub long-links and persists it keyed by node id; emits the coverage
+    * contract the oracle can pin (every corpus vector owns a base edge
+    * list in the stored index).
+    */
+  private def knnGraphIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = graft.operators.ann.GraphIndex.load(s, ensureGraphIndex(s, dir))
+    val nIds = g.filter(!col("long")).select("id").distinct().count()
+    val n = Tables(s, dir, "embeddings").count()
+    Seq((nIds, nIds == n)).toDF("n_nodes", "covered")
+  }
+
+  private val knnGraphIndexSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(1 AS BOOLEAN) AS covered
+      |FROM embeddings""".stripMargin
+
+  /** Search-only serving query: beam search over the PREBUILT persisted
+    * index (no inline graph construction — the cost a production
+    * retrieval batch actually pays). Long-linked hubs cut the hop count:
+    * hops=3/beam=32 here measures 1.0 recall at sf0.1 where the flat
+    * inline graph needs hops=4 for 0.98 (each hop is three shuffles;
+    * hops=2 bottoms at 0.64-0.70 on the uniform regime — noise maxima
+    * leave routing no gradient, so the last hop can't be bought with
+    * links). Rows-only; the recall gate is the pin.
+    */
+  private def knnGraphServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val g = graft.operators.ann.GraphIndex.load(s, ensureGraphIndex(s, dir))
+    graft.operators.ann.NnDescent.searchGraph(
+      emb.filter(col("vec_id") < 10), g, emb, "vec_id", "embedding",
+      k = 5, beam = 32, hops = 3, seeds = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Incremental index maintenance ([[NnDescent.addVectors]]): build the
+    * graph over the corpus MINUS a 20% delta slice, then fold the delta
+    * in incrementally (beam-seeded inserts + localized descent) and
+    * report the family-standard top-5 over the refreshed graph. The
+    * recall gate checks the result against brute force on the FULL
+    * corpus — the incremental ≡ rebuilt contract, same recipe as
+    * `mb_components_incremental`. Rows-only (iterative, hash-seeded).
+    */
+  private def knnGraphIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ann.NnDescent
+    val emb = Tables(s, dir, "embeddings")
+    val delta = emb.filter(col("vec_id") % 5 === 3)
+    val base = emb.filter(col("vec_id") % 5 =!= 3)
+    val g0 = NnDescent.knnGraph(base, "vec_id", "embedding", k = 10,
+      iters = 4, cap0 = 40)
+    val g = NnDescent.addVectors(g0, base, delta, "vec_id", "embedding",
+      k = 10, iters = 2, cap0 = 40)
+    graft.plans.TopK.perKey(g.filter(col("id") < 10), Seq("id"), "sim", 5,
+        tieCols = Seq("nbr"))
+      .select(col("id").as("query_id"), col("nbr").as("neighbor_id"),
+        col("rank"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_knn_brute", knnBrute, Some(knnBruteSql)),
@@ -191,6 +314,11 @@ object Ann {
     QueryDef("dx_knn_graph_recall", knnRecallGate(knnGraphNnd, 0.7), Some(knnRecallGateSql)),
     QueryDef("dx_knn_graph_search", knnGraphSearch, None),
     QueryDef("dx_knn_graph_search_recall", knnRecallGate(knnGraphSearch, 0.7), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_graph_index", knnGraphIndex, Some(knnGraphIndexSql)),
+    QueryDef("dx_knn_graph_serve", knnGraphServe, None),
+    QueryDef("dx_knn_graph_serve_recall", knnRecallGate(knnGraphServe, 0.7), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_graph_incr", knnGraphIncr, None),
+    QueryDef("dx_knn_graph_incr_recall", knnRecallGate(knnGraphIncr, 0.7), Some(knnRecallGateSql)),
     QueryDef("dx_knn_sq", knnSq, None),
     QueryDef("dx_knn_sq_recall", knnRecallGate(knnSq, 0.9), Some(knnRecallGateSql)),
     QueryDef("dx_knn_ivfsq", knnIvfSq, None),

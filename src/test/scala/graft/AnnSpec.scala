@@ -1,0 +1,145 @@
+package graft
+
+import graft.operators.ann.{GraphIndex, Knn, NnDescent}
+import org.apache.spark.sql.functions._
+
+/** r15 ANN additions: persisted serving index (hub long-links),
+  * incremental maintenance, cross-dataset seeding, and the degenerate-input
+  * guards (zero-norm vectors, kBuild=1).
+  */
+class AnnSpec extends SparkSpec {
+
+  private def emb = Tables(spark, sfDir, "embeddings")
+
+  test("beam search seeds cross-dataset queries (ids disjoint from targets)") {
+    // r15 ADVICE (medium): the old floor keyed a successor window by TARGET
+    // id aliased as qid, so queries whose ids don't exist in the target set
+    // silently got zero rows. Force the floor to be the ONLY seed source
+    // (hubRate > n empties the coarse hub sample) and require every
+    // disjoint-id query to still come back fully ranked.
+    val targets = emb.filter(col("vec_id") >= 100)
+    val g = NnDescent.knnGraph(targets, "vec_id", "embedding", k = 10,
+      iters = 2, cap0 = 40).localCheckpoint(false)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    val res = NnDescent.searchGraph(queries, g, targets, "vec_id",
+      "embedding", k = 5, beam = 20, hops = 2, seeds = 4,
+      hubRate = 1000000)
+    val perQ = res.groupBy("query_id").agg(count(lit(1)).as("n"))
+    assert(perQ.count() == 10, "every disjoint-id query must seed")
+    assert(perQ.filter(col("n") =!= 5).count() == 0,
+      "every query must return k ranked rows")
+  }
+
+  test("addVectors: incremental update covers the union and matches brute recall") {
+    val delta = emb.filter(col("vec_id") % 5 === 3)
+    val base = emb.filter(col("vec_id") % 5 =!= 3)
+    val g0 = NnDescent.knnGraph(base, "vec_id", "embedding", k = 10,
+      iters = 4, cap0 = 40).localCheckpoint(false)
+    val g = NnDescent.addVectors(g0, base, delta, "vec_id", "embedding",
+      k = 10, iters = 2, cap0 = 40).localCheckpoint(false)
+    val n = emb.count()
+    // every node of the UNION corpus has a list, ≤ k rows, no self-loops
+    assert(g.select("id").distinct().count() == n,
+      "incremental graph must cover base ∪ delta")
+    assert(g.groupBy("id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 10).count() == 0)
+    assert(g.filter(col("id") === col("nbr")).count() == 0)
+    // edge sims are exact cosines
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val wrong = g
+      .join(vecs.withColumnRenamed("vec_id", "id"), "id")
+      .join(vecs.select(col("vec_id").as("nbr"), col("embedding").as("e2")), "nbr")
+      .withColumn("sim2",
+        graft.functions.CosineSimilarity(col("embedding"), col("e2")))
+      .filter(abs(col("sim") - col("sim2")) > 1e-9)
+    assert(wrong.count() == 0, "incremental sims must be exact cosines")
+    // incremental ≡ rebuilt contract: top-5 recall vs brute on the union
+    // corpus clears the family floor — for BASE queries (whose lists must
+    // have absorbed new neighbors) and DELTA queries (freshly inserted)
+    val brute = Knn.bruteForce(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").localCheckpoint(false)
+    val top5 = graft.plans.TopK.perKey(
+      g.filter(col("id") < 10), Seq("id"), "sim", 5, tieCols = Seq("nbr"))
+      .select(col("id").as("query_id"), col("nbr").as("neighbor_id"))
+    val nBrute = brute.count()
+    val hits = brute.join(top5, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits.toDouble / nBrute >= 0.7,
+      s"incremental recall $hits/$nBrute under the 0.7 floor")
+    // the delta truly entered old nodes' lists: at least one base node
+    // lists a delta node as neighbor (20% of the corpus is delta — its
+    // absence from every base list would mean old nodes never updated)
+    val baseToDelta = g.filter(col("id") % 5 =!= 3 && col("nbr") % 5 === 3)
+    assert(baseToDelta.count() > 0, "old nodes must absorb new neighbors")
+  }
+
+  test("GraphIndex: persisted round-trip, hub-only long links, serve recall") {
+    val tmp = java.nio.file.Files.createTempDirectory("annspec_idx").toString
+    val path = s"$tmp/g"
+    GraphIndex.build(emb, "vec_id", "embedding", k = 10, path = path,
+      iters = 4, numFiles = 2)
+    val g = GraphIndex.load(spark, path).localCheckpoint(false)
+    assert(g.columns.sorted.sameElements(Array("id", "long", "nbr", "sim")))
+    // base edges cover the corpus
+    assert(g.filter(!col("long")).select("id").distinct().count() == emb.count())
+    // long links connect hub-sample nodes only (both endpoints)
+    val nonHubLong = g.filter(col("long") &&
+      (pmod(xxhash64(col("id"), lit(7L)), lit(16)) =!= 0 ||
+       pmod(xxhash64(col("nbr"), lit(7L)), lit(16)) =!= 0))
+    assert(nonHubLong.count() == 0, "long links must join hubs to hubs")
+    // serving over the stored index clears the gate floor
+    val res = NnDescent.searchGraph(
+      emb.filter(col("vec_id") < 10), g, emb, "vec_id", "embedding",
+      k = 5, beam = 32, hops = 3, seeds = 8)
+      .select("query_id", "neighbor_id")
+    val brute = Knn.bruteForce(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").localCheckpoint(false)
+    val nBrute = brute.count()
+    val hits = brute.join(res, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits.toDouble / nBrute >= 0.7,
+      s"serve recall $hits/$nBrute under the 0.7 floor")
+    // determinism of the persisted artifact: rebuild → identical edge set
+    GraphIndex.build(emb, "vec_id", "embedding", k = 10, path = s"$tmp/g2",
+      iters = 4, numFiles = 2)
+    val g2 = GraphIndex.load(spark, s"$tmp/g2")
+    assert(g.exceptAll(g2).count() == 0 && g2.exceptAll(g).count() == 0)
+  }
+
+  test("knnGraph degenerate params: kBuild=1 builds instead of analyze-failing") {
+    val tiny = emb.filter(col("vec_id") < 50)
+    val g = NnDescent.knnGraph(tiny, "vec_id", "embedding", k = 1,
+      iters = 1, kBuild0 = 1)
+    assert(g.groupBy("id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count() == 0)
+    assert(g.count() > 0)
+  }
+
+  test("zero-norm vectors score 0.0, never NaN, in both cosine kernels") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 2.0f, 2.0f)),
+      (3L, Array(2.0f, 1.0f, 2.0f))).toDF("id", "v")
+    // scalar kernel (codegen path via a plain projection)
+    val sims = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.id").as("x"), col("b.id").as("y"),
+        graft.functions.CosineSimilarity(col("a.v"), col("b.v")).as("sim"))
+      .collect()
+    assert(sims.forall(r => !r.getDouble(2).isNaN))
+    assert(sims.filter(r => r.getLong(0) == 1L || r.getLong(1) == 1L)
+      .forall(_.getDouble(2) == 0.0))
+    // block kernel: a zero-norm member must not emit NaN pairs
+    val block = df
+      .select(struct(col("id").as("nbr"), lit(true).as("fresh"),
+        col("v")).as("m"))
+      .agg(collect_list(col("m")).as("members"))
+      .select(explode(graft.functions.PairwiseCosine(col("members"))).as("p"))
+      .select(col("p.x"), col("p.y"), col("p.sim")).collect()
+    assert(block.length == 3)
+    assert(block.forall(r => !r.getDouble(2).isNaN))
+    assert(block.filter(r => r.getLong(0) == 1L)
+      .forall(_.getDouble(2) == 0.0))
+  }
+}
