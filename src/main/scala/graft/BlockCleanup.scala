@@ -40,10 +40,18 @@ object BlockCleanup {
       if (!already) {
         cfg.getProperties.put(marker, "true")
         cfg.addFilter(new AbstractFilter() {
+          // the marker can live in the event MESSAGE (DAGScheduler's own
+          // logError) or only in the attached THROWABLE (downstream
+          // components re-log the SparkException with a generic message,
+          // and the stack trace is what actually pollutes the tail)
+          private def hit(s: String): Boolean =
+            s != null && s.contains("non-existent accumulator")
           override def filter(event: LogEvent): Filter.Result = {
             val m = event.getMessage
-            if (m != null && m.getFormattedMessage != null &&
-                m.getFormattedMessage.contains("non-existent accumulator"))
+            val t = event.getThrown
+            if ((m != null && hit(m.getFormattedMessage)) ||
+                (t != null && (hit(t.getMessage) ||
+                  (t.getCause != null && hit(t.getCause.getMessage)))))
               Filter.Result.DENY
             else Filter.Result.NEUTRAL
           }
