@@ -225,17 +225,32 @@ object Ann {
   private val builtIndexes =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def ensureGraphIndex(s: SparkSession, dir: String): String =
-    builtIndexes.getOrElseUpdate(dir, {
+  /** Always (re)builds into the sf's session index path — the BUILD query
+    * must pay construction on every invocation (a min-of-2 bench remeasure
+    * that silently reused the first run's artifact would publish a
+    * near-zero wall for the registry's build row).
+    */
+  private def rebuildGraphIndex(s: SparkSession, dir: String): String = {
+    val path = builtIndexes.getOrElseUpdate(dir, {
       cleanupHook
       val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
       cleanupPaths.add(tmp)
-      val path = s"$tmp/graph"
-      graft.operators.ann.GraphIndex.build(
-        Tables(s, dir, "embeddings"), "vec_id", "embedding", k = 10,
-        path = path, iters = 4, numFiles = 8)
-      path
+      s"$tmp/graph"
     })
+    graft.operators.ann.GraphIndex.build(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", k = 10,
+      path = path, iters = 4, numFiles = 8)
+    path
+  }
+
+  /** Build-if-absent — the SERVE queries read whatever index exists and
+    * only pay construction when nothing built one yet (standalone runs).
+    */
+  private def ensureGraphIndex(s: SparkSession, dir: String): String = {
+    val path = builtIndexes.get(dir)
+      .filter(p => new java.io.File(p).exists())
+    path.getOrElse(rebuildGraphIndex(s, dir))
+  }
 
   /** Index-construction query — the build half of the serving split
     * ([[graft.operators.ann.GraphIndex]]): builds the NN-Descent graph +
@@ -245,7 +260,7 @@ object Ann {
     */
   private def knnGraphIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = graft.operators.ann.GraphIndex.load(s, ensureGraphIndex(s, dir))
+    val g = graft.operators.ann.GraphIndex.load(s, rebuildGraphIndex(s, dir))
     val nIds = g.filter(!col("long")).select("id").distinct().count()
     val n = Tables(s, dir, "embeddings").count()
     Seq((nIds, nIds == n)).toDF("n_nodes", "covered")

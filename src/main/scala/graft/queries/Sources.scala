@@ -363,6 +363,9 @@ object Sources {
         col("length").as("n_bytes"),
         sha2(col("content"), 256).as("sha"))
       .orderBy("doc_id")
+      // the count below and the returned frame share one materialization
+      // (one file listing + hash pass, not two)
+      .localCheckpoint(false)
     // loud divergence guard: a mis-rooted filesystem (files on executor
     // disks, listing on the driver) must fail the gate, never read empty
     val nBack = back.count()
