@@ -33,29 +33,59 @@ object BlockCleanup {
       import org.apache.logging.log4j.LogManager
       import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
       import org.apache.logging.log4j.core.filter.AbstractFilter
+      // Installation point matters (found empirically via
+      // dev/LogFilterProbe): `Configuration.addFilter` registers a
+      // CONTEXT-WIDE filter that log4j2 only consults on the pre-event
+      // `isEnabled` fast paths — overload signatures our LogEvent
+      // override never matched, so the r15 Verify log still carried the
+      // spam. Per-EVENT filtering (the path that sees the throwable) runs
+      // at the LoggerConfig level, so the filter must be added to the
+      // root LoggerConfig (every logger without its own config delegates
+      // there) and any named LoggerConfigs.
       val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
       val cfg = ctx.getConfiguration
       val marker = "graft-mute-accumulator-cleanup"
-      val already = cfg.getProperties.containsKey(marker)
-      if (!already) {
+      if (!cfg.getProperties.containsKey(marker)) {
         cfg.getProperties.put(marker, "true")
-        cfg.addFilter(new AbstractFilter() {
-          // the marker can live in the event MESSAGE (DAGScheduler's own
-          // logError) or only in the attached THROWABLE (downstream
+        val mute = new AbstractFilter() {
+          // the marker can live in the event MESSAGE (DAGScheduler's
+          // own logError) or only in the attached THROWABLE (downstream
           // components re-log the SparkException with a generic message,
           // and the stack trace is what actually pollutes the tail)
           private def hit(s: String): Boolean =
             s != null && s.contains("non-existent accumulator")
+          private def hitT(t: Throwable): Boolean =
+            t != null && (hit(t.getMessage) ||
+              (t.getCause != null && hit(t.getCause.getMessage)))
           override def filter(event: LogEvent): Filter.Result = {
             val m = event.getMessage
-            val t = event.getThrown
-            if ((m != null && hit(m.getFormattedMessage)) ||
-                (t != null && (hit(t.getMessage) ||
-                  (t.getCause != null && hit(t.getCause.getMessage)))))
+            if ((m != null && hit(m.getFormattedMessage)) || hitT(event.getThrown))
               Filter.Result.DENY
             else Filter.Result.NEUTRAL
           }
-        })
+          // pre-event fast paths (PrivateConfig.filter hands the raw
+          // message + throwable before building a LogEvent)
+          override def filter(
+              l: org.apache.logging.log4j.core.Logger,
+              lv: org.apache.logging.log4j.Level,
+              mk: org.apache.logging.log4j.Marker,
+              msg: Object, t: Throwable): Filter.Result =
+            if (hitT(t) || (msg != null && hit(msg.toString))) Filter.Result.DENY
+            else Filter.Result.NEUTRAL
+          override def filter(
+              l: org.apache.logging.log4j.core.Logger,
+              lv: org.apache.logging.log4j.Level,
+              mk: org.apache.logging.log4j.Marker,
+              msg: org.apache.logging.log4j.message.Message,
+              t: Throwable): Filter.Result =
+            if (hitT(t) || (msg != null && hit(msg.getFormattedMessage)))
+              Filter.Result.DENY
+            else Filter.Result.NEUTRAL
+        }
+        mute.start()
+        cfg.getRootLogger.addFilter(mute)
+        import scala.jdk.CollectionConverters._
+        cfg.getLoggers.values().asScala.foreach(_.addFilter(mute))
         ctx.updateLoggers()
       }
     } catch { case _: Throwable => () }

@@ -315,6 +315,44 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming-serving gate ([[graft.streaming.Streams.annServeStream]]'s
+    * batch twin): the same beam search over the same persisted index, run
+    * once over the full query set and once as three disjoint micro-batches
+    * — the union of micro-batch outputs must be BIT-IDENTICAL to the batch
+    * answer (multiset equality via exceptAll both ways, executor-side).
+    * This is the property that makes foreachBatch serving correct: every
+    * stage of searchGraph is keyed by query id, so micro-batching is
+    * value-neutral. The recall of the serve path itself is pinned
+    * separately by `dx_knn_graph_serve_recall`; this gate pins the
+    * STREAMING contract. StreamingSpec drives the same equality through a
+    * real MemoryStream + foreachBatch.
+    */
+  private def annServeGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val g = graft.operators.ann.GraphIndex.load(s, ensureGraphIndex(s, dir))
+    val queries = emb.filter(col("vec_id") < 12)
+    def serve(qs: DataFrame): DataFrame =
+      graft.operators.ann.NnDescent.searchGraph(
+          qs, g, emb, "vec_id", "embedding", k = 5, beam = 32, hops = 3,
+          seeds = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 9).as("s"))
+    val full = serve(queries).localCheckpoint(false)
+    val micro = (0 until 3)
+      .map(i => serve(queries.filter(col("vec_id") % 3 === i)))
+      .reduce(_ unionByName _)
+      .localCheckpoint(false)
+    val equal = micro.exceptAll(full).count() == 0 &&
+      full.exceptAll(micro).count() == 0
+    Seq((queries.count(), equal)).toDF("n_queries", "batch_equal_ok")
+  }
+
+  private val annServeGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(1 AS BOOLEAN) AS batch_equal_ok
+      |FROM embeddings WHERE vec_id < 12""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("dx_knn_lsh", knnLsh, None),
@@ -333,6 +371,7 @@ object Ann {
     QueryDef("dx_knn_graph_serve", knnGraphServe, None),
     QueryDef("dx_knn_graph_serve_recall", knnRecallGate(knnGraphServe, 0.7), Some(knnRecallGateSql)),
     QueryDef("dx_knn_graph_incr", knnGraphIncr, None),
+    QueryDef("st_ann_serve_gate", annServeGate, Some(annServeGateSql)),
     QueryDef("dx_knn_graph_incr_recall", knnRecallGate(knnGraphIncr, 0.7), Some(knnRecallGateSql)),
     QueryDef("dx_knn_sq", knnSq, None),
     QueryDef("dx_knn_sq_recall", knnRecallGate(knnSq, 0.9), Some(knnRecallGateSql)),

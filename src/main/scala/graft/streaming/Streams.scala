@@ -194,6 +194,42 @@ object Streams {
       .dropDuplicates("stream_id", "ref_id")
   }
 
+  /** Online ANN retrieval over a persisted serving index
+    * ([[graft.operators.ann.GraphIndex]]): each micro-batch of query
+    * vectors runs the batch beam search against the STATIC graph + corpus.
+    * The multi-hop search is an iterative join program no single streaming
+    * plan expresses, so the streaming form is the `foreachBatch` shape —
+    * the same split a production retrieval service runs (index built once
+    * by a cluster job, query batches served as they arrive).
+    *
+    * Correctness contract: every stage of
+    * [[graft.operators.ann.NnDescent.searchGraph]] is keyed by query id
+    * (floor seeds, coarse hub scoring, per-hop beam state, the visited
+    * set), so the union of micro-batch outputs is BIT-IDENTICAL to one
+    * batch call over the union of queries — micro-batching is
+    * value-neutral. `st_ann_serve_gate` pins that equality per round and
+    * StreamingSpec drives it end-to-end through a real MemoryStream.
+    *
+    * State: none. The graph and corpus are static and each batch is
+    * independent, so serving cost is the three-shuffles-per-hop search
+    * bill per trigger, flat in stream history — the property that lets
+    * this run indefinitely at scale.
+    *
+    * @param sink consumes each micro-batch's finished search result
+    *   (write to a table/queue in production; the spec collects)
+    */
+  def annServeStream(
+      queryStream: DataFrame, graph: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      beam: Int = 32, hops: Int = 3, seeds: Int = 8)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.ann.NnDescent.searchGraph(
+          batch, graph, corpus, idCol, vecCol, k, beam, hops, seeds))
+      }
+      .start()
+
   /** Stream-stream interval join: match events from two live streams whose
     * timestamps fall within `intervalSeconds` of each other, keyed on
     * `key`. Both sides carry watermarks, so Spark can discard buffered

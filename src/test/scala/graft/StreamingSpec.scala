@@ -272,6 +272,40 @@ class StreamingSpec extends SparkSpec {
     assert(out("A") == 1.0, "the FIRST arrival of a duplicated key must win")
   }
 
+  test("streaming ANN serving over a prebuilt graph equals the batch search") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.ann.NnDescent
+    val corpus = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val graph = NnDescent.knnGraph(corpus, "vec_id", "embedding", k = 10,
+      iters = 2, cap0 = 40).localCheckpoint(false)
+    val queries = corpus.filter(col("vec_id") < 6).as[Vec].collect().toSeq
+    assert(queries.size == 6)
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val input = MemoryStream[Vec]
+    val q = Streams.annServeStream(input.toDF(), graph, corpus,
+        "vec_id", "embedding", k = 5, beam = 20, hops = 3, seeds = 4) { out =>
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      buf.synchronized { buf ++= rows }
+    }
+    try {
+      // two triggers: micro-batching must be value-neutral
+      input.addData(queries.take(3)); q.processAllAvailable()
+      input.addData(queries.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = NnDescent.searchGraph(
+        corpus.filter(col("vec_id") < 6), graph, corpus,
+        "vec_id", "embedding", k = 5, beam = 20, hops = 3, seeds = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.length == 30, s"expected 6 queries x top-5, got ${batch.length}")
+    assert(buf.toSet == batch.toSet,
+      s"streamed serving diverged from batch: ${buf.toSet.diff(batch.toSet)} / ${batch.toSet.diff(buf.toSet)}")
+  }
+
   test("dag runs steps in dependency order and memoises results") {
     val dag = new graft.dags.Dag
     dag.source("customer")(Tables(spark, sfDir, "customer"))
