@@ -695,8 +695,159 @@ object Selection {
          |GROUP BY piece ORDER BY piece""".stripMargin
   }
 
+  // ---- distributed Naive Bayes quality/lang classifier ----------------
+
+  /** Shared tokenization for the NB pair: DSIR's hashed-feature device
+    * verbatim (whitespace tokens → 256 md5 buckets), so the feature space
+    * is bounded and the weight table broadcastable no matter the corpus.
+    */
+  private def nbTokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS BIGINT)"))
+
+  /** Trained per-(class, bucket) weight table: add-one-smoothed ppm class
+    * likelihoods quantized to floor-log2 bits (`length(bin(x))` — the DSIR
+    * integer device, so both engines agree bit-for-bit with no libm). The
+    * table is densified over all 256 buckets per class, so the scoring
+    * join needs no missing-feature special case.
+    */
+  private def nbWeights(s: SparkSession, toks: DataFrame): DataFrame = {
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val counts = train.groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
+    val totals = train.groupBy("lang").agg(count(lit(1)).as("n"))
+    totals
+      .crossJoin(broadcast(s.range(256).select(col("id").as("bucket"))))
+      .join(counts, Seq("lang", "bucket"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("w_bits", expr(
+        "CAST(length(bin(greatest(1L, ((c + 1) * 1000000) div (n + 256)))) AS BIGINT)"))
+      .select("lang", "bucket", "c", "w_bits")
+  }
+
+  /** Distributed multinomial Naive Bayes TRAINING (McCallum & Nigam 1998;
+    * the fastText-shaped "train a classifier on the corpus" step a curation
+    * pipeline runs before classifier filtering — `dx_classifier_filter`
+    * applies fixed weights, this LEARNS them from labeled docs): fit
+    * per-(lang, bucket) token likelihoods on the even-doc training half.
+    *
+    * Shape at 100 TB: training is ONE partial-agg shuffle whose state is
+    * classes × 256 buckets (constant), totals a classes-sized agg, and the
+    * output weight table is kilobytes — model state never scales with the
+    * corpus, exactly like the DSIR fit. Integer-exact throughout (ppm +
+    * floor-log2 bits), so the oracle matches bit-for-bit.
+    */
+  private def nbTrain(s: SparkSession, dir: String): DataFrame =
+    nbWeights(s, nbTokens(Tables(s, dir, "documents")))
+      .orderBy("lang", "bucket")
+
+  private val nbCommonSql =
+    """tk AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |bt AS (
+      |  SELECT doc_id, lang,
+      |    CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS BIGINT)
+      |      AS bucket
+      |  FROM tk),
+      |cnt AS (
+      |  SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM bt WHERE doc_id % 2 = 0 GROUP BY lang, bucket),
+      |tot AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |  FROM bt WHERE doc_id % 2 = 0 GROUP BY lang),
+      |wb AS (
+      |  SELECT t.lang, b.bucket, COALESCE(c.c, 0) AS c,
+      |    CAST(length(bin(greatest(1,
+      |      ((COALESCE(c.c, 0) + 1) * 1000000) // (t.n + 256)))) AS BIGINT)
+      |      AS w_bits
+      |  FROM tot t
+      |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS bucket FROM range(256)) b
+      |  LEFT JOIN cnt c ON c.lang = t.lang AND c.bucket = b.bucket)""".stripMargin
+
+  private val nbTrainSql =
+    s"""WITH $nbCommonSql
+       |SELECT lang, bucket, c, w_bits FROM wb ORDER BY lang, bucket""".stripMargin
+
+  /** Naive Bayes SCORING on the held-out odd-doc half: per-doc bucket
+    * histogram (one shuffle on doc_id), broadcast-join the kilobyte weight
+    * table across every candidate class, integer log-score = prior bits +
+    * Σ cnt·w_bits, argmax by (score DESC, class ASC), reported as the
+    * actual×predicted confusion matrix.
+    *
+    * On this driver corpus the labels are independent of the synthetic
+    * text (held-out NB accuracy ≈ the majority prior — measured, and the
+    * same for any classifier), so the pinned contract is the MECHANISM:
+    * train+score is distributed-right and bit-exact vs the oracle, the
+    * same stance as `dx_dsir`.
+    */
+  private def nbClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val toks = nbTokens(docs).localCheckpoint(false) // feeds fit AND scoring
+    val w = nbWeights(s, toks)
+    val trainDocs = docs.filter(col("doc_id") % 2 === 0)
+    val priors = trainDocs.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("ndt"))))
+      .withColumn("w_prior", expr(
+        "CAST(length(bin(greatest(1L, (nd * 1000000) div ndt))) AS BIGINT)"))
+      .select(col("lang").as("cand"), col("w_prior"))
+    val hist = toks.filter(col("doc_id") % 2 === 1)
+      .groupBy(col("doc_id"), col("lang").as("actual"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = hist
+      .join(broadcast(w.select(col("lang").as("cand"), col("bucket"), col("w_bits"))),
+        "bucket")
+      .groupBy("doc_id", "actual", "cand")
+      .agg(sum(col("cnt") * col("w_bits")).as("ll"))
+      .join(broadcast(priors), "cand")
+      .withColumn("score", col("ll") + col("w_prior"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("cand"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("actual"), col("cand").as("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual", "pred")
+  }
+
+  private val nbClassifySql =
+    s"""WITH $nbCommonSql,
+       |pri AS (
+       |  SELECT a.lang AS cand,
+       |    CAST(length(bin(greatest(1, (a.nd * 1000000) // b.ndt))) AS BIGINT)
+       |      AS w_prior
+       |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+       |        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang) a
+       |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS ndt
+       |              FROM documents WHERE doc_id % 2 = 0) b),
+       |hist AS (
+       |  SELECT doc_id, lang AS actual, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bt WHERE doc_id % 2 = 1 GROUP BY doc_id, lang, bucket),
+       |sc AS (
+       |  SELECT h.doc_id, h.actual, w.lang AS cand,
+       |    CAST(sum(h.cnt * w.w_bits) AS BIGINT) AS ll
+       |  FROM hist h JOIN wb w USING (bucket)
+       |  GROUP BY h.doc_id, h.actual, w.lang),
+       |scp AS (
+       |  SELECT sc.doc_id, sc.actual, sc.cand, sc.ll + p.w_prior AS score
+       |  FROM sc JOIN pri p ON p.cand = sc.cand),
+       |pr AS (
+       |  SELECT doc_id, actual, cand,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand)
+       |      AS rn
+       |  FROM scp)
+       |SELECT actual, cand AS pred, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM pr WHERE rn = 1 GROUP BY actual, cand ORDER BY actual, pred""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dsir", dsir, Some(dsirSql)),
+    QueryDef("dx_nb_train", nbTrain, Some(nbTrainSql)),
+    QueryDef("dx_nb_classify", nbClassify, Some(nbClassifySql)),
     QueryDef("dx_split_stratified", splitStratified, Some(splitStratifiedSql)),
     QueryDef("dx_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("dx_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
