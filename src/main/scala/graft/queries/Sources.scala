@@ -219,6 +219,51 @@ object Sources {
     * the flat parquet, proving the partition columns round-trip values
     * exactly (they travel as directory names, not data pages).
     */
+  /** Schema-evolution round trip — the lakehouse append shape: yesterday's
+    * files lack a column today's carry (here `source` appears in the v2
+    * batch only). The merged read must surface the UNION schema with nulls
+    * backfilled on old files, and the gate's census counts the evolved
+    * column's non-null population so a silently-dropped column (or a
+    * non-null backfill) fails the hash compare. Two loud requires pin the
+    * mechanism itself: the v1-only read must NOT carry the column, the
+    * merged read must.
+    *
+    * At 100 TB: `mergeSchema` costs a footer sweep over every file — fine
+    * for a gate, wrong for production reads; a real deployment pins the
+    * evolved schema in the catalog (or passes it explicitly) and gets the
+    * same null-backfill semantics with zero inference. This gate pins
+    * those semantics.
+    */
+  private def evolutionGate(s: SparkSession, dir: String): DataFrame = {
+    val out = sessionDir("evo", dir)
+    val docs = Tables(s, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/evo/v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .write.mode("overwrite").parquet(s"$out/evo/v2")
+    val v1Only = s.read.parquet(s"$out/evo/v1")
+    require(!v1Only.columns.contains("source"),
+      "v1 files must lack the evolved column")
+    val back = s.read.option("mergeSchema", "true")
+      .parquet(s"$out/evo/v1", s"$out/evo/v2")
+    require(back.columns.sorted.sameElements(
+        Array("doc_id", "lang", "n_chars", "source")),
+      s"merged schema wrong: ${back.columns.mkString(",")}")
+    back.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("source")).as("n_with_source"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  private val evolutionGateSql =
+    """SELECT lang, count(*) AS n_docs,
+      |  count(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def partitionGate(s: SparkSession, dir: String): DataFrame = {
     val out = sessionDir("part", dir)
     Tables(s, dir, "documents")
@@ -385,6 +430,7 @@ object Sources {
     QueryDef("src_csv_gate", csvGate, Some(csvGateSql)),
     QueryDef("src_json_gate", jsonGate, Some(jsonGateSql)),
     QueryDef("src_orc_gate", orcGate, Some(orcGateSql)),
+    QueryDef("src_evolution_gate", evolutionGate, Some(evolutionGateSql)),
     QueryDef("src_partition_gate", partitionGate, Some(partitionGateSql)),
     QueryDef("src_text_gate", textGate, Some(textGateSql)),
     QueryDef("src_xml_gate", xmlGate, Some(xmlGateSql)),

@@ -306,6 +306,52 @@ class StreamingSpec extends SparkSpec {
       s"streamed serving diverged from batch: ${buf.toSet.diff(batch.toSet)} / ${batch.toSet.diff(buf.toSet)}")
   }
 
+  test("streaming index maintenance folds delta micro-batches into the graph") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.ann.NnDescent
+    val corpus = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = corpus.filter(col("vec_id") % 5 =!= 3)
+    // mutable serving state updated per trigger — the foreachBatch
+    // maintenance loop (DiskANN's insert path run on arrival)
+    var graph = NnDescent.knnGraph(base, "vec_id", "embedding", k = 10,
+      iters = 2, cap0 = 40).localCheckpoint(false)
+    var known = base.localCheckpoint(false)
+    val input = MemoryStream[Vec]
+    val q = input.toDF().writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!delta.isEmpty) {
+          graph = NnDescent.addVectors(graph, known, delta,
+            "vec_id", "embedding", k = 10, iters = 2, cap0 = 40)
+            .localCheckpoint(false)
+          known = known.unionByName(
+            delta.select(col("vec_id"), col("embedding"))).localCheckpoint(false)
+        }
+      }
+      .start()
+    val delta = corpus.filter(col("vec_id") % 5 === 3).as[Vec].collect().toSeq
+    val (d1, d2) = delta.splitAt(delta.size / 2)
+    try {
+      input.addData(d1); q.processAllAvailable()
+      input.addData(d2); q.processAllAvailable()
+    } finally q.stop()
+
+    // every corpus vector (base + both deltas) owns an edge list
+    assert(graph.select("id").distinct().count() == corpus.count())
+    // the maintained graph still retrieves: top-5 recall vs brute force
+    // on the FULL union corpus over the standard query slice
+    val got = graft.plans.TopK.perKey(
+        graph.filter(col("id") < 10), Seq("id"), "sim", 5, tieCols = Seq("nbr"))
+      .select(col("id").as("query_id"), col("nbr").as("neighbor_id"))
+    val truth = graft.operators.ann.Knn.bruteForce(
+        corpus.filter(col("vec_id") < 10), corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val nTruth = truth.count()
+    val hits = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits.toDouble / nTruth >= 0.6,
+      s"streamed-maintenance recall ${hits.toDouble / nTruth} below floor")
+  }
+
   test("dag runs steps in dependency order and memoises results") {
     val dag = new graft.dags.Dag
     dag.source("customer")(Tables(spark, sfDir, "customer"))
