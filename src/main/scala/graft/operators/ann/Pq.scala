@@ -154,29 +154,72 @@ object Pq {
       nlist: Int = 16, nprobe: Int = 6,
       m: Int = 8, ksub: Int = 256, rerankFactor: Int = 8,
       excludeSelf: Boolean = true): DataFrame = {
-    require(rerankFactor >= 1)
-    val coarse = Ivf.fitCentroids(targets, idCol, vecCol, nlist)
-    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val model = fitIvf(targets, idCol, vecCol, nlist, m, ksub)
+    // materialised index — see Pq.search for why this barrier is
+    // load-bearing (codegen defers stream-side encode into join loops)
+    val compressed = encodeIvf(targets, idCol, vecCol, model)
+      .localCheckpoint(false)
+    scanIvf(queries, compressed, targets, idCol, vecCol, model, k,
+      nprobe, rerankFactor, excludeSelf)
+  }
 
-    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
-    // residual = te − centroid(cell); codebooks fit on the residual stream
-    def withResidual(df: DataFrame): DataFrame = df
-      .withColumn("cell", element_at(Centroids.nearest(col("te"), coarse, 1), 1))
+  /** Fitted IVF-PQ model — the driver-resident, kilobyte-scale half of
+    * the index (coarse centroids + residual codebooks). The fit is a pure
+    * deterministic function of the target table (hash-ordered sample,
+    * seeded Lloyd), so a persisted model reloads to bit-identical arrays
+    * and the scan plans it parameterizes are bit-identical too — the
+    * property [[VectorIndex]]'s round-trip spec pins.
+    */
+  private[graft] final case class IvfPqModel(
+      coarse: Seq[Seq[Double]], cb: Array[Array[Array[Double]]])
+
+  /** residual = te − centroid(cell): codebooks spend their resolution on
+    * the coarse residual, where the data actually is (FAISS's IVF-PQ).
+    */
+  private def withResidual(df: DataFrame, coarse: Seq[Seq[Double]]): DataFrame = {
+    val coarseLit = typedLit(coarse.map(_.toSeq))
+    df.withColumn("cell", element_at(Centroids.nearest(col("te"), coarse, 1), 1))
       .withColumn("cent", element_at(coarseLit, col("cell") + 1))
       .withColumn("resid",
         zip_with(col("te"), col("cent"), (x, c) => (x.cast("double") - c).cast("float")))
-    val residuals = withResidual(t).select(col("neighbor_id").as("id"), col("resid"))
-    val cb = fitCodebooks(residuals, "id", "resid", m, ksub)
+  }
 
-    // inverted lists of compressed codes — the scan side stores (cell,
-    // id, m codes); nothing is ever decoded
-    val compressed = withResidual(t)
-      .select(col("cell") +: col("neighbor_id") +: codeCols("resid", cb): _*)
-      .select(col("cell"), col("neighbor_id"), codesCol(cb).as("codes"))
-      // materialised index — see Pq.search for why this barrier is
-      // load-bearing (codegen defers stream-side encode into join loops)
-      .localCheckpoint(false)
+  private[graft] def fitIvf(
+      targets: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, ksub: Int): IvfPqModel = {
+    val coarse = Ivf.fitCentroids(targets, idCol, vecCol, nlist)
+    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
+    // codebooks fit on the residual stream
+    val residuals = withResidual(t, coarse).select(col("neighbor_id").as("id"), col("resid"))
+    IvfPqModel(coarse, fitCodebooks(residuals, "id", "resid", m, ksub))
+  }
 
+  /** Inverted lists of compressed codes — the scan side stores (cell, id,
+    * m codes); nothing is ever decoded. This frame IS the bulk index
+    * ([[VectorIndex.build]] persists it keyed by cell).
+    */
+  private[graft] def encodeIvf(
+      targets: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel): DataFrame = {
+    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
+    withResidual(t, model.coarse)
+      .select(col("cell") +: col("neighbor_id") +: codeCols("resid", model.cb): _*)
+      .select(col("cell"), col("neighbor_id"), codesCol(model.cb).as("codes"))
+  }
+
+  /** The search half over an already-encoded index: probe, ADC-scan,
+    * exact-rerank. `targets` supplies only the full-precision vectors for
+    * the rerank (the cold store read selectively at scale).
+    */
+  private[graft] def scanIvf(
+      queries: DataFrame, compressed: DataFrame, targets: DataFrame,
+      idCol: String, vecCol: String, model: IvfPqModel, k: Int,
+      nprobe: Int = 6, rerankFactor: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerankFactor >= 1)
+    val coarse = model.coarse
+    val cb = model.cb
+    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
     // per-probe precomputation (queries × nprobe rows, the tiny side):
     // the residual-codebook LUT once per query, q·centroid once per probe;
     // the per-pair ADC is then m lookups against the driver-precomputed

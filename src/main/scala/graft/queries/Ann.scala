@@ -231,7 +231,7 @@ object Ann {
     * near-zero wall for the registry's build row).
     */
   private def rebuildGraphIndex(s: SparkSession, dir: String): String = {
-    val path = builtIndexes.getOrElseUpdate(dir, {
+    val path = builtIndexes.getOrElseUpdate(s"$dir#graph", {
       cleanupHook
       val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
       cleanupPaths.add(tmp)
@@ -247,10 +247,31 @@ object Ann {
     * only pay construction when nothing built one yet (standalone runs).
     */
   private def ensureGraphIndex(s: SparkSession, dir: String): String = {
-    val path = builtIndexes.get(dir)
+    val path = builtIndexes.get(s"$dir#graph")
       .filter(p => new java.io.File(p).exists())
     path.getOrElse(rebuildGraphIndex(s, dir))
   }
+
+  /** Same session-index lifecycle for the IVF-PQ split: the BUILD query
+    * always pays construction, the serve queries reuse.
+    */
+  private def rebuildVecIndex(s: SparkSession, dir: String): String = {
+    val path = builtIndexes.getOrElseUpdate(s"$dir#ivfpq", {
+      cleanupHook
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vecidx").toString
+      cleanupPaths.add(tmp)
+      s"$tmp/ivfpq"
+    })
+    graft.operators.ann.VectorIndex.build(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", path,
+      numFiles = 8)
+    path
+  }
+
+  private def ensureVecIndex(s: SparkSession, dir: String): String =
+    builtIndexes.get(s"$dir#ivfpq")
+      .filter(p => new java.io.File(p).exists())
+      .getOrElse(rebuildVecIndex(s, dir))
 
   /** Index-construction query — the build half of the serving split
     * ([[graft.operators.ann.GraphIndex]]): builds the NN-Descent graph +
@@ -312,6 +333,45 @@ object Ann {
         tieCols = Seq("nbr"))
       .select(col("id").as("query_id"), col("nbr").as("neighbor_id"),
         col("rank"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ index-construction query — the build half of the
+    * compressed-domain serving split ([[graft.operators.ann.VectorIndex]]:
+    * FAISS's index file as a warehouse layout — coarse centroids +
+    * residual codebooks as a kilobyte model, inverted code lists keyed by
+    * cell). Emits the oracle-pinned coverage contract: every corpus
+    * vector owns exactly one m-code row in the stored index.
+    */
+  private def knnIvfPqIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, codes) = graft.operators.ann.VectorIndex.load(
+      s, rebuildVecIndex(s, dir))
+    val nCodes = codes.filter(size(col("codes")) === 8)
+      .select("neighbor_id").distinct().count()
+    val n = Tables(s, dir, "embeddings").count()
+    Seq((nCodes, nCodes == n)).toDF("n_codes", "covered")
+  }
+
+  private val knnIvfPqIndexSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_codes,
+      |  CAST(1 AS BOOLEAN) AS covered
+      |FROM embeddings""".stripMargin
+
+  /** Search-only IVF-PQ serving: probe + ADC scan over the PREBUILT
+    * persisted inverted lists + exact rerank — the cost a production
+    * compressed-domain retrieval batch pays (the model is kilobytes
+    * loaded driver-side; the hot scan reads m-code rows, 32× smaller
+    * than the raw vectors). Rows-only; the recall gate is the pin, floor
+    * shared with the inline `dx_knn_ivfpq` family member.
+    */
+  private def knnIvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.ann.VectorIndex.search(
+        emb.filter(col("vec_id") < 10), ensureVecIndex(s, dir), emb,
+        "vec_id", "embedding", k = 5)
+      .withColumn("sim_r", round(col("sim"), 6))
+      .drop("sim")
       .orderBy("query_id", "rank")
   }
 
@@ -378,5 +438,8 @@ object Ann {
     QueryDef("dx_knn_ivfsq", knnIvfSq, None),
     QueryDef("dx_knn_ivfsq_recall", knnRecallGate(knnIvfSq, 0.6), Some(knnRecallGateSql)),
     QueryDef("dx_knn_ivfpq", knnIvfPq, None),
-    QueryDef("dx_knn_ivfpq_recall", knnRecallGate(knnIvfPq, 0.5), Some(knnRecallGateSql)))
+    QueryDef("dx_knn_ivfpq_recall", knnRecallGate(knnIvfPq, 0.5), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_ivfpq_index", knnIvfPqIndex, Some(knnIvfPqIndexSql)),
+    QueryDef("dx_knn_ivfpq_serve", knnIvfPqServe, None),
+    QueryDef("dx_knn_ivfpq_serve_recall", knnRecallGate(knnIvfPqServe, 0.5), Some(knnRecallGateSql)))
 }

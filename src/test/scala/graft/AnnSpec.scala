@@ -116,6 +116,30 @@ class AnnSpec extends SparkSpec {
     assert(g.count() > 0)
   }
 
+  test("VectorIndex: persisted IVF-PQ round-trips and serves the inline results") {
+    import graft.operators.ann.{Pq, VectorIndex}
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("vecidx_spec").toString
+    try {
+      VectorIndex.build(corpus, "vec_id", "embedding", s"$tmp/idx", numFiles = 2)
+      val queries = corpus.filter(col("vec_id") < 5)
+      val served = VectorIndex.search(queries, s"$tmp/idx", corpus,
+        "vec_id", "embedding", k = 5)
+      // the fit is deterministic and doubles round-trip parquet exactly,
+      // so serving over the reloaded model must be BIT-identical to the
+      // inline fit+encode+scan — sims included, no rounding
+      val inline = Pq.searchIvf(queries, corpus, "vec_id", "embedding", k = 5)
+      assert(served.count() == 25)
+      assert(served.exceptAll(inline).isEmpty && inline.exceptAll(served).isEmpty,
+        "persisted-index serving diverged from the inline IVF-PQ search")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("zero-norm vectors score 0.0, never NaN, in both cosine kernels") {
     import spark.implicits._
     val df = Seq(
