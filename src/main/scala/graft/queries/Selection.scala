@@ -719,7 +719,9 @@ object Selection {
     val counts = train.groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
     val totals = train.groupBy("lang").agg(count(lit(1)).as("n"))
     totals
-      .crossJoin(broadcast(s.range(256).select(col("id").as("bucket"))))
+      // densify by generator, not crossJoin — a map-only explode of the
+      // 256-bucket literal (no join in the plan at all)
+      .withColumn("bucket", explode(lit((0 until 256).map(_.toLong).toArray)))
       .join(counts, Seq("lang", "bucket"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
       .withColumn("w_bits", expr(
@@ -760,14 +762,16 @@ object Selection {
       |tot AS (
       |  SELECT lang, CAST(count(*) AS BIGINT) AS n
       |  FROM bt WHERE doc_id % 2 = 0 GROUP BY lang),
+      |dense AS (
+      |  SELECT lang, n, CAST(unnest(range(256)) AS BIGINT) AS bucket
+      |  FROM tot),
       |wb AS (
-      |  SELECT t.lang, b.bucket, COALESCE(c.c, 0) AS c,
+      |  SELECT d.lang, d.bucket, COALESCE(c.c, 0) AS c,
       |    CAST(length(bin(greatest(1,
-      |      ((COALESCE(c.c, 0) + 1) * 1000000) // (t.n + 256)))) AS BIGINT)
+      |      ((COALESCE(c.c, 0) + 1) * 1000000) // (d.n + 256)))) AS BIGINT)
       |      AS w_bits
-      |  FROM tot t
-      |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS bucket FROM range(256)) b
-      |  LEFT JOIN cnt c ON c.lang = t.lang AND c.bucket = b.bucket)""".stripMargin
+      |  FROM dense d
+      |  LEFT JOIN cnt c ON c.lang = d.lang AND c.bucket = d.bucket)""".stripMargin
 
   private val nbTrainSql =
     s"""WITH $nbCommonSql

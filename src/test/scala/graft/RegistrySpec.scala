@@ -73,6 +73,9 @@ class RegistrySpec extends SparkSpec {
       // DSIR: one-row (target total, raw total) aggregate crossed into the
       // 256-row bucket count table
       "dx_dsir" -> scalarAggBuild,
+      // NB prior: one-row train-doc total crossed into the per-class
+      // doc-count table (the DSIR denominator shape)
+      "dx_nb_classify" -> scalarAggBuild,
       // + the one-row tercile-threshold sketch crossed into the tagging
       "dx_perplexity_buckets" -> scalarAggBuild,
       // important-share HAVING: one-row (total, n_suppliers) aggregate
