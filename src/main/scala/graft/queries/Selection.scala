@@ -701,7 +701,7 @@ object Selection {
     * verbatim (whitespace tokens → 256 md5 buckets), so the feature space
     * is bounded and the weight table broadcastable no matter the corpus.
     */
-  private def nbTokens(docs: DataFrame): DataFrame =
+  private[graft] def nbTokens(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("lang"),
         explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
@@ -714,10 +714,12 @@ object Selection {
     * table is densified over all 256 buckets per class, so the scoring
     * join needs no missing-feature special case.
     */
-  private def nbWeights(s: SparkSession, toks: DataFrame): DataFrame = {
-    val train = toks.filter(col("doc_id") % 2 === 0)
-    val counts = train.groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
-    val totals = train.groupBy("lang").agg(count(lit(1)).as("n"))
+  /** Weights from the sufficient statistics — split out so the streaming
+    * model-maintenance spec can fold micro-batch counts into the SAME
+    * formula (counts are additive, so incremental training is exact).
+    */
+  private[graft] def nbWeightsFromCounts(
+      counts: DataFrame, totals: DataFrame): DataFrame =
     totals
       // densify by generator, not crossJoin — a map-only explode of the
       // 256-bucket literal (no join in the plan at all)
@@ -727,6 +729,12 @@ object Selection {
       .withColumn("w_bits", expr(
         "CAST(length(bin(greatest(1L, ((c + 1) * 1000000) div (n + 256)))) AS BIGINT)"))
       .select("lang", "bucket", "c", "w_bits")
+
+  private def nbWeights(s: SparkSession, toks: DataFrame): DataFrame = {
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    nbWeightsFromCounts(
+      train.groupBy("lang", "bucket").agg(count(lit(1)).as("c")),
+      train.groupBy("lang").agg(count(lit(1)).as("n")))
   }
 
   /** Distributed multinomial Naive Bayes TRAINING (McCallum & Nigam 1998;

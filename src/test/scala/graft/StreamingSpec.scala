@@ -352,6 +352,54 @@ class StreamingSpec extends SparkSpec {
       s"streamed-maintenance recall ${hits.toDouble / nTruth} below floor")
   }
 
+  test("incremental NB training: accumulated micro-batch counts equal the batch fit") {
+    implicit val ctx = spark.sqlContext
+    import graft.queries.Selection
+    // NB's sufficient statistics are additive counts, so a foreachBatch
+    // maintenance loop that folds each micro-batch's (class, bucket)
+    // counts into bounded state reproduces the batch-trained weight table
+    // BIT-exactly — streaming model maintenance with classes×256 state,
+    // flat in stream history
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    var counts = Seq.empty[(String, Long, Long)]
+      .toDF("lang", "bucket", "c")
+    var totals = Seq.empty[(String, Long)].toDF("lang", "n")
+    val input = MemoryStream[Doc]
+    val q = input.toDF()
+      .select(col("id").as("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val toks = Selection.nbTokens(
+          batch.join(docs.select("doc_id", "lang"), "doc_id"))
+        counts = counts
+          .unionByName(toks.groupBy("lang", "bucket").agg(count(lit(1)).as("c")))
+          .groupBy("lang", "bucket").agg(sum("c").as("c"))
+          .localCheckpoint(false)
+        totals = totals
+          .unionByName(toks.groupBy("lang").agg(count(lit(1)).as("n")))
+          .groupBy("lang").agg(sum("n").as("n"))
+          .localCheckpoint(false)
+      }
+      .start()
+    val rows = train.select(col("doc_id"), col("text"))
+      .collect().map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = Selection.nbWeightsFromCounts(counts, totals)
+    val batchW = Selection.nbWeightsFromCounts(
+      Selection.nbTokens(train).groupBy("lang", "bucket").agg(count(lit(1)).as("c")),
+      Selection.nbTokens(train).groupBy("lang").agg(count(lit(1)).as("n")))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batchW).isEmpty && batchW.exceptAll(streamed).isEmpty,
+      "incrementally-trained NB weights diverged from the batch fit")
+  }
+
   test("dag runs steps in dependency order and memoises results") {
     val dag = new graft.dags.Dag
     dag.source("customer")(Tables(spark, sfDir, "customer"))
