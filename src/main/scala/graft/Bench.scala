@@ -2,6 +2,59 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** How many of the heaviest first-pass walls get an unconditional
+    * min-of-2 remeasure (grew 5 → 8 in r15 when the graph-ANN family
+    * occupied seven of the top eight).
+    */
+  private val RemeasureTopN = 8
+
+  /** Committed quiet-box walls (written by a clean-close run with
+    * SPARK_GRAFT_BENCH_PIN=1, committed to git) — the per-row arbitration
+    * reference that makes the official artifact self-arbitrating: a row
+    * whose wall blows past its pinned clean wall on functionally identical
+    * code is box contention, and the artifact should say so itself instead
+    * of a reader reconstructing it from git history (r15 verdict #4).
+    */
+  private val CleanWallsPath = "dev/clean_walls.json"
+
+  private def loadCleanWalls(method: String, sfDir: String): Map[String, (Double, Double)] =
+    try {
+      val f = new java.io.File(CleanWallsPath)
+      if (!f.exists()) Map.empty
+      else {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val j = JsonMethods.parse(f)
+        val pinMethod = (j \ "method") match {
+          case JString(m) => m; case _ => ""
+        }
+        val pinSf = (j \ "sf") match {
+          case JString(m) => m; case _ => ""
+        }
+        // A pin measured under a different materialization protocol or
+        // scale factor is not comparable — ignore it rather than flag
+        // everything (dev smokes run at sf0.01; the pin is the sf0.1
+        // clean close).
+        if (pinMethod != method || pinSf != sfDir) Map.empty
+        else {
+          def num(v: JValue): Double = v match {
+            case JDouble(d) => d; case JInt(i) => i.toDouble
+            case JDecimal(d) => d.toDouble; case JLong(l) => l.toDouble
+            case _ => -1.0
+          }
+          val walls = (j \ "walls") match {
+            case JObject(fs) => fs.map { case (k, v) => k -> num(v) }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          val cpus = (j \ "cpu") match {
+            case JObject(fs) => fs.map { case (k, v) => k -> num(v) }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          walls.map { case (k, w) => k -> (w, cpus.getOrElse(k, -1.0)) }
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
   /** Whole-process CPU nanoseconds (all Spark executor threads included —
     * local mode is one JVM). Against wall time this distinguishes a plan
     * regression (CPU grows with wall) from shared-box contention (wall grows,
@@ -93,11 +146,11 @@ object Bench {
     // graph-ANN family alone occupies seven of the top eight, so top-5
     // left its tail single-measured); min-of-2 with both walls recorded,
     // same transparency contract as below.
-    val top5 = firstPass.filter(_._5).sortBy(-_._2).take(8).map(_._1).toSet
+    val topN = firstPass.filter(_._5).sortBy(-_._2).take(RemeasureTopN).map(_._1).toSet
     val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = firstPass.map {
       case r @ (name, wall, cpu, _, true)
-          if top5.contains(name) ||
+          if topN.contains(name) ||
             (cpu >= 0 && wall > 1.0 && cpu / wall < 2.0) =>
         val again = measure(name, SparkEntry.queries(name))
         remeasured(name) = (wall, again._2)
@@ -134,7 +187,50 @@ object Bench {
     // programmatically instead of by changelog. Bump on any future change
     // to WHAT a measured wall includes.
     val method = "materialize-toRdd/v2"
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","queries":${jmap(_._2, 6)},"cpu_sec":${jmap(_._3, 6)},"gc_sec":${jmap(_._4, 6)},"total_cpu":$totalCpu,"total_gc":$totalGc,"cores":$cpus,"failed":$failed,"remeasured":$remeasuredJson,"sf":"$sfDir"}"""
+    // Self-arbitrating rows (r15 verdict #4): compare every published wall
+    // against the committed quiet-box pin and flag the contention outliers
+    // IN the artifact. Flag rule: published wall > 1.6× the pinned clean
+    // wall AND the absolute excess > 0.5 s (sub-second rows measure the
+    // local[32] scheduling floor, where 1.6× is noise). The pinned and
+    // measured CPU both travel with the flag so a reader can tell the two
+    // contention signatures apart (idle-wait: cpu flat; memory-stall: cpu
+    // inflated too) without reconstructing anything from git history. A
+    // row with no pin (new query this round) can't be flagged — it is
+    // listed under "unpinned" instead of silently passing.
+    val cleanRef = loadCleanWalls(method, sfDir)
+    val contendedRows = results.filter { case (name, wall, _, _, ok) =>
+      ok && cleanRef.get(name).exists { case (cw, _) =>
+        cw > 0 && wall > 1.6 * cw && wall - cw > 0.5 }
+    }
+    val contendedJson = contendedRows
+      .map { case (name, wall, cpu, _, _) =>
+        val (cw, ccpu) = cleanRef(name)
+        s"\"" + name + s"\":{\"wall\":${round(wall, 3)},\"clean\":${round(cw, 3)},\"cpu\":${round(cpu, 1)},\"clean_cpu\":${round(ccpu, 1)}}" }
+      .mkString("{", ",", "}")
+    val unpinned =
+      if (cleanRef.isEmpty) results.map(_._1) // no pin file: everything
+      else results.map(_._1).filterNot(cleanRef.contains)
+    val unpinnedJson = unpinned.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Serve-split rows: published wall is warm-index by construction
+    // (build-if-absent × min-of-2) — the r15 NOTES artifact-reading rule,
+    // now carried in-artifact per row.
+    val warmJson = {
+      val w = Registry.all.filter(_.warm).map(_.name).toSet
+      results.map(_._1).filter(w.contains).map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+    }
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","queries":${jmap(_._2, 6)},"cpu_sec":${jmap(_._3, 6)},"gc_sec":${jmap(_._4, 6)},"total_cpu":$totalCpu,"total_gc":$totalGc,"cores":$cpus,"failed":$failed,"remeasured":$remeasuredJson,"contended":$contendedJson,"unpinned":$unpinnedJson,"warm":$warmJson,"sf":"$sfDir"}"""
+    // Pin-writing mode: a quiet-box clean close runs with
+    // SPARK_GRAFT_BENCH_PIN=1 to (re)write the committed reference walls.
+    // Only full sf0.1 runs should be pinned — a dev smoke at another sf
+    // would poison every later verdict.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_PIN")) {
+      val pin = s"""{"method":"$method","sf":"$sfDir","walls":${jmap(_._2, 6)},"cpu":${jmap(_._3, 6)}}"""
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(CleanWallsPath),
+          pin.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Throwable => () }
+    }
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -246,9 +246,19 @@ object Ann {
   /** Build-if-absent — the SERVE queries read whatever index exists and
     * only pay construction when nothing built one yet (standalone runs).
     */
+  /** Existence goes through the Hadoop FileSystem of the path (not
+    * java.io.File) so the session-index lifecycle holds when the index
+    * root is hdfs://... or s3a://... on a real deployment — same class of
+    * fix as the binaryGate write path (`Sources.scala`, r14 ADVICE).
+    */
+  private def indexExists(s: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   private def ensureGraphIndex(s: SparkSession, dir: String): String = {
     val path = builtIndexes.get(s"$dir#graph")
-      .filter(p => new java.io.File(p).exists())
+      .filter(p => indexExists(s, p))
     path.getOrElse(rebuildGraphIndex(s, dir))
   }
 
@@ -270,7 +280,7 @@ object Ann {
 
   private def ensureVecIndex(s: SparkSession, dir: String): String =
     builtIndexes.get(s"$dir#ivfpq")
-      .filter(p => new java.io.File(p).exists())
+      .filter(p => indexExists(s, p))
       .getOrElse(rebuildVecIndex(s, dir))
 
   /** Index-construction query — the build half of the serving split
@@ -345,9 +355,12 @@ object Ann {
     */
   private def knnIvfPqIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (_, codes) = graft.operators.ann.VectorIndex.load(
+    val (model, codes) = graft.operators.ann.VectorIndex.load(
       s, rebuildVecIndex(s, dir))
-    val nCodes = codes.filter(size(col("codes")) === 8)
+    // Expected code length comes from the LOADED model (m = number of
+    // codebooks), not a literal — so a future m change keeps this gate
+    // testing coverage, not an accidental constant (r15 ADVICE).
+    val nCodes = codes.filter(size(col("codes")) === model.cb.length)
       .select("neighbor_id").distinct().count()
     val n = Tables(s, dir, "embeddings").count()
     Seq((nCodes, nCodes == n)).toDF("n_codes", "covered")
@@ -428,10 +441,10 @@ object Ann {
     QueryDef("dx_knn_graph_search", knnGraphSearch, None),
     QueryDef("dx_knn_graph_search_recall", knnRecallGate(knnGraphSearch, 0.7), Some(knnRecallGateSql)),
     QueryDef("dx_knn_graph_index", knnGraphIndex, Some(knnGraphIndexSql)),
-    QueryDef("dx_knn_graph_serve", knnGraphServe, None),
-    QueryDef("dx_knn_graph_serve_recall", knnRecallGate(knnGraphServe, 0.7), Some(knnRecallGateSql)),
+    QueryDef("dx_knn_graph_serve", knnGraphServe, None, warm = true),
+    QueryDef("dx_knn_graph_serve_recall", knnRecallGate(knnGraphServe, 0.7), Some(knnRecallGateSql), warm = true),
     QueryDef("dx_knn_graph_incr", knnGraphIncr, None),
-    QueryDef("st_ann_serve_gate", annServeGate, Some(annServeGateSql)),
+    QueryDef("st_ann_serve_gate", annServeGate, Some(annServeGateSql), warm = true),
     QueryDef("dx_knn_graph_incr_recall", knnRecallGate(knnGraphIncr, 0.7), Some(knnRecallGateSql)),
     QueryDef("dx_knn_sq", knnSq, None),
     QueryDef("dx_knn_sq_recall", knnRecallGate(knnSq, 0.9), Some(knnRecallGateSql)),
@@ -440,6 +453,6 @@ object Ann {
     QueryDef("dx_knn_ivfpq", knnIvfPq, None),
     QueryDef("dx_knn_ivfpq_recall", knnRecallGate(knnIvfPq, 0.5), Some(knnRecallGateSql)),
     QueryDef("dx_knn_ivfpq_index", knnIvfPqIndex, Some(knnIvfPqIndexSql)),
-    QueryDef("dx_knn_ivfpq_serve", knnIvfPqServe, None),
-    QueryDef("dx_knn_ivfpq_serve_recall", knnRecallGate(knnIvfPqServe, 0.5), Some(knnRecallGateSql)))
+    QueryDef("dx_knn_ivfpq_serve", knnIvfPqServe, None, warm = true),
+    QueryDef("dx_knn_ivfpq_serve_recall", knnRecallGate(knnIvfPqServe, 0.5), Some(knnRecallGateSql), warm = true))
 }

@@ -225,8 +225,12 @@ object Streams {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queryStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(graft.operators.ann.NnDescent.searchGraph(
-          batch, graph, corpus, idCol, vecCol, k, beam, hops, seeds))
+        // foreachBatch can deliver empty micro-batches (batch 0, trigger
+        // with no new data); skip the full 3-hop search program — which
+        // localCheckpoints graph/corpus — and the sink for those.
+        if (!batch.isEmpty)
+          sink(graft.operators.ann.NnDescent.searchGraph(
+            batch, graph, corpus, idCol, vecCol, k, beam, hops, seeds))
       }
       .start()
 

@@ -321,11 +321,15 @@ class StreamingSpec extends SparkSpec {
     val q = input.toDF().writeStream
       .foreachBatch { (delta: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!delta.isEmpty) {
+          // EAGER checkpoints: the folded state must be materialized
+          // INSIDE the micro-batch (foreachBatch only guarantees the
+          // batch DataFrame during the trigger; a lazy checkpoint first
+          // computed after q.stop() reads it outside that lifetime)
           graph = NnDescent.addVectors(graph, known, delta,
             "vec_id", "embedding", k = 10, iters = 2, cap0 = 40)
-            .localCheckpoint(false)
+            .localCheckpoint(true)
           known = known.unionByName(
-            delta.select(col("vec_id"), col("embedding"))).localCheckpoint(false)
+            delta.select(col("vec_id"), col("embedding"))).localCheckpoint(true)
         }
       }
       .start()
@@ -373,14 +377,15 @@ class StreamingSpec extends SparkSpec {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val toks = Selection.nbTokens(
           batch.join(docs.select("doc_id", "lang"), "doc_id"))
+        // eager: materialize the folded counts inside the batch lifetime
         counts = counts
           .unionByName(toks.groupBy("lang", "bucket").agg(count(lit(1)).as("c")))
           .groupBy("lang", "bucket").agg(sum("c").as("c"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         totals = totals
           .unionByName(toks.groupBy("lang").agg(count(lit(1)).as("n")))
           .groupBy("lang").agg(sum("n").as("n"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
       }
       .start()
     val rows = train.select(col("doc_id"), col("text"))
