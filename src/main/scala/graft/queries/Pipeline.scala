@@ -2488,6 +2488,87 @@ object Pipeline {
        |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY left_id, right_id""".stripMargin
 
+  /** Suffix-array exact-substring dedup at the paper's span scale
+    * ([[graft.operators.dedup.SuffixDedup]] — Lee et al. 2021
+    * "ExactSubstr", arXiv:2107.06499 §4.1): one row per maximal span of
+    * ≥ 50 consecutive tokens that occurs ≥ 2 times anywhere in the
+    * corpus, with doc/offset provenance (1-based token positions). The
+    * Spark side computes prefix-doubling suffix ranks to depth 32 and
+    * groups duplicated 50-windows as overlapping rank pairs —
+    * O(N·log 50), no window strings shipped; the DuckDB twin runs the
+    * naive window-string comparison, so a bit-exact match proves the
+    * rank machinery equals brute-force string equality.
+    */
+  private val suffixLen = 50
+  private def dedupSuffix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.SuffixDedup.duplicateSpans(
+        Tables(s, dir, "documents"), "doc_id", "text", suffixLen)
+      .orderBy("doc_id", "span_start")
+
+  private val dedupSuffixSql =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(range(1, len(toks) - $suffixLen + 2)) AS pos, toks
+       |      FROM t WHERE len(toks) >= $suffixLen),
+       |w AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |        array_to_string(list_slice(toks, pos, pos + $suffixLen - 1), ' ') AS win
+       |      FROM p),
+       |d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+       |s AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+       |g AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $suffixLen
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM s),
+       |i AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |      FROM g)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + $suffixLen - 1 AS BIGINT) AS span_end,
+       |  CAST(max(pos) + $suffixLen - min(pos) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_windows
+       |FROM i GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Corpus census over the suffix-dedup spans — the removal-accounting
+    * half of ExactSubstr (how much duplicated token mass a ≥50-token cut
+    * pass would drop, over how many documents), integer-exact.
+    */
+  private def dedupSuffixCensus(s: SparkSession, dir: String): DataFrame = {
+    val spans = graft.operators.dedup.SuffixDedup.duplicateSpans(
+      Tables(s, dir, "documents"), "doc_id", "text", suffixLen)
+    spans.agg(
+      count(lit(1)).as("n_spans"),
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("n_tokens")).as("dup_tokens"),
+      max(col("n_tokens")).as("max_span"))
+  }
+
+  private val dedupSuffixCensusSql =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(range(1, len(toks) - $suffixLen + 2)) AS pos, toks
+       |      FROM t WHERE len(toks) >= $suffixLen),
+       |w AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |        array_to_string(list_slice(toks, pos, pos + $suffixLen - 1), ' ') AS win
+       |      FROM p),
+       |d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+       |s AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+       |g AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $suffixLen
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM s),
+       |i AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |      FROM g),
+       |sp AS (SELECT doc_id,
+       |         CAST(max(pos) + $suffixLen - min(pos) AS BIGINT) AS n_tokens
+       |       FROM i GROUP BY doc_id, island)
+       |SELECT CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS dup_tokens,
+       |  CAST(max(n_tokens) AS BIGINT) AS max_span
+       |FROM sp""".stripMargin
+
   /** Content-defined chunking census (`functions/CdcChunks` — the
     * Gear/FastCDC shape): cut positions from the native rolling-gear
     * kernel, then a chunk-hash dedup census — per document, the chunk
@@ -3415,6 +3496,8 @@ object Pipeline {
     QueryDef("dx_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dx_dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
+    QueryDef("dx_dedup_suffix", dedupSuffix, Some(dedupSuffixSql)),
+    QueryDef("dx_dedup_suffix_census", dedupSuffixCensus, Some(dedupSuffixCensusSql)),
     QueryDef("dx_cdc_chunk", cdcChunk, Some(cdcChunkSql)),
     QueryDef("dx_dedup_cdc", dedupCdc, Some(dedupCdcSql)),
     QueryDef("dx_chunk", chunk, Some(chunkSql)),
