@@ -291,6 +291,85 @@ object NnDescent {
       tieCols = Seq("nbr")).drop("rank")
   }
 
+  /** Incremental index maintenance, deletion half (the production daily
+    * cycle's other direction — [[addVectors]] covers inserts): tombstone
+    * the removed vectors out of the graph and REPAIR the neighborhoods
+    * they held together, without re-descending the untouched corpus.
+    *
+    * The repair rule is FreshDiskANN's delete-consolidation, restated
+    * set-at-a-time: when node r is removed, every surviving node u that
+    * pointed at r (u→r) gets r's own surviving out-neighbors as scored
+    * candidates (u→w for r→w) — the tombstone is bridged by its local
+    * neighborhood, one equi-join over the removed nodes' adjacency, work
+    * ∝ |removed|·k², never corpus-shaped. The bridged edges enter the
+    * graph `fresh` (both directions), so the standard descent rounds
+    * localize wedge work to the touched neighborhoods exactly as the
+    * insert path does, with δ-termination measured against the touched
+    * set. A node whose entire list was tombstoned and received no bridge
+    * candidates (every bridge endpoint also removed) is re-inserted
+    * through [[addVectors]]'s beam-seeded path — the orphan guard; on
+    * non-adversarial deletes the orphan set is empty and that branch
+    * never runs.
+    *
+    * Returns the refreshed directed k-NN graph over corpus ∖ removed,
+    * same shape as [[knnGraph]]; the contract gate is recall vs brute
+    * force on the REDUCED corpus (`dx_knn_graph_del_recall`).
+    */
+  def removeVectors(
+      graph: DataFrame, corpus: DataFrame, removeIds: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      iters: Int = 2, cap0: Int = 0, kBuild0: Int = 0,
+      deltaTerm: Double = 0.001): DataFrame = {
+    val kBuild = if (kBuild0 > 0) kBuild0 else 2 * k
+    val cap = if (cap0 > 0) cap0 else 2 * kBuild
+    require(k >= 1 && iters >= 1 && cap > kBuild && kBuild >= k)
+    val rm = removeIds.select(col(removeIds.columns.head).cast("long").as("id"))
+      .distinct().localCheckpoint(false)
+    if (rm.isEmpty) return graph
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .join(rm, Seq("id"), "left_anti")
+      .localCheckpoint(false)
+    val g = graph.select(col("id"), col("nbr"), col("sim"))
+    val rmAsNbr = rm.select(col("id").as("nbr"))
+    // tombstone: drop removed sources, then removed targets
+    val fromSurvivors = g.join(rm, Seq("id"), "left_anti")
+    val pruned = fromSurvivors.join(rmAsNbr, Seq("nbr"), "left_anti")
+    // bridge: u→r (u survives, r removed) × r→w (w survives) ⇒ u→w
+    val lost = fromSurvivors.join(rmAsNbr, Seq("nbr"), "left_semi")
+      .select(col("id").as("u"), col("nbr").as("r"))
+    val rmOut = g.join(rm, Seq("id"), "left_semi")
+      .join(rmAsNbr, Seq("nbr"), "left_anti")
+      .select(col("id").as("r"), col("nbr").as("w"))
+    val cand = lost.join(rmOut, "r")
+      .filter(col("u") =!= col("w"))
+      .select(col("u").as("id"), col("w").as("nbr"))
+      .distinct()
+    val scored = score(cand, vecs)
+    val freshE = scored.unionByName(
+      scored.select(col("nbr").as("id"), col("id").as("nbr"), col("sim")))
+    val nn0 = pruned.withColumn("fresh", lit(false))
+      .unionByName(freshE.withColumn("fresh", lit(true)))
+      .groupBy("id", "nbr")
+      .agg(max("sim").as("sim"), min("fresh").as("fresh"))
+    val capped = graft.Ckpt.truncate(
+      graft.plans.TopK.perKey(nn0, Seq("id"), "sim", kBuild,
+        tieCols = Seq("nbr")).drop("rank"))
+    val nTouched = math.max(1L, cand.select("id").distinct().count())
+    val done = descend(capped, vecs, k, kBuild, iters, cap, deltaTerm,
+      termN = nTouched)
+    val out = graft.plans.TopK.perKey(done, Seq("id"), "sim", k,
+      tieCols = Seq("nbr")).drop("rank")
+      .localCheckpoint(false)
+    // orphan guard: surviving vectors with no out-edges re-enter via the
+    // insert path (beam-seeded against the repaired graph)
+    val orphans = vecs.join(out.select("id").distinct(), Seq("id"), "left_anti")
+      .localCheckpoint(false)
+    if (orphans.isEmpty) out
+    else addVectors(out, vecs.join(orphans.select("id"), Seq("id"), "left_anti"),
+      orphans, "id", "v", k, iters, cap0, kBuild0, deltaTerm)
+  }
+
   /** Batch beam search over a prebuilt k-NN graph — the serving half of
     * graph ANN, restated as set-at-a-time joins (the pointer-chasing
     * best-first loop of HNSW/NSG is inherently sequential per query; for

@@ -346,6 +346,59 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Deletion half of incremental maintenance ([[NnDescent.removeVectors]]
+    * — FreshDiskANN's tombstone + bridge-repair rule): build the graph
+    * over the FULL corpus, delete a 20% slice, repair, and report the
+    * family-standard top-5 over the reduced graph for the surviving
+    * query slice. Rows-only; the reduced-corpus recall gate is the pin.
+    */
+  private def knnGraphDel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ann.NnDescent
+    val emb = Tables(s, dir, "embeddings")
+    val g0 = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 10,
+      iters = 4, cap0 = 40)
+    val g = NnDescent.removeVectors(g0, emb,
+      emb.filter(col("vec_id") % 5 === 2).select("vec_id"),
+      "vec_id", "embedding", k = 10, iters = 2, cap0 = 40)
+    graft.plans.TopK.perKey(g.filter(col("id") < 10), Seq("id"), "sim", 5,
+        tieCols = Seq("nbr"))
+      .select(col("id").as("query_id"), col("nbr").as("neighbor_id"),
+        col("rank"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Reduced-corpus recall gate for the deletion path: brute-force truth
+    * recomputed over corpus ∖ removed (the post-delete contract — a
+    * deleted vector must neither be returned nor considered truth), same
+    * regime derivation and per-regime floors as [[knnRecallGate]].
+    */
+  private def knnGraphDelGate(minRecall: Double,
+      minRecallClustered: Double = 0.9)(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val kept = emb.filter(col("vec_id") % 5 =!= 2)
+    val bruteTop = Knn.bruteForce(kept.filter(col("vec_id") < 10), kept,
+        "vec_id", "embedding", k = 5)
+      .localCheckpoint(false)
+    val brute = bruteTop.select("query_id", "neighbor_id")
+    val top1 = bruteTop.filter(col("rank") === 1)
+      .agg(avg(round(col("sim"), 6))).head().getDouble(0)
+    val clustered = top1 >= 0.8
+    val regime = if (clustered) "clustered" else "uniform"
+    val floor = if (clustered) minRecallClustered else minRecall
+    val found = knnGraphDel(s, dir).select("query_id", "neighbor_id")
+    val nBrute = brute.count()
+    val nHit = brute.join(found, Seq("query_id", "neighbor_id"), "left_semi").count()
+    Seq((nBrute, regime, nHit.toDouble / nBrute >= floor))
+      .toDF("n_brute", "regime", "recall_ok")
+  }
+
+  private val knnGraphDelGateSql =
+    """SELECT CAST(5 * count(*) AS BIGINT) AS n_brute, 'uniform' AS regime,
+      |  CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 AND vec_id % 5 <> 2""".stripMargin
+
   /** IVF-PQ index-construction query — the build half of the
     * compressed-domain serving split ([[graft.operators.ann.VectorIndex]]:
     * FAISS's index file as a warehouse layout — coarse centroids +
@@ -444,6 +497,8 @@ object Ann {
     QueryDef("dx_knn_graph_serve", knnGraphServe, None, warm = true),
     QueryDef("dx_knn_graph_serve_recall", knnRecallGate(knnGraphServe, 0.7), Some(knnRecallGateSql), warm = true),
     QueryDef("dx_knn_graph_incr", knnGraphIncr, None),
+    QueryDef("dx_knn_graph_del", knnGraphDel, None),
+    QueryDef("dx_knn_graph_del_recall", knnGraphDelGate(0.7), Some(knnGraphDelGateSql)),
     QueryDef("st_ann_serve_gate", annServeGate, Some(annServeGateSql), warm = true),
     QueryDef("dx_knn_graph_incr_recall", knnRecallGate(knnGraphIncr, 0.7), Some(knnRecallGateSql)),
     QueryDef("dx_knn_sq", knnSq, None),

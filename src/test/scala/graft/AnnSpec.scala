@@ -74,6 +74,81 @@ class AnnSpec extends SparkSpec {
     assert(baseToDelta.count() > 0, "old nodes must absorb new neighbors")
   }
 
+  test("removeVectors: tombstones are gone, survivors repaired, reduced-corpus recall holds") {
+    val rmPred = col("vec_id") % 5 === 2
+    val kept = emb.filter(!rmPred)
+    val g0 = NnDescent.knnGraph(emb, "vec_id", "embedding", k = 10,
+      iters = 4, cap0 = 40).localCheckpoint(false)
+    val g = NnDescent.removeVectors(g0, emb, emb.filter(rmPred).select("vec_id"),
+      "vec_id", "embedding", k = 10, iters = 2, cap0 = 40)
+      .localCheckpoint(false)
+    // no tombstone survives as source OR target
+    assert(g.filter(col("id") % 5 === 2 || col("nbr") % 5 === 2).count() == 0,
+      "removed ids must appear nowhere in the repaired graph")
+    // every survivor still owns a list (the orphan guard's contract),
+    // lists stay ≤ k, no self-loops
+    assert(g.select("id").distinct().count() == kept.count(),
+      "every surviving vector must keep an edge list")
+    assert(g.groupBy("id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 10).count() == 0)
+    assert(g.filter(col("id") === col("nbr")).count() == 0)
+    // edge sims are exact cosines (bridge candidates were re-scored, not
+    // carried over)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val wrong = g
+      .join(vecs.withColumnRenamed("vec_id", "id"), "id")
+      .join(vecs.select(col("vec_id").as("nbr"), col("embedding").as("e2")), "nbr")
+      .withColumn("sim2",
+        graft.functions.CosineSimilarity(col("embedding"), col("e2")))
+      .filter(abs(col("sim") - col("sim2")) > 1e-9)
+    assert(wrong.count() == 0, "repaired sims must be exact cosines")
+    // deleted ≡ rebuilt contract: recall vs brute force on the REDUCED
+    // corpus clears the family floor for the surviving query slice
+    val brute = Knn.bruteForce(
+      kept.filter(col("vec_id") < 10), kept, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").localCheckpoint(false)
+    val top5 = graft.plans.TopK.perKey(
+      g.filter(col("id") < 10), Seq("id"), "sim", 5, tieCols = Seq("nbr"))
+      .select(col("id").as("query_id"), col("nbr").as("neighbor_id"))
+    val nBrute = brute.count()
+    val hits = brute.join(top5, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits.toDouble / nBrute >= 0.7,
+      s"post-delete recall $hits/$nBrute under the 0.7 floor")
+    // removing nothing is the identity
+    val same = NnDescent.removeVectors(g0, emb,
+      emb.filter(col("vec_id") < 0).select("vec_id"),
+      "vec_id", "embedding", k = 10)
+    assert(same.exceptAll(g0).isEmpty && g0.exceptAll(same).isEmpty,
+      "empty removal set must return the graph unchanged")
+  }
+
+  test("removeVectors: orphan guard re-inserts nodes whose whole neighborhood died") {
+    import spark.implicits._
+    // adversarial corpus: a 6-node clique (c*) far from a 30-node cloud;
+    // node 100 points only into the clique. Removing the clique leaves
+    // 100 with zero bridge candidates (every bridge endpoint removed), so
+    // only the orphan re-insert path can keep it covered.
+    val rng = new scala.util.Random(5)
+    val dim = 8
+    def jitter(base: Array[Double]) =
+      base.zipWithIndex.map { case (x, i) => x + rng.nextDouble() * 0.01 }.toSeq
+    val cliqueBase = Array.fill(dim)(1.0)
+    val clique = (0L until 6L).map(i => (200L + i, jitter(cliqueBase)))
+    val cloud = (0L until 30L).map(i =>
+      (i, Seq.fill(dim)(rng.nextDouble() * 2 - 1)))
+    val lone = Seq((100L, jitter(cliqueBase)))
+    val corpus = (clique ++ cloud ++ lone).toDF("vec_id", "embedding")
+    val g0 = NnDescent.knnGraph(corpus, "vec_id", "embedding", k = 4,
+      iters = 3, cap0 = 20).localCheckpoint(false)
+    val g = NnDescent.removeVectors(g0, corpus,
+      corpus.filter(col("vec_id") >= 200).select("vec_id"),
+      "vec_id", "embedding", k = 4, iters = 2, cap0 = 20)
+    assert(g.filter(col("id") >= 200 || col("nbr") >= 200).count() == 0)
+    assert(g.filter(col("id") === 100L).count() > 0,
+      "the orphaned node must be re-inserted with a fresh edge list")
+    assert(g.select("id").distinct().count() == 31)
+  }
+
   test("GraphIndex: persisted round-trip, hub-only long links, serve recall") {
     val tmp = java.nio.file.Files.createTempDirectory("annspec_idx").toString
     val path = s"$tmp/g"
