@@ -42,9 +42,9 @@ object GraphIndex {
   def build(
       targets: DataFrame, idCol: String, vecCol: String, k: Int,
       path: String, iters: Int = 4, hubRate: Int = 16, hubK: Int = 8,
-      numFiles: Int = 0): Unit = {
+      numFiles: Int = 0, cap0: Int = 0): Unit = {
     val base = NnDescent
-      .knnGraph(targets, idCol, vecCol, k, iters)
+      .knnGraph(targets, idCol, vecCol, k, iters, cap0 = cap0)
       .withColumn("long", lit(false))
     // the hub sample must match searchGraph's coarse stage bit-for-bit
     // (same hash, same salt) so every scored entry point is long-linked

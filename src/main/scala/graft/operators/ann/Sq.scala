@@ -131,34 +131,74 @@ object Sq {
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 6, rerankFactor: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
-    require(rerankFactor >= 1)
-    val coarse = Ivf.fitCentroids(targets, idCol, vecCol, nlist)
-    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val model = fitIvfSq(targets, idCol, vecCol, nlist)
+    // inverted lists of byte codes — the persisted index (the barrier is
+    // load-bearing: see Pq.search on codegen deferral into join loops)
+    val compressed = encodeIvfSq(targets, idCol, vecCol, model)
+      .localCheckpoint(false)
+    scanIvfSq(queries, compressed, targets, idCol, vecCol, model, k,
+      nprobe, rerankFactor, excludeSelf)
+  }
 
-    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
-    def withResidual(df: DataFrame): DataFrame = df
+  /** The kilobyte IVF-SQ model: coarse centroids + per-dimension residual
+    * bounds (nlist·dim + 2·dim doubles of driver state).
+    */
+  final case class IvfSqModel(
+      coarse: Seq[Seq[Double]], lo: Array[Double], span: Array[Double])
+
+  private def withResidual(
+      df: DataFrame, coarse: Seq[Seq[Double]]): DataFrame = {
+    val coarseLit = typedLit(coarse)
+    df
       .withColumn("cell", element_at(Centroids.nearest(col("te"), coarse, 1), 1))
       .withColumn("cent", element_at(coarseLit, col("cell") + 1))
       .withColumn("resid",
         zip_with(col("te"), col("cent"), (x, c) => (x.cast("double") - c).cast("float")))
+  }
+
+  /** Fit half of [[searchIvf]] — split out (r16) so [[VectorIndex]] can
+    * persist the model; expressions unchanged, inline results identical.
+    */
+  private[graft] def fitIvfSq(
+      targets: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): IvfSqModel = {
+    val coarse = Ivf.fitCentroids(targets, idCol, vecCol, nlist)
+    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
     val (lo, span) = fitBounds(
-      withResidual(t).select(col("neighbor_id").as("id"), col("resid")), "resid")
+      withResidual(t, coarse.map(_.toSeq).toSeq)
+        .select(col("neighbor_id").as("id"), col("resid")), "resid")
+    IvfSqModel(coarse.map(_.toSeq).toSeq, lo, span)
+  }
 
-    // inverted lists of byte codes — the persisted index (the barrier is
-    // load-bearing: see Pq.search on codegen deferral into join loops)
-    val compressed = withResidual(t)
+  /** Encode half: (cell, neighbor_id, byte codes) — the inverted lists. */
+  private[graft] def encodeIvfSq(
+      targets: DataFrame, idCol: String, vecCol: String,
+      model: IvfSqModel): DataFrame = {
+    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
+    withResidual(t, model.coarse)
       .select(col("cell"), col("neighbor_id"),
-        quantize(col("resid"), lo, span).as("tc"))
-      .localCheckpoint(false)
+        quantize(col("resid"), model.lo, model.span).as("tc"))
+  }
 
+  /** Scan half: probe + on-the-fly dequantized approximate scan + exact
+    * rerank over a PREBUILT compressed table.
+    */
+  private[graft] def scanIvfSq(
+      queries: DataFrame, compressed: DataFrame, targets: DataFrame,
+      idCol: String, vecCol: String, model: IvfSqModel, k: Int,
+      nprobe: Int = 6, rerankFactor: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerankFactor >= 1)
+    val coarseLit = typedLit(model.coarse)
+    val t = targets.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("te"))
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qe"))
     val probes = q.withColumn("cell",
-      explode(Centroids.nearest(col("qe"), coarse, nprobe)))
+      explode(Centroids.nearest(col("qe"), model.coarse, nprobe)))
 
     val approx = probes.join(compressed, "cell")
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("td",
-        zip_with(dequantize(col("tc"), lo, span),
+        zip_with(dequantize(col("tc"), model.lo, model.span),
           element_at(coarseLit, col("cell") + 1), (r, c) => r + c))
       .withColumn("asim", expr(Knn.cosineExpr.format("qe", "td", "qe", "td")))
     val candidates = graft.plans.TopK.perKey(

@@ -215,6 +215,41 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("VectorIndex: persisted IVF-SQ round-trips and serves the inline results") {
+    import graft.operators.ann.{Sq, VectorIndex}
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("sqidx_spec").toString
+    try {
+      VectorIndex.buildSq(corpus, "vec_id", "embedding", s"$tmp/idx", numFiles = 2)
+      val queries = corpus.filter(col("vec_id") < 5)
+      val served = VectorIndex.searchSq(queries, s"$tmp/idx", corpus,
+        "vec_id", "embedding", k = 5)
+      // same contract as the PQ codec: deterministic fit + exact parquet
+      // round-trip of doubles ⇒ serving over the reloaded model is
+      // BIT-identical to the inline fit+encode+scan, sims un-rounded
+      val inline = Sq.searchIvf(queries, corpus, "vec_id", "embedding", k = 5)
+      assert(served.count() == 25)
+      assert(served.exceptAll(inline).isEmpty && inline.exceptAll(served).isEmpty,
+        "persisted-index serving diverged from the inline IVF-SQ search")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("rag flagship census invariants at sf0.001 (composition smoke)") {
+    val census = graft.queries.Ann.defs.find(_.name == "dx_rag_e2e").get
+      .fn(spark, sfDir).localCheckpoint(false)
+    assert(census.count() == 5, "one census row per query document 0-4")
+    // every queried chunk returns exactly k=5 neighbors
+    assert(census.filter(col("n_retrieved") =!= col("n_chunks_queried") * 5)
+      .count() == 0)
+    assert(census.filter(col("n_same_doc") > col("n_retrieved")).count() == 0)
+    assert(census.filter(col("n_src_docs") > col("n_retrieved")).count() == 0)
+  }
+
   test("zero-norm vectors score 0.0, never NaN, in both cosine kernels") {
     import spark.implicits._
     val df = Seq(
