@@ -89,20 +89,29 @@ object SuffixDedup {
       s"doc_id ${bounds.getLong(1)} overflows the gpos encoding at shift $shift")
     val withG = toks.withColumn("gpos",
       shiftleft(col("doc_id"), shift) + col("pos"))
+    // Eager rounds + rolling release (the GraphMetrics/Components loop
+    // protocol): each round's rank table is corpus-sized (one row per
+    // token), so round N−1's blocks must be DROPPED once round N is
+    // materialised — six lazily-retained MEMORY copies of a 2.7 G-token
+    // replica OOM'd the century bench before this. truncateBulk puts the
+    // blocks DISK_ONLY so the execution pool keeps the whole region.
+    val roll = new graft.Ckpt.Rolling(docs.sparkSession)
     // depth-1 ranks: token equivalence classes
-    var ranks = withG
+    var ranks = graft.Ckpt.truncateBulk(withG
       .join(withG.groupBy("tok").agg(min("gpos").as("r")), "tok")
-      .select(col("doc_id"), col("pos"), col("gpos"), col("r"))
-      .localCheckpoint(false)
+      .select(col("doc_id"), col("pos"), col("gpos"), col("r")))
+    ranks.count()
     var k = 1
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     while (k < depth) {
+      roll.mark()
       val paired = ranks.withColumn("r2",
         coalesce(lead(col("r"), k).over(byDoc), lit(-1L)))
       val classes = paired.groupBy("r", "r2").agg(min("gpos").as("rn"))
-      ranks = paired.join(classes, Seq("r", "r2"))
-        .select(col("doc_id"), col("pos"), col("gpos"), col("rn").as("r"))
-        .localCheckpoint(false)
+      ranks = graft.Ckpt.truncateBulk(paired.join(classes, Seq("r", "r2"))
+        .select(col("doc_id"), col("pos"), col("gpos"), col("rn").as("r")))
+      ranks.count()
+      roll.release()
       k *= 2
     }
     ranks

@@ -2529,6 +2529,67 @@ object Pipeline {
        |FROM i GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
 
+  /** The CUT half of ExactSubstr: the deduplicated corpus itself. Every
+    * token covered by a duplicated ≥50-token span is removed (the
+    * aggressive cut-all-occurrences variant — Lee et al.'s tool keeps one
+    * occurrence per duplicate cluster; the cut-all form is what C4-style
+    * pipelines ship when provenance-free, and is the variant our merged
+    * span set defines exactly), and the retained text is proven
+    * byte-identical across engines by md5 over the surviving tokens in
+    * order. Map-shaped after one doc←spans join: spans per doc are few,
+    * so the coverage test is a per-row HOF over the collected span list —
+    * no token-level join, nothing corpus-wide beyond the span program.
+    */
+  private def dedupSuffixScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val spans = graft.operators.dedup.SuffixDedup
+      .duplicateSpans(docs, "doc_id", "text", suffixLen)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """filter(transform(toks, (t, i) -> named_struct('t', t, 'p', CAST(i + 1 AS BIGINT))),
+          | x -> spans IS NULL OR NOT exists(spans,
+          |   sp -> x.p >= sp.span_start AND x.p <= sp.span_end))""".stripMargin))
+      .select(col("doc_id"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+        expr("CAST(size(kept) AS BIGINT)").as("n_kept"),
+        expr("md5(concat_ws(' ', transform(kept, x -> x.t)))").as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSuffixScrubSql =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(range(1, len(toks) - $suffixLen + 2)) AS pos, toks
+       |      FROM t WHERE len(toks) >= $suffixLen),
+       |w AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |        array_to_string(list_slice(toks, pos, pos + $suffixLen - 1), ' ') AS win
+       |      FROM p),
+       |d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+       |s AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+       |g AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $suffixLen
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM s),
+       |i AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |      FROM g),
+       |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |         CAST(max(pos) + $suffixLen - 1 AS BIGINT) AS span_end
+       |       FROM i GROUP BY doc_id, island),
+       |e AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS tp, toks FROM t),
+       |k AS (SELECT e.doc_id, e.tp, e.toks[e.tp] AS tok,
+       |        NOT EXISTS (SELECT 1 FROM sp
+       |          WHERE sp.doc_id = e.doc_id
+       |            AND e.tp BETWEEN sp.span_start AND sp.span_end) AS keep
+       |      FROM e)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(tok, ' ' ORDER BY tp) FILTER (keep), '')) AS kept_md5
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Corpus census over the suffix-dedup spans — the removal-accounting
     * half of ExactSubstr (how much duplicated token mass a ≥50-token cut
     * pass would drop, over how many documents), integer-exact.
@@ -3498,6 +3559,7 @@ object Pipeline {
     QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QueryDef("dx_dedup_suffix", dedupSuffix, Some(dedupSuffixSql)),
     QueryDef("dx_dedup_suffix_census", dedupSuffixCensus, Some(dedupSuffixCensusSql)),
+    QueryDef("dx_dedup_suffix_scrub", dedupSuffixScrub, Some(dedupSuffixScrubSql)),
     QueryDef("dx_cdc_chunk", cdcChunk, Some(cdcChunkSql)),
     QueryDef("dx_dedup_cdc", dedupCdc, Some(dedupCdcSql)),
     QueryDef("dx_chunk", chunk, Some(chunkSql)),

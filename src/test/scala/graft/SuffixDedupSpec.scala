@@ -106,6 +106,41 @@ class SuffixDedupSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("scrub removes exactly the span token mass and keeps byte-identical text") {
+    val scrub = graft.queries.Pipeline.defs
+      .find(_.name == "dx_dedup_suffix_scrub").get.fn(spark, sfDir)
+      .localCheckpoint(false)
+    val docs = Tables(spark, sfDir, "documents")
+    val spans = SuffixDedup.duplicateSpans(docs, "doc_id", "text", 50)
+      .groupBy("doc_id").agg(sum("n_tokens").as("cut"))
+    // merged spans are disjoint by construction, so the kept count is
+    // exactly the token count minus the span mass
+    val bad = scrub.join(spans, Seq("doc_id"), "left")
+      .filter(col("n_kept") =!= col("n_tokens") - coalesce(col("cut"), lit(0L)))
+    assert(bad.count() == 0, "scrub must cut exactly the merged span mass")
+    // untouched documents keep their original text verbatim
+    val untouched = scrub.join(spans, Seq("doc_id"), "left_anti")
+      .join(docs.select(col("doc_id"),
+        md5(concat_ws(" ", expr("split(trim(text), '\\\\s+')"))).as("orig_md5")),
+        "doc_id")
+    assert(untouched.count() > 0)
+    assert(untouched.filter(col("kept_md5") =!= col("orig_md5")).count() == 0,
+      "documents without duplicate spans must survive byte-identically")
+    // a doc whose span was cut no longer contains any duplicated 50-window
+    // against the original corpus minus itself... (covered by construction:
+    // every duplicated window start is inside a span) — spot-check one
+    // planted pair instead: after scrubbing, the two docs sharing a
+    // 55-token run keep only their distinct noise tokens
+    import spark.implicits._
+    val planted = Seq(
+      (1L, (Seq.tabulate(60)(i => s"n1$i") ++ Seq.tabulate(55)(i => s"s$i")).mkString(" ")),
+      (2L, (Seq.tabulate(55)(i => s"s$i") ++ Seq.tabulate(3)(i => s"n2$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val ps = SuffixDedup.duplicateSpans(planted, "doc_id", "text", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ps.toSeq == Seq((1L, 61L, 115L), (2L, 1L, 55L)))
+  }
+
   test("suffix ranks at depth d separate exactly the d-token prefixes") {
     val docs = randomDocs(23, 30, vocab = 5, minToks = 3, maxToks = 20)
     val ranks = SuffixDedup.suffixRanks(docs, "doc_id", "text", 8)
