@@ -496,6 +496,39 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming-serving gate for the compressed index
+    * ([[graft.streaming.Streams.vecServeStream]]'s batch twin, the
+    * `st_ann_serve_gate` recipe on the IVF-SQ codec): the same persisted
+    * index served once over the full query set and once as three
+    * disjoint micro-batches — union must be BIT-IDENTICAL (every
+    * probe/scan/rerank stage keyed by query id). StreamingSpec drives
+    * the same equality through a real MemoryStream + foreachBatch.
+    */
+  private def vecServeGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val path = ensureSqIndex(s, dir)
+    val queries = emb.filter(col("vec_id") < 12)
+    def serve(qs: DataFrame): DataFrame =
+      graft.operators.ann.VectorIndex.searchSq(
+          qs, path, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim"), 9).as("s"))
+    val full = serve(queries).localCheckpoint(false)
+    val micro = (0 until 3)
+      .map(i => serve(queries.filter(col("vec_id") % 3 === i)))
+      .reduce(_ unionByName _)
+      .localCheckpoint(false)
+    val equal = micro.exceptAll(full).count() == 0 &&
+      full.exceptAll(micro).count() == 0
+    Seq((queries.count(), equal)).toDF("n_queries", "batch_equal_ok")
+  }
+
+  private val vecServeGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(1 AS BOOLEAN) AS batch_equal_ok
+      |FROM embeddings WHERE vec_id < 12""".stripMargin
+
   // ---- composed retrieval flagship (dx_rag_e2e) -----------------------
 
   /** Chunk stage of the retrieval flagship — the `dx_chunk` window/stride
@@ -731,6 +764,7 @@ object Ann {
     QueryDef("dx_knn_ivfpq_serve", knnIvfPqServe, None, warm = true),
     QueryDef("dx_knn_ivfpq_serve_recall", knnRecallGate(knnIvfPqServe, 0.5), Some(knnRecallGateSql), warm = true),
     QueryDef("dx_knn_ivfsq_index", knnIvfSqIndex, Some(knnIvfSqIndexSql)),
+    QueryDef("st_vec_serve_gate", vecServeGate, Some(vecServeGateSql), warm = true),
     QueryDef("dx_knn_ivfsq_serve", knnIvfSqServe, None, warm = true),
     QueryDef("dx_knn_ivfsq_serve_recall", knnRecallGate(knnIvfSqServe, 0.6), Some(knnRecallGateSql), warm = true),
     QueryDef("dx_rag_e2e", ragE2e, None),

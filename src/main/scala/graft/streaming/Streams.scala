@@ -234,6 +234,36 @@ object Streams {
       }
       .start()
 
+  /** Streaming serving over a persisted COMPRESSED index
+    * ([[graft.operators.ann.VectorIndex]], either codec via `search`) —
+    * the compressed-domain sibling of [[annServeStream]]: query batches
+    * arrive on a stream, each trigger runs probe + compressed scan +
+    * exact rerank against the static persisted inverted lists. Same
+    * correctness contract (every scan/rerank stage is keyed by query id,
+    * so micro-batch union ≡ one batch call bit-identically —
+    * `st_vec_serve_gate` pins it), same statelessness (index static,
+    * batches independent, cost flat in stream history). The model is
+    * loaded ONCE here, not per trigger — kilobytes of driver state
+    * parameterizing every batch's scan, the production serving shape.
+    */
+  def vecServeStream(
+      queryStream: DataFrame, indexPath: String, targets: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 6, rerankFactor: Int = 4)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = targets.sparkSession
+    val (model, compressed) = graft.operators.ann.VectorIndex.loadSq(s, indexPath)
+    val codes = compressed.localCheckpoint(false)
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.ann.Sq.scanIvfSq(
+            batch, codes, targets, idCol, vecCol, model, k,
+            nprobe, rerankFactor))
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: match events from two live streams whose
     * timestamps fall within `intervalSeconds` of each other, keyed on
     * `key`. Both sides carry watermarks, so Spark can discard buffered

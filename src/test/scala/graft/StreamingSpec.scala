@@ -306,6 +306,43 @@ class StreamingSpec extends SparkSpec {
       s"streamed serving diverged from batch: ${buf.toSet.diff(batch.toSet)} / ${batch.toSet.diff(buf.toSet)}")
   }
 
+  test("streaming compressed-index serving equals the batch scan (IVF-SQ)") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.ann.VectorIndex
+    val corpus = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("sqserve_spec").toString
+    try {
+      VectorIndex.buildSq(corpus, "vec_id", "embedding", s"$tmp/idx", numFiles = 2)
+      val queries = corpus.filter(col("vec_id") < 6).as[Vec].collect().toSeq
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      val input = MemoryStream[Vec]
+      val q = Streams.vecServeStream(input.toDF(), s"$tmp/idx", corpus,
+          "vec_id", "embedding", k = 5) { out =>
+        val rows = out.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        buf.synchronized { buf ++= rows }
+      }
+      try {
+        input.addData(queries.take(3)); q.processAllAvailable()
+        input.addData(queries.drop(3)); q.processAllAvailable()
+      } finally q.stop()
+      val batch = VectorIndex.searchSq(
+          corpus.filter(col("vec_id") < 6), s"$tmp/idx", corpus,
+          "vec_id", "embedding", k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(batch.length == 30)
+      assert(buf.toSet == batch.toSet,
+        s"streamed compressed serving diverged: ${buf.toSet.diff(batch.toSet)} / ${batch.toSet.diff(buf.toSet)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("streaming index maintenance folds delta micro-batches into the graph") {
     implicit val ctx = spark.sqlContext
     import graft.operators.ann.NnDescent
