@@ -126,26 +126,54 @@ object SuffixDedup {
     b
   }
 
-  /** Positions (doc_id, pos) that start a minLen-token window occurring
-    * ≥ 2 times anywhere in the corpus (same-document repeats count).
+  /** Every valid window start keyed by its equality class: (doc_id, pos,
+    * ra, rb) where (ra, rb) equality ⟺ the minLen-token windows are
+    * equal. Window key = overlapping depth-B rank halves; valid starts
+    * only (pos ≤ len − minLen + 1), where both halves compare full
+    * B-token prefixes.
     */
-  def duplicateWindowStarts(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
+  private def windowKeys(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 1, "minLen must be positive")
     val b = halfDepth(minLen)
     val ranks = suffixRanks(docs, idCol, textCol, b)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    // Window key = overlapping depth-B rank halves; valid starts only
-    // (pos ≤ len − minLen + 1), where both halves compare full B-token
-    // prefixes, so key equality ⟺ the minLen-token windows are equal.
-    val keyed = ranks
+    ranks
       .withColumn("len", max("pos").over(Window.partitionBy("doc_id")))
       .withColumn("rb", lead(col("r"), minLen - b).over(byDoc))
       .filter(col("pos") <= col("len") - minLen + 1)
       .select(col("doc_id"), col("pos"), col("r").as("ra"), col("rb"))
+  }
+
+  /** Positions (doc_id, pos) that start a minLen-token window occurring
+    * ≥ 2 times anywhere in the corpus (same-document repeats count).
+    */
+  def duplicateWindowStarts(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
+    val keyed = windowKeys(docs, idCol, textCol, minLen)
     val dupKeys = keyed.groupBy("ra", "rb").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select("ra", "rb")
     keyed.join(dupKeys, Seq("ra", "rb"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Duplicated window starts EXCLUDING each window content's CANONICAL
+    * occurrence — the keep-one policy of Lee et al.'s released tool
+    * (cut every duplicate occurrence but leave one copy in the corpus),
+    * vs [[duplicateWindowStarts]]' cut-all. Canonical = the
+    * lexicographically-first (doc_id, pos) of the equality class, an
+    * order-free deterministic choice (one struct-min per class, map-side
+    * combinable — no window-function sort over the class).
+    */
+  def duplicateWindowStartsKeepOne(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
+    val keyed = windowKeys(docs, idCol, textCol, minLen)
+    val canon = keyed.groupBy("ra", "rb")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("ra"), col("rb"),
+        col("c.doc_id").as("cd"), col("c.pos").as("cp"))
+    keyed.join(canon, Seq("ra", "rb"))
+      .filter(col("doc_id") =!= col("cd") || col("pos") =!= col("cp"))
       .select(col("doc_id"), col("pos"))
   }
 
@@ -154,8 +182,20 @@ object SuffixDedup {
     * span_start, span_end (1-based token positions, inclusive),
     * n_tokens, n_windows (duplicated window starts merged into the span).
     */
-  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
-    val starts = duplicateWindowStarts(docs, idCol, textCol, minLen)
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame =
+    mergeSpans(duplicateWindowStarts(docs, idCol, textCol, minLen), minLen)
+
+  /** [[duplicateSpans]] under the keep-one policy: maximal coverage of
+    * the NON-canonical duplicated windows only — the cut list whose
+    * removal leaves one copy of every duplicated window in the corpus
+    * (up to overlaps between distinct window classes, which the cut-all
+    * variant suffers identically; the contract is the position-level
+    * rule, stated exactly and replayed by the oracle).
+    */
+  def duplicateSpansKeepOne(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame =
+    mergeSpans(duplicateWindowStartsKeepOne(docs, idCol, textCol, minLen), minLen)
+
+  private def mergeSpans(starts: DataFrame, minLen: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     // Coverage intervals [pos, pos+minLen−1] merge iff the next start is
     // ≤ current end + 1, i.e. the gap between starts is ≤ minLen.

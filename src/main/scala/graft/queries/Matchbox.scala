@@ -586,6 +586,73 @@ object Matchbox {
       |  CAST(1000 - (1000 * n_cand) // (n_l * n_r) AS BIGINT) AS reduction_permille
       |FROM cc CROSS JOIN tot ORDER BY scheme""".stripMargin
 
+  /** META-BLOCKING (Papadakis et al., TKDE 2013 "Meta-Blocking: Taking
+    * Entity Resolution to the Next Level" — the standard block-collection
+    * refinement between blocking and pairwise comparison at web scale):
+    * four redundancy-positive blocking schemes over one dirty-ER customer
+    * collection, then (a) BLOCK PURGING — oversized blocks (> 256
+    * entities) dropped, since their pairs are overwhelmingly superfluous
+    * and, at scale, they are exactly the keys that would skew the
+    * pair-generation shuffle; (b) every co-occurring pair weighted by the
+    * CBS scheme (Common Blocks Scheme = number of blocks the two entities
+    * share); (c) WEIGHTED EDGE PRUNING — keep pairs whose weight reaches
+    * the global mean edge weight.
+    *
+    * Scale shape: block keys are a map-side explode; purging is one
+    * block-keyed count broadcast back onto the key stream (bounding
+    * per-block fanout to cap² — the skew guard); pair generation is one
+    * equi-join shuffle on block key; CBS one pair-keyed aggregate with
+    * map-side combine; the WEP threshold is a broadcast scalar compared
+    * exactly by cross-multiplication (cbs·|E| ≥ Σw) — no ratio, no
+    * floating point, bit-exact cross-engine.
+    */
+  private def metaBlocking(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val keys = c.select(col("c_custkey").as("id"), explode(array(
+      concat(lit("seg:"), col("c_mktsegment")),
+      concat(lit("nat:"), col("c_nationkey").cast("string")),
+      concat(lit("blk:"), expr("CAST(c_custkey DIV 20 AS STRING)")),
+      concat(lit("bal:"),
+        expr("CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS STRING)"))))
+      .as("bk"))
+    val kept = keys.join(
+      broadcast(keys.groupBy("bk").agg(count(lit(1)).as("sz"))
+        .filter(col("sz").between(2, 256)).select("bk")),
+      "bk")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("left_id"), col("b.id").as("right_id"))
+      .agg(count(lit(1)).as("cbs"))
+    val tot = pairs.agg(sum("cbs").as("w_sum"), count(lit(1)).as("n_edges"))
+    pairs.crossJoin(broadcast(tot))
+      .filter(col("cbs") * col("n_edges") >= col("w_sum"))
+      .select("left_id", "right_id", "cbs")
+      .orderBy("left_id", "right_id")
+  }
+
+  private val metaBlockingSql =
+    """WITH keys AS (
+      |  SELECT c_custkey AS id, unnest([
+      |    'seg:' || c_mktsegment,
+      |    'nat:' || CAST(c_nationkey AS VARCHAR),
+      |    'blk:' || CAST(c_custkey // 20 AS VARCHAR),
+      |    'bal:' || CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR)
+      |  ]) AS bk
+      |  FROM customer),
+      |kept AS (
+      |  SELECT k.id, k.bk FROM keys k JOIN (
+      |    SELECT bk FROM keys GROUP BY bk
+      |    HAVING count(*) BETWEEN 2 AND 256) s USING (bk)),
+      |pairs AS (
+      |  SELECT a.id AS left_id, b.id AS right_id,
+      |    CAST(count(*) AS BIGINT) AS cbs
+      |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.id < b.id
+      |  GROUP BY a.id, b.id),
+      |tot AS (SELECT sum(cbs) AS w_sum, count(*) AS n_edges FROM pairs)
+      |SELECT left_id, right_id, cbs FROM pairs CROSS JOIN tot
+      |WHERE cbs * n_edges >= w_sum
+      |ORDER BY left_id, right_id""".stripMargin
+
   /** Edit-distance comparison ladder (splink's `levenshtein_at_thresholds`
     * surface — the other standard string comparison next to
     * jaro-winkler, preferred when typos are insert/delete-shaped):
@@ -760,7 +827,10 @@ object Matchbox {
     * builtin of the same name — the condition strings are valid in both
     * engines verbatim.
     */
-  private def linkFuzzy(s: SparkSession, dir: String): DataFrame = {
+  // One fuzzy-scorer recipe shared by mb_link_fuzzy and its waterfall —
+  // if the query's configuration drifts, the waterfall must drift with it
+  // or it explains a different model than the one that ran.
+  private def fuzzyScored(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
     Link.fellegiSunterLevels(
       fuzzyLeft(s, dir), fuzzyRight(s, dir),
@@ -777,13 +847,49 @@ object Matchbox {
           Seq("l.c_mktsegment = r.c_mktsegment"),
           Seq(-0.5, 1.2))),
       threshold = 1.0)
+  }
+
+  private def linkFuzzy(s: SparkSession, dir: String): DataFrame =
+    fuzzyScored(s, dir)
       .withColumnRenamed("gamma0", "gamma_name")
       .withColumnRenamed("gamma1", "gamma_seg")
       .orderBy("left_id", "right_id")
-  }
 
-  private val linkFuzzySql =
-    """WITH le AS (
+  /** Per-pair match-weight WATERFALL (splink's `waterfall_chart` data —
+    * the explainability artifact a reviewer reads before trusting a
+    * linkage model: how each comparison's matched level contributed to a
+    * pair's final weight). Re-runs the `mb_link_fuzzy` scorer verbatim and
+    * unpivots each surviving pair into ordered steps (one per comparison)
+    * carrying the gamma level, that level's weight contribution, and the
+    * running cumulative weight; the last step's cumulative IS the pair's
+    * `match_weight`.
+    *
+    * Scale shape: the scorer is the same single blocked equi-join as
+    * `mb_link_fuzzy`; the unpivot is a map-side Expand (2 rows per pair,
+    * no shuffle) and the running sum windows over 2-row pair partitions —
+    * never corpus-shaped. Level weights are literal doubles, so every
+    * step and cumulative sum is a sum of literals: bit-exact cross-engine.
+    */
+  private def linkWaterfall(s: SparkSession, dir: String): DataFrame =
+    fuzzyScored(s, dir)
+      .select(col("left_id"), col("right_id"), expr(
+        """stack(2,
+          |  1L, 'name', CAST(gamma0 AS BIGINT),
+          |  CASE gamma0 WHEN 3 THEN CAST(6.0 AS DOUBLE)
+          |    WHEN 2 THEN CAST(4.0 AS DOUBLE) WHEN 1 THEN CAST(1.5 AS DOUBLE)
+          |    ELSE CAST(-3.0 AS DOUBLE) END,
+          |  2L, 'segment', CAST(gamma1 AS BIGINT),
+          |  CASE gamma1 WHEN 1 THEN CAST(1.2 AS DOUBLE)
+          |    ELSE CAST(-0.5 AS DOUBLE) END)
+          |  AS (step_no, comparison, gamma, weight)""".stripMargin))
+      .withColumn("cum_weight", sum(col("weight")).over(
+        Window.partitionBy("left_id", "right_id").orderBy("step_no")))
+      .orderBy("left_id", "right_id", "step_no")
+
+  // Shared CTE prefix for the fuzzy scorer's oracle and its waterfall —
+  // the oracle-side twin of `fuzzyScored` being one recipe.
+  private val fuzzyCtesSql =
+    """le AS (
       |  SELECT c_custkey, c_mktsegment,
       |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS sname,
       |    c_custkey // 20 AS blk
@@ -805,17 +911,41 @@ object Matchbox {
       |         WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.88 THEN 1
       |         ELSE 0 END AS gamma_name,
       |    CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS gamma_seg
-      |  FROM le l JOIN ri r ON l.blk = r.blk)
-      |SELECT * FROM (
-      |  SELECT CAST(left_id AS BIGINT) AS left_id, CAST(right_id AS BIGINT) AS right_id,
-      |    gamma_name, gamma_seg,
-      |    (CASE gamma_name WHEN 3 THEN CAST(6.0 AS DOUBLE) WHEN 2 THEN CAST(4.0 AS DOUBLE)
-      |       WHEN 1 THEN CAST(1.5 AS DOUBLE) ELSE CAST(-3.0 AS DOUBLE) END
-      |     + CASE gamma_seg WHEN 1 THEN CAST(1.2 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END
-      |    ) AS match_weight
-      |  FROM g)
-      |WHERE match_weight >= 1.0
-      |ORDER BY left_id, right_id""".stripMargin
+      |  FROM le l JOIN ri r ON l.blk = r.blk),
+      |surv AS (
+      |  SELECT * FROM (
+      |    SELECT CAST(left_id AS BIGINT) AS left_id, CAST(right_id AS BIGINT) AS right_id,
+      |      gamma_name, gamma_seg,
+      |      (CASE gamma_name WHEN 3 THEN CAST(6.0 AS DOUBLE) WHEN 2 THEN CAST(4.0 AS DOUBLE)
+      |         WHEN 1 THEN CAST(1.5 AS DOUBLE) ELSE CAST(-3.0 AS DOUBLE) END
+      |       + CASE gamma_seg WHEN 1 THEN CAST(1.2 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END
+      |      ) AS match_weight
+      |    FROM g)
+      |  WHERE match_weight >= 1.0)""".stripMargin
+
+  private val linkFuzzySql =
+    s"""WITH $fuzzyCtesSql
+       |SELECT * FROM surv ORDER BY left_id, right_id""".stripMargin
+
+  private val linkWaterfallSql =
+    s"""WITH $fuzzyCtesSql,
+       |steps AS (
+       |  SELECT left_id, right_id, CAST(1 AS BIGINT) AS step_no,
+       |    'name' AS comparison, CAST(gamma_name AS BIGINT) AS gamma,
+       |    CASE gamma_name WHEN 3 THEN CAST(6.0 AS DOUBLE)
+       |      WHEN 2 THEN CAST(4.0 AS DOUBLE) WHEN 1 THEN CAST(1.5 AS DOUBLE)
+       |      ELSE CAST(-3.0 AS DOUBLE) END AS weight
+       |  FROM surv
+       |  UNION ALL
+       |  SELECT left_id, right_id, CAST(2 AS BIGINT), 'segment',
+       |    CAST(gamma_seg AS BIGINT),
+       |    CASE gamma_seg WHEN 1 THEN CAST(1.2 AS DOUBLE)
+       |      ELSE CAST(-0.5 AS DOUBLE) END
+       |  FROM surv)
+       |SELECT left_id, right_id, step_no, comparison, gamma, weight,
+       |  sum(weight) OVER (PARTITION BY left_id, right_id ORDER BY step_no)
+       |    AS cum_weight
+       |FROM steps ORDER BY left_id, right_id, step_no""".stripMargin
 
   /** Null-aware comparison levels — splink's null handling (reference
     * splinklinker.py comparison templates): a NULL on either side of a
@@ -2482,6 +2612,8 @@ object Matchbox {
     QueryDef("mb_link_levenshtein", linkLevenshtein, Some(linkLevenshteinSql)),
     QueryDef("mb_link_damerau", linkDamerau, Some(linkDamerauSql)),
     QueryDef("mb_blocking_quality", blockingQuality, Some(blockingQualitySql)),
+    QueryDef("mb_meta_blocking", metaBlocking, Some(metaBlockingSql)),
+    QueryDef("mb_link_waterfall", linkWaterfall, Some(linkWaterfallSql)),
     QueryDef("mb_unlinkables", unlinkables, Some(unlinkablesSql)),
     QueryDef("mb_unlinkables_sampled", unlinkablesSampled, Some(unlinkablesSampledSql)),
     QueryDef("mb_cluster_graph_metrics", clusterGraphMetrics,

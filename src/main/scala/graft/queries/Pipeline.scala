@@ -2540,10 +2540,8 @@ object Pipeline {
     * so the coverage test is a per-row HOF over the collected span list —
     * no token-level join, nothing corpus-wide beyond the span program.
     */
-  private def dedupSuffixScrub(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val spans = graft.operators.dedup.SuffixDedup
-      .duplicateSpans(docs, "doc_id", "text", suffixLen)
+  private def scrubBySpans(docs: DataFrame, spanRows: DataFrame): DataFrame = {
+    val spans = spanRows
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     docs.select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
@@ -2558,6 +2556,64 @@ object Pipeline {
         expr("md5(concat_ws(' ', transform(kept, x -> x.t)))").as("kept_md5"))
       .orderBy("doc_id")
   }
+
+  private def dedupSuffixScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    scrubBySpans(docs, graft.operators.dedup.SuffixDedup
+      .duplicateSpans(docs, "doc_id", "text", suffixLen))
+  }
+
+  /** The KEEP-ONE scrub — Lee et al.'s released-tool policy (cut every
+    * duplicate occurrence but leave one copy in the corpus): each
+    * duplicated 50-window class keeps its lexicographically-first
+    * (doc, pos) occurrence; a position is cut iff some NON-canonical
+    * duplicated window covers it
+    * ([[graft.operators.dedup.SuffixDedup.duplicateSpansKeepOne]]). The
+    * DuckDB twin replays the canonical choice over naive window strings
+    * (row_number by (doc, pos) per window content), so the bit-exact
+    * match proves the rank-class canonicalisation ≡ string-level
+    * canonicalisation. Same shape as the cut-all scrub plus one
+    * struct-min per window class.
+    */
+  private def dedupSuffixKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    scrubBySpans(docs, graft.operators.dedup.SuffixDedup
+      .duplicateSpansKeepOne(docs, "doc_id", "text", suffixLen))
+  }
+
+  private val dedupSuffixKeepSql =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(range(1, len(toks) - $suffixLen + 2)) AS pos, toks
+       |      FROM t WHERE len(toks) >= $suffixLen),
+       |w AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |        array_to_string(list_slice(toks, pos, pos + $suffixLen - 1), ' ') AS win
+       |      FROM p),
+       |c AS (SELECT doc_id, pos,
+       |        row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+       |        count(*) OVER (PARTITION BY win) AS n
+       |      FROM w),
+       |s AS (SELECT doc_id, pos FROM c WHERE n >= 2 AND rn > 1),
+       |g AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $suffixLen
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM s),
+       |i AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |      FROM g),
+       |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |         CAST(max(pos) + $suffixLen - 1 AS BIGINT) AS span_end
+       |       FROM i GROUP BY doc_id, island),
+       |e AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS tp, toks FROM t),
+       |k AS (SELECT e.doc_id, e.tp, e.toks[e.tp] AS tok,
+       |        NOT EXISTS (SELECT 1 FROM sp
+       |          WHERE sp.doc_id = e.doc_id
+       |            AND e.tp BETWEEN sp.span_start AND sp.span_end) AS keep
+       |      FROM e)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(tok, ' ' ORDER BY tp) FILTER (keep), '')) AS kept_md5
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val dedupSuffixScrubSql =
     s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
@@ -3188,6 +3244,66 @@ object Pipeline {
       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
       |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Corpus SNAPSHOT DIFF — the lakehouse version-comparison census
+    * (Delta/Iceberg "what changed between snapshot v1 and v2", the audit
+    * a curation pipeline runs after every refresh): v2 is derived from
+    * the documents table by deterministic mutations (every 17th doc
+    * dropped, every 13th surviving doc rewritten, every 19th≡3 doc
+    * re-appended under a fresh id), then both versions are reduced to
+    * (id, content-hash, chars) and full-outer-joined to classify each id
+    * as added / removed / changed / unchanged.
+    *
+    * Scale shape: content is hashed BEFORE the join, so only (id, 32-byte
+    * hash, long) rows ever shuffle — never document bodies; the diff is
+    * one full-outer equi-join on id and the census one 4-group aggregate.
+    * At 100 TB both sides would be bucketed by id and the join
+    * shuffle-free; the hash-first projection is what makes the compare
+    * byte-cheap either way.
+    */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"), col("n_chars"))
+    val base = Tables(s, dir, "documents").filter(col("doc_id") % 17 =!= 0)
+    val v2full = base
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, upper(col("text"))).otherwise(col("text")))
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .unionAll(base.filter(col("doc_id") % 19 === 3)
+        .select(col("doc_id") + 1000000L, col("text"), col("n_chars")))
+    val v2 = v2full.select(col("doc_id"), md5(col("text")).as("h"), col("n_chars"))
+    v1.as("a").join(v2.as("b"), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("a.h").isNull, lit("added"))
+          .when(col("b.h").isNull, lit("removed"))
+          .when(col("a.h") =!= col("b.h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("b.n_chars"), col("a.n_chars")).as("nc"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"))
+      .orderBy("status")
+  }
+
+  private val snapshotDiffSql =
+    """WITH v1 AS (
+      |  SELECT doc_id, md5(text) AS h, n_chars FROM documents),
+      |base AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END) AS h,
+      |    n_chars
+      |  FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5(text), n_chars
+      |  FROM base WHERE doc_id % 19 = 3)
+      |SELECT CASE WHEN a.h IS NULL THEN 'added'
+      |            WHEN b.h IS NULL THEN 'removed'
+      |            WHEN a.h <> b.h THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |  count(*) AS n_docs,
+      |  CAST(sum(COALESCE(b.n_chars, a.n_chars)) AS BIGINT) AS sum_chars
+      |FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
+      |GROUP BY status ORDER BY status""".stripMargin
+
   /** Driver-gated quantile-sketch accuracy: `approx_percentile` (the
     * mergeable sketch that replaces the exact sort-aggregate at corpus
     * scale) must satisfy its rank contract — the CDF at the approximate
@@ -3560,6 +3676,7 @@ object Pipeline {
     QueryDef("dx_dedup_suffix", dedupSuffix, Some(dedupSuffixSql)),
     QueryDef("dx_dedup_suffix_census", dedupSuffixCensus, Some(dedupSuffixCensusSql)),
     QueryDef("dx_dedup_suffix_scrub", dedupSuffixScrub, Some(dedupSuffixScrubSql)),
+    QueryDef("dx_dedup_suffix_keep", dedupSuffixKeep, Some(dedupSuffixKeepSql)),
     QueryDef("dx_cdc_chunk", cdcChunk, Some(cdcChunkSql)),
     QueryDef("dx_dedup_cdc", dedupCdc, Some(dedupCdcSql)),
     QueryDef("dx_chunk", chunk, Some(chunkSql)),
@@ -3594,6 +3711,7 @@ object Pipeline {
     QueryDef("dx_perplexity", perplexity, Some(perplexitySql)),
     QueryDef("dx_perplexity_buckets", perplexityBuckets, Some(perplexityBucketsSql)),
     QueryDef("dx_shard", shard, Some(shardSql)),
+    QueryDef("dx_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("dx_percentile_gate", percentileGate, Some(percentileGateSql)),
     QueryDef("dx_percentile_group_gate", percentileGroupGate, Some(percentileGroupGateSql)),
     QueryDef("dx_decontaminate", decontaminate, Some(decontaminateSql)),

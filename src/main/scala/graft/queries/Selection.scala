@@ -856,8 +856,160 @@ object Selection {
        |SELECT actual, cand AS pred, CAST(count(*) AS BIGINT) AS n_docs
        |FROM pr WHERE rn = 1 GROUP BY actual, cand ORDER BY actual, pred""".stripMargin
 
+  // ---- distributed logistic-regression quality classifier -------------
+
+  /** Features for the LR pair: PRESENCE of each of the 256 hashed token
+    * buckets (the NB feature space binarized — presence conditions a
+    * linear model far better than raw counts on short docs). The label is
+    * derived from the text itself (doc contains the whole token 'spark'),
+    * so the classifier has real signal to learn — unlike the synthetic
+    * lang labels, which are independent of the text (the dx_nb_* stance).
+    */
+  private def lrExamples(toks: DataFrame): (DataFrame, DataFrame) = (
+    toks.select(col("doc_id"), col("bucket")).distinct(),
+    toks.groupBy("doc_id")
+      .agg(max(when(col("tok") === "spark", 1L).otherwise(0L)).as("y")))
+
+  private[graft] final case class LrModel(
+      wMicro: Array[Long], biasMicro: Long, lossMicroByIter: Seq[Long])
+
+  /** Distributed LOGISTIC-REGRESSION training by full-batch gradient
+    * descent (the fastText-style linear quality classifier a curation
+    * pipeline TRAINS where `dx_classifier_filter` applies fixed weights,
+    * and the discriminative sibling of the generative `dx_nb_train`).
+    *
+    * Determinism is engineered, not hoped for: the model lives on the
+    * driver as 256+1 doubles but is SHIPPED each iteration quantized to
+    * integer micro-units, so every per-doc margin is an exact LONG sum
+    * (no float accumulation-order hazard in the doc aggregate); the
+    * per-doc sigmoid/gradient is a pure double expression of that exact
+    * margin; and the per-bucket gradient sums accumulate as DECIMAL
+    * (order-invariant) after a deterministic round-to-12-places. Two runs
+    * of the full fit are bit-identical — `dx_lr_gate` pins that.
+    *
+    * Shape at 100 TB: model state is kilobytes on the driver, broadcast
+    * as a literal array (no join to fetch weights); each iteration is one
+    * doc-keyed shuffle (margins) plus one 256-group aggregate with
+    * map-side combine (gradients). The corpus is never collected and no
+    * state scales with it — the same contract as the NB and DSIR fits.
+    */
+  private[graft] def lrTrain(feats: DataFrame, labels: DataFrame,
+      iters: Int = 30, rate: Double = 1.0): LrModel = {
+    val n = labels.count().toDouble
+    var w = Array.fill(256)(0.0)
+    var b = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // Bias as a synthetic always-on feature (bucket −1), so one
+    // bucket-keyed aggregate per iteration carries every gradient AND the
+    // loss — each iteration is a single Spark action.
+    val featsB = feats
+      .unionByName(labels.select(col("doc_id"), lit(-1L).as("bucket")))
+      .localCheckpoint(false)
+    // Frequency preconditioner: per-bucket step = rate·Σg/df_b, the
+    // diagonal-Newton scaling for logistic at p≈½ (H_bb ≈ df_b/4 for
+    // binary features). A global 1/n step crawls on rare features and
+    // diverges when pushed; df is an integer count, so the scaling stays
+    // deterministic. Computed once per fit — one 257-group aggregate.
+    val dfs = featsB.groupBy("bucket").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    for (_ <- 0 until iters) {
+      val wArr = array(w.map(x => lit(math.round(x * 1e6))): _*)
+      val bq = math.round(b * 1e6)
+      val scored = feats
+        .withColumn("wv", element_at(wArr, col("bucket").cast("int") + 1))
+        .groupBy("doc_id").agg(sum(col("wv")).as("mq"))
+        .join(labels, "doc_id")
+        .withColumn("p", expr(s"1.0d / (1.0d + exp(-((mq + ${bq}L) / 1e6)))"))
+        .withColumn("g", col("p") - col("y"))
+        .withColumn("l", expr(
+          """-(y * log(greatest(p, 1e-12d))
+            | + (1L - y) * log(greatest(1.0d - p, 1e-12d)))""".stripMargin))
+      val rows = featsB.join(scored.select("doc_id", "g", "l"), "doc_id")
+        .groupBy("bucket").agg(
+          sum(expr("CAST(round(g, 12) AS DECIMAL(26, 12))")).as("gs"),
+          sum(expr("""CASE WHEN bucket = -1
+            |  THEN CAST(round(l, 12) AS DECIMAL(26, 12)) END""".stripMargin))
+            .as("ls"))
+        .collect()
+      val grads = rows.map(r => r.getLong(0) -> r.getDecimal(1).doubleValue).toMap
+      val loss = rows.find(_.getLong(0) == -1L)
+        .map(_.getDecimal(2).doubleValue).getOrElse(0.0)
+      losses += math.round(loss / n * 1e6)
+      b -= rate * grads.getOrElse(-1L, 0.0) / dfs(-1L)
+      w = w.zipWithIndex.map { case (x, i) =>
+        x - rate * grads.getOrElse(i.toLong, 0.0) /
+          dfs.getOrElse(i.toLong, 1.0)
+      }
+    }
+    LrModel(w.map(x => math.round(x * 1e6)), math.round(b * 1e6), losses.toSeq)
+  }
+
+  private def lrFit(s: SparkSession, toksAll: DataFrame): LrModel = {
+    val (tf, tl) = lrExamples(toksAll.filter(col("doc_id") % 2 === 0))
+    lrTrain(tf.localCheckpoint(false), tl.localCheckpoint(false))
+  }
+
+  /** Held-out confusion matrix for a trained model — scoring is the same
+    * exact-long margin the trainer uses, so served ≡ trained arithmetic.
+    */
+  private def lrConfusion(m: LrModel, heldToks: DataFrame): DataFrame = {
+    val (hf, hl) = lrExamples(heldToks)
+    val wArr = array(m.wMicro.map(lit(_)): _*)
+    hf.withColumn("wv", element_at(wArr, col("bucket").cast("int") + 1))
+      .groupBy("doc_id").agg(sum(col("wv")).as("mq"))
+      .join(hl, "doc_id")
+      .select(col("y").as("actual"),
+        when(col("mq") + lit(m.biasMicro) >= 0L, 1L).otherwise(0L).as("pred"))
+      .groupBy("actual", "pred").agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual", "pred")
+  }
+
+  private def lrTrainQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = lrFit(s, nbTokens(Tables(s, dir, "documents")))
+    (m.wMicro.zipWithIndex.map { case (wm, bk) => (bk.toLong, wm) }.toSeq :+
+      ((-1L, m.biasMicro)))
+      .toDF("bucket", "w_micro").orderBy("bucket")
+  }
+
+  private def lrClassify(s: SparkSession, dir: String): DataFrame = {
+    val toksAll = nbTokens(Tables(s, dir, "documents")).localCheckpoint(false)
+    lrConfusion(lrFit(s, toksAll), toksAll.filter(col("doc_id") % 2 === 1))
+  }
+
+  /** Driver-gated LR training evidence (the mb_link_em_gate recipe for the
+    * classifier): run-twice bit-identical weights/bias/loss-curve, loss
+    * strictly reduced over the fit, and held-out accuracy that BEATS the
+    * majority-class baseline (the labels are learnable from the text, so
+    * unlike dx_nb_classify the gate can demand real discrimination) with
+    * an absolute floor of 0.85.
+    */
+  private def lrGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toksAll = nbTokens(Tables(s, dir, "documents")).localCheckpoint(false)
+    val m1 = lrFit(s, toksAll)
+    val m2 = lrFit(s, toksAll)
+    val conf = lrConfusion(m1, toksAll.filter(col("doc_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = conf.values.sum
+    val correct = conf.getOrElse((0L, 0L), 0L) + conf.getOrElse((1L, 1L), 0L)
+    val majority = Seq(0L, 1L)
+      .map(y => conf.collect { case ((a, _), c) if a == y => c }.sum).max
+    val ok = m1.wMicro.sameElements(m2.wMicro) &&
+      m1.biasMicro == m2.biasMicro &&
+      m1.lossMicroByIter == m2.lossMicroByIter &&
+      m1.lossMicroByIter.last < m1.lossMicroByIter.head &&
+      correct * 1000 >= total * 850 && correct > majority
+    Seq(ok).toDF("lr_ok")
+  }
+
+  private val lrGateSql = "SELECT CAST(1 AS BOOLEAN) AS lr_ok"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dsir", dsir, Some(dsirSql)),
+    QueryDef("dx_lr_train", lrTrainQuery, None),
+    QueryDef("dx_lr_classify", lrClassify, None),
+    QueryDef("dx_lr_gate", lrGate, Some(lrGateSql)),
     QueryDef("dx_nb_train", nbTrain, Some(nbTrainSql)),
     QueryDef("dx_nb_classify", nbClassify, Some(nbClassifySql)),
     QueryDef("dx_split_stratified", splitStratified, Some(splitStratifiedSql)),

@@ -100,6 +100,9 @@ class RegistrySpec extends SparkSpec {
       // blocking quality: |L|, |R|, |truth| one-row counts crossed into
       // the 3-row scheme census
       "mb_blocking_quality" -> scalarAggBuild,
+      // meta-blocking WEP: the one-row (Σw, |E|) aggregate crossed into
+      // the weighted pair table for the exact mean-threshold compare
+      "mb_meta_blocking" -> scalarAggBuild,
       // unlinkables: the 17-row literal threshold grid (a Range, not even
       // a scan) crossed into the per-record best-weight frame
       "mb_unlinkables" -> boundedScanBuild,

@@ -201,4 +201,77 @@ class SelectionSpec extends SparkSpec {
     val got = Registry.byName("dx_contamination_report").fn(spark, sfDir).collect().toSeq
     assert(got === expected)
   }
+
+  test("lrTrain is deterministic, reduces loss, and separates a clean synthetic signal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // clean signal: half the docs carry 'spark' plus shared noise words
+    val rng = new scala.util.Random(31)
+    // noise vocabulary that does NOT hash-collide with the signal token's
+    // bucket — a collision is correct hashing-trick behavior (the feature
+    // IS shared) but would break the perfect-separation assertion below
+    def bucketOf(tok: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      java.lang.Byte.toUnsignedInt(d(0))
+    }
+    val sparkBucket = bucketOf("spark")
+    val noise = (0 until 200).map(i => s"w$i")
+      .filter(w => bucketOf(w) != sparkBucket).take(40)
+    val corpus = Seq.tabulate(240) { i =>
+      val words = Seq.fill(8)(noise(rng.nextInt(noise.size))) ++
+        (if (i % 2 == 0) Seq("spark") else Nil)
+      (i.toLong, "en", rng.shuffle(words).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val tk = queries.Selection.nbTokens(corpus).localCheckpoint(false)
+    def fit() = {
+      val train = tk.filter(col("doc_id") % 2 === 0)
+      queries.Selection.lrTrain(
+        train.select(col("doc_id"), col("bucket")).distinct(),
+        train.groupBy("doc_id")
+          .agg(max(when(col("tok") === "spark", 1L).otherwise(0L)).as("y")))
+    }
+    val m1 = fit()
+    val m2 = fit()
+    assert(m1.wMicro.sameElements(m2.wMicro) && m1.biasMicro == m2.biasMicro &&
+      m1.lossMicroByIter == m2.lossMicroByIter,
+      "two full fits must be bit-identical")
+    assert(m1.lossMicroByIter.last < m1.lossMicroByIter.head,
+      "gradient descent must reduce the training loss")
+    // even training docs all have y=1 here (i%2==0 carries 'spark'), so
+    // train on a doc_id%4-based split instead for a mixed-label check
+    val train2 = tk.filter(col("doc_id") % 4 < 2)
+    val m3 = queries.Selection.lrTrain(
+      train2.select(col("doc_id"), col("bucket")).distinct(),
+      train2.groupBy("doc_id")
+        .agg(max(when(col("tok") === "spark", 1L).otherwise(0L)).as("y")))
+    // score the held-out half by the exact-long margin rule
+    val wArr = array(m3.wMicro.map(lit(_)): _*)
+    val held = tk.filter(col("doc_id") % 4 >= 2)
+    val conf = held.select(col("doc_id"), col("bucket")).distinct()
+      .withColumn("wv", element_at(wArr, col("bucket").cast("int") + 1))
+      .groupBy("doc_id").agg(sum("wv").as("mq"))
+      .join(held.groupBy("doc_id")
+        .agg(max(when(col("tok") === "spark", 1L).otherwise(0L)).as("y")), "doc_id")
+      .select(col("y"),
+        when(col("mq") + lit(m3.biasMicro) >= 0L, 1L).otherwise(0L).as("pred"))
+      .collect()
+    // held-out: a linear model on hashed presence features generalizes
+    // from 120 train docs, not memorizes — demand ≥ 95% (typically
+    // 119-120/120; perfect separation is one chance noise-sum away)
+    val nOk = conf.count(r => r.getLong(0) == r.getLong(1))
+    assert(conf.nonEmpty && nOk * 100 >= conf.length * 95,
+      s"held-out accuracy $nOk/${conf.length} below the 95% floor")
+  }
+
+  test("dx_lr_train emits the full 257-weight model; dx_lr_classify covers the held-out half") {
+    val w = Registry.byName("dx_lr_train").fn(spark, sfDir).collect()
+    assert(w.length == 257 && w.map(_.getLong(0)).toSeq == (-1L until 256L),
+      "model = 256 bucket weights + bias at bucket -1")
+    val conf = Registry.byName("dx_lr_classify").fn(spark, sfDir).collect()
+    val total = conf.map(_.getLong(2)).sum
+    val nHeld = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter("doc_id % 2 = 1").count()
+    assert(total == nHeld, "confusion matrix must cover every held-out doc")
+  }
 }

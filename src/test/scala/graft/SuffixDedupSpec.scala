@@ -141,6 +141,53 @@ class SuffixDedupSpec extends SparkSpec {
     assert(ps.toSeq == Seq((1L, 61L, 115L), (2L, 1L, 55L)))
   }
 
+  /** Naive KEEP-ONE starts via raw window strings: every duplicated
+    * window occurrence except the lexicographically-first (doc, pos) of
+    * its content class — the oracle's formulation, in Spark.
+    */
+  private def naiveKeepOneStarts(docs: org.apache.spark.sql.DataFrame, minLen: Int) =
+    docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .filter(size(col("toks")) >= minLen)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - $minLen + 1),
+           | i -> named_struct('pos', i, 'win', concat_ws(' ', slice(toks, i, $minLen))))""".stripMargin)).as("pw"))
+      .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.win").as("win"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("win")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("win")
+          .orderBy("doc_id", "pos")))
+      .filter(col("n") >= 2 && col("rn") > 1)
+      .select(col("doc_id"), col("pos").cast("int").as("pos"))
+
+  test("keep-one starts equal brute force and exclude exactly one occurrence per class") {
+    val docs = randomDocs(19, 60, vocab = 8, minToks = 5, maxToks = 40)
+    for (minLen <- Seq(2, 3, 6, 9)) {
+      val got = SuffixDedup.duplicateWindowStartsKeepOne(docs, "doc_id", "text", minLen)
+        .select(col("doc_id"), col("pos").cast("int").as("pos"))
+      val want = naiveKeepOneStarts(docs, minLen)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"keep-one starts diverge from brute force at minLen=$minLen")
+      // keep-one ⊂ cut-all, short by exactly one (the canonical) per class
+      val cutAll = SuffixDedup.duplicateWindowStarts(docs, "doc_id", "text", minLen)
+        .select(col("doc_id"), col("pos").cast("int").as("pos"))
+      assert(got.exceptAll(cutAll).isEmpty,
+        s"keep-one must be a subset of cut-all at minLen=$minLen")
+      // independent class count: distinct duplicated window CONTENTS
+      val nClasses = docs
+        .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+        .filter(size(col("toks")) >= minLen)
+        .select(explode(expr(
+          s"""transform(sequence(1, size(toks) - $minLen + 1),
+             | i -> concat_ws(' ', slice(toks, i, $minLen)))""".stripMargin)).as("win"))
+        .groupBy("win").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .count()
+      assert(cutAll.count() - got.count() == nClasses,
+        s"exactly one canonical occurrence per duplicate class at minLen=$minLen")
+    }
+  }
+
   test("suffix ranks at depth d separate exactly the d-token prefixes") {
     val docs = randomDocs(23, 30, vocab = 5, minToks = 3, maxToks = 20)
     val ranks = SuffixDedup.suffixRanks(docs, "doc_id", "text", 8)
