@@ -606,7 +606,10 @@ object Matchbox {
     * exactly by cross-multiplication (cbs·|E| ≥ Σw) — no ratio, no
     * floating point, bit-exact cross-engine.
     */
-  private def metaBlocking(s: SparkSession, dir: String): DataFrame = {
+  /** The purged-block CBS-weighted pair graph shared by both pruning
+    * schemes (WEP and CNP).
+    */
+  private def cbsPairs(s: SparkSession, dir: String): DataFrame = {
     val c = Tables(s, dir, "customer")
     val keys = c.select(col("c_custkey").as("id"), explode(array(
       concat(lit("seg:"), col("c_mktsegment")),
@@ -619,10 +622,14 @@ object Matchbox {
       broadcast(keys.groupBy("bk").agg(count(lit(1)).as("sz"))
         .filter(col("sz").between(2, 256)).select("bk")),
       "bk")
-    val pairs = kept.as("a").join(kept.as("b"),
+    kept.as("a").join(kept.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("left_id"), col("b.id").as("right_id"))
       .agg(count(lit(1)).as("cbs"))
+  }
+
+  private def metaBlocking(s: SparkSession, dir: String): DataFrame = {
+    val pairs = cbsPairs(s, dir)
     val tot = pairs.agg(sum("cbs").as("w_sum"), count(lit(1)).as("n_edges"))
     pairs.crossJoin(broadcast(tot))
       .filter(col("cbs") * col("n_edges") >= col("w_sum"))
@@ -630,8 +637,8 @@ object Matchbox {
       .orderBy("left_id", "right_id")
   }
 
-  private val metaBlockingSql =
-    """WITH keys AS (
+  private val cbsPairsSql =
+    """keys AS (
       |  SELECT c_custkey AS id, unnest([
       |    'seg:' || c_mktsegment,
       |    'nat:' || CAST(c_nationkey AS VARCHAR),
@@ -647,11 +654,59 @@ object Matchbox {
       |  SELECT a.id AS left_id, b.id AS right_id,
       |    CAST(count(*) AS BIGINT) AS cbs
       |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.id < b.id
-      |  GROUP BY a.id, b.id),
-      |tot AS (SELECT sum(cbs) AS w_sum, count(*) AS n_edges FROM pairs)
-      |SELECT left_id, right_id, cbs FROM pairs CROSS JOIN tot
-      |WHERE cbs * n_edges >= w_sum
-      |ORDER BY left_id, right_id""".stripMargin
+      |  GROUP BY a.id, b.id)""".stripMargin
+
+  private val metaBlockingSql =
+    s"""WITH $cbsPairsSql,
+       |tot AS (SELECT sum(cbs) AS w_sum, count(*) AS n_edges FROM pairs)
+       |SELECT left_id, right_id, cbs FROM pairs CROSS JOIN tot
+       |WHERE cbs * n_edges >= w_sum
+       |ORDER BY left_id, right_id""".stripMargin
+
+  /** CARDINALITY NODE PRUNING — the other canonical meta-blocking pruning
+    * scheme (Papadakis et al. TKDE 2014, the precision-oriented
+    * RECIPROCAL variant): each entity retains only its top-k weighted
+    * co-occurrence edges (k = 4 here; production derives k from the
+    * block-collection size), and a pair survives only when BOTH endpoints
+    * retain it. The per-entity top-k runs on graft's custom bounded-heap
+    * operator ([[graft.plans.TopK]] — partial-then-final `TopKPerKeyExec`,
+    * k rows of heap state per entity, map-side combinable), NOT a
+    * `row_number()` window: at web scale a window sorts every entity's
+    * full candidate list, the heap keeps k. Ties broken (cbs DESC,
+    * neighbor ASC) so retention is total-ordered and the DuckDB
+    * `row_number` twin matches bit-for-bit.
+    */
+  private def metaBlockingCnp(s: SparkSession, dir: String): DataFrame = {
+    val pairs = cbsPairs(s, dir)
+    val edges = pairs
+      .select(col("left_id").as("e"), col("right_id").as("nbr"), col("cbs"))
+      .unionByName(pairs
+        .select(col("right_id").as("e"), col("left_id").as("nbr"), col("cbs")))
+    graft.plans.TopK.perKey(edges, Seq("e"), "cbs", k = 4,
+        descending = true, tieCols = Seq("nbr"))
+      .select(least(col("e"), col("nbr")).as("left_id"),
+        greatest(col("e"), col("nbr")).as("right_id"), col("cbs"))
+      .groupBy("left_id", "right_id", "cbs")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") === 2) // reciprocal: retained from BOTH endpoints
+      .select("left_id", "right_id", "cbs")
+      .orderBy("left_id", "right_id")
+  }
+
+  private val metaBlockingCnpSql =
+    s"""WITH $cbsPairsSql,
+       |ed AS (
+       |  SELECT left_id AS e, right_id AS nbr, cbs FROM pairs
+       |  UNION ALL
+       |  SELECT right_id, left_id, cbs FROM pairs),
+       |rk AS (
+       |  SELECT e, nbr, cbs,
+       |    row_number() OVER (PARTITION BY e ORDER BY cbs DESC, nbr) AS rn
+       |  FROM ed)
+       |SELECT least(e, nbr) AS left_id, greatest(e, nbr) AS right_id, cbs
+       |FROM rk WHERE rn <= 4
+       |GROUP BY 1, 2, cbs HAVING count(*) = 2
+       |ORDER BY left_id, right_id""".stripMargin
 
   /** Edit-distance comparison ladder (splink's `levenshtein_at_thresholds`
     * surface — the other standard string comparison next to
@@ -827,25 +882,28 @@ object Matchbox {
     * builtin of the same name — the condition strings are valid in both
     * engines verbatim.
     */
-  // One fuzzy-scorer recipe shared by mb_link_fuzzy and its waterfall —
-  // if the query's configuration drifts, the waterfall must drift with it
-  // or it explains a different model than the one that ran.
+  // One fuzzy-scorer recipe shared by mb_link_fuzzy, its waterfall and the
+  // m-from-labels estimator — if the query's configuration drifts, the
+  // dependents must drift with it or they describe a different model than
+  // the one that ran.
+  private val fuzzyComparisons = Seq(
+    Link.LevelComparison(
+      Seq("l.sname = r.sname",
+        "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
+        "jaro_winkler_similarity(l.sname, r.sname) >= 0.88"),
+      // weights indexed by gamma: miss, weak-fuzzy, strong-fuzzy, exact
+      Seq(-3.0, 1.5, 4.0, 6.0)),
+    Link.LevelComparison(
+      Seq("l.c_mktsegment = r.c_mktsegment"),
+      Seq(-0.5, 1.2)))
+
   private def fuzzyScored(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
     Link.fellegiSunterLevels(
       fuzzyLeft(s, dir), fuzzyRight(s, dir),
       "c_custkey", "c_custkey",
       blocking = "l.blk = r.blk",
-      comparisons = Seq(
-        Link.LevelComparison(
-          Seq("l.sname = r.sname",
-            "jaro_winkler_similarity(l.sname, r.sname) >= 0.95",
-            "jaro_winkler_similarity(l.sname, r.sname) >= 0.88"),
-          // weights indexed by gamma: miss, weak-fuzzy, strong-fuzzy, exact
-          Seq(-3.0, 1.5, 4.0, 6.0)),
-        Link.LevelComparison(
-          Seq("l.c_mktsegment = r.c_mktsegment"),
-          Seq(-0.5, 1.2))),
+      comparisons = fuzzyComparisons,
       threshold = 1.0)
   }
 
@@ -886,9 +944,9 @@ object Matchbox {
         Window.partitionBy("left_id", "right_id").orderBy("step_no")))
       .orderBy("left_id", "right_id", "step_no")
 
-  // Shared CTE prefix for the fuzzy scorer's oracle and its waterfall —
-  // the oracle-side twin of `fuzzyScored` being one recipe.
-  private val fuzzyCtesSql =
+  // Shared CTE prefixes for the fuzzy scorer's oracle and its dependents
+  // (waterfall, m-from-labels) — the oracle-side twin of one recipe.
+  private val fuzzySrcSql =
     """le AS (
       |  SELECT c_custkey, c_mktsegment,
       |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS sname,
@@ -903,7 +961,10 @@ object Matchbox {
       |      ELSE base END AS sname,
       |    (c_custkey - 1) // 20 AS blk
       |  FROM (SELECT *, substr(md5(CAST(c_custkey - 1 AS VARCHAR)), 1, 9) AS base
-      |        FROM customer WHERE c_custkey % 2 = 1)),
+      |        FROM customer WHERE c_custkey % 2 = 1))""".stripMargin
+
+  private val fuzzyCtesSql =
+    s"""$fuzzySrcSql,
       |g AS (
       |  SELECT l.c_custkey AS left_id, r.c_custkey AS right_id,
       |    CASE WHEN l.sname = r.sname THEN 3
@@ -946,6 +1007,61 @@ object Matchbox {
        |  sum(weight) OVER (PARTITION BY left_id, right_id ORDER BY step_no)
        |    AS cum_weight
        |FROM steps ORDER BY left_id, right_id, step_no""".stripMargin
+
+  /** m-parameter estimation from PAIRWISE LABELS (splink's
+    * `estimate_m_from_pairwise_labels` — the supervised alternative to EM
+    * when a labeled match set exists, e.g. from clerical review): over
+    * the seeded truth pairs (left key = right key − 1, the same ground
+    * truth `mb_blocking_quality` scores against), the per-level m of each
+    * fuzzy comparison is the exact-permille share of matches observed at
+    * that gamma. Gammas come from the SAME `fuzzyComparisons` ladder the
+    * linker runs — drift-proof by construction. One equi-join on the
+    * label key + one (comparison, gamma)-group aggregate; labels are tiny
+    * relative to candidates, so at 100 TB this is the cheap path EM
+    * replaces with iterations.
+    */
+  private def linkMFromLabels(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    val cand = fuzzyLeft(s, dir).alias("l")
+      .join(fuzzyRight(s, dir).alias("r"),
+        expr("l.c_custkey = r.c_custkey - 1"))
+    cand
+      .select(
+        fuzzyComparisons(0).gammaOf.cast("long").as("gamma_name"),
+        fuzzyComparisons(1).gammaOf.cast("long").as("gamma_seg"))
+      .select(expr(
+        """stack(2, 'name', gamma_name, 'segment', gamma_seg)
+          |  AS (comparison, gamma)""".stripMargin))
+      .groupBy("comparison", "gamma")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("m_permille", expr(
+        """CAST((1000 * n_pairs) DIV
+          |  (sum(n_pairs) OVER (PARTITION BY comparison)) AS BIGINT)""".stripMargin))
+      .orderBy("comparison", "gamma")
+  }
+
+  private val linkMFromLabelsSql =
+    s"""WITH $fuzzySrcSql,
+       |t AS (
+       |  SELECT CASE WHEN l.sname = r.sname THEN 3
+       |           WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.95 THEN 2
+       |           WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.88 THEN 1
+       |           ELSE 0 END AS gamma_name,
+       |         CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END
+       |           AS gamma_seg
+       |  FROM le l JOIN ri r ON l.c_custkey = r.c_custkey - 1),
+       |u AS (
+       |  SELECT 'name' AS comparison, CAST(gamma_name AS BIGINT) AS gamma FROM t
+       |  UNION ALL
+       |  SELECT 'segment', CAST(gamma_seg AS BIGINT) FROM t),
+       |c AS (
+       |  SELECT comparison, gamma, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM u GROUP BY comparison, gamma)
+       |SELECT comparison, gamma, n_pairs,
+       |  CAST((1000 * n_pairs) //
+       |    (sum(n_pairs) OVER (PARTITION BY comparison)) AS BIGINT)
+       |    AS m_permille
+       |FROM c ORDER BY comparison, gamma""".stripMargin
 
   /** Null-aware comparison levels — splink's null handling (reference
     * splinklinker.py comparison templates): a NULL on either side of a
@@ -2613,7 +2729,9 @@ object Matchbox {
     QueryDef("mb_link_damerau", linkDamerau, Some(linkDamerauSql)),
     QueryDef("mb_blocking_quality", blockingQuality, Some(blockingQualitySql)),
     QueryDef("mb_meta_blocking", metaBlocking, Some(metaBlockingSql)),
+    QueryDef("mb_meta_blocking_cnp", metaBlockingCnp, Some(metaBlockingCnpSql)),
     QueryDef("mb_link_waterfall", linkWaterfall, Some(linkWaterfallSql)),
+    QueryDef("mb_link_m_from_labels", linkMFromLabels, Some(linkMFromLabelsSql)),
     QueryDef("mb_unlinkables", unlinkables, Some(unlinkablesSql)),
     QueryDef("mb_unlinkables_sampled", unlinkablesSampled, Some(unlinkablesSampledSql)),
     QueryDef("mb_cluster_graph_metrics", clusterGraphMetrics,

@@ -964,6 +964,56 @@ object Selection {
       .orderBy("actual", "pred")
   }
 
+  /** Per-doc scoring by the exact-long margin rule, from raw (doc_id,
+    * text) — shared by the batch gate and the streaming scorer
+    * ([[graft.streaming.Streams.lrScoreStream]]). Map-shaped: tokenize →
+    * bucket → presence-distinct → one doc-keyed aggregate; the model
+    * rides in the plan as a literal array (no join to fetch weights).
+    */
+  private[graft] def lrScore(docs: DataFrame, m: LrModel): DataFrame = {
+    val wArr = array(m.wMicro.map(lit(_)): _*)
+    docs
+      .select(col("doc_id"),
+        explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS BIGINT)"))
+      .select("doc_id", "bucket").distinct()
+      .withColumn("wv", element_at(wArr, col("bucket").cast("int") + 1))
+      .groupBy("doc_id").agg(sum(col("wv")).as("mq"))
+      .select(col("doc_id"),
+        (col("mq") + lit(m.biasMicro)).as("margin_micro"),
+        when(col("mq") + lit(m.biasMicro) >= 0L, 1L).otherwise(0L).as("pred"))
+  }
+
+  /** Streaming-scoring gate for the trained classifier (the
+    * `st_vec_serve_gate` recipe on the model-serving side): the same
+    * trained model scores the held-out half once in full and once as
+    * three disjoint micro-batches — union must be BIT-IDENTICAL (margins
+    * are exact longs keyed by doc_id; no cross-doc state anywhere in the
+    * scoring program). StreamingSpec drives the same equality through a
+    * real MemoryStream + foreachBatch.
+    */
+  private def lrScoreGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val m = lrFit(s, nbTokens(docs).localCheckpoint(false))
+    val held = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      .localCheckpoint(false)
+    val full = lrScore(held, m).localCheckpoint(false)
+    val micro = (0 until 3)
+      .map(i => lrScore(held.filter(col("doc_id") % 3 === i), m))
+      .reduce(_ unionByName _)
+      .localCheckpoint(false)
+    val equal = micro.exceptAll(full).count() == 0 &&
+      full.exceptAll(micro).count() == 0
+    Seq((held.count(), equal)).toDF("n_docs", "batch_equal_ok")
+  }
+
+  private val lrScoreGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(1 AS BOOLEAN) AS batch_equal_ok
+      |FROM documents WHERE doc_id % 2 = 1""".stripMargin
+
   private def lrTrainQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = lrFit(s, nbTokens(Tables(s, dir, "documents")))
@@ -1010,6 +1060,7 @@ object Selection {
     QueryDef("dx_lr_train", lrTrainQuery, None),
     QueryDef("dx_lr_classify", lrClassify, None),
     QueryDef("dx_lr_gate", lrGate, Some(lrGateSql)),
+    QueryDef("st_lr_score_gate", lrScoreGate, Some(lrScoreGateSql)),
     QueryDef("dx_nb_train", nbTrain, Some(nbTrainSql)),
     QueryDef("dx_nb_classify", nbClassify, Some(nbClassifySql)),
     QueryDef("dx_split_stratified", splitStratified, Some(splitStratifiedSql)),

@@ -264,6 +264,26 @@ object Streams {
       .start()
   }
 
+  /** Streaming classifier scoring over a document stream with a TRAINED
+    * logistic-regression model ([[graft.queries.Selection]]'s LR family)
+    * — the model-serving twin of [[vecServeStream]] on the classifier
+    * side: the model is kilobytes of driver state captured ONCE (it rides
+    * every trigger's plan as a literal array — no join, no broadcast
+    * table to refresh), each trigger is a map-shaped score pass keyed by
+    * doc_id, so micro-batch union ≡ one batch call bit-identically
+    * (margins are exact longs; `st_lr_score_gate` pins it). Zero
+    * streaming state; cost flat in stream history.
+    */
+  def lrScoreStream(
+      docStream: DataFrame, model: graft.queries.Selection.LrModel)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.queries.Selection.lrScore(batch, model))
+      }
+      .start()
+
   /** Stream-stream interval join: match events from two live streams whose
     * timestamps fall within `intervalSeconds` of each other, keyed on
     * `key`. Both sides carry watermarks, so Spark can discard buffered

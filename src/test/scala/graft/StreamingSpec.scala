@@ -442,6 +442,40 @@ class StreamingSpec extends SparkSpec {
       "incrementally-trained NB weights diverged from the batch fit")
   }
 
+  test("streaming LR scoring with a fixed model equals the batch score pass") {
+    implicit val ctx = spark.sqlContext
+    // serving contract only — any model works; a fixed synthetic one keeps
+    // the spec fast and makes the margins obviously model-determined
+    val m = graft.queries.Selection.LrModel(
+      Array.tabulate(256)(i => ((i * 37) % 101 - 50) * 1000L),
+      biasMicro = 500L, lossMicroByIter = Nil)
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    assert(docs.size >= 6)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[Doc]
+    val stream = input.toDF().select(col("id").as("doc_id"), col("text"))
+    val q = Streams.lrScoreStream(stream, m) { out =>
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      buf.synchronized { buf ++= rows }
+    }
+    try {
+      // two triggers: micro-batching must be value-neutral
+      input.addData(docs.take(3)); q.processAllAvailable()
+      input.addData(docs.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.queries.Selection.lrScore(
+        Tables(spark, sfDir, "documents").filter(col("doc_id") < 20)
+          .select(col("doc_id"), col("text")), m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.length == docs.size)
+    assert(buf.toSet == batch.toSet,
+      s"streamed LR scoring diverged from batch: ${buf.toSet.diff(batch.toSet)}")
+  }
+
   test("dag runs steps in dependency order and memoises results") {
     val dag = new graft.dags.Dag
     dag.source("customer")(Tables(spark, sfDir, "customer"))
