@@ -2646,6 +2646,106 @@ object Pipeline {
        |  md5(coalesce(string_agg(tok, ' ' ORDER BY tp) FILTER (keep), '')) AS kept_md5
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Map-side window-key extraction shared by the substring
+    * decontamination guard's batch and streaming paths: every distinct
+    * 50-token window of a doc, keyed by md5 of the window string. md5
+    * keeps both engines bit-exact (DuckDB has no xxhash64); a 100 TB run
+    * swaps in `xxhash64` for an 8-byte key, exactly as the ngram-dedup
+    * path documents.
+    */
+  private[graft] def substrWindows(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .filter(size(col("toks")) >= suffixLen)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(toks) - $suffixLen + 1),
+           | i -> md5(concat_ws(' ', slice(toks, i, $suffixLen)))))""".stripMargin))
+        .as("wk"))
+
+  /** Cross-corpus ExactSubstr DECONTAMINATION guard — the train-test
+    * overlap scrub of Lee et al. 2021 §6.2 (and the eval-integrity pass
+    * every pretraining pipeline runs): flag every TRAINING document that
+    * shares a ≥50-token verbatim window with any benchmark/eval document
+    * (here the `doc_id % 10 = 8` slice), with shared-window and eval-doc
+    * counts as the removal evidence. The 3-gram `dx_decontaminate` is
+    * the recall-oriented fuzzy guard; this is the paper's exact long-span
+    * form.
+    *
+    * Scale shape: both sides are map-side window explodes; the eval side
+    * (benchmarks are tiny vs the corpus) broadcasts, so the guard is a
+    * broadcast semi-join per training window — no shuffle of the corpus
+    * at all; the per-doc census is one doc-keyed aggregate.
+    */
+  /** The flagging core shared by the batch query, its gate and the
+    * streaming guard ([[graft.streaming.Streams.substrGuardStream]]):
+    * broadcast semi-join of a doc set's windows against the eval-window
+    * index, per-doc removal evidence out.
+    */
+  private[graft] def substrFlag(train: DataFrame, evalW: DataFrame): DataFrame =
+    substrWindows(train)
+      .join(broadcast(evalW), "wk")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("wk")).as("n_shared_windows"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+
+  /** Eval-window index over the benchmark slice — computed once, tiny. */
+  private[graft] def substrEvalWindows(docs: DataFrame): DataFrame =
+    substrWindows(docs.filter(col("doc_id") % 10 === 8))
+      .select(col("wk"), col("doc_id").as("eval_id")).distinct()
+
+  private def substrDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    substrFlag(docs.filter(col("doc_id") % 10 =!= 8),
+        substrEvalWindows(docs))
+      .orderBy("doc_id")
+  }
+
+  private val substrDecontaminateSql =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |w AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - $suffixLen + 2),
+       |        i -> md5(array_to_string(list_slice(toks, i, i + $suffixLen - 1), ' ')))) AS wk
+       |      FROM t WHERE len(toks) >= $suffixLen),
+       |ev AS (SELECT DISTINCT wk, doc_id AS eval_id FROM w WHERE doc_id % 10 = 8)
+       |SELECT w.doc_id,
+       |  CAST(count(DISTINCT w.wk) AS BIGINT) AS n_shared_windows,
+       |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+       |FROM w JOIN ev USING (wk)
+       |WHERE w.doc_id % 10 <> 8
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
+  /** Streaming twin of the guard (`Streams.substrGuardStream`'s batch
+    * gate, the `st_vec_serve_gate` recipe): the eval-window index is
+    * static state computed once; the training stream is flagged per
+    * trigger by the same broadcast semi-join — keyed by doc_id, zero
+    * cross-batch state, so micro-batch union ≡ one batch call
+    * BIT-IDENTICALLY. StreamingSpec drives it through a MemoryStream
+    * with planted contaminated/clean docs.
+    */
+  private def substrGuardGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val evalW = substrEvalWindows(docs).localCheckpoint(false)
+    val train = docs.filter(col("doc_id") % 10 =!= 8)
+      .select("doc_id", "text").localCheckpoint(false)
+    val full = substrFlag(train, evalW).localCheckpoint(false)
+    val micro = (0 until 3)
+      .map(i => substrFlag(train.filter(col("doc_id") % 3 === i), evalW))
+      .reduce(_ unionByName _).localCheckpoint(false)
+    val equal = micro.exceptAll(full).count() == 0 &&
+      full.exceptAll(micro).count() == 0
+    Seq((full.count(), equal)).toDF("n_flagged", "batch_equal_ok")
+  }
+
+  private val substrGuardGateSql =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |w AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - $suffixLen + 2),
+       |        i -> md5(array_to_string(list_slice(toks, i, i + $suffixLen - 1), ' ')))) AS wk
+       |      FROM t WHERE len(toks) >= $suffixLen),
+       |ev AS (SELECT DISTINCT wk FROM w WHERE doc_id % 10 = 8)
+       |SELECT CAST(count(DISTINCT w.doc_id) AS BIGINT) AS n_flagged,
+       |  CAST(1 AS BOOLEAN) AS batch_equal_ok
+       |FROM w JOIN ev USING (wk)
+       |WHERE w.doc_id % 10 <> 8""".stripMargin
+
   /** Corpus census over the suffix-dedup spans — the removal-accounting
     * half of ExactSubstr (how much duplicated token mass a ≥50-token cut
     * pass would drop, over how many documents), integer-exact.
@@ -3677,6 +3777,9 @@ object Pipeline {
     QueryDef("dx_dedup_suffix_census", dedupSuffixCensus, Some(dedupSuffixCensusSql)),
     QueryDef("dx_dedup_suffix_scrub", dedupSuffixScrub, Some(dedupSuffixScrubSql)),
     QueryDef("dx_dedup_suffix_keep", dedupSuffixKeep, Some(dedupSuffixKeepSql)),
+    QueryDef("dx_substr_decontaminate", substrDecontaminate,
+      Some(substrDecontaminateSql)),
+    QueryDef("st_substr_guard_gate", substrGuardGate, Some(substrGuardGateSql)),
     QueryDef("dx_cdc_chunk", cdcChunk, Some(cdcChunkSql)),
     QueryDef("dx_dedup_cdc", dedupCdc, Some(dedupCdcSql)),
     QueryDef("dx_chunk", chunk, Some(chunkSql)),

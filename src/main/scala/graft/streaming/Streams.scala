@@ -284,6 +284,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming ExactSubstr decontamination guard
+    * ([[graft.queries.Pipeline]]'s `dx_substr_decontaminate` on a live
+    * ingest feed — the admission check a pretraining pipeline runs on
+    * every incoming document batch): the eval-window index is static
+    * state computed once and broadcast into every trigger's flagging
+    * join; each trigger is a map-side window explode + broadcast
+    * semi-join keyed by doc_id, so micro-batch union ≡ one batch call
+    * bit-identically (`st_substr_guard_gate` pins it). Zero streaming
+    * state; cost flat in stream history.
+    */
+  def substrGuardStream(docStream: DataFrame, evalWindows: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.queries.Pipeline.substrFlag(batch, evalWindows))
+      }
+      .start()
+
   /** Stream-stream interval join: match events from two live streams whose
     * timestamps fall within `intervalSeconds` of each other, keyed on
     * `key`. Both sides carry watermarks, so Spark can discard buffered

@@ -476,6 +476,42 @@ class StreamingSpec extends SparkSpec {
       s"streamed LR scoring diverged from batch: ${buf.toSet.diff(batch.toSet)}")
   }
 
+  test("streaming substring guard flags planted contamination, equals batch") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val shared = (1 to 55).map(i => s"s$i").mkString(" ") // a ≥50-token run
+    val evalDocs = Seq(
+      (108L, s"eval preamble $shared eval tail words here"),
+      (118L, (1 to 60).map(i => s"e$i").mkString(" "))).toDF("doc_id", "text")
+    val evalW = graft.queries.Pipeline.substrEvalWindows(
+      // ids ≡ 8 (mod 10) so the slice filter keeps them
+      evalDocs).localCheckpoint(false)
+    assert(evalW.count() > 0)
+    val dirty = Doc(3L, s"train junk $shared more train junk " +
+      (1 to 20).map(i => s"t$i").mkString(" "))
+    val clean = Doc(4L, (1 to 80).map(i => s"c$i").mkString(" "))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[Doc]
+    val stream = input.toDF().select(col("id").as("doc_id"), col("text"))
+    val q = Streams.substrGuardStream(stream, evalW) { out =>
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      buf.synchronized { buf ++= rows }
+    }
+    try {
+      input.addData(dirty); q.processAllAvailable()
+      input.addData(clean); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.queries.Pipeline.substrFlag(
+        Seq(dirty, clean).toDF("doc_id", "text")
+          .select(col("doc_id"), col("text")), evalW)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.map(_._1).toSet == Set(3L),
+      "only the planted contaminated doc is flagged")
+    assert(buf.toSet == batch.toSet,
+      s"streamed guard diverged from batch: $buf vs ${batch.toSeq}")
+  }
+
   test("dag runs steps in dependency order and memoises results") {
     val dag = new graft.dags.Dag
     dag.source("customer")(Tables(spark, sfDir, "customer"))
