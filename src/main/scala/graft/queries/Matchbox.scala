@@ -1722,6 +1722,96 @@ object Matchbox {
        |  count(*) AS n_leaves
        |FROM h GROUP BY component ORDER BY component""".stripMargin
 
+  /** RESOLUTION DIFF — the clustering-churn census between two resolver
+    * runs (the audit a matchbox operator reads after new evidence lands:
+    * v1 = the resolution before ~25% of the edges existed, v2 = after —
+    * the `mb_components_incremental` theme at the reporting layer). All
+    * quantities are exact pair-count arithmetic over the cluster
+    * contingency table (the ARI machinery of `mb_eval_ari`):
+    * pairs_stable = pairs co-clustered in BOTH, pairs_split = together in
+    * v1 only, pairs_merged = together in v2 only; identical clusters
+    * counted as contingency cells that exhaust both their row and column
+    * (member-set equality without comparing member lists). Nodes the v1
+    * edge set never saw resolve to singletons, so both resolutions cover
+    * the same universe.
+    *
+    * Scale shape: two component runs (alternating star rounds), one
+    * contingency aggregate keyed by (c1, c2), two marginal aggregates,
+    * and four one-row reductions crossed into the census row — nothing
+    * pairwise is ever materialised; the pair counts are closed-form in
+    * the cell sizes.
+    */
+  private def resolutionDiff(s: SparkSession, dir: String): DataFrame = {
+    val e2 = chainEdges(Tables(s, dir, "customer"))
+    val e1 = e2.filter((col("src") + col("dst")) % 4 =!= 0)
+    val ids = e2.select(col("src").as("id"))
+      .unionByName(e2.select(col("dst").as("id"))).distinct()
+    val r2 = Components.connected(e2).withColumnRenamed("component", "c2")
+    val r1 = ids.join(
+        Components.connected(e1).withColumnRenamed("component", "c"),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("c1"))
+    val cont = r1.join(r2, "id")
+      .groupBy("c1", "c2").agg(count(lit(1)).as("nij"))
+      .localCheckpoint(false) // feeds four reductions
+    val s1 = cont.groupBy("c1").agg(sum("nij").as("a"))
+    val s2 = cont.groupBy("c2").agg(sum("nij").as("b"))
+    val t1 = s1.agg(count(lit(1)).as("n_clusters_v1"),
+      sum(expr("a * (a - 1) DIV 2")).as("tog1"))
+    val t2 = s2.agg(count(lit(1)).as("n_clusters_v2"),
+      sum(expr("b * (b - 1) DIV 2")).as("tog2"))
+    val t11 = cont.agg(sum(expr("nij * (nij - 1) DIV 2")).as("n11"),
+      sum("nij").as("n_nodes"))
+    val ident = cont.join(s1, "c1").join(s2, "c2")
+      .filter(col("nij") === col("a") && col("nij") === col("b"))
+      .agg(count(lit(1)).as("n_identical"))
+    t11.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .crossJoin(broadcast(ident))
+      .select(col("n_nodes"), col("n_clusters_v1"), col("n_clusters_v2"),
+        col("n_identical"), col("n11").as("pairs_stable"),
+        (col("tog1") - col("n11")).as("pairs_split"),
+        (col("tog2") - col("n11")).as("pairs_merged"))
+  }
+
+  private val resolutionDiffSql =
+    s"""WITH RECURSIVE
+       |e2 AS (${chainEdgesSql.stripMargin}),
+       |e1 AS (SELECT * FROM e2 WHERE (src + dst) % 4 <> 0),
+       |ed2 AS (SELECT src, dst FROM e2 WHERE src <> dst
+       |        UNION SELECT dst, src FROM e2 WHERE src <> dst),
+       |ed1 AS (SELECT src, dst FROM e1 WHERE src <> dst
+       |        UNION SELECT dst, src FROM e1 WHERE src <> dst),
+       |nodes AS (SELECT src AS id FROM ed2 UNION SELECT dst FROM ed2),
+       |reach2(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach2.r FROM reach2 JOIN ed2 e ON e.src = reach2.id),
+       |reach1(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach1.r FROM reach1 JOIN ed1 e ON e.src = reach1.id),
+       |a2 AS (SELECT id, min(r) AS c2 FROM reach2 GROUP BY id),
+       |a1 AS (SELECT id, min(r) AS c1 FROM reach1 GROUP BY id),
+       |cont AS (SELECT c1, c2, CAST(count(*) AS BIGINT) AS nij
+       |         FROM a1 JOIN a2 USING (id) GROUP BY c1, c2),
+       |s1 AS (SELECT c1, sum(nij) AS a FROM cont GROUP BY c1),
+       |s2 AS (SELECT c2, sum(nij) AS b FROM cont GROUP BY c2)
+       |SELECT
+       |  (SELECT CAST(sum(nij) AS BIGINT) FROM cont) AS n_nodes,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_clusters_v1,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_clusters_v2,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cont
+       |   JOIN s1 USING (c1) JOIN s2 USING (c2)
+       |   WHERE nij = a AND nij = b) AS n_identical,
+       |  (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) FROM cont)
+       |    AS pairs_stable,
+       |  CAST((SELECT sum(a * (a - 1) // 2) FROM s1)
+       |    - (SELECT sum(nij * (nij - 1) // 2) FROM cont) AS BIGINT)
+       |    AS pairs_split,
+       |  CAST((SELECT sum(b * (b - 1) // 2) FROM s2)
+       |    - (SELECT sum(nij * (nij - 1) // 2) FROM cont) AS BIGINT)
+       |    AS pairs_merged""".stripMargin
+
   // ---- resolution lookup / match ------------------------------------
   /** Namespace two sources into one id space (customer: 2k, supplier: 2k+1),
     * link on key equality, resolve with the generic Components operator, and
@@ -2752,6 +2842,7 @@ object Matchbox {
     QueryDef("mb_components_incremental", componentsIncremental,
       Some(componentsIncrementalSql)),
     QueryDef("mb_components", componentsQuery, Some(componentsSql)),
+    QueryDef("mb_resolution_diff", resolutionDiff, Some(resolutionDiffSql)),
     QueryDef("mb_cluster_hash", clusterHashQuery, Some(clusterHashSql)),
     QueryDef("mb_resolve_lookup", resolveLookup, Some(resolveLookupSql)),
     QueryDef("mb_cluster_view", clusterView, Some(clusterViewSql)),

@@ -38,6 +38,20 @@ class MetaBlockingSpec extends SparkSpec {
     assert(nEdges > want.size, "WEP must prune below-mean edges on this fixture")
   }
 
+  test("mb_resolution_diff is a pure refinement census when v1 edges ⊆ v2") {
+    val r = Registry.byName("mb_resolution_diff").fn(spark, sfDir).head()
+    val (nodes, c1, c2, ident, stable, split, merged) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(nodes > 0 && c1 >= c2,
+      "dropping edges can only split clusters: v1 must have >= v2 clusters")
+    assert(split == 0,
+      "v1 edges ⊆ v2 edges ⇒ every v1 co-cluster pair survives in v2")
+    assert(merged > 0, "the dropped-edge quarter must merge some pairs back")
+    assert(ident <= c1 && ident <= c2)
+    assert(stable >= 0)
+  }
+
   test("mb_link_waterfall steps reconcile with mb_link_fuzzy scores") {
     val wf = Registry.byName("mb_link_waterfall").fn(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3),

@@ -103,6 +103,9 @@ class RegistrySpec extends SparkSpec {
       // meta-blocking WEP: the one-row (Σw, |E|) aggregate crossed into
       // the weighted pair table for the exact mean-threshold compare
       "mb_meta_blocking" -> scalarAggBuild,
+      // resolution diff: four one-row census reductions crossed into the
+      // single output row
+      "mb_resolution_diff" -> scalarAggBuild,
       // unlinkables: the 17-row literal threshold grid (a Range, not even
       // a scan) crossed into the per-record best-weight frame
       "mb_unlinkables" -> boundedScanBuild,
@@ -113,7 +116,7 @@ class RegistrySpec extends SparkSpec {
     // common-token set — each build must still prove the scalar-agg shape
     val maxBnljs = Map("dx_boilerplate" -> 2, "mb_eval_ari" -> 2,
       "q_graph_triangles" -> 2, "q_graph_triangles_doulion" -> 2,
-      "dx_perplexity_buckets" -> 2,
+      "dx_perplexity_buckets" -> 2, "mb_resolution_diff" -> 3,
       "mb_resolver_sweep" -> 3, "mb_blocking_quality" -> 5).withDefaultValue(1)
 
     Registry.all.foreach { d =>
