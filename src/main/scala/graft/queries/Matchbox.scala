@@ -676,7 +676,10 @@ object Matchbox {
     * neighbor ASC) so retention is total-ordered and the DuckDB
     * `row_number` twin matches bit-for-bit.
     */
-  private def metaBlockingCnp(s: SparkSession, dir: String): DataFrame = {
+  /** CNP retention core, unordered — shared by the registered query and
+    * the `mb_er_e2e` flagship.
+    */
+  private def cnpRetained(s: SparkSession, dir: String): DataFrame = {
     val pairs = cbsPairs(s, dir)
     val edges = pairs
       .select(col("left_id").as("e"), col("right_id").as("nbr"), col("cbs"))
@@ -690,8 +693,89 @@ object Matchbox {
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") === 2) // reciprocal: retained from BOTH endpoints
       .select("left_id", "right_id", "cbs")
-      .orderBy("left_id", "right_id")
   }
+
+  private def metaBlockingCnp(s: SparkSession, dir: String): DataFrame =
+    cnpRetained(s, dir).orderBy("left_id", "right_id")
+
+  /** END-TO-END ER FLAGSHIP over the r16 blocking stack (`mb_er_e2e` —
+    * the dirty-ER twin of `mb_pipeline_e2e`, which blocks by rule): CNP
+    * meta-blocking retains the candidate pairs → Fellegi–Sunter scoring
+    * with the `mb_link_fellegi_sunter` literal weights over the retained
+    * pairs (attributes fetched by two id equi-joins — candidates are the
+    * small side after pruning, so both joins broadcast the attribute
+    * projection at this scale and shuffle-hash at 100 TB) → threshold →
+    * connected components over the surviving match edges → resolution
+    * census (clusters, clustered records, largest cluster, edge count).
+    * Every stage is a proven operator; the composition is what an ER user
+    * ships.
+    */
+  private def erE2e(s: SparkSession, dir: String): DataFrame = {
+    val attrs = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+    val scored = cnpRetained(s, dir)
+      .join(attrs.select(col("id").as("left_id"), col("seg").as("lseg"),
+        col("bal").as("lbal")), "left_id")
+      .join(attrs.select(col("id").as("right_id"), col("seg").as("rseg"),
+        col("bal").as("rbal")), "right_id")
+      .withColumn("w",
+        when(col("lseg") === col("rseg"), lit(2.5)).otherwise(lit(-1.2)) +
+        when(abs(col("lbal") - col("rbal")) < 100, lit(3.1)).otherwise(lit(-0.8)))
+    val edges = scored.filter(col("w") >= 1.5)
+      .select(col("left_id").as("src"), col("right_id").as("dst"))
+      .localCheckpoint(false) // feeds components AND the census count
+    val comp = Components.connected(edges)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+    sizes.agg(
+        count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_records_clustered"),
+        max("sz").as("max_cluster"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_match_edges"))))
+      .select("n_clusters", "n_records_clustered", "max_cluster",
+        "n_match_edges")
+  }
+
+  private val erE2eSql =
+    s"""WITH RECURSIVE
+       |$cbsPairsSql,
+       |ed AS (
+       |  SELECT left_id AS e, right_id AS nbr, cbs FROM pairs
+       |  UNION ALL
+       |  SELECT right_id, left_id, cbs FROM pairs),
+       |rk AS (
+       |  SELECT e, nbr, cbs,
+       |    row_number() OVER (PARTITION BY e ORDER BY cbs DESC, nbr) AS rn
+       |  FROM ed),
+       |cnp AS (
+       |  SELECT least(e, nbr) AS left_id, greatest(e, nbr) AS right_id, cbs
+       |  FROM rk WHERE rn <= 4
+       |  GROUP BY 1, 2, cbs HAVING count(*) = 2),
+       |sc AS (
+       |  SELECT c.left_id, c.right_id,
+       |    (CASE WHEN a.c_mktsegment = b.c_mktsegment
+       |          THEN CAST(2.5 AS DOUBLE) ELSE CAST(-1.2 AS DOUBLE) END
+       |     + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100
+       |          THEN CAST(3.1 AS DOUBLE) ELSE CAST(-0.8 AS DOUBLE) END) AS w
+       |  FROM cnp c
+       |  JOIN customer a ON a.c_custkey = c.left_id
+       |  JOIN customer b ON b.c_custkey = c.right_id),
+       |me AS (SELECT left_id AS src, right_id AS dst FROM sc WHERE w >= 1.5),
+       |edges AS (SELECT src, dst FROM me WHERE src <> dst
+       |          UNION SELECT dst, src FROM me WHERE src <> dst),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS s
+       |       FROM comp GROUP BY component)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sz) AS n_clusters,
+       |  (SELECT CAST(sum(s) AS BIGINT) FROM sz) AS n_records_clustered,
+       |  (SELECT CAST(max(s) AS BIGINT) FROM sz) AS max_cluster,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM me) AS n_match_edges""".stripMargin
 
   private val metaBlockingCnpSql =
     s"""WITH $cbsPairsSql,
@@ -2820,6 +2904,7 @@ object Matchbox {
     QueryDef("mb_blocking_quality", blockingQuality, Some(blockingQualitySql)),
     QueryDef("mb_meta_blocking", metaBlocking, Some(metaBlockingSql)),
     QueryDef("mb_meta_blocking_cnp", metaBlockingCnp, Some(metaBlockingCnpSql)),
+    QueryDef("mb_er_e2e", erE2e, Some(erE2eSql)),
     QueryDef("mb_link_waterfall", linkWaterfall, Some(linkWaterfallSql)),
     QueryDef("mb_link_m_from_labels", linkMFromLabels, Some(linkMFromLabelsSql)),
     QueryDef("mb_unlinkables", unlinkables, Some(unlinkablesSql)),

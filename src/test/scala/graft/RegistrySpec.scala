@@ -106,6 +106,8 @@ class RegistrySpec extends SparkSpec {
       // resolution diff: four one-row census reductions crossed into the
       // single output row
       "mb_resolution_diff" -> scalarAggBuild,
+      // ER flagship: the one-row match-edge count crossed into the census
+      "mb_er_e2e" -> scalarAggBuild,
       // unlinkables: the 17-row literal threshold grid (a Range, not even
       // a scan) crossed into the per-record best-weight frame
       "mb_unlinkables" -> boundedScanBuild,
