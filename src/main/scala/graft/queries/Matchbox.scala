@@ -663,6 +663,105 @@ object Matchbox {
        |WHERE cbs * n_edges >= w_sum
        |ORDER BY left_id, right_id""".stripMargin
 
+  /** MODEL-PARAMETER REPORT (splink's comparison-viewer table — the
+    * per-level m/u/match-weight summary a reviewer reads alongside the
+    * waterfall): for every level of every fuzzy comparison, m from the
+    * labeled truth pairs (`mb_link_m_from_labels`' estimator), u from the
+    * unblocked pair population (the `mb_sampled_u` recipe: hash-ordered
+    * per-side sample that covers both halves entirely at these scales, so
+    * the oracle can replay it as the full cross product), and the level's
+    * match weight as the integer floor-log2 of the smoothed ppm ratio
+    * (`length(bin(x))`, the DSIR device — no libm anywhere).
+    *
+    * Like `mb_sampled_u`, the estimation aggregates run at construction
+    * (the pair population never survives into the returned plan); the
+    * report itself is six literal rows. At 100 TB the u sample is
+    * √maxPairs per side — bounded by protocol, not by the corpus.
+    */
+  private def linkParamsReport(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    import s.implicits._
+    val parallelism = s.sessionState.conf.numShufflePartitions
+    def sample(df: DataFrame) = df
+      .orderBy(xxhash64(col("c_custkey")), col("c_custkey")).limit(63245)
+    def gammaHist(cand: DataFrame): Map[(String, Long), Long] = cand
+      .select(fuzzyComparisons(0).gammaOf.cast("long").as("gn"),
+        fuzzyComparisons(1).gammaOf.cast("long").as("gs"))
+      .select(expr(
+        "stack(2, 'name', gn, 'segment', gs) AS (comparison, gamma)"))
+      .groupBy("comparison", "gamma").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val mHist = gammaHist(fuzzyLeft(s, dir).alias("l")
+      .join(fuzzyRight(s, dir).alias("r"),
+        expr("l.c_custkey = r.c_custkey - 1")))
+    val uHist = gammaHist(sample(fuzzyLeft(s, dir))
+      .repartition(parallelism).alias("l")
+      .crossJoin(broadcast(sample(fuzzyRight(s, dir)).alias("r"))))
+    // per-comparison pair totals (every pair carries exactly one gamma
+    // per comparison, so both comparisons total to the pair count)
+    def totals(h: Map[(String, Long), Long]): Map[String, Long] =
+      h.groupBy(_._1._1).view.mapValues(_.values.sum.max(1L)).toMap
+    val (mTot, uTot) = (totals(mHist), totals(uHist))
+    def bits(ppm: Long): Long =
+      java.lang.Long.toBinaryString(math.max(1L, ppm)).length.toLong
+    val rows = for {
+      (comparison, levels) <- Seq(("name", 0L to 3L), ("segment", 0L to 1L))
+      g <- levels
+    } yield {
+      val mPpm = 1000000L * mHist.getOrElse((comparison, g), 0L) /
+        mTot.getOrElse(comparison, 1L)
+      val uPpm = 1000000L * uHist.getOrElse((comparison, g), 0L) /
+        uTot.getOrElse(comparison, 1L)
+      (comparison, g, mPpm, uPpm, bits(mPpm) - bits(uPpm))
+    }
+    rows.toDF("comparison", "gamma", "m_ppm", "u_ppm", "weight_bits")
+      .orderBy("comparison", "gamma")
+  }
+
+  // lazy: fuzzySrcSql is declared later in the file
+  private lazy val linkParamsReportSql =
+    s"""WITH $fuzzySrcSql,
+       |tg AS (
+       |  SELECT CASE WHEN l.sname = r.sname THEN 3
+       |           WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.95 THEN 2
+       |           WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.88 THEN 1
+       |           ELSE 0 END AS gn,
+       |         CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS gs
+       |  FROM le l JOIN ri r ON l.c_custkey = r.c_custkey - 1),
+       |ug AS (
+       |  SELECT CASE WHEN l.sname = r.sname THEN 3
+       |           WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.95 THEN 2
+       |           WHEN jaro_winkler_similarity(l.sname, r.sname) >= 0.88 THEN 1
+       |           ELSE 0 END AS gn,
+       |         CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS gs
+       |  FROM le l CROSS JOIN ri r),
+       |grid AS (
+       |  SELECT * FROM (VALUES
+       |    ('name', 0), ('name', 1), ('name', 2), ('name', 3),
+       |    ('segment', 0), ('segment', 1)) AS t(comparison, gamma)),
+       |tm AS (SELECT comparison, gamma, count(*) AS n FROM (
+       |         SELECT 'name' AS comparison, gn AS gamma FROM tg
+       |         UNION ALL SELECT 'segment', gs FROM tg)
+       |       GROUP BY comparison, gamma),
+       |um AS (SELECT comparison, gamma, count(*) AS n FROM (
+       |         SELECT 'name' AS comparison, gn AS gamma FROM ug
+       |         UNION ALL SELECT 'segment', gs FROM ug)
+       |       GROUP BY comparison, gamma),
+       |tot AS (SELECT greatest(1, (SELECT sum(n) // 2 FROM tm)) AS nm,
+       |               greatest(1, (SELECT sum(n) // 2 FROM um)) AS nu)
+       |SELECT g.comparison, CAST(g.gamma AS BIGINT) AS gamma,
+       |  CAST(1000000 * COALESCE(tm.n, 0) // nm AS BIGINT) AS m_ppm,
+       |  CAST(1000000 * COALESCE(um.n, 0) // nu AS BIGINT) AS u_ppm,
+       |  CAST(length(bin(greatest(1, 1000000 * COALESCE(tm.n, 0) // nm)))
+       |     - length(bin(greatest(1, 1000000 * COALESCE(um.n, 0) // nu)))
+       |    AS BIGINT) AS weight_bits
+       |FROM grid g
+       |LEFT JOIN tm ON tm.comparison = g.comparison AND tm.gamma = g.gamma
+       |LEFT JOIN um ON um.comparison = g.comparison AND um.gamma = g.gamma
+       |CROSS JOIN tot
+       |ORDER BY 1, 2""".stripMargin
+
   /** CARDINALITY NODE PRUNING — the other canonical meta-blocking pruning
     * scheme (Papadakis et al. TKDE 2014, the precision-oriented
     * RECIPROCAL variant): each entity retains only its top-k weighted
@@ -2907,6 +3006,7 @@ object Matchbox {
     QueryDef("mb_er_e2e", erE2e, Some(erE2eSql)),
     QueryDef("mb_link_waterfall", linkWaterfall, Some(linkWaterfallSql)),
     QueryDef("mb_link_m_from_labels", linkMFromLabels, Some(linkMFromLabelsSql)),
+    QueryDef("mb_link_params_report", linkParamsReport, Some(linkParamsReportSql)),
     QueryDef("mb_unlinkables", unlinkables, Some(unlinkablesSql)),
     QueryDef("mb_unlinkables_sampled", unlinkablesSampled, Some(unlinkablesSampledSql)),
     QueryDef("mb_cluster_graph_metrics", clusterGraphMetrics,

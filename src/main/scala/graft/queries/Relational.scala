@@ -1981,6 +1981,48 @@ object Relational {
       |  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
       |  GROUP BY n)""".stripMargin
 
+  /** WEAK MATCH EDGES — the transitive-closure chaining audit every ER
+    * pipeline runs on its resolved graph (a match edge with ZERO triangle
+    * support connects two records no third record corroborates; those are
+    * the edges that chain unrelated entities into one cluster, splink's
+    * cluster-studio "bridge" diagnostic): per edge of the linkage pair
+    * graph, count common neighbors; emit the unsupported edges.
+    *
+    * Scale shape: the support count is the triangle-per-edge program —
+    * adjacency both directions, one equi-join on the endpoint, one on
+    * (other endpoint, shared neighbor), one pair-keyed aggregate; work is
+    * Σ deg² like every triangle pass, bounded by the same degree cap the
+    * pair graph's blocking already enforces. The weak set comes back via
+    * one left anti-style join (left join + null filter keeps the count
+    * column semantics explicit).
+    */
+  private def weakEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = graphEdges(s, dir).localCheckpoint(false)
+    val adj = e.select(col("a").as("n"), col("b").as("x"))
+      .unionByName(e.select(col("b").as("n"), col("a").as("x")))
+    val supp = e
+      .join(adj.select(col("n").as("a"), col("x")), "a")
+      .join(adj.select(col("n").as("b"), col("x")), Seq("b", "x"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    e.join(supp, Seq("a", "b"), "left")
+      .filter(col("support").isNull)
+      .select(col("a"), col("b"))
+      .orderBy("a", "b")
+  }
+
+  private val weakEdgesSql =
+    s"""WITH $graphEdgesCte,
+       |adj AS (SELECT a AS n, b AS x FROM e UNION ALL SELECT b, a FROM e),
+       |supp AS (
+       |  SELECT e.a, e.b, count(*) AS s
+       |  FROM e
+       |  JOIN adj p ON p.n = e.a
+       |  JOIN adj q ON q.n = e.b AND q.x = p.x
+       |  GROUP BY e.a, e.b)
+       |SELECT e.a, e.b FROM e LEFT JOIN supp USING (a, b)
+       |WHERE supp.s IS NULL
+       |ORDER BY a, b""".stripMargin
+
   private def qGraphTriangles(s: SparkSession, dir: String): DataFrame =
     GraphMetrics.triangleStats(graphEdges(s, dir))
 
@@ -2268,6 +2310,7 @@ object Relational {
     QueryDef("q_events_asof_fwd", qEventsAsofFwd, Some(qEventsAsofFwdSql)),
     QueryDef("q_asof_nearest", qAsofNearest, Some(qAsofNearestSql)),
     QueryDef("q_graph_linkpred", qGraphLinkpred, Some(qGraphLinkpredSql)),
+    QueryDef("mb_weak_edges", weakEdges, Some(weakEdgesSql)),
     QueryDef("q_rfm_segments", qRfmSegments, Some(qRfmSegmentsSql)),
     QueryDef("q_changepoint", qChangepoint, Some(qChangepointSql)),
     QueryDef("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),
