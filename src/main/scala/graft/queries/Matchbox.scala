@@ -1889,6 +1889,74 @@ object Matchbox {
   private val componentsSql =
     Components.connectedSql(chainEdgesSql.stripMargin) + "\nORDER BY id"
 
+  /** GOLDEN-RECORD SURVIVORSHIP — the master-data step after resolution
+    * (what an MDM user does with matchbox's clusters: fuse each cluster's
+    * member records into one canonical record by per-field survivorship
+    * rules). Rules here, each a standard policy with a DETERMINISTIC
+    * tiebreak so both engines agree on every pick:
+    *   - name: longest value wins, ties to the lexicographically smallest
+    *     (one struct-min per cluster — no window sort);
+    *   - segment: most frequent value wins, ties to the smallest value
+    *     (mode via a (cluster, value) count + struct-min, map-side
+    *     combinable — never a per-cluster sort);
+    *   - balance: maximum, in exact cents.
+    *
+    * Scale shape: one members join on id, one (cluster, value) aggregate
+    * for the mode, one cluster-keyed aggregate for the rest, one join of
+    * the two — all keyed shuffles with map-side combine, nothing
+    * cluster-size-quadratic.
+    */
+  private def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val comp = Components.connected(chainEdges(customer))
+    val m = comp.join(customer.select(
+        col("c_custkey").cast("long").as("id"), col("c_name"),
+        col("c_mktsegment").as("seg"),
+        graft.Num.cents(col("c_acctbal")).as("bal_cents")), "id")
+    val base = m.groupBy("component").agg(
+      count(lit(1)).as("n_members"),
+      min(struct((-length(col("c_name"))).as("nl"), col("c_name")))
+        .getField("c_name").as("name_pick"),
+      max(col("bal_cents")).as("bal_cents_max"))
+    val segPick = m.groupBy("component", "seg")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("component")
+      .agg(min(struct((-col("cnt")).as("nc"), col("seg")))
+        .getField("seg").as("seg_pick"))
+    base.join(segPick, "component")
+      .select(col("component").as("cluster_id"), col("n_members"),
+        col("name_pick"), col("seg_pick"), col("bal_cents_max"))
+      .orderBy("cluster_id")
+  }
+
+  private lazy val goldenRecordSql =
+    s"""WITH comp AS (${Components.connectedSql(chainEdgesSql.stripMargin)}),
+       |m AS (
+       |  SELECT comp.component, c.c_name, c.c_mktsegment AS seg,
+       |    CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+       |  FROM comp JOIN customer c ON c.c_custkey = comp.id),
+       |base AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(max(bal_cents) AS BIGINT) AS bal_cents_max
+       |  FROM m GROUP BY component),
+       |np AS (
+       |  SELECT component, c_name AS name_pick FROM (
+       |    SELECT component, c_name, row_number() OVER (
+       |      PARTITION BY component
+       |      ORDER BY length(c_name) DESC, c_name) AS rn
+       |    FROM m) WHERE rn = 1),
+       |sc AS (SELECT component, seg, count(*) AS cnt
+       |       FROM m GROUP BY component, seg),
+       |sp AS (
+       |  SELECT component, seg AS seg_pick FROM (
+       |    SELECT component, seg, row_number() OVER (
+       |      PARTITION BY component ORDER BY cnt DESC, seg) AS rn
+       |    FROM sc) WHERE rn = 1)
+       |SELECT base.component AS cluster_id, n_members, name_pick, seg_pick,
+       |  bal_cents_max
+       |FROM base JOIN np USING (component) JOIN sp USING (component)
+       |ORDER BY cluster_id""".stripMargin
+
   private def clusterHashQuery(s: SparkSession, dir: String): DataFrame =
     Components.connected(chainEdges(Tables(s, dir, "customer")))
       .withColumn("leaf_hash", sha2(col("id").cast("string"), 256))
@@ -3029,6 +3097,7 @@ object Matchbox {
     QueryDef("mb_components", componentsQuery, Some(componentsSql)),
     QueryDef("mb_resolution_diff", resolutionDiff, Some(resolutionDiffSql)),
     QueryDef("mb_cluster_hash", clusterHashQuery, Some(clusterHashSql)),
+    QueryDef("mb_golden_record", goldenRecord, Some(goldenRecordSql)),
     QueryDef("mb_resolve_lookup", resolveLookup, Some(resolveLookupSql)),
     QueryDef("mb_cluster_view", clusterView, Some(clusterViewSql)),
     QueryDef("mb_resolve_merge", resolveMerge, Some(resolveMergeSql)),

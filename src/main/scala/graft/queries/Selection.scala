@@ -896,6 +896,7 @@ object Selection {
   private[graft] def lrTrain(feats: DataFrame, labels: DataFrame,
       iters: Int = 30, rate: Double = 1.0): LrModel = {
     val n = labels.count().toDouble
+    require(n > 0, "cannot fit a classifier on an empty training set")
     var w = Array.fill(256)(0.0)
     var b = 0.0
     val losses = scala.collection.mutable.ArrayBuffer.empty[Long]

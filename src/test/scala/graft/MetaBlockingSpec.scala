@@ -52,6 +52,34 @@ class MetaBlockingSpec extends SparkSpec {
     assert(stable >= 0)
   }
 
+  test("mb_golden_record picks obey the survivorship rules per cluster") {
+    import org.apache.spark.sql.functions._
+    val golden = Registry.byName("mb_golden_record").fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toMap
+    // independent member table: same components fixture, driver-side rules
+    val comp = Registry.byName("mb_components").fn(spark, sfDir)
+    val members = comp.join(
+        Tables(spark, sfDir, "customer").select(
+          col("c_custkey").cast("long").as("id"), col("c_name"),
+          col("c_mktsegment"), graft.Num.cents(col("c_acctbal")).as("bc")),
+        "id")
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(golden.keySet == members.keySet)
+    members.foreach { case (cid, ms) =>
+      val (n, name, seg, bal) = golden(cid)
+      assert(n == ms.size, s"$cid: member count")
+      assert(name == ms.map(_._2).minBy(s => (-s.length, s)),
+        s"$cid: longest-then-lex name pick")
+      val mode = ms.groupBy(_._3).view.mapValues(_.size).toSeq
+        .minBy { case (v, c) => (-c, v) }._1
+      assert(seg == mode, s"$cid: mode-then-lex segment pick")
+      assert(bal == ms.map(_._4).max, s"$cid: max balance")
+    }
+  }
+
   test("mb_link_waterfall steps reconcile with mb_link_fuzzy scores") {
     val wf = Registry.byName("mb_link_waterfall").fn(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3),
