@@ -626,6 +626,10 @@ object Matchbox {
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("left_id"), col("b.id").as("right_id"))
       .agg(count(lit(1)).as("cbs"))
+      // every consumer reads the pair table at least twice (WEP: pairs +
+      // their global mean; CNP: both union orientations) — materialise
+      // the block self-join once instead of replaying it per branch
+      .localCheckpoint(false)
   }
 
   private def metaBlocking(s: SparkSession, dir: String): DataFrame = {
