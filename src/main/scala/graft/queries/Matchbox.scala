@@ -1910,6 +1910,35 @@ object Matchbox {
     * the two — all keyed shuffles with map-side combine, nothing
     * cluster-size-quadratic.
     */
+  /** Mergeable survivorship statistics at (component, seg) grain — the
+    * fold unit for INCREMENTAL golden-record maintenance (every policy is
+    * associative: counts add, the name struct-min and balance max merge),
+    * so a streaming fold of member micro-batches reproduces the batch
+    * golden record exactly — the `nbWeightsFromCounts` stance. Input
+    * needs (component, c_name, seg, bal_cents).
+    */
+  private[graft] def goldenStats(m: DataFrame): DataFrame =
+    m.groupBy("component", "seg").agg(
+      count(lit(1)).as("cnt"),
+      min(struct((-length(col("c_name"))).as("nl"), col("c_name"))).as("nm"),
+      max(col("bal_cents")).as("bm"))
+
+  /** Fold two stats frames (running ∪ delta) back to the grain. */
+  private[graft] def goldenMerge(stats: DataFrame): DataFrame =
+    stats.groupBy("component", "seg").agg(
+      sum("cnt").as("cnt"), min("nm").as("nm"), max("bm").as("bm"))
+
+  /** Final picks from the statistics — shared by the batch query and the
+    * incremental fold, so the two cannot drift.
+    */
+  private[graft] def goldenFromStats(stats: DataFrame): DataFrame =
+    stats.groupBy("component").agg(
+      sum("cnt").as("n_members"),
+      min("nm").getField("c_name").as("name_pick"),
+      min(struct((-col("cnt")).as("nc"), col("seg")))
+        .getField("seg").as("seg_pick"),
+      max("bm").as("bal_cents_max"))
+
   private def goldenRecord(s: SparkSession, dir: String): DataFrame = {
     val customer = Tables(s, dir, "customer")
     val comp = Components.connected(chainEdges(customer))
@@ -1917,17 +1946,7 @@ object Matchbox {
         col("c_custkey").cast("long").as("id"), col("c_name"),
         col("c_mktsegment").as("seg"),
         graft.Num.cents(col("c_acctbal")).as("bal_cents")), "id")
-    val base = m.groupBy("component").agg(
-      count(lit(1)).as("n_members"),
-      min(struct((-length(col("c_name"))).as("nl"), col("c_name")))
-        .getField("c_name").as("name_pick"),
-      max(col("bal_cents")).as("bal_cents_max"))
-    val segPick = m.groupBy("component", "seg")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("component")
-      .agg(min(struct((-col("cnt")).as("nc"), col("seg")))
-        .getField("seg").as("seg_pick"))
-    base.join(segPick, "component")
+    goldenFromStats(goldenStats(m))
       .select(col("component").as("cluster_id"), col("n_members"),
         col("name_pick"), col("seg_pick"), col("bal_cents_max"))
       .orderBy("cluster_id")

@@ -512,6 +512,34 @@ class StreamingSpec extends SparkSpec {
       s"streamed guard diverged from batch: $buf vs ${batch.toSeq}")
   }
 
+  test("incrementally-folded golden-record stats equal the batch picks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // associative survivorship stats: fold member micro-batches, compare
+    // the final picks against one batch pass over the union
+    val rng = new scala.util.Random(47)
+    val members = Seq.tabulate(300) { i =>
+      (rng.nextInt(10).toLong, s"name${rng.nextInt(40)}${"x" * rng.nextInt(6)}",
+        s"seg${rng.nextInt(4)}", rng.nextInt(100000).toLong)
+    }
+    def toDF(ms: Seq[(Long, String, String, Long)]) =
+      ms.toDF("component", "c_name", "seg", "bal_cents")
+    val batches = members.grouped(100).toSeq
+    var running = queries.Matchbox.goldenStats(toDF(batches.head))
+      .localCheckpoint(true)
+    batches.tail.foreach { b =>
+      running = queries.Matchbox.goldenMerge(
+        running.unionByName(queries.Matchbox.goldenStats(toDF(b))))
+        .localCheckpoint(true)
+    }
+    val streamed = queries.Matchbox.goldenFromStats(running)
+    val batch = queries.Matchbox.goldenFromStats(
+      queries.Matchbox.goldenStats(toDF(members)))
+    assert(streamed.count() == 10)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "incrementally-folded golden records diverged from the batch fusion")
+  }
+
   test("dag runs steps in dependency order and memoises results") {
     val dag = new graft.dags.Dag
     dag.source("customer")(Tables(spark, sfDir, "customer"))
