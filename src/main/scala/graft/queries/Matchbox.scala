@@ -2813,6 +2813,88 @@ object Matchbox {
     * broadcast(delta keys) + UNION ALL of non-delete delta rows — the base
     * never shuffles; see Merge.upsert for the 100 TB rationale.
     */
+  /** Per-key LAST-WRITER-WINS fold over a change feed — the associative
+    * unit CDC state maintenance folds on (one struct-max per key:
+    * version order = (ts, event_id), unique so the pick is total).
+    * Tombstones ('error' rows here) must survive the fold — a later
+    * fold step may not resurrect a deleted key — so deletion filtering
+    * happens only at read time ([[cdcStateFromLatest]]).
+    */
+  private[graft] def cdcLatest(changes: DataFrame): DataFrame =
+    changes.groupBy("user_id").agg(
+      max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("s"))
+
+  private[graft] def cdcStateFromLatest(latest: DataFrame): DataFrame =
+    latest
+      .filter(col("s.event_type") =!= "error")
+      .select(col("user_id"), col("s.event_id").as("version"),
+        col("s.event_type").as("last_type"),
+        graft.Num.cents(col("s.value")).as("last_cents"))
+
+  /** CDC STATE TABLE — apply a whole change feed as last-writer-wins
+    * upserts with tombstones (the lakehouse "apply CDC to a dimension"
+    * shape; `mb_merge_upsert` is one MERGE between two snapshots, this is
+    * the event-log replay that produces the snapshot): per key the
+    * latest change by (ts, id) wins; keys whose latest change is a
+    * delete ('error') leave the table. One key-grouped struct-max — no
+    * window sort, no shuffle beyond the key — and the fold unit is
+    * associative, so the streaming gate can fold micro-batches into the
+    * identical state.
+    */
+  private def cdcState(s: SparkSession, dir: String): DataFrame =
+    cdcStateFromLatest(cdcLatest(Tables(s, dir, "events")))
+      .orderBy("user_id")
+
+  private val cdcStateSql =
+    """WITH latest AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id AS version, event_type AS last_type,
+      |  CAST(round(value * 100) AS BIGINT) AS last_cents
+      |FROM latest WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** Streaming CDC maintenance gate (the `st_vec_serve_gate` recipe on
+    * warehouse state): the change feed split into three disjoint slices,
+    * folded slice by slice through [[cdcLatest]]/[[cdcMergeLatest]] —
+    * the final read must equal the one-shot batch apply BIT-IDENTICALLY
+    * (struct-max is associative; tombstones survive the fold).
+    * StreamingSpec drives the same fold through a MemoryStream.
+    */
+  private def cdcApplyGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").localCheckpoint(false)
+    val full = cdcStateFromLatest(cdcLatest(ev)).localCheckpoint(false)
+    var running: DataFrame = null
+    (0 until 3).foreach { i =>
+      val slice = cdcLatest(ev.filter(col("event_id") % 3 === i))
+      running =
+        (if (running == null) slice
+         else cdcMergeLatest(running.unionByName(slice)))
+          .localCheckpoint(false)
+    }
+    val folded = cdcStateFromLatest(running)
+    val equal = folded.exceptAll(full).count() == 0 &&
+      full.exceptAll(folded).count() == 0
+    Seq((full.count(), equal)).toDF("n_state", "batch_equal_ok")
+  }
+
+  private[graft] def cdcMergeLatest(latest: DataFrame): DataFrame =
+    latest.groupBy("user_id").agg(max(col("s")).as("s"))
+
+  private val cdcApplyGateSql =
+    """WITH latest AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT CAST(count(*) AS BIGINT) AS n_state,
+      |  CAST(1 AS BOOLEAN) AS batch_equal_ok
+      |FROM latest WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
   private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -3073,6 +3155,8 @@ object Matchbox {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mb_source_index", sourceIndex, Some(sourceIndexSql)),
     QueryDef("mb_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    QueryDef("mb_cdc_state", cdcState, Some(cdcStateSql)),
+    QueryDef("st_cdc_apply_gate", cdcApplyGate, Some(cdcApplyGateSql)),
     QueryDef("mb_table_hash", tableHash, Some(tableHashSql)),
     QueryDef("mb_hash_wire", hashWire, Some(hashWireSql)),
     QueryDef("mb_query_concat", queryConcat, Some(queryConcatSql)),

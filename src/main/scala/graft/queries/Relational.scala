@@ -695,6 +695,65 @@ object Relational {
       |    AS BIGINT) AS longest_start_day
       |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** INTERVAL COVERAGE per user — union length of overlapping intervals
+    * (the other standard sweep-line question next to `q_concurrency`'s
+    * peak: "how much wall time was the user active", with each event
+    * opening a 30-minute activity window; utilization/SLA math over any
+    * interval data). Islands via the gaps-and-islands lag/cumsum scheme
+    * on the per-user timeline — overlapping or touching windows merge,
+    * covered seconds = Σ island extents, all exact integer epoch math.
+    * The per-user window sorts one user's events, never the corpus; at
+    * 100 TB the partition key is the user, the same distribution every
+    * sessionization pass here uses.
+    */
+  private def qIntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val win = 1800000000L // 30 min in exact epoch MICROS (sub-second safe)
+    val byUser = Window.partitionBy("user_id").orderBy("st")
+    Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("prevMax",
+        max(col("st") + win).over(byUser.rowsBetween(
+          Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prevMax").isNull || col("st") > col("prevMax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min("st").as("lo"), max(col("st") + win).as("hi"),
+        count(lit(1)).as("n_ev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum("n_ev").as("n_intervals"),
+        sum(col("hi") - col("lo")).as("covered_micros"))
+      .orderBy("user_id")
+  }
+
+  private val qIntervalCoverageSql =
+    """WITH iv AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS st FROM events),
+      |b AS (
+      |  SELECT user_id, st,
+      |    CASE WHEN max(st + 1800000000) OVER (PARTITION BY user_id ORDER BY st
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR st > max(st + 1800000000) OVER (PARTITION BY user_id ORDER BY st
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM iv),
+      |i AS (
+      |  SELECT user_id, st,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY st
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM b),
+      |isl AS (
+      |  SELECT user_id, island, min(st) AS lo, max(st + 1800000000) AS hi,
+      |    count(*) AS n_ev
+      |  FROM i GROUP BY user_id, island)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(n_ev) AS BIGINT) AS n_intervals,
+      |  CAST(sum(hi - lo) AS BIGINT) AS covered_micros
+      |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Peak concurrency per nation — the interval sweep-line: each order
     * is open for 30 days, and the question is the maximum number
     * simultaneously open (capacity planning over any interval data:
@@ -2320,5 +2379,6 @@ object Relational {
     QueryDef("q_gaps_islands", qGapsIslands, Some(qGapsIslandsSql)),
     QueryDef("q_hierarchy", qHierarchy, Some(qHierarchySql)),
     QueryDef("q_concurrency", qConcurrency, Some(qConcurrencySql)),
+    QueryDef("q_interval_coverage", qIntervalCoverage, Some(qIntervalCoverageSql)),
     QueryDef("q_percentiles", qPercentiles, Some(qPercentilesSql)))
 }

@@ -512,6 +512,35 @@ class StreamingSpec extends SparkSpec {
       s"streamed guard diverged from batch: $buf vs ${batch.toSeq}")
   }
 
+  test("streaming CDC fold reproduces the batch state, tombstones persist") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sfDir, "events").localCheckpoint(false)
+    val batch = queries.Matchbox.cdcStateFromLatest(
+      queries.Matchbox.cdcLatest(ev)).localCheckpoint(false)
+    // fold in EVENT-TIME order (the stream's arrival order), two batches
+    val mid = ev.agg(expr("percentile_approx(CAST(ts AS DOUBLE), 0.5)"))
+      .head().getDouble(0)
+    var running = queries.Matchbox.cdcLatest(
+      ev.filter(col("ts").cast("double") <= mid)).localCheckpoint(true)
+    running = queries.Matchbox.cdcMergeLatest(running.unionByName(
+        queries.Matchbox.cdcLatest(ev.filter(col("ts").cast("double") > mid))))
+      .localCheckpoint(true)
+    val folded = queries.Matchbox.cdcStateFromLatest(running)
+    assert(batch.count() > 0)
+    assert(folded.exceptAll(batch).isEmpty && batch.exceptAll(folded).isEmpty,
+      "folded CDC state diverged from the batch apply")
+    // tombstone semantics: users whose LAST event is 'error' are absent
+    val deleted = ev.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(desc("ts"), desc("event_id"))))
+      .filter(col("rn") === 1 && col("event_type") === "error")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val present = folded.select("user_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty, "fixture must exercise the tombstone path")
+    assert(deleted.intersect(present).isEmpty,
+      "a tombstoned key must not survive the fold")
+  }
+
   test("incrementally-folded golden-record stats equal the batch picks") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
