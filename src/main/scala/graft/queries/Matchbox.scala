@@ -686,8 +686,12 @@ object Matchbox {
     graft.functions.GraftExtensions.register(s)
     import s.implicits._
     val parallelism = s.sessionState.conf.numShufflePartitions
+    // 4000/side = 16M sampled pairs, a bounded protocol cost at ANY
+    // corpus scale (63245/side read 4 BILLION jaro-winkler pairs at sf1 —
+    // measured 193 s). The cap still covers both halves entirely at the
+    // oracle scale, so DuckDB replays the sample as the full cross.
     def sample(df: DataFrame) = df
-      .orderBy(xxhash64(col("c_custkey")), col("c_custkey")).limit(63245)
+      .orderBy(xxhash64(col("c_custkey")), col("c_custkey")).limit(4000)
     def gammaHist(cand: DataFrame): Map[(String, Long), Long] = cand
       .select(fuzzyComparisons(0).gammaOf.cast("long").as("gn"),
         fuzzyComparisons(1).gammaOf.cast("long").as("gs"))

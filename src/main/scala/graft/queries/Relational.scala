@@ -2056,16 +2056,40 @@ object Relational {
     * column semantics explicit).
     */
   private def weakEdges(s: SparkSession, dir: String): DataFrame = {
-    val e = graphEdges(s, dir).localCheckpoint(false)
-    val adj = e.select(col("a").as("n"), col("b").as("x"))
-      .unionByName(e.select(col("b").as("n"), col("a").as("x")))
-    val supp = e
-      .join(adj.select(col("n").as("a"), col("x")), "a")
-      .join(adj.select(col("n").as("b"), col("x")), Seq("b", "x"))
-      .groupBy("a", "b").agg(count(lit(1)).as("support"))
-    e.join(supp, Seq("a", "b"), "left")
-      .filter(col("support").isNull)
-      .select(col("a"), col("b"))
+    // Degree-ordered orientation (the GraphMetrics.triangleStats scheme):
+    // the naive both-directions adjacency join enumerates Σdeg² wedge
+    // rows — measured 458 s at sf1 where this formulation runs in
+    // seconds. Each triangle is FOUND once on its lowest-rank edge via
+    // the bounded O(√m) oriented out-adjacencies, then credited to all
+    // three of its edges; weak = edges never credited (one anti-join).
+    val e = graft.Ckpt.truncateBulk(graphEdges(s, dir))
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val rk = deg.select(col("n"), struct(col("deg"), col("n")).as("rk"))
+    val oriented = e
+      .join(rk.select(col("n").as("a"), col("rk").as("rka")), "a")
+      .join(rk.select(col("n").as("b"), col("rk").as("rkb")), "b")
+      .select(when(col("rka") < col("rkb"),
+          struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"))
+      .transform(graft.Ckpt.truncateBulk)
+    val adj = oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val supported = tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("x"),
+          greatest(col("u"), col("v")).as("y")),
+        struct(least(col("u"), col("w")).as("x"),
+          greatest(col("u"), col("w")).as("y")),
+        struct(least(col("v"), col("w")).as("x"),
+          greatest(col("v"), col("w")).as("y")))).as("p"))
+      .select(col("p.x").as("a"), col("p.y").as("b")).distinct()
+    e.join(supported, Seq("a", "b"), "left_anti")
       .orderBy("a", "b")
   }
 
