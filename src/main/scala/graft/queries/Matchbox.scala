@@ -686,12 +686,15 @@ object Matchbox {
     graft.functions.GraftExtensions.register(s)
     import s.implicits._
     val parallelism = s.sessionState.conf.numShufflePartitions
-    // 4000/side = 16M sampled pairs, a bounded protocol cost at ANY
+    // 8000/side = 64M sampled pairs, a bounded protocol cost at ANY
     // corpus scale (63245/side read 4 BILLION jaro-winkler pairs at sf1 —
-    // measured 193 s). The cap still covers both halves entirely at the
-    // oracle scale, so DuckDB replays the sample as the full cross.
+    // measured 193 s; 64M is ~1/60th of that). The cap covers both halves
+    // entirely at EVERY sf the correctness harness runs (sf0.01: 750/side;
+    // sf0.1: 7500/side — the r16 advice caught that a 4000 cap silently
+    // diverged from the full-cross oracle at sf0.1), so DuckDB replays the
+    // sample as the full cross product at both.
     def sample(df: DataFrame) = df
-      .orderBy(xxhash64(col("c_custkey")), col("c_custkey")).limit(4000)
+      .orderBy(xxhash64(col("c_custkey")), col("c_custkey")).limit(8000)
     def gammaHist(cand: DataFrame): Map[(String, Long), Long] = cand
       .select(fuzzyComparisons(0).gammaOf.cast("long").as("gn"),
         fuzzyComparisons(1).gammaOf.cast("long").as("gs"))
@@ -1118,19 +1121,32 @@ object Matchbox {
     * no shuffle) and the running sum windows over 2-row pair partitions —
     * never corpus-shaped. Level weights are literal doubles, so every
     * step and cumulative sum is a sum of literals: bit-exact cross-engine.
+    * The CASE weight expressions are GENERATED from [[fuzzyComparisons]]'
+    * weight vectors (not re-typed literals), so a weight change in the
+    * shared recipe re-derives the waterfall with it — the scorer and its
+    * explainability artifact cannot desynchronize.
     */
+  /** `CASE <gammaCol> WHEN g THEN w_g … ELSE w_0 END` built from a
+    * [[Link.LevelComparison]] weight vector (indexed by gamma; head =
+    * miss). Doubles render with an explicit cast so both the Spark expr
+    * and any SQL twin stay double-typed.
+    */
+  private def levelWeightCaseSql(gammaCol: String, weights: Seq[Double]): String = {
+    val whens = weights.zipWithIndex.drop(1).reverse
+      .map { case (w, g) => s"WHEN $g THEN CAST($w AS DOUBLE)" }
+      .mkString(" ")
+    s"CASE $gammaCol $whens ELSE CAST(${weights.head} AS DOUBLE) END"
+  }
+
   private def linkWaterfall(s: SparkSession, dir: String): DataFrame =
     fuzzyScored(s, dir)
       .select(col("left_id"), col("right_id"), expr(
-        """stack(2,
-          |  1L, 'name', CAST(gamma0 AS BIGINT),
-          |  CASE gamma0 WHEN 3 THEN CAST(6.0 AS DOUBLE)
-          |    WHEN 2 THEN CAST(4.0 AS DOUBLE) WHEN 1 THEN CAST(1.5 AS DOUBLE)
-          |    ELSE CAST(-3.0 AS DOUBLE) END,
-          |  2L, 'segment', CAST(gamma1 AS BIGINT),
-          |  CASE gamma1 WHEN 1 THEN CAST(1.2 AS DOUBLE)
-          |    ELSE CAST(-0.5 AS DOUBLE) END)
-          |  AS (step_no, comparison, gamma, weight)""".stripMargin))
+        s"""stack(2,
+           |  1L, 'name', CAST(gamma0 AS BIGINT),
+           |  ${levelWeightCaseSql("gamma0", fuzzyComparisons(0).weights)},
+           |  2L, 'segment', CAST(gamma1 AS BIGINT),
+           |  ${levelWeightCaseSql("gamma1", fuzzyComparisons(1).weights)})
+           |  AS (step_no, comparison, gamma, weight)""".stripMargin))
       .withColumn("cum_weight", sum(col("weight")).over(
         Window.partitionBy("left_id", "right_id").orderBy("step_no")))
       .orderBy("left_id", "right_id", "step_no")
@@ -1168,9 +1184,8 @@ object Matchbox {
       |  SELECT * FROM (
       |    SELECT CAST(left_id AS BIGINT) AS left_id, CAST(right_id AS BIGINT) AS right_id,
       |      gamma_name, gamma_seg,
-      |      (CASE gamma_name WHEN 3 THEN CAST(6.0 AS DOUBLE) WHEN 2 THEN CAST(4.0 AS DOUBLE)
-      |         WHEN 1 THEN CAST(1.5 AS DOUBLE) ELSE CAST(-3.0 AS DOUBLE) END
-      |       + CASE gamma_seg WHEN 1 THEN CAST(1.2 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END
+      |      (${levelWeightCaseSql("gamma_name", fuzzyComparisons(0).weights)}
+      |       + ${levelWeightCaseSql("gamma_seg", fuzzyComparisons(1).weights)}
       |      ) AS match_weight
       |    FROM g)
       |  WHERE match_weight >= 1.0)""".stripMargin
@@ -1179,20 +1194,19 @@ object Matchbox {
     s"""WITH $fuzzyCtesSql
        |SELECT * FROM surv ORDER BY left_id, right_id""".stripMargin
 
+  // The CASE weights are generated from fuzzyComparisons like the Spark
+  // side's — neither twin re-types the literals.
   private val linkWaterfallSql =
     s"""WITH $fuzzyCtesSql,
        |steps AS (
        |  SELECT left_id, right_id, CAST(1 AS BIGINT) AS step_no,
        |    'name' AS comparison, CAST(gamma_name AS BIGINT) AS gamma,
-       |    CASE gamma_name WHEN 3 THEN CAST(6.0 AS DOUBLE)
-       |      WHEN 2 THEN CAST(4.0 AS DOUBLE) WHEN 1 THEN CAST(1.5 AS DOUBLE)
-       |      ELSE CAST(-3.0 AS DOUBLE) END AS weight
+       |    ${levelWeightCaseSql("gamma_name", fuzzyComparisons(0).weights)} AS weight
        |  FROM surv
        |  UNION ALL
        |  SELECT left_id, right_id, CAST(2 AS BIGINT), 'segment',
        |    CAST(gamma_seg AS BIGINT),
-       |    CASE gamma_seg WHEN 1 THEN CAST(1.2 AS DOUBLE)
-       |      ELSE CAST(-0.5 AS DOUBLE) END
+       |    ${levelWeightCaseSql("gamma_seg", fuzzyComparisons(1).weights)}
        |  FROM surv)
        |SELECT left_id, right_id, step_no, comparison, gamma, weight,
        |  sum(weight) OVER (PARTITION BY left_id, right_id ORDER BY step_no)
@@ -2248,13 +2262,18 @@ object Matchbox {
       |FROM m, t""".stripMargin
 
   /** Sampled-u estimation (splink `estimate_u_using_random_sampling`,
-    * `Link.estimateU`; spec-only until r7) run at full pair coverage so
-    * the estimate is exact and oracle-comparable: with `maxPairs` above
-    * |customer|·|supplier| at every sf the hash-ordered sample is the
-    * whole table on each side, the agreement rate is an exact
-    * integer-ratio double (sums of 0/1 doubles are exact), and the oracle
-    * replays count-ratio + clamp arithmetic identically. The sampling
-    * path below full coverage stays property-spec'd (PropertySpec).
+    * `Link.estimateU`; spec-only until r7) run at full pair coverage at
+    * every sf the correctness harness uses, so the estimate is exact and
+    * oracle-comparable: `maxPairs` = 225M ⇒ 15000/side, the whole table
+    * on each side at sf0.01 (1500×100) AND sf0.1 (15000×1000), so the
+    * agreement rate is an exact integer-ratio double (sums of 0/1
+    * doubles are exact) and the oracle replays count-ratio + clamp
+    * arithmetic identically. Above that the sample caps by PROTOCOL, not
+    * by the corpus — the r16 4G-pair cap let sf1 evaluate all 1.5e9
+    * pairs (a measured decade-scale hazard of the same species as the
+    * params-report's 4-billion-JW-pair lesson); at 15000/side sf1 reads
+    * 150M cheap predicate pairs, seconds on one box. The sampling path
+    * below full coverage stays property-spec'd (PropertySpec).
     */
   private def sampledU(s: SparkSession, dir: String): DataFrame = {
     val us = Link.estimateU(
@@ -2263,7 +2282,7 @@ object Matchbox {
       Seq("l.c_nationkey = r.s_nationkey",
         "l.c_custkey % 10 = r.s_suppkey % 10",
         "abs(l.c_acctbal - r.s_acctbal) < 100"),
-      maxPairs = 4000000000L)
+      maxPairs = 225000000L)
     import s.implicits._
     Seq((us(0), us(1), us(2))).toDF("u_nation", "u_mod10", "u_balance")
   }
@@ -2823,6 +2842,15 @@ object Matchbox {
     * Tombstones ('error' rows here) must survive the fold — a later
     * fold step may not resurrect a deleted key — so deletion filtering
     * happens only at read time ([[cdcStateFromLatest]]).
+    *
+    * CONTRACT: `event_id` must be globally unique. The struct-max also
+    * carries (event_type, value) after the version key; on a (ts,
+    * event_id) tie Spark would break lexicographically on the payload
+    * while the oracle's `row_number` twin breaks arbitrarily — so
+    * non-unique ids would diverge nondeterministically rather than fail.
+    * [[cdcApplyGate]] asserts the uniqueness LOUDLY (a `require` that
+    * aborts the verify run) instead of letting a violating feed surface
+    * as a spurious hash diff.
     */
   private[graft] def cdcLatest(changes: DataFrame): DataFrame =
     changes.groupBy("user_id").agg(
@@ -2871,6 +2899,15 @@ object Matchbox {
   private def cdcApplyGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events").localCheckpoint(false)
+    // The LWW version key's totality precondition (see cdcLatest): a feed
+    // with duplicate event ids must abort, not tie-break differently in
+    // each engine and read as a mysterious hash mismatch.
+    val idCounts = ev.agg(count(lit(1)).as("n"),
+      countDistinct(col("event_id")).as("nd")).head()
+    require(idCounts.getLong(0) == idCounts.getLong(1),
+      s"cdc version key not total: ${idCounts.getLong(0)} events but only " +
+        s"${idCounts.getLong(1)} distinct event_ids — LWW tie-breaks would " +
+        "be engine-dependent")
     val full = cdcStateFromLatest(cdcLatest(ev)).localCheckpoint(false)
     var running: DataFrame = null
     (0 until 3).foreach { i =>

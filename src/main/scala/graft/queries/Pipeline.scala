@@ -3364,12 +3364,18 @@ object Pipeline {
     val v1 = Tables(s, dir, "documents")
       .select(col("doc_id"), md5(col("text")).as("h"), col("n_chars"))
     val base = Tables(s, dir, "documents").filter(col("doc_id") % 17 =!= 0)
+    // Fresh ids for the re-appended docs start ABOVE max(doc_id) (max_id
+    // + doc_id + 1, replayed identically by the oracle) — a fixed
+    // +1000000 offset collides with real v1 ids on any corpus whose ids
+    // reach 1e6, fanning out the full-outer join below with duplicate v2
+    // keys in BOTH engines (an oracle-invisible defect; r16 advice).
+    val mx = broadcast(Tables(s, dir, "documents").agg(max("doc_id").as("max_id")))
     val v2full = base
       .withColumn("text",
         when(col("doc_id") % 13 === 0, upper(col("text"))).otherwise(col("text")))
       .select(col("doc_id"), col("text"), col("n_chars"))
-      .unionAll(base.filter(col("doc_id") % 19 === 3)
-        .select(col("doc_id") + 1000000L, col("text"), col("n_chars")))
+      .unionAll(base.filter(col("doc_id") % 19 === 3).crossJoin(mx)
+        .select(col("max_id") + col("doc_id") + 1L, col("text"), col("n_chars")))
     val v2 = v2full.select(col("doc_id"), md5(col("text")).as("h"), col("n_chars"))
     v1.as("a").join(v2.as("b"), Seq("doc_id"), "full_outer")
       .select(
@@ -3393,7 +3399,7 @@ object Pipeline {
       |    n_chars
       |  FROM base
       |  UNION ALL
-      |  SELECT doc_id + 1000000, md5(text), n_chars
+      |  SELECT (SELECT max(doc_id) FROM documents) + doc_id + 1, md5(text), n_chars
       |  FROM base WHERE doc_id % 19 = 3)
       |SELECT CASE WHEN a.h IS NULL THEN 'added'
       |            WHEN b.h IS NULL THEN 'removed'

@@ -700,13 +700,20 @@ object Selection {
   /** Shared tokenization for the NB pair: DSIR's hashed-feature device
     * verbatim (whitespace tokens → 256 md5 buckets), so the feature space
     * is bounded and the weight table broadcastable no matter the corpus.
+    * ONE tokenize+bucket definition feeds BOTH training features
+    * ([[nbTokens]], consumed by the NB and LR fits) and LR serving
+    * ([[lrScore]]) — a bucketing change cannot skew train vs serve
+    * silently while both paths still run (r16 advice).
     */
-  private[graft] def nbTokens(docs: DataFrame): DataFrame =
+  private[graft] def hashedTokens(docs: DataFrame, carry: String*): DataFrame =
     docs
-      .select(col("doc_id"), col("lang"),
-        explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+      .select(Seq(col("doc_id")) ++ carry.map(col) :+
+        explode(expr("split(trim(text), '\\\\s+')")).as("tok"): _*)
       .withColumn("bucket",
         expr("CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS BIGINT)"))
+
+  private[graft] def nbTokens(docs: DataFrame): DataFrame =
+    hashedTokens(docs, "lang")
 
   /** Trained per-(class, bucket) weight table: add-one-smoothed ppm class
     * likelihoods quantized to floor-log2 bits (`length(bin(x))` — the DSIR
@@ -986,11 +993,7 @@ object Selection {
     */
   private[graft] def lrScore(docs: DataFrame, m: LrModel): DataFrame = {
     val wArr = array(m.wMicro.map(lit(_)): _*)
-    docs
-      .select(col("doc_id"),
-        explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
-      .withColumn("bucket",
-        expr("CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS BIGINT)"))
+    hashedTokens(docs)
       .select("doc_id", "bucket").distinct()
       .withColumn("wv", element_at(wArr, col("bucket").cast("int") + 1))
       .groupBy("doc_id").agg(sum(col("wv")).as("mq"))
