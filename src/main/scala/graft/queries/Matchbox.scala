@@ -1878,6 +1878,48 @@ object Matchbox {
     Components.connectedSql(
       chainEdgesSql.stripMargin + "\nUNION ALL\n" + bridgeEdgesSql) + "\nORDER BY id"
 
+  /** STREAMING RESOLUTION MAINTENANCE — the last cell of the
+    * incremental×streaming matrix and the continuous-ER serving path a
+    * matchbox user actually runs (reference `client/_handler/main.py`
+    * match composed with `resolvers/components.py` over time): edge
+    * micro-batches fold one by one through [[Components.addEdges]] from
+    * an EMPTY persisted resolution, and the final assignment must equal
+    * the one-shot batch recompute over all edges BIT-IDENTICALLY — which
+    * is exactly what the oracle is (the recursive-CTE full recompute over
+    * chain ∪ bridge edges), so the hash compare IS the fold≡batch pin.
+    * The fold is associative because every persisted representative is
+    * the minimum member id of its component (the addEdges contract): a
+    * later batch contracts against those minima and re-derives global
+    * minima. StreamingSpec drives the same fold through a real
+    * MemoryStream + foreachBatch.
+    *
+    * Scale shape per micro-batch: two endpoint equi-joins into the
+    * persisted assignment, components over the CONTRACTED delta graph
+    * (proportional to the batch, never the edge history), one remap join
+    * — the cost profile continuous resolution needs at 100 TB, where the
+    * edge history is unboundedly larger than any batch.
+    */
+  private def componentsApplyGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = Tables(s, dir, "customer")
+    val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    val bridges = customer.filter(col("c_custkey") % 10 === 0)
+      .withColumn("dst", lead("c_custkey", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("c_custkey").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val edges = chainEdges(customer).unionByName(bridges)
+      .localCheckpoint(false)
+    var state = Seq.empty[(Long, Long)].toDF("id", "component")
+    (0 until 3).foreach { i =>
+      state = Components
+        .addEdges(state, edges.filter(col("src") % 3 === i))
+        .localCheckpoint(false)
+    }
+    state.orderBy("id")
+  }
+
+  private lazy val componentsApplyGateSql = componentsIncrementalSql
+
   private val matchIncrementalSql =
     s"""WITH comp AS (${Components.connectedSql(nationChainEdgesSql)}),
        |pairs AS (
@@ -3240,6 +3282,8 @@ object Matchbox {
     QueryDef("mb_link_sorted_neighborhood", linkSortedNeighborhood,
       Some(linkSortedNeighborhoodSql)),
     QueryDef("mb_match_incremental", matchIncremental, Some(matchIncrementalSql)),
+    QueryDef("st_components_apply_gate", componentsApplyGate,
+      Some(componentsApplyGateSql)),
     QueryDef("mb_components_incremental", componentsIncremental,
       Some(componentsIncrementalSql)),
     QueryDef("mb_components", componentsQuery, Some(componentsSql)),

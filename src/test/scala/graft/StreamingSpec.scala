@@ -569,6 +569,46 @@ class StreamingSpec extends SparkSpec {
       "incrementally-folded golden records diverged from the batch fusion")
   }
 
+  test("streaming resolution maintenance: folded addEdges equals batch components") {
+    implicit val ctx = spark.sqlContext
+    // The continuous-ER serving fold (st_components_apply_gate's recipe
+    // through a REAL MemoryStream): edge micro-batches fold through
+    // Components.addEdges from an empty resolution; the maintained
+    // assignment must equal the one-shot batch recompute bit-exactly
+    // (addEdges' min-representative contract makes the fold associative).
+    val customer = Tables(spark, sfDir, "customer")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+    val edges = customer
+      .withColumn("dst", lead("c_custkey", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("c_custkey").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
+    var state = Seq.empty[(Long, Long)].toDF("id", "component")
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("src", "dst").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          // eager: the folded state must materialize inside the batch
+          // lifetime (the StreamingSpec fold protocol)
+          state = graft.operators.Components.addEdges(state, batch)
+            .localCheckpoint(true)
+        }
+      }
+      .start()
+    val rows = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val third = math.max(1, rows.size / 3)
+    try {
+      rows.grouped(third).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchAll = graft.operators.Components.connected(edges)
+    assert(state.count() == batchAll.count())
+    assert(state.exceptAll(batchAll).isEmpty && batchAll.exceptAll(state).isEmpty,
+      "streamed-fold resolution diverged from the batch recompute")
+  }
+
   test("dag runs steps in dependency order and memoises results") {
     val dag = new graft.dags.Dag
     dag.source("customer")(Tables(spark, sfDir, "customer"))
