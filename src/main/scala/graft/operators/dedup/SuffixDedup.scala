@@ -131,8 +131,15 @@ object SuffixDedup {
     * equal. Window key = overlapping depth-B rank halves; valid starts
     * only (pos ≤ len − minLen + 1), where both halves compare full
     * B-token prefixes.
+    *
+    * Exposed to the query layer: this table is the EXPENSIVE shared
+    * artifact of the ExactSubstr family (the prefix-doubling rank
+    * program) — both the cut-all and keep-one policies are cheap
+    * aggregates over it ([[duplicateStartsFromKeys]] /
+    * [[duplicateStartsKeepOneFromKeys]]), so a session can persist it
+    * once and serve every dependent query from the persisted table.
     */
-  private def windowKeys(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
+  private[graft] def windowKeys(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 1, "minLen must be positive")
     val b = halfDepth(minLen)
     val ranks = suffixRanks(docs, idCol, textCol, b)
@@ -147,8 +154,11 @@ object SuffixDedup {
   /** Positions (doc_id, pos) that start a minLen-token window occurring
     * ≥ 2 times anywhere in the corpus (same-document repeats count).
     */
-  def duplicateWindowStarts(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
-    val keyed = windowKeys(docs, idCol, textCol, minLen)
+  def duplicateWindowStarts(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame =
+    duplicateStartsFromKeys(windowKeys(docs, idCol, textCol, minLen))
+
+  /** Cut-all policy over a (possibly persisted) [[windowKeys]] table. */
+  private[graft] def duplicateStartsFromKeys(keyed: DataFrame): DataFrame = {
     val dupKeys = keyed.groupBy("ra", "rb").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select("ra", "rb")
@@ -164,8 +174,11 @@ object SuffixDedup {
     * order-free deterministic choice (one struct-min per class, map-side
     * combinable — no window-function sort over the class).
     */
-  def duplicateWindowStartsKeepOne(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
-    val keyed = windowKeys(docs, idCol, textCol, minLen)
+  def duplicateWindowStartsKeepOne(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame =
+    duplicateStartsKeepOneFromKeys(windowKeys(docs, idCol, textCol, minLen))
+
+  /** Keep-one policy over a (possibly persisted) [[windowKeys]] table. */
+  private[graft] def duplicateStartsKeepOneFromKeys(keyed: DataFrame): DataFrame = {
     val canon = keyed.groupBy("ra", "rb")
       .agg(min(struct(col("doc_id"), col("pos"))).as("c"),
         count(lit(1)).as("n"))
@@ -194,6 +207,14 @@ object SuffixDedup {
     */
   def duplicateSpansKeepOne(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame =
     mergeSpans(duplicateWindowStartsKeepOne(docs, idCol, textCol, minLen), minLen)
+
+  /** [[duplicateSpans]] from a persisted [[windowKeys]] table. */
+  private[graft] def spansFromKeys(keyed: DataFrame, minLen: Int): DataFrame =
+    mergeSpans(duplicateStartsFromKeys(keyed), minLen)
+
+  /** [[duplicateSpansKeepOne]] from a persisted [[windowKeys]] table. */
+  private[graft] def spansKeepOneFromKeys(keyed: DataFrame, minLen: Int): DataFrame =
+    mergeSpans(duplicateStartsKeepOneFromKeys(keyed), minLen)
 
   private def mergeSpans(starts: DataFrame, minLen: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")

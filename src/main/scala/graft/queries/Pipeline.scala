@@ -2500,9 +2500,63 @@ object Pipeline {
     * rank machinery equals brute-force string equality.
     */
   private val suffixLen = 50
+
+  // Session cache for the suffix-array WINDOW-KEY table — the
+  // lrFitCached/builtIndexes serving-split economics applied to the
+  // ExactSubstr family: the rank program (prefix-doubling to depth 32)
+  // is the expensive shared artifact; the cut-all/keep-one policies are
+  // cheap aggregates over it. dx_dedup_suffix (the build row) ALWAYS
+  // recomputes the full program and refreshes the persisted table; the
+  // census/scrub/keep rows serve from it (QueryDefs carry warm=true so
+  // the bench artifact says so). Persisted as parquet keyed by sf dir —
+  // NOT as cached blocks, which Verify's between-query BlockCleanup
+  // would drop from under a later query. Deleted at JVM exit.
+  private val suffixKeyTables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private lazy val suffixCleanupHook: Unit = {
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      suffixKeyTables.values.foreach { p =>
+        try java.nio.file.Files.walk(java.nio.file.Paths.get(p).getParent)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        catch { case _: Throwable => () }
+      }
+    }
+    ()
+  }
+
+  private def rebuildSuffixKeys(s: SparkSession, dir: String): String = {
+    val path = suffixKeyTables.getOrElseUpdate(dir, {
+      suffixCleanupHook
+      java.nio.file.Files.createTempDirectory("graft_sfxkeys").toString + "/keys"
+    })
+    graft.operators.dedup.SuffixDedup
+      .windowKeys(Tables(s, dir, "documents"), "doc_id", "text", suffixLen)
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Build-if-absent (the ANN `ensure*Index` contract): serve rows pay
+    * construction only when no build row ran yet in this session.
+    * Existence via the path's Hadoop FileSystem so the lifecycle holds on
+    * hdfs://-style roots too.
+    */
+  private def ensureSuffixKeys(s: SparkSession, dir: String): DataFrame = {
+    val path = suffixKeyTables.get(dir).filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+    }.getOrElse(rebuildSuffixKeys(s, dir))
+    s.read.parquet(path)
+  }
+
+  /** The build row derives its result from the artifact it just wrote
+    * (build → persist → read back), so its wall is construction + the
+    * cheap span aggregate — never a silently-reused cache.
+    */
   private def dedupSuffix(s: SparkSession, dir: String): DataFrame =
-    graft.operators.dedup.SuffixDedup.duplicateSpans(
-        Tables(s, dir, "documents"), "doc_id", "text", suffixLen)
+    graft.operators.dedup.SuffixDedup
+      .spansFromKeys(s.read.parquet(rebuildSuffixKeys(s, dir)), suffixLen)
       .orderBy("doc_id", "span_start")
 
   private val dedupSuffixSql =
@@ -2560,7 +2614,7 @@ object Pipeline {
   private def dedupSuffixScrub(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     scrubBySpans(docs, graft.operators.dedup.SuffixDedup
-      .duplicateSpans(docs, "doc_id", "text", suffixLen))
+      .spansFromKeys(ensureSuffixKeys(s, dir), suffixLen))
   }
 
   /** The KEEP-ONE scrub — Lee et al.'s released-tool policy (cut every
@@ -2578,7 +2632,7 @@ object Pipeline {
   private def dedupSuffixKeep(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     scrubBySpans(docs, graft.operators.dedup.SuffixDedup
-      .duplicateSpansKeepOne(docs, "doc_id", "text", suffixLen))
+      .spansKeepOneFromKeys(ensureSuffixKeys(s, dir), suffixLen))
   }
 
   private val dedupSuffixKeepSql =
@@ -2751,8 +2805,8 @@ object Pipeline {
     * pass would drop, over how many documents), integer-exact.
     */
   private def dedupSuffixCensus(s: SparkSession, dir: String): DataFrame = {
-    val spans = graft.operators.dedup.SuffixDedup.duplicateSpans(
-      Tables(s, dir, "documents"), "doc_id", "text", suffixLen)
+    val spans = graft.operators.dedup.SuffixDedup
+      .spansFromKeys(ensureSuffixKeys(s, dir), suffixLen)
     spans.agg(
       count(lit(1)).as("n_spans"),
       countDistinct(col("doc_id")).as("n_docs"),
@@ -3780,9 +3834,12 @@ object Pipeline {
     QueryDef("dx_dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     QueryDef("dx_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QueryDef("dx_dedup_suffix", dedupSuffix, Some(dedupSuffixSql)),
-    QueryDef("dx_dedup_suffix_census", dedupSuffixCensus, Some(dedupSuffixCensusSql)),
-    QueryDef("dx_dedup_suffix_scrub", dedupSuffixScrub, Some(dedupSuffixScrubSql)),
-    QueryDef("dx_dedup_suffix_keep", dedupSuffixKeep, Some(dedupSuffixKeepSql)),
+    QueryDef("dx_dedup_suffix_census", dedupSuffixCensus, Some(dedupSuffixCensusSql),
+      warm = true),
+    QueryDef("dx_dedup_suffix_scrub", dedupSuffixScrub, Some(dedupSuffixScrubSql),
+      warm = true),
+    QueryDef("dx_dedup_suffix_keep", dedupSuffixKeep, Some(dedupSuffixKeepSql),
+      warm = true),
     QueryDef("dx_substr_decontaminate", substrDecontaminate,
       Some(substrDecontaminateSql)),
     QueryDef("st_substr_guard_gate", substrGuardGate, Some(substrGuardGateSql)),
