@@ -220,13 +220,26 @@ object GraphMetrics {
     * @return one row: (sampled_nodes, sampled_edges, sampled_triangles,
     *         est_triangles = sampled · invP³, sampled_wedges, inv_p)
     */
-  def triangleEstimateDoulion(edges: DataFrame, invP: Int): DataFrame = {
-    require(invP >= 2, s"invP must be >= 2, got $invP (1 = just triangleStats)")
+  /** Deterministic 1-in-invP edge-sampling predicate over canonical
+    * (a, b) edges — the DOULION device factored out so every
+    * edge-sampled graph query (triangle estimate, sampled weak-edge
+    * audit) uses the ONE portable definition both engines replay: first
+    * 16 bits of md5 of "a,b" mod invP. Key-structure-independent and
+    * partition-free; see [[triangleEstimateDoulion]]'s Scaladoc for why
+    * a linear congruence is disqualified.
+    */
+  def edgeSamplePredicate(invP: Int): org.apache.spark.sql.Column = {
+    require(invP >= 2, s"invP must be >= 2, got $invP")
     require(65536 % invP == 0,
       s"invP must divide 65536 (a 16-bit digest slice mods without bias), got $invP")
-    val sampled = edges.filter(expr(
+    expr(
       s"""CAST(conv(substring(md5(concat(CAST(a AS STRING), ',', CAST(b AS STRING))),
-         |  1, 4), 16, 10) AS BIGINT) % $invP = 0""".stripMargin))
+         |  1, 4), 16, 10) AS BIGINT) % $invP = 0""".stripMargin)
+  }
+
+  def triangleEstimateDoulion(edges: DataFrame, invP: Int): DataFrame = {
+    require(invP >= 2, s"invP must be >= 2, got $invP (1 = just triangleStats)")
+    val sampled = edges.filter(edgeSamplePredicate(invP))
     triangleStats(sampled).select(
       col("n_nodes").as("sampled_nodes"),
       col("n_edges").as("sampled_edges"),

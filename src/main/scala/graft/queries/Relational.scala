@@ -2055,14 +2055,34 @@ object Relational {
     * one left anti-style join (left join + null filter keeps the count
     * column semantics explicit).
     */
-  private def weakEdges(s: SparkSession, dir: String): DataFrame = {
+  private def weakEdges(s: SparkSession, dir: String): DataFrame =
+    weakEdgesOver(graphEdges(s, dir))
+
+  /** SAMPLED weak-edge audit — the `q_graph_triangles_doulion` device on
+    * the chaining diagnostic: the 1-in-16 deterministic md5-digit edge
+    * sample ([[GraphMetrics.edgeSamplePredicate]]), then the EXACT
+    * oriented-credit weak-edge program on the sampled subgraph (the
+    * oracle recomputes that same subgraph, so the row is bit-exact, not
+    * an estimate with error bars). This is the scale path that makes the
+    * audit runnable on graphs whose exact pass is cluster-scale: wedge
+    * work shrinks ~p², so the sf1 row runs in seconds next to the 203 s
+    * exact row. Semantics of the sampled audit: an edge unsupported in
+    * the SAMPLE is a chaining-risk candidate to triage first — exactly
+    * how DOULION-style sampling is used operationally (screen at 1/p
+    * cost, confirm survivors exactly).
+    */
+  private def weakEdgesSampled(s: SparkSession, dir: String): DataFrame =
+    weakEdgesOver(graphEdges(s, dir)
+      .filter(GraphMetrics.edgeSamplePredicate(16)))
+
+  private def weakEdgesOver(rawEdges: DataFrame): DataFrame = {
     // Degree-ordered orientation (the GraphMetrics.triangleStats scheme):
     // the naive both-directions adjacency join enumerates Σdeg² wedge
     // rows — measured 458 s at sf1 where this formulation runs in
     // seconds. Each triangle is FOUND once on its lowest-rank edge via
     // the bounded O(√m) oriented out-adjacencies, then credited to all
     // three of its edges; weak = edges never credited (one anti-join).
-    val e = graft.Ckpt.truncateBulk(graphEdges(s, dir))
+    val e = graft.Ckpt.truncateBulk(rawEdges)
     val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val rk = deg.select(col("n"), struct(col("deg"), col("n")).as("rk"))
@@ -2103,6 +2123,29 @@ object Relational {
        |  JOIN adj q ON q.n = e.b AND q.x = p.x
        |  GROUP BY e.a, e.b)
        |SELECT e.a, e.b FROM e LEFT JOIN supp USING (a, b)
+       |WHERE supp.s IS NULL
+       |ORDER BY a, b""".stripMargin
+
+  // The q_graph_triangles_doulion md5-digit sample replayed on the weak
+  // edge audit: the oracle recomputes the SAMPLED subgraph, so the
+  // sampled audit is bit-exact.
+  private val edgeSampleSqlDuck =
+    """(((strpos('0123456789abcdef', substr(md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)), 1, 1)) - 1) * 4096
+      | + (strpos('0123456789abcdef', substr(md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)), 2, 1)) - 1) * 256
+      | + (strpos('0123456789abcdef', substr(md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)), 3, 1)) - 1) * 16
+      | + strpos('0123456789abcdef', substr(md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)), 4, 1)) - 1) % 16 = 0)""".stripMargin
+
+  private val weakEdgesSampledSql =
+    s"""WITH $graphEdgesCte,
+       |se AS (SELECT a, b FROM e WHERE $edgeSampleSqlDuck),
+       |adj AS (SELECT a AS n, b AS x FROM se UNION ALL SELECT b, a FROM se),
+       |supp AS (
+       |  SELECT se.a, se.b, count(*) AS s
+       |  FROM se
+       |  JOIN adj p ON p.n = se.a
+       |  JOIN adj q ON q.n = se.b AND q.x = p.x
+       |  GROUP BY se.a, se.b)
+       |SELECT se.a, se.b FROM se LEFT JOIN supp USING (a, b)
        |WHERE supp.s IS NULL
        |ORDER BY a, b""".stripMargin
 
@@ -2394,6 +2437,7 @@ object Relational {
     QueryDef("q_asof_nearest", qAsofNearest, Some(qAsofNearestSql)),
     QueryDef("q_graph_linkpred", qGraphLinkpred, Some(qGraphLinkpredSql)),
     QueryDef("mb_weak_edges", weakEdges, Some(weakEdgesSql)),
+    QueryDef("mb_weak_edges_sampled", weakEdgesSampled, Some(weakEdgesSampledSql)),
     QueryDef("q_rfm_segments", qRfmSegments, Some(qRfmSegmentsSql)),
     QueryDef("q_changepoint", qChangepoint, Some(qChangepointSql)),
     QueryDef("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),
