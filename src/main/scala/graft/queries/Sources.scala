@@ -209,6 +209,92 @@ object Sources {
        |  min(p_name) AS first_name
        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Avro round trip — completes the warehouse format family (jdbc/csv/
+    * json/orc/text/xml/binary + this): supplier written as Avro container
+    * files through Hadoop's `AvroKeyOutputFormat` (the runtime ships
+    * avro + avro-mapred but not the spark-avro connector, so the gate
+    * drives the public Hadoop-format path a connector-less cluster uses),
+    * read back SCHEMA-FIRST via `AvroKeyInputFormat`, and aggregated per
+    * nation; the oracle computes the same aggregate straight from the
+    * parquet, so any row lost, duplicated or type-mangled in the
+    * container round trip breaks the hash match.
+    *
+    * Mechanics that matter at scale: the writer schema travels as JSON
+    * text and is parsed per-partition (record construction is
+    * task-local, no driver loop); the input format's datum REUSE is
+    * defused by projecting to primitives in the same map, before any
+    * shuffle could capture a recycled record. Monetary values ride as
+    * exact cents (the Num discipline), keeping the aggregate arithmetic
+    * bit-identical in both engines.
+    */
+  private val supplierAvroSchema =
+    """{"type":"record","name":"SupplierRow","fields":[
+      |  {"name":"s_suppkey","type":"long"},
+      |  {"name":"s_nationkey","type":"long"},
+      |  {"name":"s_acctbal_cents","type":"long"},
+      |  {"name":"s_name","type":"string"}]}""".stripMargin
+
+  private def avroGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    val out = s"${sessionDir("avro", dir)}/supplier_avro"
+    val schemaJson = supplierAvroSchema
+    // saveAsNewAPIHadoopFile refuses an existing dir (no overwrite mode
+    // at the Hadoop-format layer): clear the session subdir first.
+    val hp = new org.apache.hadoop.fs.Path(out)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val job = org.apache.hadoop.mapreduce.Job
+      .getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
+    Tables(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"),
+        Num.cents(col("s_acctbal")).as("cents"), col("s_name"))
+      .rdd.mapPartitions { rows =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        rows.map { r =>
+          val rec = new GenericData.Record(schema)
+          rec.put("s_suppkey", r.getLong(0))
+          rec.put("s_nationkey", r.getLong(1))
+          rec.put("s_acctbal_cents", r.getLong(2))
+          rec.put("s_name", r.getString(3))
+          (new AvroKey[GenericRecord](rec), NullWritable.get)
+        }
+      }
+      .saveAsNewAPIHadoopFile(out, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+        job.getConfiguration)
+    val readConf = new org.apache.hadoop.conf.Configuration(
+      s.sparkContext.hadoopConfiguration)
+    readConf.set("avro.schema.input.key", schemaJson)
+    val back = s.sparkContext.newAPIHadoopFile(
+        out, classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable], readConf)
+      .map { case (k, _) =>
+        val rec = k.datum()
+        (rec.get("s_suppkey").asInstanceOf[Long],
+          rec.get("s_nationkey").asInstanceOf[Long],
+          rec.get("s_acctbal_cents").asInstanceOf[Long],
+          rec.get("s_name").toString)
+      }
+    import s.implicits._
+    back.toDF("s_suppkey", "s_nationkey", "cents", "s_name")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        (Num.bigSum(col("cents")) / 100.0).as("sum_bal"),
+        min("s_name").as("first_name"))
+      .orderBy("s_nationkey")
+  }
+
+  private val avroGateSql =
+    s"""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       |  count(*) AS n_suppliers,
+       |  ${Num.moneySumSql("s_acctbal")} AS sum_bal,
+       |  min(s_name) AS first_name
+       |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Partitioned-layout round trip: documents written `partitionBy(lang)`
     * (the physical layout every language-sliced corpus ships with), read
     * back with a language predicate. The gate REQUIRES partition pruning
@@ -430,6 +516,7 @@ object Sources {
     QueryDef("src_csv_gate", csvGate, Some(csvGateSql)),
     QueryDef("src_json_gate", jsonGate, Some(jsonGateSql)),
     QueryDef("src_orc_gate", orcGate, Some(orcGateSql)),
+    QueryDef("src_avro_gate", avroGate, Some(avroGateSql)),
     QueryDef("src_evolution_gate", evolutionGate, Some(evolutionGateSql)),
     QueryDef("src_partition_gate", partitionGate, Some(partitionGateSql)),
     QueryDef("src_text_gate", textGate, Some(textGateSql)),
