@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{Num, QueryDef, Tables}
 import graft.operators.text.{Unigram, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1111,12 +1111,133 @@ object Selection {
 
   private val lrGateSql = "SELECT CAST(1 AS BOOLEAN) AS lr_ok"
 
+  // ---- DoReMi-lite learned mixture weights -----------------------------
+
+  /** LEARNED per-source mixture weights — DoReMi (Xie et al. 2023,
+    * arXiv:2305.10429 "DoReMi: Optimizing Data Mixtures Speeds Up
+    * Language Model Pretraining") restated in the repo's exact-integer
+    * style, one mirror-descent round: a small PROXY model is evaluated
+    * per domain, domains where the proxy does WORSE than the corpus
+    * average (= more headroom) get upweighted relative to their token
+    * share. `dx_mixture_weights` (queries/Pipeline.scala) is the static
+    * hand-tuned baseline twin this replaces with measured signal.
+    *
+    * Restatement choices, each pinned to a determinism device already in
+    * the repo:
+    *   - proxy = the trained LR classifier (the session model the
+    *     dx_lr_* family maintains) — margins are exact longs;
+    *   - per-doc excess-loss surrogate = HINGE loss in micro units,
+    *     `max(0, 1e6 − (2y−1)·margin_micro)` — exact long arithmetic,
+    *     no libm (the paper's per-domain log-perplexity gap needs exp;
+    *     hinge is the standard convex surrogate with the same ordering);
+    *   - the exponential update `α ∝ share·exp(η·excess)` is linearized
+    *     to one integer step `α ∝ tokens·(1e6 + excess_ppm)` (first-order
+    *     Taylor at η = 1), then floor-normalized to ppm — bit-exact on
+    *     any engine and any partitioning (DECIMAL(38,0) products).
+    *
+    * Scale shape: one corpus-wide scoring pass (the lrScore map + one
+    * doc-keyed aggregate), one per-source aggregate with map-side
+    * combine, then all remaining arithmetic on an n_sources-row table
+    * crossed with two broadcast scalars. Nothing new scales with the
+    * corpus beyond the scoring pass the serving path already runs.
+    */
+  private[graft] def mixtureLearnedFrom(s: SparkSession, dir: String,
+      m: LrModel): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val base = docs.select(col("doc_id"), col("source"),
+      expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tok"),
+      // same label rule as lrExamples' explode-max, map-side
+      expr("CAST(exists(split(trim(text), '\\\\s+'), t -> t = 'spark') AS BIGINT)")
+        .as("y"))
+    val scored = lrScore(docs.select("doc_id", "text"), m)
+      .select(col("doc_id"), col("margin_micro"))
+    val perDoc = base.join(scored, Seq("doc_id"))
+      .withColumn("hinge_micro", greatest(lit(0L),
+        lit(1000000L) - (col("y") * 2L - 1L) * col("margin_micro")))
+    val perSource = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("tokens"),
+      Num.bigSum(col("hinge_micro")).as("hinge_sum"))
+    val totals = perSource.agg(
+      sum("n_docs").as("c_docs"),
+      sum("hinge_sum").as("c_hinge")).localCheckpoint(false)
+    val stepped = perSource.crossJoin(broadcast(totals))
+      .withColumn("avg_loss_micro",
+        expr("CAST(hinge_sum DIV n_docs AS BIGINT)"))
+      .withColumn("c_avg_micro",
+        expr("CAST(c_hinge DIV c_docs AS BIGINT)"))
+      .withColumn("excess_ppm", expr(
+        """greatest(CAST(0 AS BIGINT),
+          |  CAST((CAST(avg_loss_micro - c_avg_micro AS DECIMAL(38,0)) * 1000000)
+          |       DIV greatest(c_avg_micro, 1) AS BIGINT))""".stripMargin))
+      .withColumn("raw", expr(
+        "CAST(tokens AS DECIMAL(38,0)) * (1000000 + excess_ppm)"))
+      .localCheckpoint(false) // n_sources rows; feeds its own normalizer
+    val norm = stepped.agg(sum("raw").as("raw_sum"))
+    stepped.crossJoin(broadcast(norm))
+      .withColumn("weight_ppm",
+        expr("CAST((raw * 1000000) DIV raw_sum AS BIGINT)"))
+      .select("source", "n_docs", "tokens", "avg_loss_micro", "excess_ppm",
+        "weight_ppm")
+      .orderBy("source")
+  }
+
+  private def mixtureLearned(s: SparkSession, dir: String): DataFrame =
+    mixtureLearnedFrom(s, dir,
+      lrFitCached(s, dir, nbTokens(Tables(s, dir, "documents"))
+        .localCheckpoint(false)))
+
+  /** Gate for the learned mixture (rows-only family contract: every
+    * non-oracled member is shadowed by an oracle-green gate): run the
+    * whole reweighting twice from the same proxy — bit-identical; floor
+    * normalization sums to 1e6 within n_sources floor slack; every
+    * weight positive; and the reweighting is MONOTONE — ranking sources
+    * by excess loss ranks them identically by their upsampling factor
+    * weight/tokens (the DoReMi contract that harder domains get more
+    * mass). The oracle pins n_sources from the data plus the flag.
+    */
+  private def mixtureLearnedGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = lrFitCached(s, dir, nbTokens(Tables(s, dir, "documents"))
+      .localCheckpoint(false))
+    val t1 = mixtureLearnedFrom(s, dir, m).localCheckpoint(false)
+    val t2 = mixtureLearnedFrom(s, dir, m)
+    val identical = t1.exceptAll(t2).count() == 0 && t2.exceptAll(t1).count() == 0
+    val rows = t1.collect()
+    val n = rows.length.toLong
+    val wSum = rows.map(_.getLong(5)).sum
+    val allPos = rows.forall(_.getLong(5) > 0L)
+    // upsampling factor = weight/tokens, exact rationals compared by
+    // cross-multiplication: w_i/t_i > w_j/t_j ⟺ w_i·t_j > w_j·t_i.
+    // Floor normalization perturbs each weight by < 1, which can invert
+    // the ratio order between sources whose excess is (near-)equal — so
+    // monotonicity is asserted only across pairs with a ≥ 1000 ppm excess
+    // gap, where the true ratio gap dwarfs the floor slack, and there it
+    // must hold STRICTLY (harder domains get strictly more upsampling).
+    val monotone = (for {
+      hi <- rows; lo <- rows
+      if hi.getLong(4) >= lo.getLong(4) + 1000L
+    } yield BigInt(hi.getLong(5)) * BigInt(lo.getLong(2)) >
+      BigInt(lo.getLong(5)) * BigInt(hi.getLong(2))).forall(identity)
+    val ok = identical && allPos && monotone &&
+      wSum <= 1000000L && wSum >= 1000000L - n
+    Seq((n, ok)).toDF("n_sources", "mixture_ok")
+  }
+
+  private val mixtureLearnedGateSql =
+    """SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(1 AS BOOLEAN) AS mixture_ok
+      |FROM documents""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_dsir", dsir, Some(dsirSql)),
     QueryDef("dx_lr_train", lrTrainQuery, None),
     QueryDef("dx_lr_classify", lrClassify, None, warm = true),
     QueryDef("dx_lr_gate", lrGate, Some(lrGateSql), warm = true),
     QueryDef("st_lr_score_gate", lrScoreGate, Some(lrScoreGateSql), warm = true),
+    QueryDef("dx_mixture_learned", mixtureLearned, None, warm = true),
+    QueryDef("dx_mixture_learned_gate", mixtureLearnedGate,
+      Some(mixtureLearnedGateSql), warm = true),
     QueryDef("dx_nb_train", nbTrain, Some(nbTrainSql)),
     QueryDef("dx_nb_classify", nbClassify, Some(nbClassifySql)),
     QueryDef("dx_split_stratified", splitStratified, Some(splitStratifiedSql)),

@@ -264,6 +264,54 @@ class SelectionSpec extends SparkSpec {
       s"held-out accuracy $nOk/${conf.length} below the 95% floor")
   }
 
+  test("dx_mixture_learned matches a driver-side reference reweighting from the trained model") {
+    // Reference recomputation from scratch: the model weights come from
+    // the dx_lr_train OUTPUT (the public artifact, not shared code), the
+    // md5 bucketing / hinge losses / floor arithmetic are re-implemented
+    // driver-side in BigInt, and the final table must match the
+    // distributed query field-for-field.
+    val wRows = Registry.byName("dx_lr_train").fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bias = wRows(-1L)
+    def bucket(t: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      (d(0) & 0xff) // first two hex chars of md5 = first byte
+    }
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perSource = scala.collection.mutable.Map
+      .empty[String, (Long, Long, BigInt)] // n_docs, tokens, hinge sum
+    rows.foreach { case (_, source, text) =>
+      val ts = text.trim.split("\\s+").toSeq
+      val margin = ts.map(bucket).distinct
+        .map(b => wRows.getOrElse(b.toLong, 0L)).sum + bias
+      val y = if (ts.contains("spark")) 1L else 0L
+      val hinge = math.max(0L, 1000000L - (2 * y - 1) * margin)
+      val (n, t, h) = perSource.getOrElse(source, (0L, 0L, BigInt(0)))
+      perSource(source) = (n + 1, t + ts.length, h + hinge)
+    }
+    val cDocs = perSource.values.map(_._1).sum
+    val cHinge = perSource.values.map(_._3).sum
+    val cAvg = cHinge / cDocs
+    val stepped = perSource.toSeq.map { case (src, (n, t, h)) =>
+      val avg = h / n
+      val excess = if (avg > cAvg) (avg - cAvg) * 1000000 / cAvg.max(1)
+        else BigInt(0)
+      (src, n, t, avg.toLong, excess.toLong, BigInt(t) * (1000000 + excess))
+    }
+    val rawSum = stepped.map(_._6).sum
+    val expected = stepped.map { case (src, n, t, avg, ex, raw) =>
+      (src, n, t, avg, ex, (raw * 1000000 / rawSum).toLong)
+    }.sortBy(_._1)
+    val got = Registry.byName("dx_mixture_learned").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected,
+      s"learned mixture diverged from the reference:\n got=$got\n exp=$expected")
+  }
+
   test("dx_lr_train emits the full 257-weight model; dx_lr_classify covers the held-out half") {
     val w = Registry.byName("dx_lr_train").fn(spark, sfDir).collect()
     assert(w.length == 257 && w.map(_.getLong(0)).toSeq == (-1L until 256L),
