@@ -66,6 +66,12 @@ class RegistrySpec extends SparkSpec {
       // mixing: one-row (total tokens, source count) crossed into the
       // per-source weight table
       "dx_mixture_weights" -> scalarAggBuild,
+      // DoReMi-lite: one-row corpus loss total crossed into the per-source
+      // table, then the one-row raw-sum normalizer crossed back in
+      "dx_mixture_learned" -> scalarAggBuild,
+      // snapshot diff: the one-row max(doc_id) aggregate crossed into the
+      // re-appended slice (collision-free fresh ids, r16 advice)
+      "dx_snapshot_diff" -> scalarAggBuild,
       "dx_tfidf" -> scalarAggBuild,
       "dx_bm25_search" -> scalarAggBuild,
       // LM normaliser: one-row corpus token count crossed into the stream
@@ -117,6 +123,7 @@ class RegistrySpec extends SparkSpec {
     // per-document pass: the corpus count (threshold) and the collected
     // common-token set — each build must still prove the scalar-agg shape
     val maxBnljs = Map("dx_boilerplate" -> 2, "mb_eval_ari" -> 2,
+      "dx_mixture_learned" -> 2,
       "q_graph_triangles" -> 2, "q_graph_triangles_doulion" -> 2,
       "dx_perplexity_buckets" -> 2, "mb_resolution_diff" -> 3,
       "mb_resolver_sweep" -> 3, "mb_blocking_quality" -> 5).withDefaultValue(1)
