@@ -981,7 +981,7 @@ object Selection {
   private val lrModels =
     scala.collection.concurrent.TrieMap.empty[String, LrModel]
 
-  private def lrFitCached(s: SparkSession, dir: String,
+  private[graft] def lrFitCached(s: SparkSession, dir: String,
       toksAll: DataFrame): LrModel =
     lrModels.getOrElseUpdate(dir, lrFit(s, toksAll))
 
@@ -1141,9 +1141,14 @@ object Selection {
     * crossed with two broadcast scalars. Nothing new scales with the
     * corpus beyond the scoring pass the serving path already runs.
     */
-  private[graft] def mixtureLearnedFrom(s: SparkSession, dir: String,
-      m: LrModel): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  /** Per-source sufficient statistics of the learned mixture — the
+    * ASSOCIATIVE fold unit (counts and token/hinge sums add), so a
+    * streaming maintenance loop folding doc micro-batches through
+    * [[mixtureMergeStats]] reproduces the batch reweighting bit-exactly
+    * under a fixed proxy model (the goldenStats/goldenMerge stance;
+    * StreamingSpec drives it through a MemoryStream).
+    */
+  private[graft] def mixtureStats(docs: DataFrame, m: LrModel): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"),
       expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_tok"),
       // same label rule as lrExamples' explode-max, map-side
@@ -1151,13 +1156,25 @@ object Selection {
         .as("y"))
     val scored = lrScore(docs.select("doc_id", "text"), m)
       .select(col("doc_id"), col("margin_micro"))
-    val perDoc = base.join(scored, Seq("doc_id"))
+    base.join(scored, Seq("doc_id"))
       .withColumn("hinge_micro", greatest(lit(0L),
         lit(1000000L) - (col("y") * 2L - 1L) * col("margin_micro")))
-    val perSource = perDoc.groupBy("source").agg(
-      count(lit(1)).as("n_docs"),
-      sum("n_tok").as("tokens"),
-      Num.bigSum(col("hinge_micro")).as("hinge_sum"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tokens"),
+        Num.bigSum(col("hinge_micro")).as("hinge_sum"))
+  }
+
+  /** Fold two stats frames (running ∪ delta) back to the source grain. */
+  private[graft] def mixtureMergeStats(stats: DataFrame): DataFrame =
+    stats.groupBy("source").agg(
+      sum("n_docs").as("n_docs"), sum("tokens").as("tokens"),
+      sum("hinge_sum").as("hinge_sum"))
+
+  /** The reweighting step from the statistics — shared by the batch query
+    * and the incremental fold, so the two cannot drift.
+    */
+  private[graft] def mixtureFromStats(perSource: DataFrame): DataFrame = {
     val totals = perSource.agg(
       sum("n_docs").as("c_docs"),
       sum("hinge_sum").as("c_hinge")).localCheckpoint(false)
@@ -1181,6 +1198,10 @@ object Selection {
         "weight_ppm")
       .orderBy("source")
   }
+
+  private[graft] def mixtureLearnedFrom(s: SparkSession, dir: String,
+      m: LrModel): DataFrame =
+    mixtureFromStats(mixtureStats(Tables(s, dir, "documents"), m))
 
   private def mixtureLearned(s: SparkSession, dir: String): DataFrame =
     mixtureLearnedFrom(s, dir,

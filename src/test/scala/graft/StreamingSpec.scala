@@ -609,6 +609,52 @@ class StreamingSpec extends SparkSpec {
       "streamed-fold resolution diverged from the batch recompute")
   }
 
+  test("streaming mixture maintenance: folded per-source stats equal the batch reweighting") {
+    implicit val ctx = spark.sqlContext
+    import graft.queries.Selection
+    // The learned-mixture sufficient statistics (per-source doc/token
+    // counts and hinge-loss sums) are additive under a FIXED proxy model,
+    // so folding doc micro-batches through mixtureMergeStats and applying
+    // the shared reweighting step reproduces the batch dx_mixture_learned
+    // table bit-exactly — corpus-growth maintenance without rescoring
+    // history.
+    val docs = Tables(spark, sfDir, "documents")
+    val m = Selection.lrFitCached(spark, sfDir,
+      Selection.nbTokens(docs).localCheckpoint(true))
+    var stats = Seq.empty[(String, Long, Long, BigDecimal)]
+      .toDF("source", "n_docs", "tokens", "hinge_sum")
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("hinge_sum").cast("decimal(38,0)").as("hinge_sum"))
+    val input = MemoryStream[Doc]
+    val q = input.toDF()
+      .select(col("id").as("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          // eager: materialize the folded stats inside the batch lifetime
+          stats = Selection.mixtureMergeStats(
+            stats.unionByName(Selection.mixtureStats(
+              batch.join(docs.select("doc_id", "source"), "doc_id"), m)))
+            .localCheckpoint(true)
+        }
+      }
+      .start()
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    val third = math.max(1, rows.size / 3)
+    try {
+      rows.grouped(third).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = Selection.mixtureFromStats(stats)
+    val batchTable = Selection.mixtureLearnedFrom(spark, sfDir, m)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batchTable).isEmpty &&
+      batchTable.exceptAll(streamed).isEmpty,
+      "incrementally-folded mixture weights diverged from the batch table")
+  }
+
   test("dag runs steps in dependency order and memoises results") {
     val dag = new graft.dags.Dag
     dag.source("customer")(Tables(spark, sfDir, "customer"))
