@@ -1999,14 +1999,45 @@ object Matchbox {
         .getField("seg").as("seg_pick"),
       max("bm").as("bal_cents_max"))
 
-  private def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+  private def goldenMembers(s: SparkSession, dir: String): DataFrame = {
     val customer = Tables(s, dir, "customer")
     val comp = Components.connected(chainEdges(customer))
-    val m = comp.join(customer.select(
-        col("c_custkey").cast("long").as("id"), col("c_name"),
-        col("c_mktsegment").as("seg"),
-        graft.Num.cents(col("c_acctbal")).as("bal_cents")), "id")
-    goldenFromStats(goldenStats(m))
+    comp.join(customer.select(
+      col("c_custkey").cast("long").as("id"), col("c_name"),
+      col("c_mktsegment").as("seg"),
+      graft.Num.cents(col("c_acctbal")).as("bal_cents")), "id")
+  }
+
+  private def goldenRecord(s: SparkSession, dir: String): DataFrame =
+    goldenFromStats(goldenStats(goldenMembers(s, dir)))
+      .select(col("component").as("cluster_id"), col("n_members"),
+        col("name_pick"), col("seg_pick"), col("bal_cents_max"))
+      .orderBy("cluster_id")
+
+  /** Streaming GOLDEN-RECORD maintenance gate (the `st_cdc_apply_gate`
+    * recipe on the survivorship statistics, promoting the StreamingSpec
+    * fold to a registered oracle row): the member stream split into three
+    * disjoint slices, each reduced to the mergeable (component, seg)
+    * statistics and folded through [[goldenMerge]]; the final
+    * [[goldenFromStats]] read must equal the one-shot batch fusion
+    * BIT-IDENTICALLY — which is exactly what the oracle recomputes (the
+    * full survivorship SQL), so the hash compare IS the fold ≡ batch pin.
+    * Every policy in the stats is associative (counts add, the name
+    * struct-min and balance max merge), so state stays at (clusters ×
+    * segments) grain — flat in stream history, the MDM continuous-fusion
+    * shape at 100 TB.
+    */
+  private def goldenApplyGate(s: SparkSession, dir: String): DataFrame = {
+    val m = goldenMembers(s, dir).localCheckpoint(false)
+    var running: DataFrame = null
+    (0 until 3).foreach { i =>
+      val slice = goldenStats(m.filter(col("id") % 3 === i))
+      running =
+        (if (running == null) slice
+         else goldenMerge(running.unionByName(slice)))
+          .localCheckpoint(false)
+    }
+    goldenFromStats(running)
       .select(col("component").as("cluster_id"), col("n_members"),
         col("name_pick"), col("seg_pick"), col("bal_cents_max"))
       .orderBy("cluster_id")
@@ -3290,6 +3321,7 @@ object Matchbox {
     QueryDef("mb_resolution_diff", resolutionDiff, Some(resolutionDiffSql)),
     QueryDef("mb_cluster_hash", clusterHashQuery, Some(clusterHashSql)),
     QueryDef("mb_golden_record", goldenRecord, Some(goldenRecordSql)),
+    QueryDef("st_golden_apply_gate", goldenApplyGate, Some(goldenRecordSql)),
     QueryDef("mb_resolve_lookup", resolveLookup, Some(resolveLookupSql)),
     QueryDef("mb_cluster_view", clusterView, Some(clusterViewSql)),
     QueryDef("mb_resolve_merge", resolveMerge, Some(resolveMergeSql)),
