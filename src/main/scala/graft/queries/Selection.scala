@@ -760,6 +760,38 @@ object Selection {
     nbWeights(s, nbTokens(Tables(s, dir, "documents")))
       .orderBy("lang", "bucket")
 
+  /** Streaming NB MODEL MAINTENANCE gate (the `st_golden_apply_gate`
+    * recipe on classifier state, promoting the StreamingSpec fold to a
+    * registered oracle row): the training half split into three disjoint
+    * doc slices, each reduced to the additive sufficient statistics
+    * ((lang, bucket) counts and per-lang totals) and folded by regrouped
+    * sums; the weights derived from the FOLDED counts through the SAME
+    * [[nbWeightsFromCounts]] formula must equal the one-shot batch fit
+    * BIT-IDENTICALLY — which is what the oracle recomputes. State is
+    * classes × 256 (constant), flat in stream history: incremental model
+    * training at 100 TB is count maintenance, not refitting.
+    */
+  private def nbApplyGate(s: SparkSession, dir: String): DataFrame = {
+    val train = nbTokens(Tables(s, dir, "documents"))
+      .filter(col("doc_id") % 2 === 0).localCheckpoint(false)
+    var counts: DataFrame = null
+    var totals: DataFrame = null
+    (0 until 3).foreach { i =>
+      val slice = train.filter(col("doc_id") % 3 === i)
+      val sc = slice.groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
+      val st = slice.groupBy("lang").agg(count(lit(1)).as("n"))
+      counts =
+        (if (counts == null) sc
+         else counts.unionByName(sc).groupBy("lang", "bucket")
+           .agg(sum("c").as("c"))).localCheckpoint(false)
+      totals =
+        (if (totals == null) st
+         else totals.unionByName(st).groupBy("lang")
+           .agg(sum("n").as("n"))).localCheckpoint(false)
+    }
+    nbWeightsFromCounts(counts, totals).orderBy("lang", "bucket")
+  }
+
   private val nbCommonSql =
     """tk AS (
       |  SELECT doc_id, lang,
@@ -1260,6 +1292,7 @@ object Selection {
     QueryDef("dx_mixture_learned_gate", mixtureLearnedGate,
       Some(mixtureLearnedGateSql), warm = true),
     QueryDef("dx_nb_train", nbTrain, Some(nbTrainSql)),
+    QueryDef("st_nb_apply_gate", nbApplyGate, Some(nbTrainSql)),
     QueryDef("dx_nb_classify", nbClassify, Some(nbClassifySql)),
     QueryDef("dx_split_stratified", splitStratified, Some(splitStratifiedSql)),
     QueryDef("dx_bpe_train", bpeTrain, Some(bpeTrainSql)),
