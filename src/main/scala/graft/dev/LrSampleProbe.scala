@@ -34,6 +34,12 @@ object LrSampleProbe {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val classifyWall = (System.nanoTime() - t1) / 1e9
     val total = conf.values.sum
+    // An sf dir with no held-out docs yields an empty confusion — fail
+    // loudly instead of printing NaN accuracy / a 0-of-0 majority
+    // (ADVICE r17).
+    require(total > 0,
+      s"dx_lr_classify returned an empty confusion matrix for $dir — " +
+        "no held-out documents to score")
     val correct = conf.getOrElse((0L, 0L), 0L) + conf.getOrElse((1L, 1L), 0L)
     val majority = Seq(0L, 1L)
       .map(y => conf.collect { case ((a, _), c) if a == y => c }.sum).max

@@ -2054,6 +2054,15 @@ object Relational {
     * pair graph's blocking already enforces. The weak set comes back via
     * one left anti-style join (left join + null filter keeps the count
     * column semantics explicit).
+    *
+    * SCALE DEFAULT (r17 verdict watch item 2): this exact row is the
+    * verification anchor, NOT the everyday audit at cluster scale — on
+    * the sf1 replica the exact pass measured 203 s against 9.7 s for
+    * [[weakEdgesSampled]] (`mb_weak_edges_sampled`, BASELINE sf1 rows),
+    * and Σ deg² grows faster than the corpus. A 100× deployment should
+    * run the sampled audit by default (wedge work shrinks ~p² at 1-in-16)
+    * and reserve this exact form for confirming the sampled survivors or
+    * for bounded subgraphs.
     */
   private def weakEdges(s: SparkSession, dir: String): DataFrame =
     weakEdgesOver(graphEdges(s, dir))

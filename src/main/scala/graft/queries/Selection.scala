@@ -991,8 +991,8 @@ object Selection {
     * every oracle sf runs) is the exact full fit; larger values are the
     * documented 100 TB recipe — GD cost scales with the SLICE while
     * serving stays corpus-wide, the DSIR/proxy-model economics. The
-    * sampled path is gated (dx_lr_gate fits a 1-in-4 model every run and
-    * requires it to still beat the majority class held-out).
+    * sampled path is gated (dx_lr_train fits a 1-in-4 model every run and
+    * require()s it to still beat the majority class held-out).
     */
   private def lrFit(s: SparkSession, toksAll: DataFrame,
       sampleDen: Long = 1L): LrModel = {
@@ -1010,12 +1010,26 @@ object Selection {
   // can't deflate it) and refreshes the cache; the scoring/serving rows
   // reuse the session model when one exists, so their published walls are
   // warm-model BY CONSTRUCTION (QueryDefs carry `warm = true`).
+  // The cache stores the sample DENOMINATOR the model was trained with
+  // alongside the model (ADVICE r17): a dx_lr_train run under
+  // spark.graft.lr.sampleDen > 1 caches the sampled model, and letting
+  // the gate / classify / mixture rows silently consume it would make
+  // them order-dependent session state — lrFitCached refits the exact
+  // full model instead of serving a den != 1 cache entry.
   private val lrModels =
-    scala.collection.concurrent.TrieMap.empty[String, LrModel]
+    scala.collection.concurrent.TrieMap.empty[String, (LrModel, Long)]
 
   private[graft] def lrFitCached(s: SparkSession, dir: String,
       toksAll: DataFrame): LrModel =
-    lrModels.getOrElseUpdate(dir, lrFit(s, toksAll))
+    lrModels.get(dir) match {
+      case Some((m, 1L)) => m
+      case _ =>
+        // absent, or present but trained on a 1-in-den slice: refit the
+        // exact full model and replace the entry
+        val m = lrFit(s, toksAll)
+        lrModels.put(dir, (m, 1L))
+        m
+    }
 
   /** Held-out confusion matrix for a trained model — scoring is the same
     * exact-long margin the trainer uses, so served ≡ trained arithmetic.
@@ -1078,6 +1092,19 @@ object Selection {
       |  CAST(1 AS BOOLEAN) AS batch_equal_ok
       |FROM documents WHERE doc_id % 2 = 1""".stripMargin
 
+  /** Held-out (correct, total, majority) for a model — the quality triple
+    * both the train row's sampled-fit check and the gate's floor use.
+    */
+  private def lrAccuracy(m: LrModel, held: DataFrame): (Long, Long, Long) = {
+    val conf = lrConfusion(m, held)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = conf.values.sum
+    val correct = conf.getOrElse((0L, 0L), 0L) + conf.getOrElse((1L, 1L), 0L)
+    val majority = Seq(0L, 1L)
+      .map(y => conf.collect { case ((a, _), c) if a == y => c }.sum).max
+    (correct, total, majority)
+  }
+
   private def lrTrainQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ALWAYS a fresh fit (the build row pays construction); refresh the
@@ -1085,11 +1112,26 @@ object Selection {
     // denominator is conf-driven (default 1 = exact full fit, which is
     // what every oracle run uses): on a 100 TB corpus set
     // spark.graft.lr.sampleDen so 30 GD iterations price against a
-    // bounded slice — the fit quality gate (dx_lr_gate) pins that the
-    // sampled form still discriminates.
+    // bounded slice.
+    //
+    // THIS row carries the sampled-fit quality evidence (r17 verdict #6
+    // moved it here from dx_lr_gate, whose core claim is the determinism
+    // pair): every den=1 run ALSO fits the 1-in-4 slice — the documented
+    // 100 TB recipe executed, not just described — and require()s that it
+    // still beats the held-out majority class, so a quality regression in
+    // the sampled path fails the train row loudly in every Verify/Bench
+    // run. A den>1 run's main fit IS the sampled form and gets the same
+    // require directly.
     val den = s.conf.get("spark.graft.lr.sampleDen", "1").toLong
-    val m = lrFit(s, nbTokens(Tables(s, dir, "documents")), den)
-    lrModels.put(dir, m)
+    val toksAll = nbTokens(Tables(s, dir, "documents")).localCheckpoint(false)
+    val m = lrFit(s, toksAll, den)
+    lrModels.put(dir, (m, den))
+    val held = toksAll.filter(col("doc_id") % 2 === 1)
+    val sampled = if (den > 1L) m else lrFit(s, toksAll, sampleDen = 4L)
+    val (sCorrect, sTotal, sMajority) = lrAccuracy(sampled, held)
+    require(sCorrect > sMajority && sTotal > 0,
+      s"sampled LR fit (den=${if (den > 1L) den else 4L}) no longer beats " +
+        s"the majority class held-out: $sCorrect/$sTotal vs $sMajority")
     (m.wMicro.zipWithIndex.map { case (wm, bk) => (bk.toLong, wm) }.toSeq :+
       ((-1L, m.biasMicro)))
       .toDF("bucket", "w_micro").orderBy("bucket")
@@ -1106,11 +1148,13 @@ object Selection {
     * strictly reduced over the fit, and held-out accuracy that BEATS the
     * majority-class baseline (the labels are learnable from the text, so
     * unlike dx_nb_classify the gate can demand real discrimination) with
-    * an absolute floor of 0.85. Also fits the SAMPLED form (1-in-4 of
-    * the training half — the 100 TB recipe `spark.graft.lr.sampleDen`
-    * executes) and requires it to still beat the majority class, so the
-    * sampled path is quality-gated at every sf the harness runs, not
-    * just documented.
+    * an absolute floor of 0.85.
+    *
+    * The SAMPLED-fit quality claim (1-in-4 slice still beats the majority
+    * class — the `spark.graft.lr.sampleDen` 100 TB recipe) is carried by
+    * `dx_lr_train`, which executes + require()s it on every run (r17
+    * verdict #6): the gate keeps only its core claim, the determinism
+    * pair, so its wall is one fresh full fit — not three.
     */
   private def lrGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1121,23 +1165,12 @@ object Selection {
     val m1 = lrFitCached(s, dir, toksAll)
     val m2 = lrFit(s, toksAll)
     val held = toksAll.filter(col("doc_id") % 2 === 1).localCheckpoint(false)
-    def accuracy(m: LrModel): (Long, Long, Long) = {
-      val conf = lrConfusion(m, held)
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-      val total = conf.values.sum
-      val correct = conf.getOrElse((0L, 0L), 0L) + conf.getOrElse((1L, 1L), 0L)
-      val majority = Seq(0L, 1L)
-        .map(y => conf.collect { case ((a, _), c) if a == y => c }.sum).max
-      (correct, total, majority)
-    }
-    val (correct, total, majority) = accuracy(m1)
-    val (sCorrect, _, sMajority) = accuracy(lrFit(s, toksAll, sampleDen = 4L))
+    val (correct, total, majority) = lrAccuracy(m1, held)
     val ok = m1.wMicro.sameElements(m2.wMicro) &&
       m1.biasMicro == m2.biasMicro &&
       m1.lossMicroByIter == m2.lossMicroByIter &&
       m1.lossMicroByIter.last < m1.lossMicroByIter.head &&
-      correct * 1000 >= total * 850 && correct > majority &&
-      sCorrect > sMajority
+      correct * 1000 >= total * 850 && correct > majority
     Seq(ok).toDF("lr_ok")
   }
 
