@@ -29,22 +29,37 @@ object SimHash {
 
   def candidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(simhash(docs, idCol, textCol), "id", "simhash",
+      bands, maxHamming)
+
+  /** Banded-hamming blocking over ANY 64-bit fingerprint table — the
+    * machinery shared by the text SimHash family above and the image
+    * dHash near-dup family ([[graft.operators.multimodal.Media.dHash64]]):
+    * split the 64 bits into `bands` chunks, equi-join rows sharing any
+    * chunk (lossless for hamming ≤ bands − 1 by pigeonhole), verify with
+    * `bit_count(xor)` BEFORE the dedup exchange so only true near-dups
+    * shuffle again. The only corpus-shaped shuffle is the chunk equi-join.
+    */
+  def bandedHammingPairs(
+      hashes: DataFrame, idCol: String, hashCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(64 % bands == 0)
     val width = 64 / bands
-    val sh = simhash(docs, idCol, textCol)
+    val sh = hashes.select(
+      col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("h"))
 
     val chunkExprs = (0 until bands).map { b =>
-      expr(s"named_struct('band', $b, 'chunk', shiftrightunsigned(simhash, ${b * width}) & ${(1L << width) - 1})")
+      expr(s"named_struct('band', $b, 'chunk', shiftrightunsigned(h, ${b * width}) & ${(1L << width) - 1})")
     }
     // Materialised once (lazy localCheckpoint): both sides of the
-    // self-join read the fingerprints instead of re-tokenizing the corpus.
-    val exploded = sh.select(col("id"), col("simhash"), explode(array(chunkExprs: _*)).as("c"))
-      .select(col("id"), col("simhash"), col("c.band").as("band"), col("c.chunk").as("chunk"))
+    // self-join read the fingerprints instead of recomputing them.
+    val exploded = sh.select(col("id"), col("h"), explode(array(chunkExprs: _*)).as("c"))
+      .select(col("id"), col("h"), col("c.band").as("band"), col("c.chunk").as("chunk"))
       .localCheckpoint(false)
 
-    val l = exploded.select(col("band"), col("chunk"), col("id").as("left_id"), col("simhash").as("lh"))
-    val r = exploded.select(col("band"), col("chunk"), col("id").as("right_id"), col("simhash").as("rh"))
+    val l = exploded.select(col("band"), col("chunk"), col("id").as("left_id"), col("h").as("lh"))
+    val r = exploded.select(col("band"), col("chunk"), col("id").as("right_id"), col("h").as("rh"))
     // hamming verify BEFORE the dedup exchange: bit_count(xor) is a
     // row-local codegen'd filter, so only verified near-dups (a vanishing
     // fraction of raw band collisions) ever shuffle for the multi-band dedup

@@ -191,6 +191,175 @@ object Media {
       .toDF("media_id", "payload", "width", "height")
   }
 
+  /** REAL integer-factor upscale by explicit pixel replication (each source
+    * pixel becomes an f×f block — a hand-rolled loop, not `Graphics2D`
+    * resampling, so the output pixels are EXACTLY the source pixels
+    * repeated; the geometry change that preserves content bit-for-bit).
+    * The perceptual-hash dedup gate plants these as its resize variants
+    * because [[dHash64]] is exactly invariant under pixel replication.
+    */
+  def scaleNearest(payloads: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1 && factor <= 16, s"unreasonable scale factor $factor")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) (id, null: Array[Byte], -1L, -1L)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val out = new java.awt.image.BufferedImage(
+              w * factor, h * factor, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                var dy = 0
+                while (dy < factor) {
+                  var dx = 0
+                  while (dx < factor) {
+                    out.setRGB(x * factor + dx, y * factor + dy, rgb)
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            (id, bos.toByteArray, (w * factor).toLong, (h * factor).toLong)
+          }
+        }
+      }
+      .toDF("media_id", "payload", "width", "height")
+  }
+
+  /** REAL re-encode: decode and write back through a different container
+    * (`bmp` and `png` are lossless — identical pixels, different bytes;
+    * `jpg` is lossy). The near-dup family's "same image, different file"
+    * variant generator.
+    */
+  def reencodeImages(payloads: DataFrame, format: String): DataFrame = {
+    require(Set("png", "bmp", "jpg").contains(format), s"unsupported $format")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) (id, null: Array[Byte])
+          else {
+            val src = if (format == "jpg") toBgr(img) else img
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(src, format, bos)
+            (id, bos.toByteArray)
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** 64-bit perceptual difference-hash (dHash — the row-gradient member of
+    * Krawetz's aHash/dHash/pHash family, the standard cheap image near-dup
+    * fingerprint): decode → integer luma (299·R + 587·G + 114·B, no
+    * division) → AREA-EXACT 9×8 box resample computed with integer overlap
+    * arithmetic (pixel [x,x+1) contributes `lum · ox · oy` to each cell,
+    * where ox/oy are the exact integer overlaps of the pixel with the cell
+    * in 1/9th-of-width × 1/8th-of-height units) → bit (y·8 + x) set when
+    * cell(x+1, y) > cell(x, y). Every cell's total weight is the same
+    * (w·h), so comparing sums ≡ comparing means with zero rounding.
+    *
+    * Exactness properties the dedup gate exploits: (a) an integer-factor
+    * pixel-replication upscale multiplies every cell sum by f² — all 64
+    * comparisons unchanged, hamming 0 by construction; (b) lossless
+    * re-encodes (PNG/BMP) keep pixels, hence the hash; (c) a global
+    * clamp-free brightness shift adds the same amount to every cell —
+    * strict comparisons unchanged. Near-dups under mild lossy perturbation
+    * land at small hamming, found by [[graft.operators.dedup.SimHash]]'s
+    * banded blocking over this hash. Undecodable payloads flag
+    * `decode_ok = false` (hash 0), never dropped silently.
+    */
+  def dHash64(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) (id, 0L, false)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val gw = 9; val gh = 8
+            val sums = Array.ofDim[Long](gh * gw)
+            var y = 0
+            while (y < h) {
+              // cells this pixel row overlaps: cy in [y*gh/h, ((y+1)*gh-1)/h]
+              val cy0 = y * gh / h
+              val cy1 = math.min(gh - 1, ((y + 1) * gh - 1) / h)
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (299 * ((rgb >> 16) & 0xff) +
+                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)).toLong
+                val cx0 = x * gw / w
+                val cx1 = math.min(gw - 1, ((x + 1) * gw - 1) / w)
+                var cy = cy0
+                while (cy <= cy1) {
+                  val oy = math.min((cy + 1) * h, (y + 1) * gh) -
+                    math.max(cy * h, y * gh)
+                  var cx = cx0
+                  while (cx <= cx1) {
+                    val ox = math.min((cx + 1) * w, (x + 1) * gw) -
+                      math.max(cx * w, x * gw)
+                    sums(cy * gw + cx) += lum * ox * oy
+                    cx += 1
+                  }
+                  cy += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var cy = 0
+            while (cy < gh) {
+              var cx = 0
+              while (cx < 8) {
+                if (sums(cy * gw + cx + 1) > sums(cy * gw + cx))
+                  hash |= 1L << (cy * 8 + cx)
+                cx += 1
+              }
+              cy += 1
+            }
+            (id, hash, true)
+          }
+        }
+      }
+      .toDF("media_id", "dhash", "decode_ok")
+  }
+
   /** REAL audio synthesis: one deterministic PCM16 mono WAV per row —
     * a sine tone whose frequency and amplitude envelope derive from a text
     * column's bytes — encoded with `javax.sound.sampled` (the JDK's real

@@ -732,6 +732,63 @@ object Ann {
       |  CAST(1 AS BOOLEAN) AS batch_equal_ok
       |FROM embeddings WHERE vec_id < 12""".stripMargin
 
+  /** Streaming index-MAINTENANCE gate (r17 verdict #5 — the last spec-only
+    * streaming surface promoted to a registered oracle row, the
+    * `st_golden_apply_gate` recipe on ANN state): build the NN-Descent
+    * graph over 80% of the corpus, then fold TWO disjoint delta
+    * micro-batches through [[graft.operators.ann.NnDescent.addVectors]]
+    * (beam-seeded inserts + delta-localized descent — exactly the
+    * per-trigger state update StreamingSpec drives through a real
+    * MemoryStream + foreachBatch). The oracle pins the invariants: every
+    * union-corpus vector owns an edge list after the folds (coverage =
+    * n_vectors), and the maintained graph's top-5 still meets the
+    * family's per-regime recall floor vs brute force recomputed on the
+    * FULL union — incremental maintenance ≡ rebuild, after ≥ 2 folds.
+    */
+  private def annMaintainGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.ann.NnDescent
+    val emb = Tables(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 3)
+    val deltas = Seq(
+      emb.filter(col("vec_id") % 5 === 3 && col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 5 === 3 && col("vec_id") % 2 === 1))
+    var g = NnDescent.knnGraph(base, "vec_id", "embedding", k = 10,
+      iters = 4, cap0 = 40).localCheckpoint(false)
+    var known = base.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(false)
+    deltas.foreach { d =>
+      g = NnDescent.addVectors(g, known, d, "vec_id", "embedding",
+        k = 10, iters = 2, cap0 = 40).localCheckpoint(false)
+      known = known.unionByName(d.select(col("vec_id"), col("embedding")))
+        .localCheckpoint(false)
+    }
+    val n = emb.count()
+    val covered = g.select("id").distinct().count()
+    val bruteTop = Knn.bruteForce(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+      .localCheckpoint(false)
+    val top1 = bruteTop.filter(col("rank") === 1)
+      .agg(avg(round(col("sim"), 6))).head().getDouble(0)
+    val clustered = top1 >= 0.8
+    val regime = if (clustered) "clustered" else "uniform"
+    val floor = if (clustered) 0.9 else 0.7
+    val brute = bruteTop.select("query_id", "neighbor_id")
+    val got = graft.plans.TopK.perKey(g.filter(col("id") < 10), Seq("id"),
+        "sim", 5, tieCols = Seq("nbr"))
+      .select(col("id").as("query_id"), col("nbr").as("neighbor_id"))
+    val nBrute = brute.count()
+    val nHit = brute.join(got, Seq("query_id", "neighbor_id"), "left_semi").count()
+    Seq((n, covered == n, regime, nHit.toDouble / nBrute >= floor))
+      .toDF("n_vectors", "covered", "regime", "recall_ok")
+  }
+
+  private val annMaintainGateSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(1 AS BOOLEAN) AS covered, 'uniform' AS regime,
+      |  CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM embeddings""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dx_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("dx_knn_lsh", knnLsh, None),
@@ -753,6 +810,7 @@ object Ann {
     QueryDef("dx_knn_graph_del", knnGraphDel, None),
     QueryDef("dx_knn_graph_del_recall", knnGraphDelGate(0.7), Some(knnGraphDelGateSql)),
     QueryDef("st_ann_serve_gate", annServeGate, Some(annServeGateSql), warm = true),
+    QueryDef("st_ann_maintain_gate", annMaintainGate, Some(annMaintainGateSql)),
     QueryDef("dx_knn_graph_incr_recall", knnRecallGate(knnGraphIncr, 0.7), Some(knnRecallGateSql)),
     QueryDef("dx_knn_sq", knnSq, None),
     QueryDef("dx_knn_sq_recall", knnRecallGate(knnSq, 0.9), Some(knnRecallGateSql)),

@@ -64,6 +64,233 @@ object Pipeline {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // ---- trained language ID (CCNet-style) -------------------------------
+
+  /** Planted multi-language truth set for the TRAINED language-ID family
+    * (r17 verdict #4): the driver corpus's `lang` label is independent of
+    * its synthetic English-ish text (measured — see the `dx_nb_classify`
+    * stance in [[graft.queries.Selection]]), so a REAL lang-ID truth set
+    * is planted instead: each document gets true_lang = langs[doc_id % 5]
+    * and 12 words drawn deterministically (the md5-digit device) from that
+    * language's 10-common-word vocabulary. Every generation step is
+    * expressible in both engines, so the whole trained pipeline is
+    * oracle-matched bit-exactly — not merely gated.
+    */
+  private val plantedLangs = Seq("de", "en", "es", "fr", "zh")
+  private val plantedVocab: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "nicht", "das", "ist", "mit", "sich", "auch", "werden"),
+    "en" -> Seq("the", "and", "was", "that", "have", "this", "with", "they", "from", "which"),
+    "es" -> Seq("que", "los", "una", "con", "para", "por", "las", "del", "este", "como"),
+    "fr" -> Seq("les", "des", "est", "dans", "pour", "une", "qui", "sur", "avec", "pas"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "men", "zhe", "guo", "ren", "zhong"))
+
+  private val plantedLangCase =
+    "CASE CAST(doc_id % 5 AS INT) " + plantedLangs.zipWithIndex
+      .map { case (l, i) => s"WHEN $i THEN '$l'" }.mkString(" ") + " END"
+
+  /** CASE over true_lang selecting the idx-th vocab word — `elem` renders
+    * the per-language 1-indexed list access in each engine's dialect, so
+    * both sides index the SAME vocab literal.
+    */
+  private def plantedWordCase(elem: Seq[String] => String): String =
+    "CASE true_lang " + plantedLangs.map { l =>
+      s"WHEN '$l' THEN ${elem(plantedVocab(l))}"
+    }.mkString(" ") + " END"
+
+  private def plantedWords(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .withColumn("true_lang", expr(plantedLangCase))
+      .withColumn("i", explode(expr("sequence(0, 11)")))
+      .withColumn("idx", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(i AS STRING))), 1, 1), 16, 10) AS INT) % 10"))
+      .withColumn("word", expr(plantedWordCase(ws =>
+        s"element_at(array(${ws.map(w => s"'$w'").mkString(", ")}), idx + 1)")))
+      .select("doc_id", "true_lang", "word")
+
+  /** Word-internal char-trigram features over boundary-padded words
+    * (`^word$` — the fastText/CCNet character-n-gram recipe), hashed to
+    * the family-standard 256 md5 buckets so the weight table stays
+    * kilobytes regardless of corpus size.
+    */
+  private def plantedBuckets(words: DataFrame): DataFrame =
+    words
+      .withColumn("pw", concat(lit("^"), col("word"), lit("$")))
+      .withColumn("tri", explode(expr(
+        "transform(sequence(1, length(pw) - 2), p -> substring(pw, p, 3))")))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(tri), 1, 2), 16, 10) AS BIGINT)"))
+      .select("doc_id", "true_lang", "bucket")
+
+  /** TRAINED language ID — CCNet's actual recipe (Wenzek et al. 2020,
+    * arXiv:1911.00359 run a trained fastText langid model, not stopword
+    * heuristics): multinomial NB over word-internal char-trigram buckets,
+    * trained on the even-doc half of the planted truth set and scored on
+    * the odd-doc half. Reuses the integer-exact weight formula the NB
+    * family already oracle-pins ([[Selection.nbWeightsFromCounts]]: ppm +
+    * floor-log2 bits), priors and argmax exactly as `dx_nb_classify`.
+    *
+    * Shape at 100 TB: training is one partial-agg shuffle with
+    * classes × 256 state; scoring is a per-doc histogram + a broadcast
+    * join of the kilobyte weight table — the corpus never self-joins.
+    */
+  private def langIdTrained(s: SparkSession, dir: String): DataFrame = {
+    val buckets = plantedBuckets(plantedWords(s, dir)).localCheckpoint(false)
+    val train = buckets.filter(col("doc_id") % 2 === 0)
+    val w = Selection.nbWeightsFromCounts(
+      train.groupBy(col("true_lang").as("lang"), col("bucket"))
+        .agg(count(lit(1)).as("c")),
+      train.groupBy(col("true_lang").as("lang")).agg(count(lit(1)).as("n")))
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      .withColumn("true_lang", expr(plantedLangCase))
+    val trainDocs = docs.filter(col("doc_id") % 2 === 0)
+    val priors = trainDocs.groupBy(col("true_lang").as("cand"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("ndt"))))
+      .withColumn("w_prior", expr(
+        "CAST(length(bin(greatest(1L, (nd * 1000000) div ndt))) AS BIGINT)"))
+      .select("cand", "w_prior")
+    val hist = buckets.filter(col("doc_id") % 2 === 1)
+      .groupBy("doc_id", "true_lang", "bucket").agg(count(lit(1)).as("cnt"))
+    val scored = hist
+      .join(broadcast(w.select(col("lang").as("cand"), col("bucket"), col("w_bits"))),
+        "bucket")
+      .groupBy("doc_id", "true_lang", "cand")
+      .agg(sum(col("cnt") * col("w_bits")).as("ll"))
+      .join(broadcast(priors), "cand")
+      .withColumn("score", col("ll") + col("w_prior"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("cand"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"), col("cand").as("pred_lang"),
+        (col("cand") === col("true_lang")).as("is_correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared DuckDB CTE chain: planted words → padded-word trigram buckets
+    * → NB weights/priors → held-out argmax (mirrors `nbCommonSql`'s
+    * devices; both engines derive vocab/CASE text from the same literals).
+    */
+  private val langIdTrainedCte = {
+    val wordCase = plantedWordCase(ws =>
+      s"[${ws.map(w => s"'$w'").mkString(", ")}][idx + 1]")
+    s"""d AS (
+       |  SELECT doc_id, $plantedLangCase AS true_lang FROM documents),
+       |wd AS (
+       |  SELECT doc_id, true_lang,
+       |    (strpos('0123456789abcdef',
+       |       substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 10
+       |      AS idx
+       |  FROM (SELECT doc_id, true_lang, unnest(range(12)) AS i FROM d)),
+       |w2 AS (
+       |  SELECT doc_id, true_lang, $wordCase AS word FROM wd),
+       |tri AS (
+       |  SELECT doc_id, true_lang,
+       |    unnest(list_transform(range(1, length(pw) - 1),
+       |      p -> substr(pw, CAST(p AS INT), 3))) AS tri
+       |  FROM (SELECT doc_id, true_lang, '^' || word || '$$' AS pw FROM w2)),
+       |bt AS (
+       |  SELECT doc_id, true_lang,
+       |    CAST((strpos('0123456789abcdef', substr(md5(tri), 1, 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(md5(tri), 2, 1)) - 1 AS BIGINT)
+       |      AS bucket
+       |  FROM tri),
+       |cnt AS (
+       |  SELECT true_lang AS lang, bucket, CAST(count(*) AS BIGINT) AS c
+       |  FROM bt WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT true_lang AS lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM bt WHERE doc_id % 2 = 0 GROUP BY 1),
+       |dense AS (
+       |  SELECT lang, n, CAST(unnest(range(256)) AS BIGINT) AS bucket FROM tot),
+       |wb AS (
+       |  SELECT dn.lang, dn.bucket,
+       |    CAST(length(bin(greatest(1,
+       |      ((COALESCE(c.c, 0) + 1) * 1000000) // (dn.n + 256)))) AS BIGINT)
+       |      AS w_bits
+       |  FROM dense dn
+       |  LEFT JOIN cnt c ON c.lang = dn.lang AND c.bucket = dn.bucket),
+       |pri AS (
+       |  SELECT a.true_lang AS cand,
+       |    CAST(length(bin(greatest(1, (a.nd * 1000000) // b.ndt))) AS BIGINT)
+       |      AS w_prior
+       |  FROM (SELECT true_lang, CAST(count(*) AS BIGINT) AS nd
+       |        FROM d WHERE doc_id % 2 = 0 GROUP BY 1) a
+       |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS ndt
+       |              FROM d WHERE doc_id % 2 = 0) b),
+       |hist AS (
+       |  SELECT doc_id, true_lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bt WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT h.doc_id, h.true_lang, w.lang AS cand,
+       |    CAST(sum(h.cnt * w.w_bits) AS BIGINT) AS ll
+       |  FROM hist h JOIN wb w USING (bucket) GROUP BY 1, 2, 3),
+       |scp AS (
+       |  SELECT sc.doc_id, sc.true_lang, sc.cand, sc.ll + p.w_prior AS score
+       |  FROM sc JOIN pri p ON p.cand = sc.cand),
+       |pr AS (
+       |  SELECT doc_id, true_lang, cand,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand)
+       |      AS rn
+       |  FROM scp)""".stripMargin
+  }
+
+  private val langIdTrainedSql =
+    s"""WITH $langIdTrainedCte
+       |SELECT doc_id, true_lang, cand AS pred_lang,
+       |  (cand = true_lang) AS is_correct
+       |FROM pr WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Trained-beats-heuristic gate, itself fully oracle-recomputed: the
+    * trained NB's held-out correct count vs the anchor-word heuristic
+    * (`dx_lang_id`'s exact profiles + argmax CASE) evaluated on the SAME
+    * planted slices. The heuristic's profiles were built for the synthetic
+    * corpus's English-ish vocabulary, so on real multi-language text it
+    * collapses to near-prior accuracy — which is precisely the CCNet
+    * argument for training a classifier instead.
+    */
+  private def langIdTrainedGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val trained = langIdTrained(s, dir)
+    val heldWords = plantedWords(s, dir).filter(col("doc_id") % 2 === 1)
+    val scoreCols = langProfiles.map { case (l, ws) =>
+      sum(when(col("word").isin(ws: _*), 1L).otherwise(0L)).as(s"s_$l") }
+    val heur = heldWords.groupBy("doc_id", "true_lang")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+      .withColumn("pred_lang", expr(predCase(l => s"s_$l")))
+    val nHeld = trained.count()
+    val tCorrect = trained.filter(col("is_correct")).count()
+    val hCorrect = heur.filter(col("pred_lang") === col("true_lang")).count()
+    Seq((nHeld, tCorrect, hCorrect, tCorrect > hCorrect))
+      .toDF("n_held", "trained_correct", "heuristic_correct",
+        "trained_beats_heuristic")
+  }
+
+  private val langIdTrainedGateSql = {
+    val scores = langProfiles.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(sum(CASE WHEN list_contains($arr, word) THEN 1 ELSE 0 END) AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    s"""WITH $langIdTrainedCte,
+       |hs AS (
+       |  SELECT doc_id, true_lang,
+       |    $scores
+       |  FROM w2 WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+       |hp AS (
+       |  SELECT doc_id, true_lang, ${predCase(l => s"s_$l")} AS pred FROM hs),
+       |tr AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_held,
+       |    CAST(sum(CASE WHEN cand = true_lang THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tc
+       |  FROM pr WHERE rn = 1),
+       |hh AS (
+       |  SELECT CAST(sum(CASE WHEN pred = true_lang THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS hc FROM hp)
+       |SELECT tr.n_held AS n_held, tr.tc AS trained_correct,
+       |  hh.hc AS heuristic_correct, (tr.tc > hh.hc) AS trained_beats_heuristic
+       |FROM tr CROSS JOIN hh""".stripMargin
+  }
+
   private def quality(s: SparkSession, dir: String): DataFrame = {
     val en = langProfiles.toMap.apply("en")
     Tables(s, dir, "documents")
@@ -1506,6 +1733,109 @@ object Pipeline {
   private val multimodalVideoGateSql =
     "SELECT CAST(1 AS BOOLEAN) AS video_ok"
 
+  // ---- perceptual image near-dup ---------------------------------------
+
+  /** The phash-family corpus: one REAL 16×16 PNG per document (capped at
+    * 160 — the family proves the codec+blocking machinery, not
+    * throughput), plus two planted near-duplicate variants per image whose
+    * dHash equals the base EXACTLY by construction
+    * ([[Media.dHash64]]'s invariance properties): a 2× pixel-replication
+    * upscale ([[Media.scaleNearest]] — a resize variant) and a lossless
+    * BMP re-encode ([[Media.reencodeImages]] — same pixels, different
+    * container bytes). Variant ids offset far above any doc_id.
+    */
+  private val phashVariantOffset = 10000000L
+
+  private def phashCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").orderBy("doc_id").limit(160)
+    val base = Media.synthesizePng(docs, "doc_id", "text", 16, 16)
+      .localCheckpoint(false)
+    def shifted(df: DataFrame, k: Long) = df.select(
+      (col("media_id") + lit(k * phashVariantOffset)).as("media_id"),
+      col("payload"))
+    base
+      .unionByName(shifted(Media.scaleNearest(base, 2), 1L))
+      .unionByName(shifted(Media.reencodeImages(base, "bmp"), 2L))
+  }
+
+  /** Perceptual image near-dup pairs — the `dx_dedup_simhash` machinery
+    * applied to decoded pixels (r17 verdict #2): 64-bit dHash per image
+    * computed in [[Media]]'s partition-batched style, then
+    * [[SimHash.bandedHammingPairs]] banded blocking (lossless for
+    * hamming ≤ bands − 1) with exact `bit_count(xor)` verification. No
+    * image ever compares against more than its band-bucket cohort — the
+    * image analogue of the text SimHash scale shape. Rows-only (DuckDB
+    * cannot decode PNGs); `dx_dedup_phash_gate` pins planted recall,
+    * banding losslessness and hash determinism.
+    */
+  private def dedupPhash(s: SparkSession, dir: String): DataFrame =
+    SimHash.bandedHammingPairs(
+        Media.dHash64(phashCorpus(s, dir)).filter(col("decode_ok")),
+        "media_id", "dhash", bands = 4, maxHamming = 3)
+      .orderBy("left_id", "right_id")
+
+  /** Driver-gated evidence for the perceptual near-dup family (no SQL
+    * oracle — DuckDB has no image codec; the oracle pins corpus size):
+    *   (a) planted recall 1.0 — every (base, upscale), (base, re-encode)
+    *       and (upscale, re-encode) pair is recovered by the banded join
+    *       (structural: both variants are hamming-0 by dHash's exactness
+    *       properties, and banding is lossless at hamming ≤ bands − 1);
+    *   (b) banding ≡ brute force — the banded pairs equal the all-pairs
+    *       hamming join at the same threshold, bit-for-bit (the
+    *       `dx_dedup_simhash_gate` losslessness claim on image hashes);
+    *   (c) determinism — synthesize + decode + hash twice, bit-identical;
+    *   (d) coverage — every planted image decodes (no flagged rows).
+    */
+  private def dedupPhashGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = phashCorpus(s, dir).localCheckpoint(false)
+    val hashes = Media.dHash64(corpus).localCheckpoint(false)
+    val nImages = corpus.count()
+    val nDecoded = hashes.filter(col("decode_ok")).count()
+    val nBase = nImages / 3
+    val found = dedupPhash(s, dir)
+      .select("left_id", "right_id").localCheckpoint(false)
+    // planted truth: for each base id b, pairs (b, b+OFF), (b, b+2·OFF),
+    // (b+OFF, b+2·OFF) — left < right holds since OFF > max doc_id
+    val ids = corpus.filter(col("media_id") < phashVariantOffset)
+      .select(col("media_id").as("b"))
+    val planted = Seq((0L, 1L), (0L, 2L), (1L, 2L)).map { case (i, j) =>
+      ids.select((col("b") + lit(i * phashVariantOffset)).as("left_id"),
+        (col("b") + lit(j * phashVariantOffset)).as("right_id"))
+    }.reduce(_ unionByName _)
+    val nPlanted = planted.count()
+    val nRecovered = planted
+      .join(found, Seq("left_id", "right_id"), "left_semi").count()
+    // brute-force hamming join over the (bounded) fingerprint table —
+    // the losslessness reference, O(n²) on ≤480 hashes by design
+    val hs = hashes.filter(col("decode_ok")).select(
+      col("media_id"), col("dhash"))
+    val brute = hs.select(col("media_id").as("left_id"), col("dhash").as("lh"))
+      .join(hs.select(col("media_id").as("right_id"), col("dhash").as("rh")),
+        col("left_id") < col("right_id"))
+      .withColumn("hamming", expr("bit_count(lh ^ rh)"))
+      .filter(col("hamming") <= 3)
+      .select("left_id", "right_id")
+    val bandEqBrute =
+      found.exceptAll(brute).count() == 0 &&
+        brute.exceptAll(found).count() == 0
+    def hashXor(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(media_id, dhash))")).head().getLong(0)
+    val deterministic =
+      hashXor(hs) == hashXor(
+        Media.dHash64(phashCorpus(s, dir)).filter(col("decode_ok"))
+          .select("media_id", "dhash"))
+    val ok = nBase > 0 && nDecoded == nImages &&
+      nRecovered == nPlanted && nPlanted == 3 * nBase &&
+      bandEqBrute && deterministic
+    Seq((nImages, ok)).toDF("n_images", "phash_ok")
+  }
+
+  private val dedupPhashGateSql =
+    """SELECT CAST(3 * least(count(*), 160) AS BIGINT) AS n_images,
+      |  CAST(1 AS BOOLEAN) AS phash_ok
+      |FROM documents""".stripMargin
+
   /** Corpus-adaptive boilerplate stripping — the cross-document removal
     * step (C4-style: segments that recur across most documents are
     * template noise, not content). Tokens present in >80% of documents
@@ -2515,12 +2845,12 @@ object Pipeline {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private lazy val suffixCleanupHook: Unit = {
     sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
       suffixKeyTables.values.foreach { p =>
-        try java.nio.file.Files.walk(java.nio.file.Paths.get(p).getParent)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        catch { case _: Throwable => () }
+        try {
+          val parent = new org.apache.hadoop.fs.Path(p).getParent
+          val fs = parent.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          fs.delete(parent, true); ()
+        } catch { case _: Throwable => () }
       }
     }
     ()
@@ -2529,7 +2859,22 @@ object Pipeline {
   private def rebuildSuffixKeys(s: SparkSession, dir: String): String = {
     val path = suffixKeyTables.getOrElseUpdate(dir, {
       suffixCleanupHook
-      java.nio.file.Files.createTempDirectory("graft_sfxkeys").toString + "/keys"
+      // Scratch lives on the SAME FileSystem as the sf dir (ADVICE r17): a
+      // driver-local java.nio temp dir is invisible to executors when the
+      // default FS is an hdfs://-style shared store, so qualify a unique
+      // scratch path against the sf dir's FS. On the local FS this
+      // resolves to a java.io.tmpdir temp directory as before.
+      val hconf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+      val base =
+        if (fs.getScheme == "file")
+          new org.apache.hadoop.fs.Path(
+            java.nio.file.Files.createTempDirectory("graft_sfxkeys").toString)
+        else
+          new org.apache.hadoop.fs.Path(
+            "/tmp/graft_sfxkeys_" + java.util.UUID.randomUUID().toString.take(12))
+      fs.mkdirs(base)
+      fs.makeQualified(base).toString + "/keys"
     })
     graft.operators.dedup.SuffixDedup
       .windowKeys(Tables(s, dir, "documents"), "doc_id", "text", suffixLen)
@@ -2539,13 +2884,15 @@ object Pipeline {
 
   /** Build-if-absent (the ANN `ensure*Index` contract): serve rows pay
     * construction only when no build row ran yet in this session.
-    * Existence via the path's Hadoop FileSystem so the lifecycle holds on
-    * hdfs://-style roots too.
+    * Reuse is gated on the committer's `_SUCCESS` marker, not a bare
+    * directory-exists check — a partially-written table (writer died
+    * mid-commit) has the directory but no marker, and must be rebuilt
+    * (ADVICE r17).
     */
   private def ensureSuffixKeys(s: SparkSession, dir: String): DataFrame = {
     val path = suffixKeyTables.get(dir).filter { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)
     }.getOrElse(rebuildSuffixKeys(s, dir))
     s.read.parquet(path)
   }
@@ -3859,6 +4206,8 @@ object Pipeline {
     QueryDef("dx_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
     QueryDef("dx_dedup_simhash", dedupSimhash, None),
     QueryDef("dx_dedup_simhash_gate", dedupSimhashGate, Some(dedupSimhashGateSql)),
+    QueryDef("dx_dedup_phash", dedupPhash, None),
+    QueryDef("dx_dedup_phash_gate", dedupPhashGate, Some(dedupPhashGateSql)),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("dx_dedup_jaccard_prefix", dedupJaccardPrefix, Some(dedupJaccardPrefixSql)),
     QueryDef("dx_dedup_resolve", dedupResolve, Some(dedupResolveSql)),
@@ -3869,6 +4218,9 @@ object Pipeline {
     QueryDef("dx_dedup_embed_lsh", dedupEmbedLsh, None),
     QueryDef("dx_dedup_embed_lsh_gate", dedupEmbedLshGate, Some(dedupEmbedLshGateSql)),
     QueryDef("dx_lang_id", langId, Some(langIdSql)),
+    QueryDef("dx_lang_id_trained", langIdTrained, Some(langIdTrainedSql)),
+    QueryDef("dx_lang_id_trained_gate", langIdTrainedGate,
+      Some(langIdTrainedGateSql)),
     QueryDef("dx_quality", quality, Some(qualitySql)),
     QueryDef("dx_quality_rules", qualityRules, Some(qualityRulesSql)),
     QueryDef("dx_boilerplate", boilerplate, Some(boilerplateSql)),

@@ -118,7 +118,11 @@ class RegistrySpec extends SparkSpec {
       // a scan) crossed into the per-record best-weight frame
       "mb_unlinkables" -> boundedScanBuild,
       "mb_unlinkables_sampled" -> boundedScanBuild,
-      "dx_boilerplate" -> scalarAggBuild)
+      "dx_boilerplate" -> scalarAggBuild,
+      // trained lang-ID prior: one-row train-doc total crossed into the
+      // per-class doc-count table (the dx_nb_classify shape on the planted
+      // truth set)
+      "dx_lang_id_trained" -> scalarAggBuild)
     // dx_boilerplate legitimately crosses TWO one-row aggregates into the
     // per-document pass: the corpus count (threshold) and the collected
     // common-token set — each build must still prove the scalar-agg shape
