@@ -41,6 +41,42 @@ object SimHash {
     * `bit_count(xor)` BEFORE the dedup exchange so only true near-dups
     * shuffle again. The only corpus-shaped shuffle is the chunk equi-join.
     */
+  /** [[bandedHammingPairs]] with an extra alignment key: only rows that
+    * share `keyCol` are candidates (the video near-dup family bands
+    * per-FRAME hashes and aligns on frame position, so a clip never
+    * compares against more than its band-bucket cohort AT THE SAME
+    * position). Emits one row per matched (pair, key); the caller
+    * aggregates keys into a pair-level similarity.
+    */
+  def bandedHammingPairsKeyed(
+      hashes: DataFrame, idCol: String, keyCol: String, hashCol: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(64 % bands == 0)
+    val width = 64 / bands
+    val sh = hashes.select(
+      col(idCol).cast("long").as("id"), col(keyCol).cast("long").as("k"),
+      col(hashCol).cast("long").as("h"))
+    val chunkExprs = (0 until bands).map { b =>
+      expr(s"named_struct('band', $b, 'chunk', shiftrightunsigned(h, ${b * width}) & ${(1L << width) - 1})")
+    }
+    val exploded = sh.select(col("id"), col("k"), col("h"),
+        explode(array(chunkExprs: _*)).as("c"))
+      .select(col("id"), col("k"), col("h"),
+        col("c.band").as("band"), col("c.chunk").as("chunk"))
+      .localCheckpoint(false)
+    val l = exploded.select(col("k"), col("band"), col("chunk"),
+      col("id").as("left_id"), col("h").as("lh"))
+    val r = exploded.select(col("k"), col("band"), col("chunk"),
+      col("id").as("right_id"), col("h").as("rh"))
+    l.join(r, Seq("k", "band", "chunk"))
+      .filter(col("left_id") < col("right_id"))
+      .withColumn("hamming", expr("bit_count(lh ^ rh)"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("left_id", "right_id", "k")
+      .select(col("left_id"), col("right_id"), col("k").as("key"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
   def bandedHammingPairs(
       hashes: DataFrame, idCol: String, hashCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {

@@ -309,55 +309,144 @@ object Media {
             else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) (id, 0L, false)
-          else {
-            val w = img.getWidth; val h = img.getHeight
-            val gw = 9; val gh = 8
-            val sums = Array.ofDim[Long](gh * gw)
-            var y = 0
-            while (y < h) {
-              // cells this pixel row overlaps: cy in [y*gh/h, ((y+1)*gh-1)/h]
-              val cy0 = y * gh / h
-              val cy1 = math.min(gh - 1, ((y + 1) * gh - 1) / h)
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val lum = (299 * ((rgb >> 16) & 0xff) +
-                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)).toLong
-                val cx0 = x * gw / w
-                val cx1 = math.min(gw - 1, ((x + 1) * gw - 1) / w)
-                var cy = cy0
-                while (cy <= cy1) {
-                  val oy = math.min((cy + 1) * h, (y + 1) * gh) -
-                    math.max(cy * h, y * gh)
-                  var cx = cx0
-                  while (cx <= cx1) {
-                    val ox = math.min((cx + 1) * w, (x + 1) * gw) -
-                      math.max(cx * w, x * gw)
-                    sums(cy * gw + cx) += lum * ox * oy
-                    cx += 1
-                  }
-                  cy += 1
-                }
-                x += 1
-              }
-              y += 1
-            }
-            var hash = 0L
-            var cy = 0
-            while (cy < gh) {
-              var cx = 0
-              while (cx < 8) {
-                if (sums(cy * gw + cx + 1) > sums(cy * gw + cx))
-                  hash |= 1L << (cy * 8 + cx)
-                cx += 1
-              }
-              cy += 1
-            }
-            (id, hash, true)
-          }
+          else (id, dHashOf(img), true)
         }
       }
       .toDF("media_id", "dhash", "decode_ok")
+  }
+
+  /** The dHash kernel on a decoded frame — shared by [[dHash64]] (one
+    * image per payload) and [[frameDHash64]] (every frame of a clip).
+    */
+  private def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val gw = 9; val gh = 8
+    val sums = Array.ofDim[Long](gh * gw)
+    var y = 0
+    while (y < h) {
+      // cells this pixel row overlaps: cy in [y*gh/h, ((y+1)*gh-1)/h]
+      val cy0 = y * gh / h
+      val cy1 = math.min(gh - 1, ((y + 1) * gh - 1) / h)
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xff) +
+          587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)).toLong
+        val cx0 = x * gw / w
+        val cx1 = math.min(gw - 1, ((x + 1) * gw - 1) / w)
+        var cy = cy0
+        while (cy <= cy1) {
+          val oy = math.min((cy + 1) * h, (y + 1) * gh) -
+            math.max(cy * h, y * gh)
+          var cx = cx0
+          while (cx <= cx1) {
+            val ox = math.min((cx + 1) * w, (x + 1) * gw) -
+              math.max(cx * w, x * gw)
+            sums(cy * gw + cx) += lum * ox * oy
+            cx += 1
+          }
+          cy += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < 8) {
+        if (sums(cy * gw + cx + 1) > sums(cy * gw + cx))
+          hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** Per-frame perceptual fingerprints for a video column: decode each
+    * AVI clip through the real parser and emit one [[dHashOf]] row per
+    * frame, plus the clip's frame count (the denominator the video
+    * near-dup verification divides by). Exactness carries over from the
+    * image hash: a lossless re-encode ([[transcodeAvi]] DIB→DIB), an fps
+    * retime ([[retimeAvi]] — same frames, different header) and a prefix
+    * truncation ([[truncateAvi]] — shared frames) all reproduce the base
+    * clip's frame hashes bit-for-bit at the shared positions. Undecodable
+    * clips flag one `frame_idx = −1, decode_ok = false` row, never
+    * silently dropped.
+    */
+  def frameDHash64(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          decodeAvi(bytes) match {
+            case None => Iterator.single((id, -1L, 0L, 0L, false))
+            case Some((_, frames)) =>
+              val n = frames.length.toLong
+              frames.iterator.zipWithIndex.map { case (f, i) =>
+                (id, i.toLong, dHashOf(f), n, true)
+              }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "dhash", "n_frames", "decode_ok")
+  }
+
+  /** Retime each clip to `newFps` — decode every frame, re-encode with the
+    * new rate. Pixels (hence per-frame hashes) are bit-preserved for
+    * DIB-coded input; only the stream header changes. The video near-dup
+    * family's "same content, different playback speed" variant generator.
+    */
+  def retimeAvi(payloads: DataFrame, newFps: Int): DataFrame = {
+    require(newFps > 0, s"bad fps $newFps")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          decodeAvi(bytes) match {
+            case None => (id, null: Array[Byte])
+            case Some((m, frames)) =>
+              (id, encodeAvi(frames, newFps,
+                if (m.compression == 0L) "DIB " else "MJPG"))
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** Keep the first `nKeep` frames of each clip (decode + re-encode the
+    * prefix) — the "clipped excerpt" near-duplicate variant. Prefix frames
+    * are bit-preserved for DIB input, so their hashes equal the base's.
+    */
+  def truncateAvi(payloads: DataFrame, nKeep: Int): DataFrame = {
+    require(nKeep > 0, s"bad frame count $nKeep")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          decodeAvi(bytes) match {
+            case None => (id, null: Array[Byte])
+            case Some((m, frames)) =>
+              (id, encodeAvi(frames.take(nKeep), m.fps,
+                if (m.compression == 0L) "DIB " else "MJPG"))
+          }
+        }
+      }
+      .toDF("media_id", "payload")
   }
 
   /** REAL audio synthesis: one deterministic PCM16 mono WAV per row —
@@ -492,6 +581,105 @@ object Media {
         }
       }
       .toDF("media_id", "payload", "sample_rate", "n_samples")
+  }
+
+  /** Phase-invert each clip: decode the PCM16, negate every sample
+    * (−32768 clamps to 32767 — the one value whose negation overflows;
+    * the synthesized corpora never reach it), re-encode at the same rate.
+    * A classic audio near-duplicate transform under which [[aHash64]] is
+    * EXACTLY invariant: energies are sums of squares, and squares don't
+    * see sign.
+    */
+  def invertAudio(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodePcm16(bytes) match {
+            case None => (id, null: Array[Byte])
+            case Some((rate, samples)) =>
+              val n = samples.length
+              val pcm = new Array[Byte](n * 2)
+              var i = 0
+              while (i < n) {
+                val v = if (samples(i) == Short.MinValue) Short.MaxValue
+                        else (-samples(i)).toShort
+                pcm(2 * i) = (v & 0xff).toByte
+                pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+                i += 1
+              }
+              val fmt = new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                rate.toFloat, 16, 1, 2, rate.toFloat, false)
+              val ais = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(
+                ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+              (id, bos.toByteArray)
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** 64-bit acoustic fingerprint (the energy-envelope delta-sign device —
+    * the integer-exact analogue of Haitsma–Kalker's sub-band energy-delta
+    * hash, collapsed to one band since the corpus is mono PCM): split the
+    * clip into 64 equal sample windows (integer boundaries `k·n/64`),
+    * window energy = Σ s² as a Long (n ≤ 2²² samples at |s| < 2¹⁵ can't
+    * overflow), bit k set when energy(k+1 mod 64) > energy(k).
+    *
+    * Exactness properties the audio near-dup gate exploits: (a) phase
+    * inversion negates every sample — squares, hence energies, hence all
+    * 64 comparisons are unchanged; (b) an identity resample
+    * ([[resampleAudio]] at the source rate — the interpolation collapses
+    * to `out(i) = samples(i)`) re-encodes the exact samples, hash
+    * unchanged; (c) exact amplitude doubling scales every energy by 4 —
+    * strict comparisons unchanged. Undecodable payloads flag
+    * `decode_ok = false` (hash 0), never dropped silently.
+    */
+  def aHash64(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodePcm16(bytes) match {
+            case None => (id, 0L, false)
+            case Some((_, samples)) =>
+              val n = samples.length
+              if (n < 64) (id, 0L, false)
+              else {
+                val energy = new Array[Long](64)
+                var k = 0
+                while (k < 64) {
+                  val from = k * n / 64
+                  val until = (k + 1) * n / 64
+                  var e = 0L
+                  var i = from
+                  while (i < until) {
+                    e += samples(i).toLong * samples(i)
+                    i += 1
+                  }
+                  energy(k) = e
+                  k += 1
+                }
+                var hash = 0L
+                k = 0
+                while (k < 64) {
+                  if (energy((k + 1) % 64) > energy(k)) hash |= 1L << k
+                  k += 1
+                }
+                (id, hash, true)
+              }
+          }
+        }
+      }
+      .toDF("media_id", "ahash", "decode_ok")
   }
 
   /** WAV container → (sampleRate, PCM16 mono samples); None if the bytes

@@ -1836,6 +1836,221 @@ object Pipeline {
       |  CAST(1 AS BOOLEAN) AS phash_ok
       |FROM documents""".stripMargin
 
+  /** The video near-dup corpus: one REAL 16×16 5-frame DIB-coded AVI per
+    * document (capped at 120), plus two planted near-duplicate variants
+    * per clip whose shared-position frame hashes equal the base EXACTLY
+    * by construction: an fps retime ([[Media.retimeAvi]] — same frames,
+    * different stream header) and a 3-frame prefix truncation
+    * ([[Media.truncateAvi]] — the clipped-excerpt variant). Variant ids
+    * offset far above any doc_id (the [[phashVariantOffset]] device).
+    */
+  private def vhashCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").orderBy("doc_id").limit(120)
+    val base = Media.synthesizeAvi(docs, "doc_id", "text", 16, 16,
+        nFrames = 5, fps = 10)
+      .localCheckpoint(false)
+    def shifted(df: DataFrame, k: Long) = df.select(
+      (col("media_id") + lit(k * phashVariantOffset)).as("media_id"),
+      col("payload"))
+    base
+      .unionByName(shifted(Media.retimeAvi(base, 20), 1L))
+      .unionByName(shifted(Media.truncateAvi(base, 3), 2L))
+  }
+
+  /** Perceptual VIDEO near-dup pairs — the phash machinery lifted to the
+    * frame sequence: per-frame 64-bit dHash ([[Media.frameDHash64]], the
+    * real AVI decode), banded-hamming blocking ALIGNED ON FRAME POSITION
+    * ([[SimHash.bandedHammingPairsKeyed]] — a clip only ever compares
+    * against its band-bucket cohort at the same position), exact
+    * `bit_count(xor)` verification per matched position, then a
+    * pair-level similarity = matched positions / min(frame counts) in
+    * exact permille. Pairs at ≥ 600‰ survive — planted variants sit at
+    * exactly 1000‰ (retime: 5/5; truncation: 3/3 — shared positions only).
+    * Rows-only (DuckDB cannot decode AVI); `dx_dedup_vhash_gate` pins
+    * planted recall, banding ≡ brute and hash determinism.
+    */
+  private def dedupVhash(s: SparkSession, dir: String): DataFrame = {
+    val frames = Media.frameDHash64(vhashCorpus(s, dir))
+      .filter(col("decode_ok")).localCheckpoint(false)
+    val nf = frames.groupBy("media_id")
+      .agg(first("n_frames").as("nf"))
+    val matched = SimHash.bandedHammingPairsKeyed(
+        frames, "media_id", "frame_idx", "dhash", bands = 4, maxHamming = 3)
+      .groupBy("left_id", "right_id")
+      .agg(count(lit(1)).as("n_matched"))
+    matched
+      .join(nf.select(col("media_id").as("left_id"), col("nf").as("nf_l")),
+        "left_id")
+      .join(nf.select(col("media_id").as("right_id"), col("nf").as("nf_r")),
+        "right_id")
+      .withColumn("min_frames", least(col("nf_l"), col("nf_r")))
+      .withColumn("sim_permille",
+        (lit(1000L) * col("n_matched")) / col("min_frames"))
+      .withColumn("sim_permille", col("sim_permille").cast("long"))
+      .filter(col("sim_permille") >= 600)
+      .select("left_id", "right_id", "n_matched", "min_frames",
+        "sim_permille")
+      .orderBy("left_id", "right_id")
+  }
+
+  /** Driver-gated evidence for the video near-dup family (no SQL oracle —
+    * DuckDB has no AVI parser; the oracle pins corpus size):
+    *   (a) planted recall 1.0 — every (base, retime), (base, truncation)
+    *       and (retime, truncation) pair is recovered at 1000‰
+    *       (structural: shared-position frames are bit-identical DIB, so
+    *       their dHashes collide at hamming 0, and banding is lossless at
+    *       hamming ≤ bands − 1);
+    *   (b) banding ≡ brute — the banded pair set equals the all-pairs
+    *       position-aligned hamming join at the same threshold and floor,
+    *       bit-for-bit;
+    *   (c) determinism — synthesize + decode + hash twice, bit-identical;
+    *   (d) coverage — every planted clip decodes (no flagged rows).
+    */
+  private def dedupVhashGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = vhashCorpus(s, dir).localCheckpoint(false)
+    val frames = Media.frameDHash64(corpus).localCheckpoint(false)
+    val nVideos = corpus.count()
+    val decoded = frames.filter(col("decode_ok"))
+    val nUndecoded = frames.filter(!col("decode_ok")).count()
+    val found = dedupVhash(s, dir)
+      .select("left_id", "right_id", "sim_permille").localCheckpoint(false)
+    val nBase = nVideos / 3
+    val ids = corpus.filter(col("media_id") < phashVariantOffset)
+      .select(col("media_id").as("b"))
+    val planted = Seq((0L, 1L), (0L, 2L), (1L, 2L)).map { case (i, j) =>
+      ids.select((col("b") + lit(i * phashVariantOffset)).as("left_id"),
+        (col("b") + lit(j * phashVariantOffset)).as("right_id"))
+    }.reduce(_ unionByName _)
+    val nPlanted = planted.count()
+    val nRecovered = planted
+      .join(found.filter(col("sim_permille") === 1000),
+        Seq("left_id", "right_id"), "left_semi").count()
+    // brute-force reference: position-aligned all-pairs hamming join over
+    // the (bounded) frame table, same similarity floor — O(n²) per
+    // position on ≤360 clips by design
+    val fl = decoded.select(col("media_id").as("left_id"),
+      col("frame_idx"), col("dhash").as("lh"), col("n_frames").as("nf_l"))
+    val fr = decoded.select(col("media_id").as("right_id"),
+      col("frame_idx"), col("dhash").as("rh"), col("n_frames").as("nf_r"))
+    val brute = fl.join(fr, Seq("frame_idx"))
+      .filter(col("left_id") < col("right_id"))
+      .filter(expr("bit_count(lh ^ rh)") <= 3)
+      .groupBy("left_id", "right_id")
+      .agg(count(lit(1)).as("m"), first("nf_l").as("nf_l"),
+        first("nf_r").as("nf_r"))
+      .filter((lit(1000L) * col("m")) / least(col("nf_l"), col("nf_r")) >= 600)
+      .select("left_id", "right_id")
+    val foundPairs = found.select("left_id", "right_id")
+    val bandEqBrute =
+      foundPairs.exceptAll(brute).count() == 0 &&
+        brute.exceptAll(foundPairs).count() == 0
+    def hashXor(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(media_id, frame_idx, dhash))"))
+        .head().getLong(0)
+    val deterministic =
+      hashXor(decoded) == hashXor(
+        Media.frameDHash64(vhashCorpus(s, dir)).filter(col("decode_ok")))
+    val ok = nBase > 0 && nUndecoded == 0 &&
+      nRecovered == nPlanted && nPlanted == 3 * nBase &&
+      bandEqBrute && deterministic
+    Seq((nVideos, ok)).toDF("n_videos", "vhash_ok")
+  }
+
+  private val dedupVhashGateSql =
+    """SELECT CAST(3 * least(count(*), 120) AS BIGINT) AS n_videos,
+      |  CAST(1 AS BOOLEAN) AS vhash_ok
+      |FROM documents""".stripMargin
+
+  /** The audio near-dup corpus: one REAL PCM16 mono WAV per document
+    * (capped at 200), plus two planted near-duplicate variants per clip
+    * whose [[Media.aHash64]] equals the base EXACTLY by the hash's
+    * invariance properties: a phase inversion ([[Media.invertAudio]] —
+    * negated samples, identical energies) and an identity resample
+    * ([[Media.resampleAudio]] at the source rate — the interpolation
+    * collapses to the exact samples, so this is the "same audio,
+    * re-written container" variant).
+    */
+  private def ahashCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").orderBy("doc_id").limit(200)
+    val base = Media.synthesizeWav(docs, "doc_id", "text",
+        sampleRate = 8000, durationMs = 50)
+      .localCheckpoint(false)
+    def shifted(df: DataFrame, k: Long) = df.select(
+      (col("media_id") + lit(k * phashVariantOffset)).as("media_id"),
+      col("payload"))
+    base
+      .unionByName(shifted(Media.invertAudio(base), 1L))
+      .unionByName(shifted(
+        Media.resampleAudio(base, 8000).select("media_id", "payload"), 2L))
+  }
+
+  /** Perceptual AUDIO near-dup pairs — the phash machinery on the acoustic
+    * fingerprint: 64-bit energy-envelope delta-sign hash per clip
+    * ([[Media.aHash64]], real WAV decode), then the shared
+    * [[SimHash.bandedHammingPairs]] banded blocking with exact
+    * `bit_count(xor)` verification. Rows-only (DuckDB cannot decode WAV);
+    * `dx_dedup_ahash_gate` pins planted recall, banding ≡ brute and hash
+    * determinism.
+    */
+  private def dedupAhash(s: SparkSession, dir: String): DataFrame =
+    SimHash.bandedHammingPairs(
+        Media.aHash64(ahashCorpus(s, dir)).filter(col("decode_ok")),
+        "media_id", "ahash", bands = 4, maxHamming = 3)
+      .orderBy("left_id", "right_id")
+
+  /** Driver-gated evidence for the audio near-dup family (no SQL oracle —
+    * DuckDB has no WAV codec; the oracle pins corpus size): planted
+    * recall 1.0 (structural — both variants are hamming-0 by
+    * [[Media.aHash64]]'s invariance under phase inversion and identity
+    * resample), banding ≡ brute force at the same threshold, synthesis +
+    * decode + hash determinism, and full decode coverage.
+    */
+  private def dedupAhashGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = ahashCorpus(s, dir).localCheckpoint(false)
+    val hashes = Media.aHash64(corpus).localCheckpoint(false)
+    val nClips = corpus.count()
+    val nDecoded = hashes.filter(col("decode_ok")).count()
+    val nBase = nClips / 3
+    val found = dedupAhash(s, dir)
+      .select("left_id", "right_id").localCheckpoint(false)
+    val ids = corpus.filter(col("media_id") < phashVariantOffset)
+      .select(col("media_id").as("b"))
+    val planted = Seq((0L, 1L), (0L, 2L), (1L, 2L)).map { case (i, j) =>
+      ids.select((col("b") + lit(i * phashVariantOffset)).as("left_id"),
+        (col("b") + lit(j * phashVariantOffset)).as("right_id"))
+    }.reduce(_ unionByName _)
+    val nPlanted = planted.count()
+    val nRecovered = planted
+      .join(found, Seq("left_id", "right_id"), "left_semi").count()
+    val hs = hashes.filter(col("decode_ok")).select(
+      col("media_id"), col("ahash"))
+    val brute = hs.select(col("media_id").as("left_id"), col("ahash").as("lh"))
+      .join(hs.select(col("media_id").as("right_id"), col("ahash").as("rh")),
+        col("left_id") < col("right_id"))
+      .filter(expr("bit_count(lh ^ rh)") <= 3)
+      .select("left_id", "right_id")
+    val bandEqBrute =
+      found.exceptAll(brute).count() == 0 &&
+        brute.exceptAll(found).count() == 0
+    def hashXor(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(media_id, ahash))")).head().getLong(0)
+    val deterministic =
+      hashXor(hs) == hashXor(
+        Media.aHash64(ahashCorpus(s, dir)).filter(col("decode_ok"))
+          .select("media_id", "ahash"))
+    val ok = nBase > 0 && nDecoded == nClips &&
+      nRecovered == nPlanted && nPlanted == 3 * nBase &&
+      bandEqBrute && deterministic
+    Seq((nClips, ok)).toDF("n_clips", "ahash_ok")
+  }
+
+  private val dedupAhashGateSql =
+    """SELECT CAST(3 * least(count(*), 200) AS BIGINT) AS n_clips,
+      |  CAST(1 AS BOOLEAN) AS ahash_ok
+      |FROM documents""".stripMargin
+
   /** Corpus-adaptive boilerplate stripping — the cross-document removal
     * step (C4-style: segments that recur across most documents are
     * template noise, not content). Tokens present in >80% of documents
@@ -4208,6 +4423,10 @@ object Pipeline {
     QueryDef("dx_dedup_simhash_gate", dedupSimhashGate, Some(dedupSimhashGateSql)),
     QueryDef("dx_dedup_phash", dedupPhash, None),
     QueryDef("dx_dedup_phash_gate", dedupPhashGate, Some(dedupPhashGateSql)),
+    QueryDef("dx_dedup_vhash", dedupVhash, None),
+    QueryDef("dx_dedup_vhash_gate", dedupVhashGate, Some(dedupVhashGateSql)),
+    QueryDef("dx_dedup_ahash", dedupAhash, None),
+    QueryDef("dx_dedup_ahash_gate", dedupAhashGate, Some(dedupAhashGateSql)),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("dx_dedup_jaccard_prefix", dedupJaccardPrefix, Some(dedupJaccardPrefixSql)),
     QueryDef("dx_dedup_resolve", dedupResolve, Some(dedupResolveSql)),
