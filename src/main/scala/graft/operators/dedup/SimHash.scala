@@ -77,6 +77,48 @@ object SimHash {
         col("hamming").cast("long").as("hamming"))
   }
 
+  /** Incremental member of the banded-hamming family: the near-dup pairs
+    * with at least one endpoint in `delta`, against the accumulated
+    * `state` ∪ `delta` fingerprint table — the per-trigger update of a
+    * streaming dedup maintenance fold. Every pair is discovered EXACTLY
+    * once across a fold (at the trigger where its later endpoint
+    * arrives): state–state pairs have no delta endpoint and cannot
+    * re-emerge, so the union of per-trigger outputs over any batch
+    * decomposition is multiset-equal to [[bandedHammingPairs]] on the
+    * full table — the claim `st_phash_gate` pins bit-for-bit. Schema and
+    * blocking shape match the batch operator (band equi-join, hamming
+    * verify before the dedup exchange); per-trigger cost is
+    * |delta|·cohort, never |state|².
+    */
+  def incrementalBandedPairs(
+      state: DataFrame, delta: DataFrame, idCol: String, hashCol: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(64 % bands == 0)
+    val width = 64 / bands
+    def prep(df: DataFrame): DataFrame = {
+      val sh = df.select(
+        col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("h"))
+      val chunkExprs = (0 until bands).map { b =>
+        expr(s"named_struct('band', $b, 'chunk', shiftrightunsigned(h, ${b * width}) & ${(1L << width) - 1})")
+      }
+      sh.select(col("id"), col("h"), explode(array(chunkExprs: _*)).as("c"))
+        .select(col("id"), col("h"), col("c.band").as("band"),
+          col("c.chunk").as("chunk"))
+    }
+    val d = prep(delta).localCheckpoint(false)
+    val all = prep(state).unionByName(d)
+    d.select(col("band"), col("chunk"), col("id").as("d_id"), col("h").as("dh"))
+      .join(all.select(col("band"), col("chunk"), col("id").as("o_id"),
+        col("h").as("oh")), Seq("band", "chunk"))
+      .filter(col("d_id") =!= col("o_id"))
+      .withColumn("hamming", expr("bit_count(dh ^ oh)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("d_id"), col("o_id")).as("left_id"),
+        greatest(col("d_id"), col("o_id")).as("right_id"),
+        col("hamming").cast("long").as("hamming"))
+      .dropDuplicates("left_id", "right_id")
+  }
+
   def bandedHammingPairs(
       hashes: DataFrame, idCol: String, hashCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {

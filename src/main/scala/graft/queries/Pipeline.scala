@@ -2051,6 +2051,51 @@ object Pipeline {
       |  CAST(1 AS BOOLEAN) AS ahash_ok
       |FROM documents""".stripMargin
 
+  /** STREAMING perceptual-dedup maintenance promoted to a registered
+    * oracle row (the `st_components_apply_gate` promotion recipe applied
+    * to the media near-dup family): the image fingerprint corpus arrives
+    * as three deterministic micro-batches (xxhash64(media_id) mod 3 —
+    * the same decomposition StreamingSpec drives through a real
+    * MemoryStream + foreachBatch), each trigger computing its new pairs
+    * via [[SimHash.incrementalBandedPairs]] against the accumulated
+    * state. Claim pinned bit-for-bit: the union of per-trigger pair sets
+    * is MULTISET-EQUAL to the batch [[SimHash.bandedHammingPairs]] over
+    * the full corpus — every near-dup pair discovered exactly once, at
+    * the trigger where its later endpoint arrives. Per-trigger cost is
+    * |delta|·cohort (state is only ever probed through the band
+    * equi-join), which is what makes this the 100 TB continuous-ingest
+    * dedup shape. Oracle pins corpus size, trigger count and the flag.
+    */
+  private def stPhashGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Media.dHash64(phashCorpus(s, dir))
+      .filter(col("decode_ok")).select("media_id", "dhash")
+      .localCheckpoint(false)
+    val batch = SimHash.bandedHammingPairs(
+        hashes, "media_id", "dhash", bands = 4, maxHamming = 3)
+      .localCheckpoint(false)
+    val nTriggers = 3
+    var state = hashes.limit(0)
+    var folded = batch.limit(0)
+    for (i <- 0 until nTriggers) {
+      val delta = hashes.filter(pmod(xxhash64(col("media_id")), lit(nTriggers)) === i)
+      folded = folded.unionByName(SimHash.incrementalBandedPairs(
+        state, delta, "media_id", "dhash", bands = 4, maxHamming = 3))
+      state = state.unionByName(delta).localCheckpoint(false)
+    }
+    folded = folded.localCheckpoint(false)
+    val foldEqBatch = folded.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(folded).count() == 0
+    Seq((hashes.count(), nTriggers.toLong, foldEqBatch))
+      .toDF("n_images", "n_triggers", "fold_equal_ok")
+  }
+
+  private val stPhashGateSql =
+    """SELECT CAST(3 * least(count(*), 160) AS BIGINT) AS n_images,
+      |  CAST(3 AS BIGINT) AS n_triggers,
+      |  CAST(1 AS BOOLEAN) AS fold_equal_ok
+      |FROM documents""".stripMargin
+
   /** Corpus-adaptive boilerplate stripping — the cross-document removal
     * step (C4-style: segments that recur across most documents are
     * template noise, not content). Tokens present in >80% of documents
@@ -4427,6 +4472,7 @@ object Pipeline {
     QueryDef("dx_dedup_vhash_gate", dedupVhashGate, Some(dedupVhashGateSql)),
     QueryDef("dx_dedup_ahash", dedupAhash, None),
     QueryDef("dx_dedup_ahash_gate", dedupAhashGate, Some(dedupAhashGateSql)),
+    QueryDef("st_phash_gate", stPhashGate, Some(stPhashGateSql)),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("dx_dedup_jaccard_prefix", dedupJaccardPrefix, Some(dedupJaccardPrefixSql)),
     QueryDef("dx_dedup_resolve", dedupResolve, Some(dedupResolveSql)),

@@ -12,6 +12,7 @@ case class NamedRec(id: Long, blk: Long, name: String)
 case class TimedRec(id: Long, blk: Long, name: String, ts: Timestamp)
 case class Doc(id: Long, text: String)
 case class Vec(vec_id: Long, embedding: Seq[Float])
+case class Fp(media_id: Long, dhash: Long)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -391,6 +392,59 @@ class StreamingSpec extends SparkSpec {
     val hits = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi").count()
     assert(hits.toDouble / nTruth >= 0.6,
       s"streamed-maintenance recall ${hits.toDouble / nTruth} below floor")
+  }
+
+  test("streaming perceptual dedup folds micro-batches to the batch pair set") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.dedup.SimHash
+    import graft.operators.multimodal.Media
+    // real fingerprints: dHash over synthesized PNGs plus exact planted
+    // near-dups (pixel-replication upscale — hamming 0 by construction)
+    val base = Media.synthesizePng(
+      Tables(spark, sfDir, "documents").orderBy("doc_id").limit(30),
+      "doc_id", "text", 16, 16).localCheckpoint(false)
+    val corpus = base.unionByName(Media.scaleNearest(base, 2)
+      .select((col("media_id") + 1000000L).as("media_id"), col("payload")))
+    val hashes = Media.dHash64(corpus).filter(col("decode_ok"))
+      .select(col("media_id"), col("dhash")).localCheckpoint(false)
+    val batch = SimHash.bandedHammingPairs(hashes, "media_id", "dhash",
+      bands = 4, maxHamming = 3).localCheckpoint(false)
+
+    // mutable maintenance state updated per trigger — the foreachBatch
+    // continuous-ingest dedup loop st_phash_gate batch-executes
+    var state = hashes.limit(0).localCheckpoint(true)
+    var folded = batch.limit(0).localCheckpoint(true)
+    val input = MemoryStream[Fp]
+    val q = input.toDF().writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!delta.isEmpty) {
+          // EAGER checkpoints: folded state must materialize inside the
+          // trigger (the delta frame only exists during it)
+          folded = folded.unionByName(SimHash.incrementalBandedPairs(
+              state, delta, "media_id", "dhash", bands = 4, maxHamming = 3))
+            .localCheckpoint(true)
+          state = state.unionByName(
+            delta.select(col("media_id"), col("dhash"))).localCheckpoint(true)
+        }
+      }
+      .start()
+    val rows = hashes.as[Fp].collect().toSeq
+    val (d1, rest) = rows.splitAt(rows.size / 3)
+    val (d2, d3) = rest.splitAt(rest.size / 2)
+    try {
+      input.addData(d1); q.processAllAvailable()
+      input.addData(d2); q.processAllAvailable()
+      input.addData(d3); q.processAllAvailable()
+    } finally q.stop()
+
+    // exactly-once pair discovery: fold union ≡ batch pairs, multiset
+    assert(folded.exceptAll(batch).isEmpty && batch.exceptAll(folded).isEmpty,
+      "streamed pair union must equal the batch banded-hamming pairs")
+    // and the planted upscale twins are all present
+    val planted = base.select(col("media_id").as("left_id"),
+      (col("media_id") + 1000000L).as("right_id"))
+    assert(planted.join(folded, Seq("left_id", "right_id"), "left_anti")
+      .isEmpty, "planted upscale pair missed by the streamed fold")
   }
 
   test("incremental NB training: accumulated micro-batch counts equal the batch fit") {
