@@ -424,6 +424,36 @@ object Media {
       .toDF("media_id", "payload")
   }
 
+  /** Drop the first `nDrop` frames of each clip (decode + re-encode the
+    * tail) — the "trimmed intro" near-duplicate variant. The surviving
+    * frames are bit-preserved for DIB input but sit at SHIFTED positions
+    * (frame i of the trim equals frame i + nDrop of the base), which is
+    * exactly the misalignment the offset-tolerant video near-dup exists
+    * to recover.
+    */
+  def trimAviStart(payloads: DataFrame, nDrop: Int): DataFrame = {
+    require(nDrop > 0, s"bad drop count $nDrop")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          decodeAvi(bytes) match {
+            case None => (id, null: Array[Byte])
+            case Some((m, frames)) if frames.length <= nDrop =>
+              (id, null: Array[Byte])
+            case Some((m, frames)) =>
+              (id, encodeAvi(frames.drop(nDrop), m.fps,
+                if (m.compression == 0L) "DIB " else "MJPG"))
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
   /** Keep the first `nKeep` frames of each clip (decode + re-encode the
     * prefix) — the "clipped excerpt" near-duplicate variant. Prefix frames
     * are bit-preserved for DIB input, so their hashes equal the base's.

@@ -2051,6 +2051,154 @@ object Pipeline {
       |  CAST(1 AS BOOLEAN) AS ahash_ok
       |FROM documents""".stripMargin
 
+  /** The offset-family corpus: base clips plus a TRIMMED-INTRO variant
+    * ([[Media.trimAviStart]] — the first two frames dropped, so the
+    * surviving frames are bit-identical DIB at positions SHIFTED by −2)
+    * and an fps retime (aligned at offset 0). The trim is the variant
+    * position-aligned matching structurally cannot see — the reason this
+    * family exists.
+    */
+  private def vhashOffsetCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").orderBy("doc_id").limit(120)
+    val base = Media.synthesizeAvi(docs, "doc_id", "text", 16, 16,
+        nFrames = 5, fps = 10)
+      .localCheckpoint(false)
+    def shifted(df: DataFrame, k: Long) = df.select(
+      (col("media_id") + lit(k * phashVariantOffset)).as("media_id"),
+      col("payload"))
+    base
+      .unionByName(shifted(Media.trimAviStart(base, 2), 1L))
+      .unionByName(shifted(Media.retimeAvi(base, 20), 2L))
+  }
+
+  /** SHIFT-ROBUST video near-dup pairs — the temporal-misalignment member
+    * of the vhash family (the video analogue of what FastCDC chunking is
+    * to fixed-window text dedup): trimmed intros, mid-roll inserts and
+    * excerpt re-uploads shift every frame position, so `dx_dedup_vhash`'s
+    * positional alignment structurally misses them. Here candidates come
+    * from the position-FREE banded-hamming join over frame hashes
+    * ([[SimHash.bandedHammingPairsKeyed]] degenerates to key 0 — plain
+    * band buckets), each surviving frame match votes for its OFFSET
+    * (left position − right position), the pair's alignment is the
+    * offset with the most matches (ties → largest offset, a total order),
+    * and similarity = matches at that offset / min(frame counts) in exact
+    * permille with the family's 600‰ floor. The planted trim sits at
+    * offset +2 with 3/3 = 1000‰ — recovered exactly; the retime at
+    * offset 0. Per-frame candidate cost stays band-bucket-cohort-bounded;
+    * nothing compares clip×clip. Rows-only (DuckDB cannot decode AVI);
+    * the gate pins planted recall, offset correctness, banding ≡ brute
+    * and determinism.
+    */
+  private def dedupVhashOffset(s: SparkSession, dir: String): DataFrame = {
+    val frames = Media.frameDHash64(vhashOffsetCorpus(s, dir))
+      .filter(col("decode_ok")).localCheckpoint(false)
+    vhashOffsetPairs(frames)
+  }
+
+  /** The offset-vote program over a (media_id, frame_idx, dhash,
+    * n_frames) table — shared by the registered query and its gate's
+    * brute-force reference (which swaps only the candidate generator).
+    */
+  private def vhashOffsetPairs(frames: DataFrame): DataFrame = {
+    val nf = frames.groupBy("media_id").agg(first("n_frames").as("nf"))
+    val matches = SimHash.bandedHammingPairsKeyed(
+        frames.withColumn("zero", lit(0L)),
+        "media_id", "zero", "dhash", bands = 4, maxHamming = 3)
+    // bandedHammingPairsKeyed pairs IDs, losing which frame matched —
+    // recover positions by joining hashes back per side, then vote
+    vhashOffsetVote(matches.select("left_id", "right_id"), frames, nf)
+  }
+
+  private def vhashOffsetVote(
+      candPairs: DataFrame, frames: DataFrame, nf: DataFrame): DataFrame = {
+    val fl = frames.select(col("media_id").as("left_id"),
+      col("frame_idx").as("li"), col("dhash").as("lh"))
+    val fr = frames.select(col("media_id").as("right_id"),
+      col("frame_idx").as("ri"), col("dhash").as("rh"))
+    val pairFrames = candPairs.dropDuplicates("left_id", "right_id")
+      .join(fl, "left_id").join(fr, "right_id")
+      .filter(expr("bit_count(lh ^ rh)") <= 3)
+      .select(col("left_id"), col("right_id"),
+        (col("li") - col("ri")).as("off"), col("li"))
+      .dropDuplicates("left_id", "right_id", "off", "li")
+    val voted = pairFrames.groupBy("left_id", "right_id", "off")
+      .agg(count(lit(1)).as("m"))
+      .groupBy("left_id", "right_id")
+      .agg(max(struct(col("m"), col("off"))).as("best"))
+      .select(col("left_id"), col("right_id"),
+        col("best.m").as("n_matched"), col("best.off").as("offset"))
+    voted
+      .join(nf.select(col("media_id").as("left_id"), col("nf").as("nf_l")),
+        "left_id")
+      .join(nf.select(col("media_id").as("right_id"), col("nf").as("nf_r")),
+        "right_id")
+      .withColumn("min_frames", least(col("nf_l"), col("nf_r")))
+      .withColumn("sim_permille",
+        ((lit(1000L) * col("n_matched")) / col("min_frames")).cast("long"))
+      .filter(col("sim_permille") >= 600)
+      .select("left_id", "right_id", "offset", "n_matched", "min_frames",
+        "sim_permille")
+      .orderBy("left_id", "right_id")
+  }
+
+  /** Driver-gated evidence for the shift-robust family (oracle pins
+    * corpus size): (a) planted recall 1.0 with CORRECT offsets — every
+    * (base, trim) pair recovered at offset +2 and 1000‰ (structural:
+    * trimmed frames are bit-identical at the shift), every (base,
+    * retime) at offset 0, every (trim, retime) at −2; (b) candidates ≡
+    * brute — the banded-candidate pair set run through the shared
+    * offset-vote program equals the all-pairs run bit-for-bit; (c)
+    * determinism; (d) full decode coverage.
+    */
+  private def dedupVhashOffsetGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = vhashOffsetCorpus(s, dir).localCheckpoint(false)
+    val frames = Media.frameDHash64(corpus).localCheckpoint(false)
+    val decoded = frames.filter(col("decode_ok")).localCheckpoint(false)
+    val nVideos = corpus.count()
+    val nUndecoded = frames.filter(!col("decode_ok")).count()
+    val found = vhashOffsetPairs(decoded).localCheckpoint(false)
+    val nBase = nVideos / 3
+    val ids = corpus.filter(col("media_id") < phashVariantOffset)
+      .select(col("media_id").as("b"))
+    // (variant i, variant j, expected offset at the vote's tie-break)
+    val planted = Seq((0L, 1L, 2L), (0L, 2L, 0L), (1L, 2L, -2L))
+      .map { case (i, j, off) =>
+        ids.select((col("b") + lit(i * phashVariantOffset)).as("left_id"),
+          (col("b") + lit(j * phashVariantOffset)).as("right_id"),
+          lit(off).as("offset"))
+      }.reduce(_ unionByName _)
+    val nPlanted = planted.count()
+    val nRecovered = planted
+      .join(found.filter(col("sim_permille") === 1000),
+        Seq("left_id", "right_id", "offset"), "left_semi").count()
+    // brute reference: ALL clip pairs as candidates, same vote program
+    val allIds = decoded.select("media_id").distinct()
+    val bruteCands = allIds.select(col("media_id").as("left_id"))
+      .join(allIds.select(col("media_id").as("right_id")),
+        col("left_id") < col("right_id"))
+    val nfTab = decoded.groupBy("media_id").agg(first("n_frames").as("nf"))
+    val brute = vhashOffsetVote(bruteCands, decoded, nfTab)
+    val bandEqBrute =
+      found.exceptAll(brute).count() == 0 &&
+        brute.exceptAll(found).count() == 0
+    def hashXor(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(media_id, frame_idx, dhash))"))
+        .head().getLong(0)
+    val deterministic =
+      hashXor(decoded) == hashXor(
+        Media.frameDHash64(vhashOffsetCorpus(s, dir)).filter(col("decode_ok")))
+    val ok = nBase > 0 && nUndecoded == 0 &&
+      nRecovered == nPlanted && nPlanted == 3 * nBase &&
+      bandEqBrute && deterministic
+    Seq((nVideos, ok)).toDF("n_videos", "vhash_offset_ok")
+  }
+
+  private val dedupVhashOffsetGateSql =
+    """SELECT CAST(3 * least(count(*), 120) AS BIGINT) AS n_videos,
+      |  CAST(1 AS BOOLEAN) AS vhash_offset_ok
+      |FROM documents""".stripMargin
+
   /** STREAMING perceptual-dedup maintenance promoted to a registered
     * oracle row (the `st_components_apply_gate` promotion recipe applied
     * to the media near-dup family): the image fingerprint corpus arrives
@@ -4473,6 +4621,9 @@ object Pipeline {
     QueryDef("dx_dedup_ahash", dedupAhash, None),
     QueryDef("dx_dedup_ahash_gate", dedupAhashGate, Some(dedupAhashGateSql)),
     QueryDef("st_phash_gate", stPhashGate, Some(stPhashGateSql)),
+    QueryDef("dx_dedup_vhash_offset", dedupVhashOffset, None),
+    QueryDef("dx_dedup_vhash_offset_gate", dedupVhashOffsetGate,
+      Some(dedupVhashOffsetGateSql)),
     QueryDef("dx_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("dx_dedup_jaccard_prefix", dedupJaccardPrefix, Some(dedupJaccardPrefixSql)),
     QueryDef("dx_dedup_resolve", dedupResolve, Some(dedupResolveSql)),

@@ -82,6 +82,25 @@ class MediaDedupSpec extends SparkSpec {
       s"expected exactly the two aligned near positions, got $gotSet")
   }
 
+  test("intro trim shifts frame positions while preserving frame hashes") {
+    val b = clips()
+    val h0 = Media.frameDHash64(b)
+    val ht = Media.frameDHash64(Media.trimAviStart(b, 2))
+    assert(ht.agg(max("n_frames")).head().getLong(0) == 3L)
+    // frame i of the trim is frame i+2 of the base, hash bit-for-bit
+    val joined = ht.select(col("media_id"), col("frame_idx"),
+        col("dhash").as("dh2"))
+      .join(h0.select(col("media_id"),
+        (col("frame_idx") - 2).as("frame_idx"), col("dhash")),
+        Seq("media_id", "frame_idx"), "left")
+    assert(joined.filter(col("dhash").isNull).count() == 0)
+    assert(joined.filter(col("dhash") =!= col("dh2")).count() == 0,
+      "trimmed frame hashes must equal the base's at the +2 shift")
+    // dropping everything yields a flagged null payload, not a crash
+    assert(Media.trimAviStart(b, 5).filter(col("payload").isNull).count() ==
+      b.count())
+  }
+
   test("aHash is exactly invariant under phase inversion") {
     val b = wavs()
     val h0 = Media.aHash64(b).select("media_id", "ahash")
