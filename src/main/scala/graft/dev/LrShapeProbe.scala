@@ -1,0 +1,66 @@
+package graft.dev
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: job/stage shape of ONE lrTrain-style GD iteration (the
+  * restructured per-doc-array formulation), to pin down per-iteration
+  * scheduler overhead. Prints the executed plan of the iteration query.
+  */
+object LrShapeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val st = new JobStatsProbe.Stats
+    spark.sparkContext.addSparkListener(st)
+    val docsT = graft.Tables(spark, sfDir, "documents")
+    // mirror lrFit's docs table
+    val toks = graft.queries.Selection.nbTokens(docsT)
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val feats = train.select(col("doc_id"), col("bucket")).distinct()
+    val labels = train.groupBy("doc_id")
+      .agg(max(when(col("tok") === "spark", 1L).otherwise(0L)).as("y"))
+    val docs = feats.groupBy("doc_id")
+      .agg(collect_list(col("bucket")).as("bks"))
+      .join(labels, "doc_id")
+      .select(col("bks"), col("y"))
+      .localCheckpoint(false)
+      .coalesce(1)
+    docs.count()
+    val w = Array.fill(256)(0L)
+    for (r <- 1 to 3) {
+      Thread.sleep(300); st.reset()
+      val wArr = lit(w)
+      val bArr = lit(Array(0L))
+      val t0 = System.nanoTime()
+      val rows = docs
+        .withColumn("mq", aggregate(col("bks"), lit(0L),
+          (acc, bk) => acc + element_at(wArr, bk.cast("int") + 1)))
+        .withColumn("p", lit(1.0d) / (lit(1.0d) +
+          exp(-((col("mq") + element_at(bArr, 1)) / lit(1e6)))))
+        .withColumn("g", col("p") - col("y"))
+        .withColumn("l", expr(
+          """-(y * log(greatest(p, 1e-12d))
+            | + (1L - y) * log(greatest(1.0d - p, 1e-12d)))""".stripMargin))
+        .select(explode(concat(col("bks"), array(lit(-1L)))).as("bucket"),
+          col("g"), col("l"))
+        .groupBy("bucket").agg(
+          sum(expr("CAST(round(g, 12) AS DECIMAL(26, 12))")).as("gs"),
+          sum(expr("""CASE WHEN bucket = -1
+            |  THEN CAST(round(l, 12) AS DECIMAL(26, 12)) END""".stripMargin))
+            .as("ls"))
+      val collected = rows.collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"[lrshape] iter$r wall=$wall%.3f rows=${collected.length} " +
+        f"jobs=${st.jobs.get} stages=${st.stages.get} tasks=${st.tasks.get}")
+      if (r == 1) rows.explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -195,16 +195,18 @@ object NnDescent {
         .agg(collect_list(struct(col("nbr"), col("fresh"), col("v")))
           .as("members"))
       // emits only pairs touching a fresh edge (old×old pairs were
-      // proposed in the round that made them old — the incremental rule)
-      val scoredPairs = blocks
+      // proposed in the round that made them old — the incremental rule).
+      // Both directions come out of ONE explode over the scored pair: the
+      // earlier two-select union re-evaluated everything above the block
+      // exchange — the collect_list final agg and the pairwise kernel —
+      // once per branch (exchange reuse dedups only the shuffle itself),
+      // doubling the round's dominant compute (measured: dx_knn_graph
+      // 64 task-CPU-s, ~half of it the duplicate branch).
+      val proposals = bothDirections(blocks
         .select(explode(graft.functions.PairwiseCosine(col("members")))
           .as("p"))
-        .select(col("p.x").as("x"), col("p.y").as("y"),
-          col("p.sim").as("sim"))
-      val proposals = scoredPairs
-        .select(col("x").as("id"), col("y").as("nbr"), col("sim"))
-        .unionByName(scoredPairs
-          .select(col("y").as("id"), col("x").as("nbr"), col("sim")))
+        .select(col("p.x").as("id"), col("p.y").as("nbr"),
+          col("p.sim").as("sim")))
       // age the current graph (its fresh edges were just explored), then
       // merge: a proposal duplicating an existing edge stays old (min),
       // a genuinely new edge enters fresh
@@ -270,10 +272,10 @@ object NnDescent {
         col("sim"))
     // intra-delta chains (new×new), scored like a fresh build's init
     val deltaInit = score(initEdges(deltaVecs, nDelta, kBuild), vecs)
-    // both directions so OLD endpoints get fresh edges (and thus wedges)
-    val fresh0 = seeded.unionByName(deltaInit)
-    val seedEdges = fresh0.unionByName(
-      fresh0.select(col("nbr").as("id"), col("id").as("nbr"), col("sim")))
+    // both directions so OLD endpoints get fresh edges (and thus wedges) —
+    // one explode, not a self-union (the union re-ran the beam-search
+    // seeding and the delta-init scoring once per branch)
+    val seedEdges = bothDirections(seeded.unionByName(deltaInit))
     // merge with the existing graph: an edge already known stays old
     // (its old×old wedges were explored at build time); genuinely new
     // edges enter fresh and drive the next rounds' local joins
@@ -345,9 +347,9 @@ object NnDescent {
       .filter(col("u") =!= col("w"))
       .select(col("u").as("id"), col("w").as("nbr"))
       .distinct()
-    val scored = score(cand, vecs)
-    val freshE = scored.unionByName(
-      scored.select(col("nbr").as("id"), col("id").as("nbr"), col("sim")))
+    // one explode, not a self-union (the union re-scored the bridge
+    // candidates once per branch)
+    val freshE = bothDirections(score(cand, vecs))
     val nn0 = pruned.withColumn("fresh", lit(false))
       .unionByName(freshE.withColumn("fresh", lit(true)))
       .groupBy("id", "nbr")
@@ -458,6 +460,21 @@ object NnDescent {
       .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
         col("rank"), col("sim"))
   }
+
+  /** (id, nbr, sim) → both directed edges, in ONE pass over the input.
+    * Self-unions (`e ∪ e.select(nbr as id, id as nbr, sim)`) evaluate the
+    * whole upstream subtree once per union branch — exchange reuse dedups
+    * only the shuffle stage, not the operators above it — so every scored
+    * edge paid its kernel twice. The row set produced is identical.
+    */
+  private def bothDirections(edges: DataFrame): DataFrame =
+    edges
+      .select(explode(array(
+        struct(col("id"), col("nbr"), col("sim")),
+        struct(col("nbr").as("id"), col("id").as("nbr"), col("sim"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr"),
+        col("e.sim").as("sim"))
 
   private def scoreQ(pairs: DataFrame, q: DataFrame, vecs: DataFrame)
       : DataFrame =

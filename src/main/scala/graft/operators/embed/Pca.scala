@@ -66,16 +66,23 @@ object Pca {
     require(mx <= 3037000499L,
       s"PCA long-exact product domain exceeded: |component micros| = $mx > " +
         "3.037e9 (|v| > ~3037); quantized inputs must be embedding-scaled")
-    val agg = q.select(explode(expr(
-        s"""flatten(transform(sequence(0, ${dim - 1}, 1), i ->
-           |  concat(
-           |    array(struct(i AS i, -1 AS j, element_at(x, i + 1) AS p)),
-           |    transform(sequence(i, ${dim - 1}, 1), j ->
-           |      struct(i AS i, j AS j,
-           |        element_at(x, i + 1) * element_at(x, j + 1) AS p)))))"""
-          .stripMargin)).as("t"))
-      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-      .groupBy("i", "j").agg(
+    // Products via the native GramFlat kernel (one fused loop per row, the
+    // same exact long multiplies in the same canonical order) instead of
+    // the interpreted flatten/transform/struct HOF nest, which paid a
+    // lambda interpretation per product (~20 CPU-s per pass at 2 k×64 —
+    // the dominant cost of this operator). posexplode positions map back
+    // to (i, j) here; the decimal sums see the identical addends.
+    val posI = Array.ofDim[Int](dim * (dim + 3) / 2)
+    val posJ = Array.ofDim[Int](dim * (dim + 3) / 2)
+    var pos0 = 0
+    for (i <- 0 until dim) {
+      posI(pos0) = i; posJ(pos0) = -1; pos0 += 1
+      for (j <- i until dim) { posI(pos0) = i; posJ(pos0) = j; pos0 += 1 }
+    }
+    val agg = q
+      .select(posexplode(graft.functions.GramFlat(col("x"), dim))
+        .as(Seq("pos", "p")))
+      .groupBy("pos").agg(
         sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sp"),
         count(lit(1)).as("cnt"))
       .collect()
@@ -83,9 +90,9 @@ object Pca {
     val quad = Array.fill(dim, dim)(java.math.BigDecimal.ZERO)
     var n = 0L
     agg.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val s = r.getDecimal(2)
-      if (j < 0) { lin(i) = s; n = r.getLong(3) }
+      val (i, j) = (posI(r.getInt(0)), posJ(r.getInt(0)))
+      val s = r.getDecimal(1)
+      if (j < 0) { lin(i) = s; n = r.getLong(2) }
       else { quad(i)(j) = s; quad(j)(i) = s }
     }
     (n, lin, quad)
@@ -194,22 +201,16 @@ object Pca {
     */
   def project(emb: DataFrame, idCol: String, vecCol: String, f: Fit)
       : DataFrame = {
-    val meanLit = f.mean.map(m => s"CAST($m AS DOUBLE)").mkString("array(", ", ", ")")
-    val vLit = f.vectors.map(_.map(x => s"CAST($x AS DOUBLE)")
-      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-    // k·dim zip/fold HOF work per row (interpreted lambdas, not
-    // whole-stage codegen) — spread past the single-row-group scan so the
-    // per-row cost parallelizes; per-row pure, so output is unchanged.
+    // Native fused kernel (quantize → center → rotate → micro-round, the
+    // rotation as a reference object) — the same arithmetic in the same
+    // fold/rounding order as the interpreted transform/zip_with/aggregate
+    // spelling it replaces, which paid k·dim lambda interpretations per
+    // row. Spread past the single-row-group scan so the per-row cost
+    // parallelizes; per-row pure, so output is unchanged.
     graft.Tables.spread(emb.filter(size(col(vecCol)) === f.mean.length))
-      .select(col(idCol), expr(
-        s"""transform($vLit, row ->
-           |  CAST(round(1000000 * aggregate(
-           |    zip_with(row,
-           |      zip_with(transform($vecCol,
-           |                 v -> round(CAST(v AS DOUBLE) * 1000000) / 1000000D),
-           |               $meanLit, (a, m) -> a - m),
-           |      (w, xc) -> w * xc),
-           |    0D, (acc, t) -> acc + t)) AS BIGINT))""".stripMargin).as("proj"))
+      .select(col(idCol),
+        graft.functions.PcaProjectMicros(col(vecCol), f.mean, f.vectors)
+          .as("proj"))
       .select(col(idCol), posexplode(col("proj")).as(Seq("comp", "y_micro")))
   }
 }

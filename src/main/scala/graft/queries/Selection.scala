@@ -934,42 +934,85 @@ object Selection {
     */
   private[graft] def lrTrain(feats: DataFrame, labels: DataFrame,
       iters: Int = 30, rate: Double = 1.0): LrModel = {
-    val n = labels.count().toDouble
-    require(n > 0, "cannot fit a classifier on an empty training set")
     var w = Array.fill(256)(0.0)
     var b = 0.0
     val losses = scala.collection.mutable.ArrayBuffer.empty[Long]
-    // Bias as a synthetic always-on feature (bucket −1), so one
-    // bucket-keyed aggregate per iteration carries every gradient AND the
-    // loss — each iteration is a single Spark action.
-    val featsB = feats
-      .unionByName(labels.select(col("doc_id"), lit(-1L).as("bucket")))
+    // One row per doc carrying its feature-bucket ARRAY plus the label —
+    // materialised once, so each GD iteration is a single map-shaped pass:
+    // margin = exact-long sum over the array (order-invariant), per-doc
+    // p/g/l from that margin, then ONE explode → 257-group aggregate (the
+    // bias rides as synthetic bucket −1). The first formulation re-keyed
+    // (doc,bucket) rows by doc_id AND re-joined labels AND re-joined the
+    // feature rows EVERY iteration — 3 doc-keyed exchanges × 30 iterations
+    // of pure re-partitioning of static data (guide §2.4: remove shuffles
+    // outright; measured: dx_lr_train 324 scheduler jobs, wall dominated
+    // by job floors, not compute). The per-doc aggregate values are
+    // unchanged: the long margin sum is exact in any order, and the
+    // gradient/loss sums stay round(·,12)-then-DECIMAL (order-invariant),
+    // so the fitted model is bit-identical.
+    val docs0 = feats.groupBy("doc_id")
+      .agg(collect_list(col("bucket")).as("bks"))
+      .join(labels, "doc_id")
+      .select(col("bks"), col("y"))
       .localCheckpoint(false)
+    // every labelled doc has ≥1 token, so docs ≡ labels row-for-row
+    val n = docs0.count()
+    require(n > 0, "cannot fit a classifier on an empty training set")
+    // Size-derived partitioning (guide §2: adapt to input, don't pin to
+    // core count): at proxy-fit sizes the whole table coalesces to one
+    // partition, whose SinglePartition output satisfies the 257-group
+    // aggregate's clustering — each GD iteration is then ONE job with NO
+    // exchange at all; past ~8k docs/partition the coalesce widens and the
+    // per-iteration exchange (bounded at 257 groups) comes back on its own.
+    // Unconditional: even when the checkpoint already HAS that few
+    // partitions, only CoalesceExec(1) CLAIMS SinglePartition to the
+    // planner — a bare checkpoint scan reports unknown partitioning and
+    // the per-iteration aggregate re-inserts its exchange (and AQE its
+    // per-stage job) anyway.
+    val parts = math.max(1L, math.min(
+      docs0.rdd.getNumPartitions.toLong, n / 8192L)).toInt
+    val docs = docs0.coalesce(parts)
     // Frequency preconditioner: per-bucket step = rate·Σg/df_b, the
     // diagonal-Newton scaling for logistic at p≈½ (H_bb ≈ df_b/4 for
     // binary features). A global 1/n step crawls on rare features and
     // diverges when pushed; df is an integer count, so the scaling stays
     // deterministic. Computed once per fit — one 257-group aggregate.
-    val dfs = featsB.groupBy("bucket").agg(count(lit(1)).as("df"))
+    val dfs = docs
+      .select(explode(concat(col("bks"), array(lit(-1L)))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    // static pieces hoisted out of the loop: expr() re-parses its SQL text
+    // on every call, and these don't depend on the model state
+    val lCol = expr(
+      """-(y * log(greatest(p, 1e-12d))
+        | + (1L - y) * log(greatest(1.0d - p, 1e-12d)))""".stripMargin)
+    // round→DECIMAL once per DOC (before the explode), not once per
+    // (doc,bucket) row — the addends, and therefore the order-invariant
+    // decimal sums, are unchanged
+    val gdCol = expr("CAST(round(g, 12) AS DECIMAL(26, 12))")
+    val ldCol = expr("CAST(round(l, 12) AS DECIMAL(26, 12))")
     for (_ <- 0 until iters) {
-      val wArr = array(w.map(x => lit(math.round(x * 1e6))): _*)
-      val bq = math.round(b * 1e6)
-      val scored = feats
-        .withColumn("wv", element_at(wArr, col("bucket").cast("int") + 1))
-        .groupBy("doc_id").agg(sum(col("wv")).as("mq"))
-        .join(labels, "doc_id")
-        .withColumn("p", expr(s"1.0d / (1.0d + exp(-((mq + ${bq}L) / 1e6)))"))
+      // Model state travels as codegen REFERENCE OBJECTS (the native
+      // IndexedWeightSum kernel for the weights, an array literal for the
+      // bias), never inlined scalars: the generated code text is identical
+      // across iterations, so the codegen cache hits 29 times instead of
+      // recompiling per iteration (the first formulation inlined ${bq}L —
+      // a fresh source string, a fresh Janino compile, every round).
+      val wq = w.map(x => math.round(x * 1e6))
+      val bArr = lit(Array(math.round(b * 1e6)))
+      val rows = docs
+        .withColumn("mq", graft.functions.IndexedWeightSum(col("bks"), wq))
+        .withColumn("p", lit(1.0d) / (lit(1.0d) +
+          exp(-((col("mq") + element_at(bArr, 1)) / lit(1e6)))))
         .withColumn("g", col("p") - col("y"))
-        .withColumn("l", expr(
-          """-(y * log(greatest(p, 1e-12d))
-            | + (1L - y) * log(greatest(1.0d - p, 1e-12d)))""".stripMargin))
-      val rows = featsB.join(scored.select("doc_id", "g", "l"), "doc_id")
+        .withColumn("l", lCol)
+        .withColumn("gd", gdCol)
+        .withColumn("ld", ldCol)
+        .select(explode(concat(col("bks"), array(lit(-1L)))).as("bucket"),
+          col("gd"), col("ld"))
         .groupBy("bucket").agg(
-          sum(expr("CAST(round(g, 12) AS DECIMAL(26, 12))")).as("gs"),
-          sum(expr("""CASE WHEN bucket = -1
-            |  THEN CAST(round(l, 12) AS DECIMAL(26, 12)) END""".stripMargin))
-            .as("ls"))
+          sum(col("gd")).as("gs"),
+          sum(when(col("bucket") === -1L, col("ld"))).as("ls"))
         .collect()
       val grads = rows.map(r => r.getLong(0) -> r.getDecimal(1).doubleValue).toMap
       val loss = rows.find(_.getLong(0) == -1L)
@@ -1001,7 +1044,10 @@ object Selection {
       if (sampleDen <= 1L) train
       else train.filter(pmod(xxhash64(col("doc_id")), lit(sampleDen)) === 0)
     val (tf, tl) = lrExamples(sliced)
-    lrTrain(tf.localCheckpoint(false), tl.localCheckpoint(false))
+    // no checkpoint here: lrTrain folds both into its per-doc array table
+    // and materialises THAT once — checkpointing the (doc,bucket) rows too
+    // would just add two jobs re-materialising frames read a single time
+    lrTrain(tf, tl)
   }
 
   // Session model cache — the serving-split economics the ANN index
