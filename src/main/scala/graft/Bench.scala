@@ -79,6 +79,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Generated-class cache (static conf, default 100 entries): one
+      // NN-Descent build alone emits ~100 codegen units, so at the default
+      // size every iterative operator evicts its own earlier rounds and
+      // re-compiles (and re-JITs) identical source each round — measured
+      // 72 redundant Janino compiles (~1.2 s) on a WARM dx_knn_graph run.
+      // Scale-independent: the cache is keyed by source text and bounds
+      // driver memory, not cores or data size.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     BlockCleanup.muteBenignCleanupSpam()

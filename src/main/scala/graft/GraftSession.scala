@@ -23,6 +23,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
 
   /** Build the session and register graft's native SQL functions and the
     * per-key top-k planner strategy.

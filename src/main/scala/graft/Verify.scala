@@ -17,6 +17,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
     // local-cluster executors are separate JVMs launched from SPARK_HOME:
     // they need the graft classes (and the test-run working dir) on their
     // own classpath — sbt's classes dir serves both

@@ -62,6 +62,7 @@ object JobStatsProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.BlockCleanup.muteBenignCleanupSpam()
@@ -73,14 +74,27 @@ object JobStatsProbe {
         .groupBy("l_returnflag").count().count()
       graft.Registry.byName("mb_components").fn(spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
+    def compileMs(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+    def compileCount(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
     for (n <- names; r <- 1 to reps) {
       val fn = graft.Registry.byName(n).fn
       Thread.sleep(200) // let listener events drain between reps
       st.reset()
+      val cm0 = compileMs(); val cc0 = compileCount()
+      val opt0 = org.apache.spark.sql.catalyst.rules.RuleExecutor.getCurrentMetrics
       val c0 = cpuNanos(); val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = (cpuNanos() - c0) / 1e9
+      val optMs = (org.apache.spark.sql.catalyst.rules.RuleExecutor
+        .getCurrentMetrics.time - opt0.time) / 1e6
+      val cMs = compileMs() - cm0
+      val cN = compileCount() - cc0
+      print(f"[xtra] $n rep$r janinoMs=$cMs janinoN=$cN optMs=$optMs%.0f%n")
       graft.BlockCleanup.dropRetainedBlocks(spark)
       Thread.sleep(300)
       println(f"[jobstats] $n rep$r wall=$wall%.2f cpu=$cpu%.1f " +

@@ -61,6 +61,31 @@ object LrShapeProbe {
         f"jobs=${st.jobs.get} stages=${st.stages.get} tasks=${st.tasks.get}")
       if (r == 1) rows.explain("formatted")
     }
+    // The ORIGINAL r17 iteration shape, for the before/after plan diff:
+    // (doc,bucket) rows re-keyed by doc_id + label join + feature join +
+    // bucket aggregate — three doc-keyed exchanges of static data per
+    // iteration where the array formulation above has at most one
+    // (bucket-keyed, 257 groups).
+    println("===== r17-formulation single iteration (before) =====")
+    val featsB = feats.unionByName(
+      labels.select(col("doc_id"), lit(-1L).as("bucket")))
+    val wArr0 = array((0 until 256).map(_ => lit(0L)): _*)
+    val scored0 = feats
+      .withColumn("wv", element_at(wArr0, col("bucket").cast("int") + 1))
+      .groupBy("doc_id").agg(sum(col("wv")).as("mq"))
+      .join(labels, "doc_id")
+      .withColumn("p", expr("1.0d / (1.0d + exp(-((mq + 0L) / 1e6)))"))
+      .withColumn("g", col("p") - col("y"))
+      .withColumn("l", expr(
+        """-(y * log(greatest(p, 1e-12d))
+          | + (1L - y) * log(greatest(1.0d - p, 1e-12d)))""".stripMargin))
+    featsB.join(scored0.select("doc_id", "g", "l"), "doc_id")
+      .groupBy("bucket").agg(
+        sum(expr("CAST(round(g, 12) AS DECIMAL(26, 12))")).as("gs"),
+        sum(expr("""CASE WHEN bucket = -1
+          |  THEN CAST(round(l, 12) AS DECIMAL(26, 12)) END""".stripMargin))
+          .as("ls"))
+      .explain("formatted")
     spark.stop()
   }
 }

@@ -24,8 +24,53 @@ import org.apache.spark.unsafe.types.UTF8String
 object JaroWinklerImpl {
 
   def jaro(a: UTF8String, b: UTF8String): Double = {
-    val x = a.getBytes; val y = b.getBytes
-    jaroBytes(x, y)
+    val n1 = a.numBytes; val n2 = b.numBytes
+    if (n1 == 0 || n2 == 0) return 0.0
+    // fast path for strings ≤ 64 bytes (virtually every name/key field):
+    // match flags live in two long bitmasks and bytes are read in place
+    // via getByte — zero allocations, where the general path pays two
+    // defensive byte-array copies (UTF8String.getBytes) plus two boolean
+    // arrays PER PAIR (measured: the u-estimation cross products spend
+    // ~200 CPU-s in this kernel per bench run). Identical match
+    // assignment, transposition count and IEEE op order — bit-equal.
+    if (n1 <= 64 && n2 <= 64) jaroSmall(a, b, n1, n2)
+    else jaroBytes(a.getBytes, b.getBytes)
+  }
+
+  private def jaroSmall(a: UTF8String, b: UTF8String, n1: Int, n2: Int): Double = {
+    val window = math.max(math.max(n1, n2) / 2 - 1, 0)
+    var m1 = 0L
+    var m2 = 0L
+    var m = 0
+    var i = 0
+    while (i < n1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(n2 - 1, i + window)
+      val xi = a.getByte(i)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if ((m2 >>> j & 1L) == 0L && xi == b.getByte(j)) {
+          m1 |= 1L << i; m2 |= 1L << j; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < n1) {
+      if ((m1 >>> i & 1L) != 0L) {
+        while ((m2 >>> k & 1L) == 0L) k += 1
+        if (a.getByte(i) != b.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    (m.toDouble / n1 + m.toDouble / n2 + (m - t).toDouble / m) / 3.0
   }
 
   private[functions] def jaroBytes(x: Array[Byte], y: Array[Byte]): Double = {
@@ -64,12 +109,11 @@ object JaroWinklerImpl {
   }
 
   def similarity(a: UTF8String, b: UTF8String): Double = {
-    val x = a.getBytes; val y = b.getBytes
-    var j = jaroBytes(x, y)
+    var j = jaro(a, b)
     if (j > 0.7) {
       var p = 0
-      val lim = math.min(4, math.min(x.length, y.length))
-      while (p < lim && x(p) == y(p)) p += 1
+      val lim = math.min(4, math.min(a.numBytes, b.numBytes))
+      while (p < lim && a.getByte(p) == b.getByte(p)) p += 1
       j = j + p * 0.1 * (1 - j)
     }
     j

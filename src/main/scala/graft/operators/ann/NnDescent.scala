@@ -170,8 +170,13 @@ object NnDescent {
       // descent direction, never sampled away) ∪ a capped reverse sample
       // (deterministic per-round: smallest round-salted hashes — the ρ·k
       // device; rev is the unbounded side, hubs are what the cap bounds)
+      // the round number rides as an ARRAY literal (codegen reference
+      // object, same int value hashed): inlining `lit(r)` changed the
+      // generated source every round, forcing a fresh Janino compile of
+      // this stage per round per build
       val revCapped = graft.plans.TopK.perKey(
-        rev.withColumn("hs", xxhash64(col("nbr"), lit(r))),
+        rev.withColumn("hs",
+          xxhash64(col("nbr"), element_at(lit(Array(r)), 1))),
         Seq("id"), "hs", math.max(cap - kBuild, 1),
         descending = false, tieCols = Seq("nbr"))
         .select("id", "nbr", "fresh")
