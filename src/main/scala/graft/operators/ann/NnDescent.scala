@@ -337,7 +337,11 @@ object NnDescent {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .join(rm, Seq("id"), "left_anti")
       .localCheckpoint(false)
+    // materialized once: `g` feeds the survivor prune, the lost-edge set
+    // AND the removed nodes' adjacency — lazily it re-evaluated the
+    // caller's whole graph plan three times
     val g = graph.select(col("id"), col("nbr"), col("sim"))
+      .localCheckpoint(false)
     val rmAsNbr = rm.select(col("id").as("nbr"))
     // tombstone: drop removed sources, then removed targets
     val fromSurvivors = g.join(rm, Seq("id"), "left_anti")
@@ -348,10 +352,13 @@ object NnDescent {
     val rmOut = g.join(rm, Seq("id"), "left_semi")
       .join(rmAsNbr, Seq("nbr"), "left_anti")
       .select(col("id").as("r"), col("nbr").as("w"))
+    // materialized once: scored (below) and the δ-termination base both
+    // read it — lazily the bridge joins ran twice
     val cand = lost.join(rmOut, "r")
       .filter(col("u") =!= col("w"))
       .select(col("u").as("id"), col("w").as("nbr"))
       .distinct()
+      .localCheckpoint(false)
     // one explode, not a self-union (the union re-scored the bridge
     // candidates once per branch)
     val freshE = bothDirections(score(cand, vecs))
