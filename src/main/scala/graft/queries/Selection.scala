@@ -145,13 +145,22 @@ object Selection {
     */
   private[graft] def bpeLearnFrom(wf0: DataFrame, nMerges: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    val wf = wf0
+    val wf1 = wf0
       .withColumn("sym", expr(
         """concat(' ', concat_ws('  ',
           |  concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),
           |         array('</w>'))), ' ')""".stripMargin))
       .select("w", "sym", "cnt")
       .localCheckpoint(false) // the corpus never rescans across iterations
+    // Size-derived partitioning (the lrTrain device): the merge loop runs
+    // nMerges pair-count aggregates over this VOCABULARY-sized table —
+    // at bench vocabularies CoalesceExec(1) claims SinglePartition, so
+    // each iteration's aggregate+argmax is one exchange-free job; past
+    // ~8k distinct words the exchange (bounded by the pair domain)
+    // reappears on its own.
+    val nW = wf1.count()
+    val wf = wf1.coalesce(math.max(1L,
+      math.min(wf1.rdd.getNumPartitions.toLong, nW / 8192L)).toInt)
     var words = wf
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (it <- 1 to nMerges) {
