@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/driver contract is ONE parseable JSON line on stdout. sbt's
+// default LoggedOutput prefixes every forked-process line with "[info] ",
+// which defeats a strict per-line JSON parse of the run output (the round
+// driver has recorded parsed:null for every bench line since r01 — the
+// line itself is valid JSON; the prefix is the one non-JSON byte sequence
+// on it). StdoutOutput hands the forked JVM the real stdout/stderr fds, so
+// the bench line reaches the driver byte-exact and unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

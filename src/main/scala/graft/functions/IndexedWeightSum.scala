@@ -36,7 +36,12 @@ case class IndexedWeightSum(child: Expression, weights: Array[Long])
     val n = xs.numElements()
     var acc = 0L
     var i = 0
-    while (i < n) { acc += weights(xs.getLong(i).toInt); i += 1 }
+    while (i < n) {
+      val b = xs.getLong(i)
+      if (b < 0L || b >= weights.length)
+        throw IndexedWeightSum.badIndex(b, weights.length)
+      acc += weights(b.toInt); i += 1
+    }
     acc
   }
 
@@ -46,11 +51,16 @@ case class IndexedWeightSum(child: Expression, weights: Array[Long])
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
       s"""
          |int $n = $a.numElements();
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $w[(int) $a.getLong($i)];
+         |  long $b = $a.getLong($i);
+         |  if ($b < 0L || $b >= $w.length) {
+         |    throw graft.functions.IndexedWeightSum.badIndex($b, $w.length);
+         |  }
+         |  $acc += $w[(int) $b];
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -67,4 +77,12 @@ object IndexedWeightSum {
   def apply(indices: Column, weights: Array[Long]): Column =
     ColumnBridge.column(
       IndexedWeightSum(ColumnBridge.expression(indices), weights))
+
+  /** Diagnosable misuse failure (called from generated code too): an
+    * out-of-range bucket dies with the index and bound in the message,
+    * not a bare ArrayIndexOutOfBoundsException deep inside codegen.
+    */
+  def badIndex(b: Long, len: Int): ArrayIndexOutOfBoundsException =
+    new ArrayIndexOutOfBoundsException(
+      s"indexed_weight_sum: bucket $b outside [0, $len)")
 }

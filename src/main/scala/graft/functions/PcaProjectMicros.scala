@@ -36,6 +36,18 @@ case class PcaProjectMicros(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "pca_project_micros"
 
+  // The kernel reads elements via getFloat — on any other element type
+  // UnsafeArrayData would silently misread the bytes (array<double> yields
+  // wrong projections, not an error), so reject at analysis time.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> input, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val xc = new Array[Double](dim)

@@ -170,18 +170,25 @@ object NnDescent {
       // descent direction, never sampled away) ∪ a capped reverse sample
       // (deterministic per-round: smallest round-salted hashes — the ρ·k
       // device; rev is the unbounded side, hubs are what the cap bounds)
-      // the round number rides as an ARRAY literal (codegen reference
-      // object, same int value hashed): inlining `lit(r)` changed the
-      // generated source every round, forcing a fresh Janino compile of
-      // this stage per round per build
+      // the round number rides as a ScalarRef (a true codegen reference
+      // object, same int value hashed): inlining `lit(r)` — or the earlier
+      // `element_at(lit(Array(r)), 1)`, which Catalyst constant-folds right
+      // back to `lit(r)` — changed the generated source every round,
+      // forcing a fresh Janino compile of this stage per round per build
       val revCapped = graft.plans.TopK.perKey(
         rev.withColumn("hs",
-          xxhash64(col("nbr"), element_at(lit(Array(r)), 1))),
+          xxhash64(col("nbr"), graft.functions.ScalarRef.int(r))),
         Seq("id"), "hs", math.max(cap - kBuild, 1),
         descending = false, tieCols = Seq("nbr"))
         .select("id", "nbr", "fresh")
       // same neighbor can arrive via fwd and rev with different flags —
-      // treat it as fresh if either route is
+      // treat it as fresh if either route is. This dedup exchange was
+      // MEASURED as a candidate for removal (the kernel can dedup members
+      // in-core, r19): killing it saved 4 scheduler jobs but the fwd∩rev
+      // overlap then shipped its VECTOR twice through the members
+      // exchange — +27 MB/build at sf0.1 (~4 KB/node/round at any scale)
+      // against ~1.5 KB/node of small rows saved. Worse at 100 TB, so the
+      // dedup stays ahead of the vector attach.
       val capped = fwd.unionByName(revCapped)
         .groupBy("id", "nbr").agg(max("fresh").as("fresh"))
       // local join (the paper's §2.3): assemble each node's neighborhood
@@ -215,19 +222,53 @@ object NnDescent {
       // age the current graph (its fresh edges were just explored), then
       // merge: a proposal duplicating an existing edge stays old (min),
       // a genuinely new edge enters fresh
-      val merged = nn.withColumn("fresh", lit(false))
-        .unionByName(proposals.withColumn("fresh", lit(true)))
-        .groupBy("id", "nbr")
-        .agg(max("sim").as("sim"), min("fresh").as("fresh"))
-      nn = graft.plans.TopK.perKey(merged, Seq("id"), "sim", kBuild,
-        tieCols = Seq("nbr")).drop("rank")
-      nn = graft.Ckpt.truncate(nn)
+      nn = graft.Ckpt.truncate(mergeTopK(nn, proposals, kBuild))
       // δ-termination: the count doubles as the round's materialization
-      // point (truncate is lazy), so each round's blocks land exactly once
-      val freshCnt = nn.filter(col("fresh")).count()
-      if (freshCnt < (delta * k * termN).toLong.max(1L)) converged = true
+      // point (truncate is lazy), so each round's blocks land exactly once.
+      // On the LAST round the converged flag is dead — the loop exits
+      // either way — so the count job is skipped and the caller's first
+      // action materializes the round instead (same stages, one fewer job).
+      if (r < iters) {
+        val freshCnt = nn.filter(col("fresh")).count()
+        if (sys.env.contains("GRAFT_NND_DEBUG"))
+          System.err.println(s"[nnd] round $r fresh=$freshCnt termN=$termN " +
+            s"thresh=${(delta * k * termN).toLong.max(1L)}")
+        if (freshCnt < (delta * k * termN).toLong.max(1L)) converged = true
+      }
     }
     nn.drop("fresh")
+  }
+
+  /** The merge shared by the descent round, the incremental-insert seeding
+    * and the delete-repair bridge: existing edges (fresh=false) ∪ newly
+    * scored edges (fresh=true) → per-(id,nbr) dedup (max sim, min fresh) →
+    * per-id top-kBuild. Three shuffle-shape devices, results unchanged:
+    * the map-side [[graft.plans.NnMerge]] combiner dedups and bounds each
+    * partition's contribution BEFORE the exchange (guide §2.3 — this was
+    * the family's largest remaining shuffle); the explicit
+    * `repartition(id)` lets the (id,nbr) dedup aggregate AND the TopK
+    * final share ONE exchange (hash(id) clusters (id,nbr) too — guide
+    * §2.4 "two operations keyed the same way can share one exchange",
+    * where the groupBy's own (id,nbr) exchange left TopK re-shuffling by
+    * id right after); AQE still coalesces the single exchange, so
+    * partitioning stays scale-adaptive.
+    */
+  private[graft] def mergeTopKForProbe(
+      old: DataFrame, freshE: DataFrame, kBuild: Int): DataFrame =
+    mergeTopK(old, freshE, kBuild)
+
+  private def mergeTopK(old: DataFrame, freshE: DataFrame, kBuild: Int)
+      : DataFrame = {
+    val unioned = old.select(col("id"), col("nbr"), col("sim"))
+      .withColumn("fresh", lit(false))
+      .unionByName(freshE.select(col("id"), col("nbr"), col("sim"))
+        .withColumn("fresh", lit(true)))
+    val merged = graft.plans.NnMerge.combine(unioned, kBuild)
+      .repartition(col("id"))
+      .groupBy("id", "nbr")
+      .agg(max("sim").as("sim"), min("fresh").as("fresh"))
+    graft.plans.TopK.perKey(merged, Seq("id"), "sim", kBuild,
+      tieCols = Seq("nbr")).drop("rank")
   }
 
   /** Incremental index maintenance — the daily-increment path of a
@@ -284,14 +325,9 @@ object NnDescent {
     // merge with the existing graph: an edge already known stays old
     // (its old×old wedges were explored at build time); genuinely new
     // edges enter fresh and drive the next rounds' local joins
-    val nn0 = graph.select(col("id"), col("nbr"), col("sim"))
-      .withColumn("fresh", lit(false))
-      .unionByName(seedEdges.withColumn("fresh", lit(true)))
-      .groupBy("id", "nbr")
-      .agg(max("sim").as("sim"), min("fresh").as("fresh"))
-    val capped = graft.Ckpt.truncate(
-      graft.plans.TopK.perKey(nn0, Seq("id"), "sim", kBuild,
-        tieCols = Seq("nbr")).drop("rank"))
+    // (same combined one-exchange merge as the descent rounds)
+    val capped = graft.Ckpt.truncate(mergeTopK(
+      graph.select(col("id"), col("nbr"), col("sim")), seedEdges, kBuild))
     val done = descend(capped, vecs, k, kBuild, iters, cap, deltaTerm,
       termN = nDelta)
     graft.plans.TopK.perKey(done, Seq("id"), "sim", k,
@@ -362,13 +398,7 @@ object NnDescent {
     // one explode, not a self-union (the union re-scored the bridge
     // candidates once per branch)
     val freshE = bothDirections(score(cand, vecs))
-    val nn0 = pruned.withColumn("fresh", lit(false))
-      .unionByName(freshE.withColumn("fresh", lit(true)))
-      .groupBy("id", "nbr")
-      .agg(max("sim").as("sim"), min("fresh").as("fresh"))
-    val capped = graft.Ckpt.truncate(
-      graft.plans.TopK.perKey(nn0, Seq("id"), "sim", kBuild,
-        tieCols = Seq("nbr")).drop("rank"))
+    val capped = graft.Ckpt.truncate(mergeTopK(pruned, freshE, kBuild))
     val nTouched = math.max(1L, cand.select("id").distinct().count())
     val done = descend(capped, vecs, k, kBuild, iters, cap, deltaTerm,
       termN = nTouched)

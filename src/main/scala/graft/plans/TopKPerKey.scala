@@ -66,6 +66,16 @@ case class TopKPerKeyExec(
     if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // Rows never move between partitions here (the heaps only DROP rows;
+  // the final stage appends the rank column) — so the child's partitioning
+  // passes through. Without this override the node reports
+  // UnknownPartitioning and EnsureRequirements re-exchanges a child that is
+  // ALREADY clustered by the key (measured: the NN-Descent merge paid a
+  // second full exchange between its id-keyed aggregate and the TopK final
+  // on every round).
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys

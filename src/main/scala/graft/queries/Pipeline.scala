@@ -791,11 +791,11 @@ object Pipeline {
     val common = inv
       .groupBy("lang", "bucket", "shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    named_struct('left_id', x, 'right_id', y))))""".stripMargin)).as("p"))
-      .groupBy(col("p.left_id").as("left_id"), col("p.right_id").as("right_id"))
+      // native ordered-pair kernel: one compiled double loop per postings
+      // group instead of an interpreted lambda per pair (guide: prefer
+      // codegen-path expressions in the hot path); identical pair multiset
+      .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.l").as("left_id"), col("p.r").as("right_id"))
       .agg(count(lit(1)).as("c"))
     common
       .join(broadcast(sizes.withColumnRenamed("doc_id", "left_id").withColumnRenamed("sz", "szl")), "left_id")
@@ -883,12 +883,12 @@ object Pipeline {
       .groupBy("g")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sz"), col("pos")))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    named_struct('left_id', x.doc_id, 'szl', x.sz, 'posl', x.pos,
-          |                 'right_id', y.doc_id, 'szr', y.sz, 'posr', y.pos))))""".stripMargin)).as("p"))
-      .select("p.left_id", "p.szl", "p.posl", "p.right_id", "p.szr", "p.posr")
+      // native ordered-pair kernel (struct elements copied once per group
+      // member, not per pair) — replaces the interpreted nested-transform
+      .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
+      .select(col("p.l.doc_id").as("left_id"), col("p.l.sz").as("szl"),
+        col("p.l.pos").as("posl"), col("p.r.doc_id").as("right_id"),
+        col("p.r.sz").as("szr"), col("p.r.pos").as("posr"))
       .filter(expr("10 * least(szl, szr) >= 6 * greatest(szl, szr)"))
       .filter(expr(
         "1 + least(szl - posl, szr - posr) >= (6 * (szl + szr) + 15) DIV 16"))
@@ -3209,11 +3209,11 @@ object Pipeline {
       .groupBy("win")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    named_struct('left_id', x, 'right_id', y))))""".stripMargin)).as("p"))
-      .groupBy(col("p.left_id").as("left_id"), col("p.right_id").as("right_id"))
+      // native ordered-pair kernel: one compiled double loop per postings
+      // group instead of an interpreted lambda per pair (guide: prefer
+      // codegen-path expressions in the hot path); identical pair multiset
+      .select(explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.l").as("left_id"), col("p.r").as("right_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("left_id", "right_id")
 
@@ -3733,11 +3733,9 @@ object Pipeline {
     ex.groupBy("chash", "clen")
       .agg(sort_array(collect_list("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, 64))
-      .select(col("clen"), explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    named_struct('left_id', x, 'right_id', y))))""".stripMargin)).as("p"))
-      .groupBy(col("p.left_id").as("left_id"), col("p.right_id").as("right_id"))
+      .select(col("clen"),
+        explode(graft.functions.OrderedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.l").as("left_id"), col("p.r").as("right_id"))
       .agg(count(lit(1)).as("shared_chunks"), sum("clen").as("shared_bytes"))
       .filter(col("shared_chunks") >= 2)
       .orderBy("left_id", "right_id")

@@ -959,12 +959,17 @@ object Selection {
     // unchanged: the long margin sum is exact in any order, and the
     // gradient/loss sums stay round(·,12)-then-DECIMAL (order-invariant),
     // so the fitted model is bit-identical.
-    val docs0 = feats.groupBy("doc_id")
-      .agg(collect_list(col("bucket")).as("bks"))
-      .join(labels, "doc_id")
-      .select(col("bks"), col("y"))
+    // LEFT join from labels so a labelled doc with zero feature rows keeps
+    // its row (empty bucket array ⇒ margin = bias, exactly the original
+    // union-with-synthetic-bucket semantics) instead of silently dropping
+    // out of n / df(-1) / the bias gradient. Current callers derive labels
+    // from the same toks frame, so the branch is inert there — this makes
+    // the invariant structural rather than a comment.
+    val docs0 = labels
+      .join(feats.groupBy("doc_id").agg(collect_list(col("bucket")).as("bks")),
+        Seq("doc_id"), "left")
+      .select(coalesce(col("bks"), lit(Array.empty[Long])).as("bks"), col("y"))
       .localCheckpoint(false)
-    // every labelled doc has ≥1 token, so docs ≡ labels row-for-row
     val n = docs0.count()
     require(n > 0, "cannot fit a classifier on an empty training set")
     // Size-derived partitioning (guide §2: adapt to input, don't pin to
@@ -1002,17 +1007,19 @@ object Selection {
     val ldCol = expr("CAST(round(l, 12) AS DECIMAL(26, 12))")
     for (_ <- 0 until iters) {
       // Model state travels as codegen REFERENCE OBJECTS (the native
-      // IndexedWeightSum kernel for the weights, an array literal for the
-      // bias), never inlined scalars: the generated code text is identical
-      // across iterations, so the codegen cache hits 29 times instead of
-      // recompiling per iteration (the first formulation inlined ${bq}L —
-      // a fresh source string, a fresh Janino compile, every round).
+      // IndexedWeightSum kernel for the weights, a non-foldable ScalarRef
+      // for the bias), never inlined scalars: the generated code text is
+      // identical across iterations, so the codegen cache hits 29 times
+      // instead of recompiling per iteration (the first formulation inlined
+      // ${bq}L — a fresh source string, a fresh Janino compile, every
+      // round; the element_at(lit(Array(b)), 1) spelling that replaced it
+      // was constant-folded back to an inline literal and fixed nothing).
       val wq = w.map(x => math.round(x * 1e6))
-      val bArr = lit(Array(math.round(b * 1e6)))
+      val bRef = graft.functions.ScalarRef.long(math.round(b * 1e6))
       val rows = docs
         .withColumn("mq", graft.functions.IndexedWeightSum(col("bks"), wq))
         .withColumn("p", lit(1.0d) / (lit(1.0d) +
-          exp(-((col("mq") + element_at(bArr, 1)) / lit(1e6)))))
+          exp(-((col("mq") + bRef) / lit(1e6)))))
         .withColumn("g", col("p") - col("y"))
         .withColumn("l", lCol)
         .withColumn("gd", gdCol)
