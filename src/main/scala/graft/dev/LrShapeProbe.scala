@@ -35,14 +35,15 @@ object LrShapeProbe {
     val w = Array.fill(256)(0L)
     for (r <- 1 to 3) {
       Thread.sleep(300); st.reset()
-      val wArr = lit(w)
-      val bArr = lit(Array(0L))
       val t0 = System.nanoTime()
+      // the SHIPPED iteration spelling (Selection.lrTrain): native
+      // IndexedWeightSum margin kernel + non-foldable ScalarRef bias —
+      // regenerated so the committed after-plan matches HEAD (r18 ADVICE:
+      // the first evidence dump showed an intermediate HOF spelling)
       val rows = docs
-        .withColumn("mq", aggregate(col("bks"), lit(0L),
-          (acc, bk) => acc + element_at(wArr, bk.cast("int") + 1)))
+        .withColumn("mq", graft.functions.IndexedWeightSum(col("bks"), w))
         .withColumn("p", lit(1.0d) / (lit(1.0d) +
-          exp(-((col("mq") + element_at(bArr, 1)) / lit(1e6)))))
+          exp(-((col("mq") + graft.functions.ScalarRef.long(0L)) / lit(1e6)))))
         .withColumn("g", col("p") - col("y"))
         .withColumn("l", expr(
           """-(y * log(greatest(p, 1e-12d))
@@ -61,6 +62,41 @@ object LrShapeProbe {
         f"jobs=${st.jobs.get} stages=${st.stages.get} tasks=${st.tasks.get}")
       if (r == 1) rows.explain("formatted")
     }
+    // Scale-threshold check (r18 verdict #5): the size-derived coalesce
+    // (n/8192, floor 1) must hand the per-iteration aggregate its exchange
+    // BACK once docs outgrow one partition — synthesize 40k docs and show
+    // the same iteration plans WITH an Exchange (no code change, the
+    // formula widens on its own).
+    println("===== synthetic 40k-doc iteration (coalesce widens) =====")
+    import spark.implicits._
+    val bigN = 40000L
+    val bigDocs0 = spark.range(bigN)
+      .select(expr("transform(sequence(0L, CAST(id % 7 AS BIGINT)), " +
+        "i -> (id * 31 + i) % 256)").as("bks"),
+        (col("id") % 2).as("y"))
+      .localCheckpoint(false)
+    val bigParts = math.max(1L, math.min(
+      bigDocs0.rdd.getNumPartitions.toLong, bigN / 8192L)).toInt
+    println(s"[lrshape] synthetic n=$bigN -> coalesce($bigParts)")
+    val bigDocs = bigDocs0.coalesce(bigParts)
+    val bigRows = bigDocs
+      .withColumn("mq", graft.functions.IndexedWeightSum(col("bks"), w))
+      .withColumn("p", lit(1.0d) / (lit(1.0d) +
+        exp(-((col("mq") + graft.functions.ScalarRef.long(0L)) / lit(1e6)))))
+      .withColumn("g", col("p") - col("y"))
+      .withColumn("l", expr(
+        """-(y * log(greatest(p, 1e-12d))
+          | + (1L - y) * log(greatest(1.0d - p, 1e-12d)))""".stripMargin))
+      .select(explode(concat(col("bks"), array(lit(-1L)))).as("bucket"),
+        col("g"), col("l"))
+      .groupBy("bucket").agg(
+        sum(expr("CAST(round(g, 12) AS DECIMAL(26, 12))")).as("gs"),
+        sum(expr("""CASE WHEN bucket = -1
+          |  THEN CAST(round(l, 12) AS DECIMAL(26, 12)) END""".stripMargin))
+          .as("ls"))
+    bigRows.collect()
+    println(bigRows.queryExecution.executedPlan.toString.take(2500))
+
     // The ORIGINAL r17 iteration shape, for the before/after plan diff:
     // (doc,bucket) rows re-keyed by doc_id + label join + feature join +
     // bucket aggregate — three doc-keyed exchanges of static data per

@@ -225,16 +225,22 @@ object NnDescent {
       nn = graft.Ckpt.truncate(mergeTopK(nn, proposals, kBuild))
       // δ-termination: the count doubles as the round's materialization
       // point (truncate is lazy), so each round's blocks land exactly once.
-      // On the LAST round the converged flag is dead — the loop exits
-      // either way — so the count job is skipped and the caller's first
-      // action materializes the round instead (same stages, one fewer job).
-      if (r < iters) {
-        val freshCnt = nn.filter(col("fresh")).count()
-        if (sys.env.contains("GRAFT_NND_DEBUG"))
-          System.err.println(s"[nnd] round $r fresh=$freshCnt termN=$termN " +
-            s"thresh=${(delta * k * termN).toLong.max(1L)}")
-        if (freshCnt < (delta * k * termN).toLong.max(1L)) converged = true
-      }
+      // The count runs on EVERY round including the last — skipping the
+      // final round's count (tried in r19: the converged flag is dead
+      // there, one job saved per descend) hands the UNMATERIALIZED lazy
+      // checkpoint to the caller, whose first action materializes it from
+      // several AQE threads at once (a shuffle-stage submission and a
+      // broadcast collect), and that concurrent first materialization of
+      // one lazy localCheckpoint can deadlock the driver (observed: the
+      // DAGScheduler event loop holding the RDD lock wanting the
+      // RDDCheckpointData lock, a broadcast-exchange thread holding the
+      // reverse — a hung graft.Verify). One scheduler job is not worth a
+      // driver hang; the count guarantees single-threaded materialization.
+      val freshCnt = nn.filter(col("fresh")).count()
+      if (sys.env.contains("GRAFT_NND_DEBUG"))
+        System.err.println(s"[nnd] round $r fresh=$freshCnt termN=$termN " +
+          s"thresh=${(delta * k * termN).toLong.max(1L)}")
+      if (freshCnt < (delta * k * termN).toLong.max(1L)) converged = true
     }
     nn.drop("fresh")
   }

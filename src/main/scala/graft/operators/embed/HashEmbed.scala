@@ -31,10 +31,15 @@ object HashEmbed {
       .groupBy("id", "b").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(collect_list(struct(col("b"), col("c"))).as("bc"))
       // float, matching the embeddings table's physical type (the ANN
-      // operators' native element type); counts < 2^24 are float-exact
+      // operators' native element type); counts < 2^24 are float-exact.
+      // map_from_entries is hoisted OUT of the transform lambda: HOF
+      // lambdas are interpreted and re-evaluate invariant subexpressions
+      // per ELEMENT, so the inline spelling built the map dim× per row
+      // (same values — the hoist is free).
+      .withColumn("m", expr("map_from_entries(bc)"))
       .select(col("id"), expr(
         s"""transform(sequence(0L, ${dim - 1}L),
-           | i -> CAST(coalesce(element_at(map_from_entries(bc), i), 0L) AS FLOAT))""".stripMargin)
+           | i -> CAST(coalesce(element_at(m, i), 0L) AS FLOAT))""".stripMargin)
         .as("embedding"))
   }
 }

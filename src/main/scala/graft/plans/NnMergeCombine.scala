@@ -76,69 +76,112 @@ case class NnMergeExec(k: Int, child: SparkPlan) extends UnaryExecNode {
     val flushRows = conf.getConfString("spark.graft.topk.flushRows", "262144").toInt
     child.execute().mapPartitions { iter =>
       val proj = UnsafeProjection.create(types)
-      // per-id insertion-ordered maps: nbr -> (sim, fresh); Entry is a
-      // 2-slot array to keep allocation flat
-      final class Entry(var sim: Double, var fresh: Boolean)
-      val state = new java.util.LinkedHashMap[
-        java.lang.Long, java.util.HashMap[java.lang.Long, Entry]]()
+      // Primitive column buffers + an index sort — the first cut of this
+      // operator kept boxed java.util.HashMap state per (id, nbr) and
+      // MEASURED 3× the task CPU of the shuffle it saved at sf1 (650 vs
+      // 214 task-seconds on dx_knn_graph: two boxed Longs and map churn
+      // per input row swamped the byte win). Sorting a flush epoch by
+      // (id ASC, sim DESC, nbr ASC) puts duplicates of a pair ADJACENT —
+      // copies of one (id,nbr) carry equal sims by construction (the
+      // deterministic cosine invariant this combiner documents and its
+      // spec pins) — so one linear scan dedups (AND-ing fresh) and keeps
+      // the first `k` distinct neighbors per id, allocation-free until
+      // the bounded emit.
+      val ids = new Array[Long](flushRows)
+      val nbrs = new Array[Long](flushRows)
+      val sims = new Array[Double](flushRows)
+      val frs = new Array[Boolean](flushRows)
+      val perm = new Array[Int](flushRows)
       new Iterator[InternalRow] {
         private var nBuf = 0
         private var out: java.util.Iterator[InternalRow] =
           java.util.Collections.emptyIterator()
         private val reuse = new GenericInternalRow(nCols)
-        private def emitAll(): Unit = {
-          val all = new java.util.ArrayList[InternalRow]()
-          val idIt = state.entrySet().iterator()
-          while (idIt.hasNext) {
-            val e = idIt.next()
-            val id = e.getKey.longValue()
-            val m = e.getValue
-            val entries = new Array[(Long, Entry)](m.size())
-            var i = 0
-            val it = m.entrySet().iterator()
-            while (it.hasNext) {
-              val kv = it.next()
-              entries(i) = (kv.getKey.longValue(), kv.getValue); i += 1
+
+        // perm(a) before perm(b) iff (id asc, sim desc, nbr asc)
+        private def lt(a: Int, b: Int): Boolean = {
+          if (ids(a) != ids(b)) return ids(a) < ids(b)
+          if (sims(a) != sims(b)) return sims(a) > sims(b)
+          nbrs(a) < nbrs(b)
+        }
+        private def sort(lo0: Int, hi0: Int): Unit = {
+          // in-place quicksort over perm with median-of-3 pivots;
+          // insertion sort below 16
+          var lo = lo0; var hi = hi0
+          while (hi - lo > 15) {
+            val mid = lo + (hi - lo) / 2
+            // median-of-3 → pivot index
+            val p = {
+              val (a, b, c) = (perm(lo), perm(mid), perm(hi))
+              if (lt(a, b)) { if (lt(b, c)) b else if (lt(a, c)) c else a }
+              else { if (lt(a, c)) a else if (lt(b, c)) c else b }
             }
-            // strict total order: sim DESC, nbr ASC (nbrs distinct)
-            java.util.Arrays.sort(entries, new java.util.Comparator[(Long, Entry)] {
-              override def compare(a: (Long, Entry), b: (Long, Entry)): Int = {
-                val c = java.lang.Double.compare(b._2.sim, a._2.sim)
-                if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+            var i = lo; var j = hi
+            while (i <= j) {
+              while (lt(perm(i), p)) i += 1
+              while (lt(p, perm(j))) j -= 1
+              if (i <= j) {
+                val t = perm(i); perm(i) = perm(j); perm(j) = t
+                i += 1; j -= 1
               }
-            })
-            val keep = math.min(limit, entries.length)
-            i = 0
-            while (i < keep) {
-              reuse.update(idOrd, id)
-              reuse.update(nbrOrd, entries(i)._1)
-              reuse.update(simOrd, entries(i)._2.sim)
-              reuse.update(freshOrd, entries(i)._2.fresh)
-              all.add(proj(reuse).copy())
-              i += 1
             }
+            // recurse into the smaller half, loop on the larger
+            if (j - lo < hi - i) { if (lo < j) sort(lo, j); lo = i }
+            else { if (i < hi) sort(i, hi); hi = j }
           }
-          state.clear(); nBuf = 0
+          var i = lo + 1
+          while (i <= hi) {
+            val v = perm(i)
+            var j = i - 1
+            while (j >= lo && lt(v, perm(j))) { perm(j + 1) = perm(j); j -= 1 }
+            perm(j + 1) = v
+            i += 1
+          }
+        }
+
+        private def emitAll(): Unit = {
+          val n = nBuf
+          var i = 0
+          while (i < n) { perm(i) = i; i += 1 }
+          if (n > 1) sort(0, n - 1)
+          val all = new java.util.ArrayList[InternalRow](math.min(n, 1024))
+          i = 0
+          var kept = 0 // distinct (id,nbr) runs emitted for the current id
+          var curId = 0L
+          var haveId = false
+          while (i < n) {
+            val p = perm(i)
+            if (!haveId || ids(p) != curId) { curId = ids(p); kept = 0; haveId = true }
+            // one (id,nbr) run: equal sims by invariant ⇒ duplicates are
+            // adjacent under the sort; AND the fresh flags across the run
+            val nbr = nbrs(p)
+            var fresh = frs(p)
+            var j = i + 1
+            while (j < n && ids(perm(j)) == curId && nbrs(perm(j)) == nbr) {
+              if (!frs(perm(j))) fresh = false
+              j += 1
+            }
+            if (kept < limit) {
+              reuse.update(idOrd, curId)
+              reuse.update(nbrOrd, nbr)
+              reuse.update(simOrd, sims(p))
+              reuse.update(freshOrd, fresh)
+              all.add(proj(reuse).copy())
+              kept += 1
+            }
+            i = j
+          }
+          nBuf = 0
           out = all.iterator()
         }
         private def pump(): Unit = {
           while (iter.hasNext && nBuf < flushRows) {
             val row = iter.next()
-            val id = java.lang.Long.valueOf(row.getLong(idOrd))
-            val nbr = java.lang.Long.valueOf(row.getLong(nbrOrd))
-            val sim = row.getDouble(simOrd)
-            val fresh = row.getBoolean(freshOrd)
-            var m = state.get(id)
-            if (m == null) {
-              m = new java.util.HashMap[java.lang.Long, Entry]()
-              state.put(id, m)
-            }
-            val e = m.get(nbr)
-            if (e == null) { m.put(nbr, new Entry(sim, fresh)); nBuf += 1 }
-            else {
-              if (sim > e.sim) e.sim = sim
-              if (!fresh) e.fresh = false
-            }
+            ids(nBuf) = row.getLong(idOrd)
+            nbrs(nBuf) = row.getLong(nbrOrd)
+            sims(nBuf) = row.getDouble(simOrd)
+            frs(nBuf) = row.getBoolean(freshOrd)
+            nBuf += 1
           }
           emitAll()
         }
